@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+All query definitions live in ``graphsense_ethereum_etl_spark.queries``.
 """
 
 from __future__ import annotations
@@ -12,27 +13,42 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphsense_ethereum_etl_spark.queries import REGISTRY, load
+from graphsense_ethereum_etl_spark.functions.columns import block_bucket, hex_prefix
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001 (SURVEY.md §7.2): the
+    transaction-enrichment pipeline analog — source → derive (P5 bucket,
+    P6 prefix) → broadcast join (J1) → grouped agg (A1 two-phase max)."""
+    sf_dir = "/root/testdata/sf0.001"
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    enriched = (
+        orders.withColumn("bucket", block_bucket("o_orderkey"))
+        .withColumn(
+            "key_prefix",
+            hex_prefix(F.concat(F.lit("0x"), F.md5(F.col("o_orderkey").cast("string")))),
+        )
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    )
+    return enriched.groupBy("bucket", "segment").agg(
+        F.count("*").alias("n_orders"),
+        F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.countDistinct("key_prefix").cast("bigint").alias("n_prefixes"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: q.fn for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL per query (omitted → rows-only check)."""
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

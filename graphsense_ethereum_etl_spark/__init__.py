@@ -1,0 +1,20 @@
+"""graphsense_ethereum_etl_spark — a PySpark-native analytics/ETL engine.
+
+Re-expresses the query and data-processing capabilities of
+graphsense/graphsense-ethereum-etl (reference at /root/reference, cited by
+file:line throughout) as idiomatic Spark DataFrame pipelines, plus the
+general-purpose operator surface (joins, aggregations, windows, set ops) and
+LLM-data-pipeline operators (dedup, similarity search, text analysis,
+multimodal columns) required by the north star.
+
+Layout:
+    session        SparkSession factory with scale-appropriate defaults
+    schemas        StructType registry (reference tables + raw entities)
+    functions/     column-expression library (hex, bucketing, text, vectors)
+    operators/     entity transform pipelines, joins, dedup, similarity
+    sources/       parquet/CSV readers, RPC fetch source (stub), generators
+    streaming/     incremental ingest (resume semantics) + structured streaming
+    plans/         plan inspection / explain helpers
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,680 @@
+"""Query registry feeding ``__spark_entry__.py``.
+
+Every operator from SURVEY.md §2 (plus the north-star extensions) is declared
+here as a named query: a Spark DataFrame builder ``(spark, sf_dir) -> DF``
+paired with an equivalent ANSI-SQL oracle string for DuckDB. The driver (and
+``tests/test_oracle_parity.py``) runs both over the same parquet tables and
+compares row-count + schema + order-insensitive value hash.
+
+Cross-engine determinism rules used throughout (SURVEY.md §7.4):
+  - money/double aggregation: cast each value to DECIMAL per-row (exact,
+    order-independent sums), cast the final aggregate to DOUBLE in both
+    engines;
+  - hashing: md5 hex strings (identical lowercase hex in both engines) — we
+    keep harness queries on hex *strings*, binary round-trips are unit-tested;
+  - aggregates explicitly CAST so Spark/DuckDB result types line up
+    (DuckDB SUM(BIGINT) is HUGEINT, Spark's is BIGINT);
+  - every computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .functions.columns import (
+    array_join_sep,
+    block_bucket,
+    hex_prefix,
+    topic0_with_default,
+    topics_to_json,
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is TIMESTAMP(NANOS) in parquet — read as int64 ns (see
+    # session.py nanosAsLong) and truncate to µs exactly as DuckDB does.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, driver does rows-only
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = Query(fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projection / derived-column operators (reference transform analogs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p5_block_bucket",
+    """
+    SELECT CAST(FLOOR(o_orderkey / 1000) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders GROUP BY 1
+    """,
+)
+def p5_block_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — range bucketing block_id_group = id // 1000
+    (eth_cassandra_streaming.py:344,395,455) over the orders analog."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(block_bucket("o_orderkey").alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+    )
+
+
+@query(
+    "p6_hash_prefix",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           substring('0x' || md5(CAST(o_orderkey AS VARCHAR)), 3, 5) AS tx_hash_prefix
+    FROM orders
+    """,
+)
+def p6_hash_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — 5-hex-char hash prefix, skipping '0x'
+    (eth_cassandra_streaming.py:428-429; len constant :35)."""
+    df = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.concat(F.lit("0x"), F.md5(F.col("o_orderkey").cast("string"))).alias("h"),
+    )
+    return df.select("o_orderkey", hex_prefix("h", 5).alias("tx_hash_prefix"))
+
+
+@query(
+    "p7_hex_roundtrip",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           hex(unhex(substring('0x' || md5(CAST(o_orderkey AS VARCHAR)), 3))) AS hex_upper
+    FROM orders
+    """,
+)
+def p7_hex_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — hex→binary decode (hex_to_bytearray,
+    eth_cassandra_streaming.py:183-186), round-tripped back to hex so the
+    oracle comparison stays on strings (SURVEY.md §7.4.3)."""
+    df = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.concat(F.lit("0x"), F.md5(F.col("o_orderkey").cast("string"))).alias("h"),
+    )
+    return df.select(
+        "o_orderkey",
+        F.hex(F.unhex(F.expr("substring(h, 3)"))).alias("hex_upper"),
+    )
+
+
+@query(
+    "p8_trace_address_join",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           array_to_string([event_id % 7, event_id % 13, event_id % 3], ',') AS path_csv,
+           array_to_string([event_id % 7, event_id % 13, event_id % 3], '|') AS path_pipe
+    FROM events
+    """,
+)
+def p8_trace_address_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — trace_address array→delimited string; both sink dialects
+    ("," eth_cassandra_streaming.py:456-460, "|" eth_csv_export.py:311-315)."""
+    df = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.array(
+            F.col("event_id") % 7, F.col("event_id") % 13, F.col("event_id") % 3
+        ).alias("path"),
+    )
+    return df.select(
+        "event_id",
+        array_join_sep("path", ",").alias("path_csv"),
+        array_join_sep("path", "|").alias("path_pipe"),
+    )
+
+
+@query(
+    "p9_topic0_default",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CASE
+             WHEN user_id % 10 = 0 THEN '0x'
+             WHEN event_type = 'error' THEN '0x'
+             ELSE event_type
+           END AS topic0
+    FROM events
+    """,
+)
+def p9_topic0_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — topic0 = topics[0] with "0x" default for null/empty arrays
+    (eth_cassandra_streaming.py:346-355): user_id%10=0 models a NULL topics
+    row, event_type='error' models an empty (anonymous-event) array."""
+    df = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.when(F.col("user_id") % 10 == 0, F.lit(None).cast("array<string>"))
+        .when(F.col("event_type") == "error", F.array().cast("array<string>"))
+        .otherwise(F.array(F.col("event_type")))
+        .alias("topics"),
+    )
+    return df.select("event_id", topic0_with_default("topics", "0x").alias("topic0"))
+
+
+@query(
+    "p11_topics_json",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           '["' || array_to_string([lang, source], '","') || '"]' AS topics_json
+    FROM documents
+    """,
+)
+def p11_topics_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 — CSV logs dialect: topics → '["a","b"]' quoted-join
+    (eth_csv_export.py:342-344)."""
+    df = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.array("lang", "source").alias("topics"),
+    )
+    return df.select("doc_id", topics_to_json("topics").alias("topics_json"))
+
+
+# ---------------------------------------------------------------------------
+# §2.4 joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_enrich_orders",
+    """
+    SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+           o.o_orderstatus AS o_orderstatus,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           c.c_name AS receipt_name,
+           c.c_mktsegment AS receipt_segment,
+           CAST(c.c_acctbal AS DOUBLE) AS receipt_acctbal
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def j1_enrich_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — tx⋈receipt enrichment-join shape (eth_cassandra_streaming.py:628):
+    inner equi-join flattening the small side into prefixed columns. The
+    customer dim is broadcast (dim ≪ fact), so no shuffle of the fact side —
+    the strategy that holds at 100 TB."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        F.col("c_name").alias("receipt_name"),
+        F.col("c_mktsegment").alias("receipt_segment"),
+        F.col("c_acctbal").cast("double").alias("receipt_acctbal"),
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "receipt_name",
+            "receipt_segment",
+            "receipt_acctbal",
+        )
+    )
+
+
+@query(
+    "j2_semi_join",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def j2_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (engine-provided; absent in reference — SURVEY.md §2.4)."""
+    customer = load(spark, sf_dir, "customer")
+    big_orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select(F.col("c_custkey").cast("bigint").alias("c_custkey"), "c_name")
+
+
+@query(
+    "j3_anti_join",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (engine-provided)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select(F.col("c_custkey").cast("bigint").alias("c_custkey"), "c_mktsegment")
+
+
+@query(
+    "j4_asof_day_max",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(MAX(event_id) AS BIGINT) AS last_event_id
+    FROM events GROUP BY 1
+    """,
+)
+def j4_asof_day_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (reference) — date→last-event as-of lookup shape: the reference maps
+    a calendar date to the last block of that day
+    (eth_cassandra_streaming.py:199-216). Here: last event id per UTC day."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.max("event_id").cast("bigint").alias("last_event_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_resume_max",
+    """
+    SELECT CAST(FLOOR(event_id / 1000) AS BIGINT) AS event_group,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events GROUP BY 1
+    """,
+)
+def a1_resume_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/S4 — resume scan: per-partition top-1 then max
+    (eth_cassandra_streaming.py:225-245) = Spark partial+final agg."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(block_bucket("event_id").alias("event_group"))
+        .agg(F.max("event_id").cast("bigint").alias("max_event_id"))
+    )
+
+
+@query(
+    "a2_global_stats",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    """,
+)
+def a2_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregation with exact (decimal) summation of doubles."""
+    return load(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(26,8))) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the flagship grouped-agg pipeline.
+    Decimal-per-row casts make the double sums exact and order-independent."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(22,6)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(26,8)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_base_price"),
+        F.sum(disc).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        )
+        .cast("double")
+        .alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "a3_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def a3_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation (engine-provided hierarchy totals)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@query(
+    "a4_cube",
+    """
+    SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube aggregation."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "a5_conditional_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a5_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot expressed as conditional aggregation (oracle-friendly form of
+    ``df.groupBy().pivot()``)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_open"),
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_running_balance",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
+    FROM orders
+    """,
+)
+def w1_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-address running balance shape (SURVEY.md §2.6): cumulative sum per
+    partition in event order — the blockchain analog is per-address running
+    value over (block_id, trace_index)."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@query(
+    "w2_topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+             CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number (per-block top transfers shape)."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "w3_lag_gap",
+    """
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(date_diff('day',
+                CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS DATE),
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+    FROM orders
+    """,
+)
+def w3_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: days between consecutive orders per customer."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag("o_orderdate").over(w).cast("date"),
+        )
+        .cast("bigint")
+        .alias("days_since_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 sorts / limits / top-k, §2.8 set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o1_global_topk",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def o1_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — global order + limit (TakeOrderedAndProject: no full sort at
+    scale, per-partition top-k then merge)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "s1_union_distinct",
+    """
+    SELECT CAST(n AS INTEGER) AS nationkey FROM (
+      SELECT c_nationkey AS n FROM customer
+      UNION
+      SELECT s_nationkey AS n FROM supplier)
+    """,
+)
+def s1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: union + distinct."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
+
+
+@query(
+    "s2_intersect",
+    """
+    SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+    INTERSECT
+    SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
+    """,
+)
+def s2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@query(
+    "s3_except",
+    """
+    SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+    EXCEPT
+    SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
+    WHERE s_suppkey % 3 = 0
+    """,
+)
+def s3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics — Spark ``subtract`` = EXCEPT DISTINCT)."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 3 == 0)
+        .select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    )
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# §2.9 scalar functions / date-time
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d1_monthly_activity",
+    """
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def d1_monthly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface: UTC month truncation (reference truncates to UTC
+    midnight, eth_cassandra_streaming.py:205-207) + grouped agg."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("month", "ts").cast("date").alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@query(
+    "d2_format_strings",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           printf('%08d-%08d', CAST(FLOOR(o_orderkey / 1000) AS BIGINT) * 1000,
+                  (CAST(FLOOR(o_orderkey / 1000) AS BIGINT) + 1) * 1000) AS file_name
+    FROM orders
+    """,
+)
+def d2_format_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """%08d zero-padded partition-file naming (eth_csv_export.py:520-523)."""
+    bucket = block_bucket("o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.format_string("%08d-%08d", bucket * 1000, (bucket + 1) * 1000).alias(
+            "file_name"
+        ),
+    )
