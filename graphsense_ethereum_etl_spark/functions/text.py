@@ -1,0 +1,120 @@
+"""Text-analysis column operators for the LLM-data-pipeline surface
+(north star, BASELINE.json): tokenization, shingling, quality scoring,
+language-ID heuristics, fingerprinting.
+
+All pure Catalyst expressions (whole-stage codegen; no Python UDFs) so they
+hold up on a 100 TB documents table: every op is per-row, embarrassingly
+parallel, no shuffle.
+
+Cross-engine notes (DuckDB oracle parity): tokenization is
+``split(trim(text), '\\s+')`` whose regex semantics agree between Java regex
+and RE2 for whitespace; ratio metrics use a single IEEE double division
+(deterministic bit-for-bit in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and deterministic: the point is the operator
+# shape (set-membership scoring + argmax), not linguistic accuracy.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "les", "et", "est", "une"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization: ``split(trim(text), '\\s+')``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    c = tokens(text)
+    return F.size(c).cast("bigint")
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text))).cast("bigint")
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word ``k``-grams (the MinHash/Jaccard input set).
+
+    Documents shorter than ``k`` tokens yield an empty array (guarded:
+    Spark's ``sequence(1, 0)`` would otherwise run *descending*).
+    """
+    w = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(w) - (k - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
+    )
+    return F.when(F.size(w) >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text (hex string, so the
+    oracle comparison stays on strings)."""
+    return F.md5(normalized_text(text))
+
+
+def alpha_ratio(text: Column | str) -> Column:
+    """Share of [a-z] characters after lowercasing — quality signal."""
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    return (
+        F.length(F.regexp_replace(c, "[^a-z]", "")).cast("double")
+        / F.length(c).cast("double")
+    )
+
+
+def mean_token_length(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    w = tokens(c)
+    total = F.aggregate(
+        F.transform(w, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return total.cast("double") / F.size(w).cast("double")
+
+
+def stopword_score(text: Column | str, lang: str) -> Column:
+    """Number of distinct stopwords of ``lang`` present in the document."""
+    sw = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+    return F.size(F.array_intersect(tokens(text), sw)).cast("bigint")
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword scores with a
+    deterministic tie-break (declaration order in LANG_STOPWORDS); 'und' when
+    no stopword hits at all."""
+    scores = {lang: stopword_score(text, lang) for lang in LANG_STOPWORDS}
+    langs = list(LANG_STOPWORDS)
+    best = None
+    for lang in langs:
+        cond = scores[lang] > 0
+        for other in langs:
+            if other == lang:
+                continue
+            if langs.index(other) < langs.index(lang):
+                cond = cond & (scores[lang] > scores[other])
+            else:
+                cond = cond & (scores[lang] >= scores[other])
+        branch = F.when(cond, F.lit(lang))
+        best = branch if best is None else best.when(cond, F.lit(lang))
+    return F.coalesce(best, F.lit("und"))

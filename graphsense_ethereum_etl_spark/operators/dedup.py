@@ -1,0 +1,188 @@
+"""Deduplication operators over a documents table (north-star surface):
+
+  - exact dedup           hash-groupBy on a canonical fingerprint
+  - n-gram Jaccard        shingle explode → co-occurrence self-join → ratio
+  - MinHash + LSH         signature via lexicographic min over salted md5
+                          hex strings, banded into LSH buckets → bucket join
+  - SimHash               bitwise-majority fingerprint over token hashes
+
+Design for 100 TB:
+  - exact dedup is one hash-partitioned groupBy on the fingerprint (map-side
+    partial agg; no row data moves, only (hash, id) pairs);
+  - MinHash signatures are computed per-row with ``array_min`` over the
+    shingle array — NO explode/shuffle for the signature stage; only the
+    tiny (doc_id, band_key) pairs shuffle for the LSH bucket join;
+  - the Jaccard verify join operates on LSH candidates (bounded buckets),
+    not the full cross product.
+
+Determinism: "hash functions" are md5 hex strings compared lexicographically
+(MinHash needs any total order, not ints), which DuckDB reproduces exactly —
+this is what makes MinHash/LSH fully oracle-checkable in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, shingles
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BANDS = 4  # rows-per-band = num_hashes / bands
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via canonical-fingerprint groupBy: one row per distinct
+    content, keeping the minimum id as the canonical representative."""
+    return (
+        docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).cast("bigint").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature, computed entirely per-row (no shuffle):
+    minhash_i = min over shingles of md5(i || ':' || shingle), with the md5
+    hex string's lexicographic order as the hash order."""
+    sh = shingles(text_col, shingle_k)
+
+    def _minhash(salt: str):
+        # NB: the transform lambda must take exactly one param — pyspark
+        # binds a second param to the array index, not the closure default.
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(salt), s))))
+
+    return docs.select(
+        F.col(id_col),
+        *[_minhash(f"{i}:").alias(f"mh{i}") for i in range(num_hashes)],
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, bucket-join docs that
+    share any band key. Returns distinct (id_a < id_b) pairs."""
+    rows_per_band = num_hashes // bands
+    # Documents with no shingles (< k tokens) have all-null signatures and
+    # cannot meaningfully collide — drop them (matches the SQL oracle, where
+    # the shingle explode produces no rows for them).
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k).filter(
+        F.col("mh0").isNotNull()
+    )
+    band_structs = []
+    for b in range(bands):
+        parts = [F.coalesce(F.col(f"mh{b * rows_per_band + r}"), F.lit("")) for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key"))
+        )
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").cast("bigint").alias("id_a"),
+            F.col(f"r.{id_col}").cast("bigint").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs above ``threshold``.
+
+    Shingle-inverted-index self-join: explode distinct shingles, join on the
+    shingle, count intersections, derive |union| = |A| + |B| − |A∩B|.
+    The final division is a single IEEE double op (oracle-deterministic).
+    At scale the input should be LSH candidates; this operator is the exact
+    verifier."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_k)).alias("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprint (``bits`` ≤ 16): per-token md5, take the first
+    4 hex chars (16 bits) as 4 nibbles, bitwise-majority over all token
+    occurrences; bit set iff the signed vote sum is > 0.
+
+    Implemented as per-row array folds (no explode/shuffle); hex-nibble
+    decoding via ``instr('0123456789abcdef', ch) - 1`` keeps it reproducible
+    in ANSI SQL for the oracle."""
+    assert bits <= 16
+    c = F.split(F.trim(F.col(text_col)), r"\s+")
+    # Per token: int value of the first 4 md5 hex chars (0..65535).
+    tok_vals = F.transform(
+        c,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("bigint"),
+    )
+    def _vote(shift: int):
+        # vote = sum over tokens of +1 / -1 for this bit; NB: the lambda must
+        # take exactly (acc, v) — pyspark binds extra params as lambda vars.
+        return F.aggregate(
+            tok_vals,
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc
+            + F.when(((v / shift).cast("bigint") % 2) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+
+    sim = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sim = sim + F.when(_vote(1 << b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return docs.select(F.col(id_col).cast("bigint").alias(id_col), sim.alias("simhash"))

@@ -678,3 +678,303 @@ def d2_format_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "file_name"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# North-star: text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@query(
+    "t1_token_stats",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_DUCK_TOKENS})) AS BIGINT) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (north-star text analysis): whitespace tokenization,
+    total and distinct token counts per document."""
+    from .functions.text import distinct_token_count, token_count
+
+    return load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        token_count("text").alias("n_tokens"),
+        distinct_token_count("text").alias("n_distinct_tokens"),
+    )
+
+
+@query(
+    "t2_quality_score",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+             / CAST(length(lower(text)) AS DOUBLE) AS alpha_ratio,
+           CAST(list_sum(list_transform({_DUCK_TOKENS}, x -> length(x))) AS DOUBLE)
+             / CAST(len({_DUCK_TOKENS}) AS DOUBLE) AS mean_token_len
+    FROM documents
+    """,
+)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (north-star): char count, alphabetic ratio, mean token
+    length — each ratio a single IEEE double division (oracle-deterministic)."""
+    from .functions.text import alpha_ratio, mean_token_length
+
+    return load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        alpha_ratio("text").alias("alpha_ratio"),
+        mean_token_length("text").alias("mean_token_len"),
+    )
+
+
+def _duck_lang_score(lang: str) -> str:
+    from .functions.text import LANG_STOPWORDS
+
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter(list_distinct({_DUCK_TOKENS}),"
+        f" x -> list_contains([{words}], x)))"
+    )
+
+
+def _duck_lang_case() -> str:
+    from .functions.text import LANG_STOPWORDS
+
+    langs = list(LANG_STOPWORDS)
+    scores = {lang: _duck_lang_score(lang) for lang in langs}
+    branches = []
+    for lang in langs:
+        conds = [f"{scores[lang]} > 0"]
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">" if langs.index(other) < langs.index(lang) else ">="
+            conds.append(f"{scores[lang]} {op} {scores[other]}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+@query(
+    "t3_lang_id",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           {_duck_lang_case()} AS lang_pred
+    FROM documents
+    """,
+)
+def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (north-star): per-language stopword-set scores
+    with deterministic argmax."""
+    from .functions.text import lang_id
+
+    return load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        lang_id("text").alias("lang_pred"),
+    )
+
+
+@query(
+    "t4_fingerprint",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting + exact dedup (north-star): md5 of normalized
+    text, grouped — one row per distinct content with canonical id."""
+    from .operators.dedup import exact_duplicates
+
+    return exact_duplicates(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# North-star: deduplication (documents table)
+# ---------------------------------------------------------------------------
+
+_DUCK_SHINGLES = f"""
+toks AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       FROM toks, UNNEST(range(1, len(w)-1)) t(i)
+       WHERE len(w) >= 3)
+"""
+
+
+@query(
+    "dd2_ngram_jaccard",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.5
+    """,
+)
+def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (north-star dedup): word-3-gram shingle
+    inverted index self-join, exact Jaccard ≥ 0.5."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _duck_minhash_sig() -> str:
+    mins = ", ".join(
+        f"MIN(md5('{i}:' || shingle)) AS mh{i}" for i in range(8)
+    )
+    return f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
+
+
+def _duck_bands() -> str:
+    bands = []
+    for b in range(4):
+        lo, hi = 2 * b, 2 * b + 1
+        bands.append(
+            f"SELECT doc_id, {b} AS band, "
+            f"md5(coalesce(mh{lo}, '') || '|' || coalesce(mh{hi}, '')) AS key FROM sig"
+        )
+    return " UNION ALL ".join(bands)
+
+
+@query(
+    "dd3_minhash_lsh",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    {_duck_minhash_sig()},
+    banded AS ({_duck_bands()})
+    SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+)
+def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (north-star dedup): 8 salted-md5 minhashes
+    (lexicographic min over hex strings — any total order works for MinHash),
+    4 bands × 2 rows, bucket join. Fully SQL-oracle-checkable because the
+    hash order is engine-independent."""
+    from .operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(load(spark, sf_dir, "documents"))
+
+
+def _duck_simhash() -> str:
+    nib = (
+        "(instr('0123456789abcdef', substring(md5(t), {p}, 1)) - 1)"
+    )
+    v = " + ".join(
+        f"{nib.format(p=p + 1)} * {16 ** (3 - p)}" for p in range(4)
+    )
+    votes = ", ".join(
+        f"SUM(CASE WHEN CAST(FLOOR(v / {1 << b}.0) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    bits = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+    return f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM toks),
+    tv AS (SELECT doc_id, {v} AS v FROM tok),
+    votes AS (SELECT doc_id, {votes} FROM tv GROUP BY doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({bits} AS BIGINT) AS simhash
+    FROM votes
+    """
+
+
+@query("dd4_simhash", _duck_simhash())
+def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (north-star dedup): 16-bit bitwise-majority over
+    per-token md5 hashes, computed as per-row array folds (no shuffle)."""
+    from .operators.dedup import simhash
+
+    return simhash(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# North-star: similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+_DUCK_COS = """
+list_sum(list_transform(list_zip({a}, {b}), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+   * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+@query(
+    "sim1_topk_cosine",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, e.vec_id AS cand_id,
+             round({_DUCK_COS.format(a="qv", b="e.embedding")}, 9) AS score9
+      FROM embeddings e, q WHERE e.vec_id != query_id),
+    ranked AS (
+      SELECT query_id, cand_id, score9,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score9 DESC, cand_id) AS rn
+      FROM scored)
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(cand_id AS BIGINT) AS cand_id,
+           round(score9, 6) AS score, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def sim1_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline (north-star similarity search):
+    broadcast 5 query vectors against all candidates, JVM-side double fold,
+    windowed top-10. Verified bitwise-equal to the DuckDB double pipeline."""
+    from .operators.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query(
+    "sim2_neardup_pairs",
+    f"""
+    SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+           round({_DUCK_COS.format(a="a.embedding", b="b.embedding")}, 6) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DUCK_COS.format(a="a.embedding", b="b.embedding")} >= 0.25
+    """,
+)
+def sim2_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (north-star dedup): exact all-pairs
+    cosine ≥ 0.25. The scale path is sim3's LSH bucketing; this is the exact
+    verifier semantics."""
+    from .functions.vectors import cosine as _cos
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", _cos("va", "vb"))
+        .filter(F.col("cos") >= 0.25)
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.round("cos", 6).alias("score"),
+        )
+    )
+
+
+@query("sim3_lsh_ann", None)
+def sim3_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (north-star similarity, the 100 TB path):
+    deterministic random-hyperplane signatures → bucket join → exact rescore.
+    Non-SQL-expressible oracle (hyperplanes derived in Python) → rows-only."""
+    from .operators.similarity import lsh_ann_pairs
+
+    return lsh_ann_pairs(load(spark, sf_dir, "embeddings"), min_score=0.2)
