@@ -9,9 +9,9 @@
 Design for 100 TB:
   - exact dedup is one hash-partitioned groupBy on the fingerprint (map-side
     partial agg; no row data moves, only (hash, id) pairs);
-  - MinHash signatures are computed per-row with ``array_min`` over the
-    shingle array — NO explode/shuffle for the signature stage; only the
-    tiny (doc_id, band_key) pairs shuffle for the LSH bucket join;
+  - MinHash signatures explode shingles once and reduce with map-side
+    partial MIN aggregation — the shuffle carries only (doc_id, 8×32B hex)
+    per document, and the LSH bucket join reuses the same exchange;
   - the Jaccard verify join operates on LSH candidates (bounded buckets),
     not the full cross product.
 
@@ -51,19 +51,25 @@ def minhash_signatures(
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature, computed entirely per-row (no shuffle):
-    minhash_i = min over shingles of md5(i || ':' || shingle), with the md5
-    hex string's lexicographic order as the hash order."""
-    sh = shingles(text_col, shingle_k)
+    """Per-document MinHash signature: explode distinct shingles once, then
+    ``num_hashes`` MIN aggregates over salted md5 — minhash_i = min over
+    shingles of md5(i || ':' || shingle), the md5 hex string's lexicographic
+    order serving as the hash order.
 
-    def _minhash(salt: str):
-        # NB: the transform lambda must take exactly one param — pyspark
-        # binds a second param to the array index, not the closure default.
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(salt), s))))
-
-    return docs.select(
-        F.col(id_col),
-        *[_minhash(f"{i}:").alias(f"mh{i}") for i in range(num_hashes)],
+    Why explode+agg rather than a per-row ``array_min`` fold: Catalyst's
+    CollapseProject inlines a shared shingle-array projection into every one
+    of the 8 min expressions (8× shingle construction per row), whereas the
+    explode evaluates it once and partial aggregation (map-side combine)
+    reduces the shuffle to (doc_id, 8×32B hex) per document — which also lets
+    the self-join downstream reuse the exchange instead of recomputing."""
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
+    )
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
     )
 
 
@@ -78,12 +84,9 @@ def lsh_candidate_pairs(
     """MinHash-LSH candidate pairs: band the signature, bucket-join docs that
     share any band key. Returns distinct (id_a < id_b) pairs."""
     rows_per_band = num_hashes // bands
-    # Documents with no shingles (< k tokens) have all-null signatures and
-    # cannot meaningfully collide — drop them (matches the SQL oracle, where
-    # the shingle explode produces no rows for them).
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k).filter(
-        F.col("mh0").isNotNull()
-    )
+    # Documents with no shingles (< k tokens) produce no exploded rows, hence
+    # no signature — they cannot collide (same semantics as the SQL oracle).
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
     band_structs = []
     for b in range(bands):
         parts = [F.coalesce(F.col(f"mh{b * rows_per_band + r}"), F.lit("")) for r in range(rows_per_band)]

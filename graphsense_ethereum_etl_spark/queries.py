@@ -978,3 +978,166 @@ def sim3_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import lsh_ann_pairs
 
     return lsh_ann_pairs(load(spark, sf_dir, "embeddings"), min_score=0.2)
+
+
+# ---------------------------------------------------------------------------
+# North-star: multimodal columns (binary payloads + mapInPandas decode)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm1_media_features",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+           CAST(16 + (octet_length(encode(text)) * 7) % 64 AS INTEGER) AS height,
+           CAST(1 + octet_length(encode(text)) % 4 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def mm1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (north-star): documents' text bytes as an opaque
+    binary media column → Arrow-batched mapInPandas feature extraction (the
+    decode itself is a deterministic stub — codec libs are out of scope, the
+    Spark-side schema/batching/partitioning is the real thing)."""
+    from .operators.multimodal import attach_media_columns, extract_features
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    media = attach_media_columns(docs, "doc_id", "payload", mime="text/plain")
+    return extract_features(media, extractor="fake")
+
+
+# ---------------------------------------------------------------------------
+# §2.10 streaming surface (batch-checkable event-time operators)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win1_tumbling_counts",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def win1_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window counts — the Structured Streaming aggregate
+    (streaming/structured.py windowed_event_counts), which runs identically
+    on a batch frame; epoch-aligned 1h windows equal date_trunc('hour')."""
+    from .streaming.structured import windowed_event_counts
+
+    ev = load(spark, sf_dir, "events")
+    # Batch frames don't carry watermarks — same expression, no watermark.
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
+@query(
+    "sess1_sessionization",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+    g AS (SELECT *, CASE WHEN ms - LAG(ms) OVER w > 1800000
+                              OR LAG(ms) OVER w IS NULL
+                         THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+    s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM g)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS first_event,
+           CAST(MAX(ms) - MIN(ms) AS BIGINT) AS duration_ms
+    FROM s GROUP BY 1, 2
+    """,
+)
+def sess1_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min inactivity): the session-window
+    operator expressed as lag + cumulative-sum windows — integer epoch-ms
+    arithmetic keeps it engine-exact."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ms")
+    )
+    w = W.partitionBy("user_id").orderBy("ms", "event_id")
+    g = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("ms") - F.lag("ms").over(w) > 1_800_000)
+            | F.lag("ms").over(w).isNull(),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    s = g.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return s.groupBy(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").cast("bigint").alias("first_event"),
+        (F.max("ms") - F.min("ms")).cast("bigint").alias("duration_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §1.4 graph views (edge-list analytics over the implicit address graph)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g1_degree",
+    """
+    SELECT CAST(l_suppkey AS BIGINT) AS vertex,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS out_degree,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_weight
+    FROM lineitem GROUP BY 1
+    """,
+)
+def g1_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph view (SURVEY.md §1.4): the address graph is an edge list
+    (from_address, to_address, value); degree + weighted degree per vertex is
+    its first analytic. Analog: supplier→part edges from lineitem."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").cast("bigint").alias("vertex"))
+        .agg(
+            F.countDistinct("l_partkey").cast("bigint").alias("out_degree"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "g2_two_hop",
+    """
+    SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+           CAST(COUNT(s.s_suppkey) AS BIGINT) AS n_two_hop_suppliers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def g2_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop traversal (customer → nation → suppliers): the join-chain
+    shape of address-graph neighborhood expansion; both dims broadcast."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(s), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("c_custkey").cast("bigint").alias("c_custkey"))
+        .agg(F.count("s_suppkey").cast("bigint").alias("n_two_hop_suppliers"))
+    )

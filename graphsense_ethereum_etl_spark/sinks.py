@@ -1,0 +1,106 @@
+"""Sinks (SURVEY.md §2.12).
+
+Primary sink: partitioned Parquet — ``partitionBy(block_id_group)`` replaces
+the reference's manual Cassandra bucket keys (schema.cql:26,76,101), and
+``sortWithinPartitions`` replaces its clustering order so Parquet row-group
+min/max stats give the same range-scan locality (block_id) and secondary
+access path (topic0) via row-group skipping.
+
+Secondary sink: partitioned gzip CSV with the reference's per-table dialects
+(K2: logs use '|' + QUOTE_NONE, eth_csv_export.py:574-580; 1000-block files
+in 1M-block dirs via the derived bucket columns + maxRecordsPerFile).
+
+The Cassandra connector itself (K1) needs the spark-cassandra-connector jar
+and a live cluster — neither exists here; ``write_cassandra`` documents the
+exact call and raises a clear error if the connector is absent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Clustering order at rest per table (schema.cql:26,76,101-102).
+SORT_COLUMNS: dict[str, list[str]] = {
+    "block": ["block_id"],
+    "transaction": ["tx_hash_prefix", "tx_hash"],
+    "trace": ["block_id", "trace_index"],
+    "log": ["block_id", "topic0", "log_index"],
+}
+
+CSV_DIALECTS: dict[str, dict[str, str]] = {
+    "log": {"sep": "|", "quote": " ", "escape": " "},
+}
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    table: str,
+    partition_col: str = "block_id_group",
+    mode: str = "overwrite",
+) -> None:
+    """Partition-pruned, clustered Parquet write. ``block_id_group`` pruning
+    replaces CQL partition keys; in-file sort order replaces clustering
+    columns (row-group skipping on block_id / topic0)."""
+    sort_cols = SORT_COLUMNS.get(table, [])
+    writer_df = df
+    if partition_col in df.columns:
+        writer_df = df.repartition(F.col(partition_col))
+    if sort_cols:
+        writer_df = writer_df.sortWithinPartitions(*sort_cols)
+    writer = writer_df.write.mode(mode)
+    if partition_col in df.columns:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(path)
+
+
+def write_partitioned_csv(
+    df: DataFrame,
+    path: str,
+    table: str,
+    partition_col: str | None = "block_id_group",
+    max_records_per_file: int = 1000 * 200,
+    mode: str = "overwrite",
+) -> None:
+    """Gzip CSV with the reference's per-table dialect. The reference's
+    1000-block file / 1M-block dir scheme (eth_csv_export.py:563-569) maps to
+    partitionBy(bucket) + maxRecordsPerFile."""
+    opts = {"header": "true", "compression": "gzip", **CSV_DIALECTS.get(table, {})}
+    writer = df.write.mode(mode).option("maxRecordsPerFile", str(max_records_per_file))
+    for k, v in opts.items():
+        writer = writer.option(k, v)
+    if partition_col and partition_col in df.columns:
+        writer = writer.partitionBy(partition_col)
+    writer.csv(path)
+
+
+def write_cassandra(df: DataFrame, keyspace: str, table: str) -> None:
+    """K1 edge connector. Requires the spark-cassandra-connector package on
+    the classpath and a reachable cluster; the reference's hand-rolled
+    concurrency/retry loop (eth_cassandra_streaming.py:263-303) is subsumed
+    by the connector's task-level parallelism + Spark task retries."""
+    try:
+        (
+            df.write.format("org.apache.spark.sql.cassandra")
+            .options(keyspace=keyspace, table=table)
+            .mode("append")
+            .save()
+        )
+    except Exception as exc:  # pragma: no cover - no cluster in harness
+        raise NotImplementedError(
+            "Cassandra sink needs spark-cassandra-connector + a live cluster "
+            "(not present in this environment)"
+        ) from exc
+
+
+def write_configuration(
+    spark: SparkSession, path: str, keyspace: str, bucket_size: int = 1000, prefix_len: int = 5
+) -> None:
+    """K3 — self-describing-dataset metadata (eth_cassandra_streaming.py:306-320):
+    readers need (bucket_size, prefix_len) to reconstruct partition functions."""
+    df = spark.createDataFrame(
+        [(keyspace, bucket_size, prefix_len)],
+        "id string, block_bucket_size int, tx_prefix_length int",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)

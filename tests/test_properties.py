@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis) for the codec-like scalar operators
+(SURVEY.md §5.3): hex round-trip, bucket monotonicity/boundaries, prefix
+length, None-safety. Batched: hypothesis generates the corpus, one Spark job
+checks all cases (per-example Spark jobs would be pathologically slow).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from graphsense_ethereum_etl_spark.functions.columns import (
+    array_join_sep,
+    block_bucket,
+    hex_prefix,
+    hex_to_bin,
+    topic0_with_default,
+)
+
+hex_payload = st.text(alphabet="0123456789abcdef", max_size=64).filter(
+    lambda s: len(s) % 2 == 0
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(hex_payload, min_size=1, max_size=20))
+def test_hex_roundtrip(spark, payloads):
+    df = spark.createDataFrame([(p, "0x" + p) for p in payloads], "raw string, h string")
+    out = df.select("raw", F.lower(F.hex(hex_to_bin("h"))).alias("rt")).collect()
+    for r in out:
+        assert r["rt"] == r["raw"]
+
+
+def test_hex_to_bin_none_and_empty(spark):
+    df = spark.createDataFrame([(None,), ("0x",)], "h string")
+    rows = df.select(hex_to_bin("h").alias("b")).collect()
+    assert rows[0]["b"] is None
+    assert bytes(rows[1]["b"]) == b""
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=50))
+def test_bucket_floor_semantics(spark, ids):
+    df = spark.createDataFrame([(i,) for i in ids], "block_id long")
+    rows = df.select("block_id", block_bucket("block_id").alias("g")).collect()
+    for r in rows:
+        assert r["g"] == r["block_id"] // 1000
+
+
+def test_bucket_boundaries(spark):
+    df = spark.createDataFrame([(0,), (999,), (1000,), (1001,)], "block_id long")
+    got = dict((r["block_id"], r["g"]) for r in df.select("block_id", block_bucket("block_id").alias("g")).collect())
+    assert got == {0: 0, 999: 0, 1000: 1, 1001: 1}
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet="0123456789abcdef", min_size=10, max_size=64), min_size=1, max_size=20))
+def test_prefix_length(spark, hashes):
+    df = spark.createDataFrame([("0x" + h, h) for h in hashes], "h string, raw string")
+    for r in df.select("raw", hex_prefix("h", 5).alias("p")).collect():
+        assert r["p"] == r["raw"][:5]
+        assert len(r["p"]) == 5
+
+
+def test_array_join_none_safety(spark):
+    df = spark.createDataFrame(
+        [(1, [0, 2, 1]), (2, []), (3, None)], "id int, arr array<int>"
+    )
+    rows = {r["id"]: r["j"] for r in df.select("id", array_join_sep("arr", ",").alias("j")).collect()}
+    assert rows == {1: "0,2,1", 2: "", 3: None}
+
+
+def test_topic0_defaults(spark):
+    df = spark.createDataFrame(
+        [(1, ["0xaa"]), (2, []), (3, None)], "id int, topics array<string>"
+    )
+    cass = {r["id"]: r["t"] for r in df.select("id", topic0_with_default("topics", "0x").alias("t")).collect()}
+    assert cass == {1: "0xaa", 2: "0x", 3: "0x"}
+    csv = {r["id"]: r["t"] for r in df.select("id", topic0_with_default("topics", None).alias("t")).collect()}
+    assert csv == {1: "0xaa", 2: None, 3: None}
