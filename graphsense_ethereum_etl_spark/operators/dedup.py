@@ -22,7 +22,7 @@ this is what makes MinHash/LSH fully oracle-checkable in SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles
@@ -120,32 +120,50 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs above ``threshold``.
+    """Exact n-gram Jaccard similarity pairs above ``threshold``, with
+    prefix filtering (the PPJoin prefix filter, lossless for Jaccard ≥ t).
 
-    Shingle-inverted-index self-join: explode distinct shingles, join on the
-    shingle, count intersections, derive |union| = |A| + |B| − |A∩B|.
-    The final division is a single IEEE double op (oracle-deterministic).
-    At scale the input should be LSH candidates; this operator is the exact
-    verifier."""
-    sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_k)).alias("shingle")
+    A naive shingle-inverted-index self-join explodes on hot shingles
+    (Σ bucket² pair-rows). Instead: order each document's shingles by global
+    document-frequency (rarest first); two documents with Jaccard ≥ t MUST
+    share a shingle within their first ``|A| − ceil(t·|A|) + 1`` shingles
+    under any global total order, so the candidate join runs only on those
+    short, rare prefixes. Candidates are then verified exactly with
+    ``array_intersect`` on the full shingle sets; the final division is a
+    single IEEE double op (oracle-deterministic, identical result set to the
+    naive join)."""
+    sets = docs.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh_set")
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
+    sh = sets.select("id", F.size("sh_set").alias("n"), F.explode("sh_set").alias("shingle"))
+    # Global document frequency → canonical rarest-first order.
+    df_freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = W.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle"))
+    ranked = sh.join(df_freq, "shingle").withColumn("rn", F.row_number().over(w))
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("id", "n", "shingle")
+    # Length filter (also lossless): Jaccard ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t.
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n"))
+            & (F.col("b.n") <= F.col("a.n") / F.lit(threshold)),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        cands.join(sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("sh_b")), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select(
@@ -159,33 +177,34 @@ def ngram_jaccard_pairs(
 def simhash(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:
-    """SimHash fingerprint (``bits`` ≤ 16): per-token md5, take the first
+    """SimHash fingerprint (``bits`` <= 16): per-token md5, take the first
     4 hex chars (16 bits) as 4 nibbles, bitwise-majority over all token
     occurrences; bit set iff the signed vote sum is > 0.
 
-    Implemented as per-row array folds (no explode/shuffle); hex-nibble
-    decoding via ``instr('0123456789abcdef', ch) - 1`` keeps it reproducible
-    in ANSI SQL for the oracle."""
+    Implemented as explode -> per-token hash value (md5 evaluated ONCE per
+    token; per-row folds would re-evaluate it inside each of the 16 bit
+    aggregates via CollapseProject inlining) -> grouped +/-1 conditional
+    sums with map-side partial aggregation. Hex-nibble decoding keeps it
+    reproducible in ANSI SQL for the oracle."""
     assert bits <= 16
-    c = F.split(F.trim(F.col(text_col)), r"\s+")
-    # Per token: int value of the first 4 md5 hex chars (0..65535).
-    tok_vals = F.transform(
-        c,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("bigint"),
+    toks = docs.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )
-    def _vote(shift: int):
-        # vote = sum over tokens of +1 / -1 for this bit; NB: the lambda must
-        # take exactly (acc, v) — pyspark binds extra params as lambda vars.
-        return F.aggregate(
-            tok_vals,
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc
-            + F.when(((v / shift).cast("bigint") % 2) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
-
+    # Per token: int value of the first 4 md5 hex chars (0..65535).
+    tv = toks.select(
+        id_col,
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint").alias("v"),
+    )
+    votes = tv.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(((F.col("v") / (1 << b)).cast("bigint") % 2) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
     sim = F.lit(0).cast("bigint")
     for b in range(bits):
-        sim = sim + F.when(_vote(1 << b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return docs.select(F.col(id_col).cast("bigint").alias(id_col), sim.alias("simhash"))
+        sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return votes.select(F.col(id_col), sim.alias("simhash"))

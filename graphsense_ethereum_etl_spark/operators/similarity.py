@@ -1,23 +1,34 @@
 """Approximate/exact nearest-neighbor search over an embedding column.
 
-Two tiers (north-star surface):
+Three tiers (north-star surface):
   - brute-force cosine top-k: exact baseline — broadcast the (small) query
     set, score every (query, candidate) pair with a JVM-side double fold,
     take top-k per query with a window. Scales linearly in candidates ×
     queries; right answer for recall evaluation and small query batches.
+  - blocked all-pairs cosine (``blocked_cosine_pairs``): exact all-pairs ≥
+    threshold via block-partitioned GEMM — vectors grouped into blocks,
+    block-pair cross join, numpy matrix multiply per block pair inside
+    Arrow-batched ``mapInPandas``. This is the classic distributed
+    similarity-join layout: O(n²/B²) tasks each doing a BLAS multiply,
+    no row ever leaving its two blocks' task.
   - sign-LSH (random hyperplane) bucketed ANN: the 100 TB path — hash each
     vector to a ``n_planes``-bit signature of deterministic pseudo-random
     hyperplanes; candidates = same-bucket pairs only, then exact re-score.
     Bucket join shuffles only (id, signature) pairs, never the full matrix.
 
 Hyperplanes are derived deterministically from md5 of (plane, dim) — no RNG
-state, reproducible across runs and engines.
+state, reproducible across runs and engines. Blocked-GEMM scores differ from
+the sequential-fold oracle only by float-summation order (≈1e-15), far below
+the 1e-6 rounding used for comparison.
 """
 
 from __future__ import annotations
 
 import hashlib
+from collections.abc import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -63,6 +74,70 @@ def brute_force_topk(
             "rank",
         )
     )
+
+
+def blocked_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ ``threshold`` via blocked GEMM.
+
+    Vectors are hashed into ``n_blocks`` groups; every block pair (i ≤ j)
+    becomes one task that multiplies the two blocks' matrices with BLAS and
+    emits qualifying (id_a < id_b) pairs. Scale knob: pick n_blocks so a
+    block (rows/n_blocks × dim floats) fits comfortably in a task — the
+    shuffle moves each block n_blocks times, never the pair matrix."""
+    blocks = (
+        embeddings.select(
+            (F.col(id_col) % n_blocks).cast("int").alias("blk"),
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<float>").alias("v"),
+        )
+        .groupBy("blk")
+        .agg(F.collect_list("id").alias("ids"), F.collect_list("v").alias("vecs"))
+    )
+    left = blocks.select(
+        F.col("blk").alias("blk_l"), F.col("ids").alias("ids_l"), F.col("vecs").alias("vecs_l")
+    )
+    right = blocks.select(
+        F.col("blk").alias("blk_r"), F.col("ids").alias("ids_r"), F.col("vecs").alias("vecs_r")
+    )
+    pairs = left.crossJoin(right).filter(F.col("blk_l") <= F.col("blk_r"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_l = np.asarray(row["ids_l"], dtype=np.int64)
+                ids_r = np.asarray(row["ids_r"], dtype=np.int64)
+                m_l = np.array([np.asarray(v) for v in row["vecs_l"]], dtype=np.float64)
+                m_r = np.array([np.asarray(v) for v in row["vecs_r"]], dtype=np.float64)
+                m_l /= np.linalg.norm(m_l, axis=1, keepdims=True)
+                m_r /= np.linalg.norm(m_r, axis=1, keepdims=True)
+                scores = m_l @ m_r.T
+                ia, ib = np.nonzero(scores >= threshold)
+                id_a, id_b = ids_l[ia], ids_r[ib]
+                if row["blk_l"] == row["blk_r"]:
+                    # diagonal block: each unordered pair appears twice
+                    keep = id_a < id_b
+                    lo, hi = id_a[keep], id_b[keep]
+                else:
+                    # off-diagonal: each unordered pair appears exactly once,
+                    # but the smaller id may sit on either side — normalize
+                    keep = id_a != id_b
+                    lo = np.minimum(id_a[keep], id_b[keep])
+                    hi = np.maximum(id_a[keep], id_b[keep])
+                yield pd.DataFrame(
+                    {
+                        "id_a": lo,
+                        "id_b": hi,
+                        "score": np.round(scores[ia[keep], ib[keep]], 6),
+                    }
+                )
+
+    return pairs.mapInPandas(kernel, schema="id_a bigint, id_b bigint, score double")
 
 
 def _hyperplane(plane: int, dim: int) -> list[float]:

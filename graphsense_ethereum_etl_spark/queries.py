@@ -951,23 +951,12 @@ def sim1_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim2_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (north-star dedup): exact all-pairs
-    cosine ≥ 0.25. The scale path is sim3's LSH bucketing; this is the exact
-    verifier semantics."""
-    from .functions.vectors import cosine as _cos
+    cosine ≥ 0.25 via block-partitioned numpy GEMM (operators/similarity.py
+    blocked_cosine_pairs) — the scalable exact layout; sim3's LSH bucketing
+    is the approximate pruning path."""
+    from .operators.similarity import blocked_cosine_pairs
 
-    emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", _cos("va", "vb"))
-        .filter(F.col("cos") >= 0.25)
-        .select(
-            F.col("id_a").cast("bigint"),
-            F.col("id_b").cast("bigint"),
-            F.round("cos", 6).alias("score"),
-        )
-    )
+    return blocked_cosine_pairs(load(spark, sf_dir, "embeddings"), threshold=0.25)
 
 
 @query("sim3_lsh_ann", None)
