@@ -1130,3 +1130,194 @@ def g2_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_custkey").cast("bigint").alias("c_custkey"))
         .agg(F.count("s_suppkey").cast("bigint").alias("n_two_hop_suppliers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 S5 / §2.9 remaining scalar-function families
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s5_filename_resume",
+    """
+    SELECT MAX(CAST(regexp_extract(
+             printf('block_%08d-%08d.csv.gz',
+                    CAST(FLOOR(o_orderkey / 1000) AS BIGINT) * 1000,
+                    (CAST(FLOOR(o_orderkey / 1000) AS BIGINT) + 1) * 1000),
+             '.*-(\\d+)', 1) AS BIGINT)) AS resume_block
+    FROM orders
+    """,
+)
+def s5_filename_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/A2 — file-listing resume: parse the max block out of exported CSV
+    file names with a regex (eth_csv_export.py:474-479, regex '.*-(\\d+)')."""
+    bucket = block_bucket("o_orderkey")
+    names = load(spark, sf_dir, "orders").select(
+        F.format_string(
+            "block_%08d-%08d.csv.gz", bucket * 1000, (bucket + 1) * 1000
+        ).alias("file_name")
+    )
+    return names.agg(
+        F.max(F.regexp_extract("file_name", r".*-(\d+)", 1).cast("bigint")).alias(
+            "resume_block"
+        )
+    )
+
+
+@query(
+    "str1_string_funcs",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           upper(c_name) AS name_upper,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_padded,
+           replace(c_mktsegment, 'AUTO', 'CAR') AS segment_replaced,
+           split_part(c_name, '#', 2) AS name_suffix,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS segment_or_default,
+           CAST(strpos(c_name, '0') AS INTEGER) AS first_zero_pos
+    FROM customer
+    """,
+)
+def str1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 string family: case, pad, replace, split_part, null-conditional
+    (nullif/coalesce), position — the reference's keyspace-placeholder replace
+    (create_keyspace.py:63) and zero-pad naming generalized."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.upper("c_name").alias("name_upper"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("key_padded"),
+        F.replace(F.col("c_mktsegment"), F.lit("AUTO"), F.lit("CAR")).alias(
+            "segment_replaced"
+        ),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_suffix"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("DEFAULT")).alias(
+            "segment_or_default"
+        ),
+        F.instr("c_name", "0").cast("int").alias("first_zero_pos"),
+    )
+
+
+@query(
+    "map1_json_props",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+           CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) >= 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    """,
+)
+def map1_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON/map family (§2.9; exchange_rates' map<text,float> analog,
+    schema.cql:79-82): parse the JSON props payload into a typed map and
+    read keyed values."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        m.getItem("k").cast("int").alias("k_val"),
+        F.when(m.getItem("k") >= 50, F.lit("high")).otherwise(F.lit("low")).alias(
+            "k_band"
+        ),
+    )
+
+
+@query(
+    "asof2_last_click_before_error",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ms
+      FROM events)
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(epoch_ms(ts) - last_click_ms AS BIGINT) AS ms_since_click
+    FROM flagged WHERE event_type = 'error'
+    """,
+)
+def asof2_last_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join within a stream (J2 generalized): for every error event,
+    the time since the user's most recent click strictly before it — the
+    union+window formulation of an as-of join (no range-join explosion)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "last_click_ms",
+        F.max(
+            F.when(F.col("event_type") == "click", F.unix_millis("ts"))
+        ).over(w),
+    )
+    return flagged.filter(F.col("event_type") == "error").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        (F.unix_millis("ts") - F.col("last_click_ms")).cast("bigint").alias(
+            "ms_since_click"
+        ),
+    )
+
+
+@query(
+    "pct1_percentiles",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pct1_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile aggregation (engine-provided; linear interpolation matches
+    DuckDB quantile_cont; rounded to absorb last-bit interpolation order)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        )
+    )
+
+
+@query(
+    "gs1_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def gs1_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond cube/rollup) via the SQL API — Catalyst
+    produces the same Expand-based plan as the DataFrame variants."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs1")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs1
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@query("apx1_approx_distinct", None)
+def apx1_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (engine-provided sketch; no exact
+    SQL oracle by construction → rows-only check; the exact counterpart is
+    a2_global_stats.n_orders)."""
+    return load(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
