@@ -40,6 +40,29 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+
+    # Mirror the reference's only self-metric (blocks/s, BASELINE.md): run
+    # the full extract→transform→partitioned-write pipeline over a synthetic
+    # 5000-block chain and report ingest throughput.
+    import tempfile
+
+    from graphsense_ethereum_etl_spark.sources.generator import gen_chain
+    from graphsense_ethereum_etl_spark.streaming.incremental import run_incremental
+
+    ingest_blocks = 5000
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.perf_counter()
+        stats = run_incremental(
+            spark,
+            lambda s, lo, hi: gen_chain(s, lo, hi, partitions=8),
+            f"{tmp}/sink",
+            head=ingest_blocks - 1,
+            batch_size=1000,
+            collect_stats=False,
+        )
+        ingest_sec = time.perf_counter() - t0
+    blocks_per_s = round(stats.blocks / ingest_sec, 1)
+
     print(
         json.dumps(
             {
@@ -48,6 +71,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "ingest_blocks_per_s": blocks_per_s,
             }
         )
     )

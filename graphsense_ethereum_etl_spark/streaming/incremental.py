@@ -86,6 +86,7 @@ def run_incremental(
     bucket_size: int = 1000,
     dialect: str = CASSANDRA,
     fail_after_tables: int | None = None,
+    collect_stats: bool = True,
 ) -> IngestStats:
     """The micro-batch loop. ``fail_after_tables`` injects a crash after N
     child-table writes within the final batch (test hook for the
@@ -141,8 +142,37 @@ def run_incremental(
             if "block_id_group" in df.columns:
                 writer = writer.partitionBy("block_id_group")
             writer.parquet(f"{sink_root}/{table}")
-            stats.rows[table] = stats.rows.get(table, 0) + df.count()
+            if collect_stats:
+                # Recomputes the frame — test/inspection convenience only;
+                # at scale read write-task metrics instead.
+                stats.rows[table] = stats.rows.get(table, 0) + df.count()
             written += 1
         stats.batches += 1
         stats.blocks += hi - lo + 1
     return stats
+
+
+def invalidate_from(spark: SparkSession, sink_root: str, block_id: int, bucket_size: int = 1000) -> list[str]:
+    """Chain-reorg handling (SURVEY.md §7.4.4 — unhandled in the reference):
+    drop every bucket partition that contains ``block_id`` or later across
+    all entity tables, so the next incremental run re-ingests from the fork
+    point. Partition-granular delete+rewrite is the Parquet equivalent of
+    Delta's transactional replace for trailing buckets.
+
+    Returns the removed partition directory names."""
+    import shutil
+
+    first_bucket = block_id // bucket_size
+    removed: list[str] = []
+    for table in ("log", "trace", "transaction", "block"):
+        table_dir = f"{sink_root}/{table}"
+        if not os.path.exists(table_dir):
+            continue
+        for entry in sorted(os.listdir(table_dir)):
+            if not entry.startswith("block_id_group="):
+                continue
+            bucket = int(entry.split("=", 1)[1])
+            if bucket >= first_bucket:
+                shutil.rmtree(f"{table_dir}/{entry}")
+                removed.append(f"{table}/{entry}")
+    return removed
