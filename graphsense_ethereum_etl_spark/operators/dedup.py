@@ -22,7 +22,7 @@ this is what makes MinHash/LSH fully oracle-checkable in SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles
@@ -128,21 +128,62 @@ def ngram_jaccard_pairs(
     document-frequency (rarest first); two documents with Jaccard ≥ t MUST
     share a shingle within their first ``|A| − ceil(t·|A|) + 1`` shingles
     under any global total order, so the candidate join runs only on those
-    short, rare prefixes. Candidates are then verified exactly with
-    ``array_intersect`` on the full shingle sets; the final division is a
-    single IEEE double op (oracle-deterministic, identical result set to the
-    naive join)."""
-    sets = docs.select(
-        F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh_set")
-    )
-    sh = sets.select("id", F.size("sh_set").alias("n"), F.explode("sh_set").alias("shingle"))
-    # Global document frequency → canonical rarest-first order.
+    short, rare prefixes.
+
+    Plan shape. Explode shingles ONCE into a bare (id, shingle) index — and
+    nothing else in that projection: putting e.g. ``size(shingles(text))``
+    next to the ``explode`` makes CollapseProject inline the whole
+    shingle-array construction into the post-Generate projection, re-running
+    split/zip_with/array_distinct once per EXPLODED row instead of once per
+    document (measured ~10× slowdown on this exact operator). Then: global
+    DF counts → re-join → per-doc frequency-sorted shingle array via
+    groupBy + sort_array(collect_list) (an agg, not a window: map-side
+    partial combine applies), persisted because three downstream branches
+    consume it — at 100 TB you would equally materialize the sorted sets
+    rather than recompute three explode+shuffle lineages. The prefix
+    self-join runs on slim (id, n, shingle) rows, both sides the same
+    subplan (one shuffle exchange, ReusedExchange), candidates dedupe via
+    groupBy (slim two-long rows, map-side combine — NOT dropDuplicates over
+    carried arrays, which shuffles ~1 KB/row), and only the surviving pairs
+    join back to the cached sorted sets for exact ``array_intersect``
+    verification.
+
+    Shingle strings are replaced by ``xxhash64`` longs immediately after the
+    explode: every downstream shuffle/sort/intersect then moves fixed-width
+    longs instead of ~20-byte UTF8 strings (~3× less shuffle volume, and
+    array_intersect skips string hashing). The hash is a total order, so
+    prefix losslessness holds; set sizes and intersections are unchanged
+    barring a 2^-64-scale collision, so the result set — and the DuckDB
+    oracle comparison, which only sees (id_a, id_b, jaccard) — is identical
+    to the string-shingle plan. The final division is a single IEEE double
+    op (oracle-deterministic)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_k)).alias("s")
+    ).select("id", F.xxhash64("s").alias("shingle"))
+    # Global document frequency → canonical rarest-first order (ties broken
+    # by the shingle itself: a total order, required for prefix losslessness).
     df_freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    w = W.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle"))
-    ranked = sh.join(df_freq, "shingle").withColumn("rn", F.row_number().over(w))
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    ).select("id", "n", "shingle")
+    sorted_sets = (
+        sh.join(df_freq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "shingle"))), lambda s: s["shingle"]
+            ).alias("arr")
+        )
+        .select("id", F.size("arr").alias("n"), "arr")
+        .persist()
+    )
+    # Explode only the prefix: first |A| − ceil(t·|A|) + 1 rarest shingles.
+    prefix = sorted_sets.select(
+        "id",
+        "n",
+        F.explode(
+            F.slice(
+                F.col("arr"), 1, (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+            )
+        ).alias("shingle"),
+    )
     # Length filter (also lossless): Jaccard ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t.
     cands = (
         prefix.alias("a")
@@ -153,24 +194,29 @@ def ngram_jaccard_pairs(
             & (F.col("b.n") >= F.lit(threshold) * F.col("a.n"))
             & (F.col("b.n") <= F.col("a.n") / F.lit(threshold)),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_shared_prefix"))
     )
-    return (
-        cands.join(sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("sh_a")), "id_a")
-        .join(sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("sh_b")), "id_b")
+    verified = (
+        cands.join(sorted_sets.select(F.col("id").alias("id_a"), F.col("arr").alias("sh_a")), "id_a")
+        .join(sorted_sets.select(F.col("id").alias("id_b"), F.col("arr").alias("sh_b")), "id_b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")).cast("double"),
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select(
-            F.col("id_a").cast("bigint"),
-            F.col("id_b").cast("bigint"),
-            F.round("jaccard", 6).alias("jaccard"),
-        )
+    )
+    return verified.select(
+        F.col("id_a").cast("bigint"),
+        F.col("id_b").cast("bigint"),
+        F.round("jaccard", 6).alias("jaccard"),
     )
 
 

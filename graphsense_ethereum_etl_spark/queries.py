@@ -39,12 +39,25 @@ TABLES = (
 ).split()
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read a testdata table.
+
+    ``spread=True`` round-robins the scan across the session parallelism.
+    The driver's testdata ships each table as ONE parquet file with ONE row
+    group, so the scan gets a single input partition and every pre-shuffle
+    expression runs on one core; CPU-bound callers (shingling/dedup) opt in
+    to restore the layout a real multi-file table would have. It stays
+    opt-in because the exchange is pure overhead for scan-light queries.
+    """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is TIMESTAMP(NANOS) in parquet — read as int64 ns (see
     # session.py nanosAsLong) and truncate to µs exactly as DuckDB does.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
@@ -829,7 +842,7 @@ def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index self-join, exact Jaccard ≥ 0.5."""
     from .operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents", spread=True), threshold=0.5)
 
 
 def _duck_minhash_sig() -> str:
@@ -868,7 +881,7 @@ def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash order is engine-independent."""
     from .operators.dedup import lsh_candidate_pairs
 
-    return lsh_candidate_pairs(load(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(load(spark, sf_dir, "documents", spread=True))
 
 
 def _duck_simhash() -> str:
