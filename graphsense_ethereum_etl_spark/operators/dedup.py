@@ -9,15 +9,17 @@
 Design for 100 TB:
   - exact dedup is one hash-partitioned groupBy on the fingerprint (map-side
     partial agg; no row data moves, only (hash, id) pairs);
-  - MinHash signatures explode shingles once and reduce with map-side
-    partial MIN aggregation — the shuffle carries only (doc_id, 8×32B hex)
-    per document, and the LSH bucket join reuses the same exchange;
+  - MinHash signatures explode shingles once, hash each shingle ONCE (md5 →
+    two 32-bit halves → Kirsch–Mitzenmacher double hashing for the 8-member
+    family) and reduce with map-side partial MIN aggregation — the shuffle
+    carries only (doc_id, 8 longs) per document, and the LSH bucket join
+    reuses the same exchange;
   - the Jaccard verify join operates on LSH candidates (bounded buckets),
     not the full cross product.
 
-Determinism: "hash functions" are md5 hex strings compared lexicographically
-(MinHash needs any total order, not ints), which DuckDB reproduces exactly —
-this is what makes MinHash/LSH fully oracle-checkable in SQL.
+Determinism: the base hash is an md5 hex slice cast to int — identical in
+any engine — and the derived family is plain integer arithmetic, which is
+what makes MinHash/LSH fully oracle-checkable in SQL.
 """
 
 from __future__ import annotations
@@ -44,6 +46,12 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+# Largest 32-bit prime: the double-hashing modulus. h1 + i*h2 stays well
+# inside int64 (max ~8 * 2^32 * 2^32 would overflow — hence both h1 and h2
+# are 32-bit values, so i*h2 <= 7 * (2^32-1) < 2^35, no overflow).
+_MERSENNE_P = 4294967291
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -51,23 +59,37 @@ def minhash_signatures(
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature: explode distinct shingles once, then
-    ``num_hashes`` MIN aggregates over salted md5 — minhash_i = min over
-    shingles of md5(i || ':' || shingle), the md5 hex string's lexicographic
-    order serving as the hash order.
+    """Per-document MinHash signature via Kirsch–Mitzenmacher double hashing:
+    explode distinct shingles once, md5 each shingle ONCE, split the digest
+    into two 32-bit halves (h1, h2), and derive the family as
+    ``g_i = (h1 + i·h2) mod p`` — ``num_hashes`` MIN aggregates over cheap
+    long arithmetic instead of ``num_hashes`` independent md5 evaluations
+    (8× less hashing on the exploded fact table, and the shuffled signature
+    is 8 longs, not 8×32-char hex strings). Double hashing preserves the
+    MinHash guarantee (Kirsch & Mitzenmacher, ESA'06: two independent hashes
+    suffice to simulate k-wise families for Bloom/MinHash-style sketches),
+    and every step is plain ANSI SQL, so DuckDB reproduces the signature
+    bit-for-bit (hex slice → int via '0x' cast).
 
     Why explode+agg rather than a per-row ``array_min`` fold: Catalyst's
     CollapseProject inlines a shared shingle-array projection into every one
     of the 8 min expressions (8× shingle construction per row), whereas the
     explode evaluates it once and partial aggregation (map-side combine)
-    reduces the shuffle to (doc_id, 8×32B hex) per document — which also lets
+    reduces the shuffle to (doc_id, 8 longs) per document — which also lets
     the self-join downstream reuse the exchange instead of recomputing."""
     sh = docs.select(
         F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
     )
-    return sh.groupBy(id_col).agg(
+    # md5 evaluated once per row; the two conv() slices share it via
+    # whole-stage-codegen subexpression elimination.
+    hv = sh.select(
+        id_col,
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("bigint").alias("h2"),
+    )
+    return hv.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+            F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(_MERSENNE_P)).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )
@@ -87,23 +109,32 @@ def lsh_candidate_pairs(
     # Documents with no shingles (< k tokens) produce no exploded rows, hence
     # no signature — they cannot collide (same semantics as the SQL oracle).
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
-    band_structs = []
-    for b in range(bands):
-        parts = [F.coalesce(F.col(f"mh{b * rows_per_band + r}"), F.lit("")) for r in range(rows_per_band)]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key"))
+    # Band key = the band's minhash values themselves (k1, k2, ...) — no
+    # re-hashing needed: equality on the tuple IS the bucket membership, the
+    # join exchange hash-partitions on the tuple anyway, and skipping the
+    # md5-of-concat both shrinks the plan and keeps the key fixed-width.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[
+                F.col(f"mh{b * rows_per_band + r}").alias(f"k{r}")
+                for r in range(rows_per_band)
+            ],
         )
+        for b in range(bands)
+    ]
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(id_col, "bk.*")
     left = banded.alias("l")
     right = banded.alias("r")
+    key_eq = (F.col("l.band") == F.col("r.band"))
+    for r in range(rows_per_band):
+        key_eq = key_eq & (F.col(f"l.k{r}") == F.col(f"r.k{r}"))
     return (
         left.join(
             right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            key_eq & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(
             F.col(f"l.{id_col}").cast("bigint").alias("id_a"),

@@ -846,10 +846,17 @@ def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_minhash_sig() -> str:
+    # Kirsch–Mitzenmacher double hashing, mirroring operators/dedup.py:
+    # one md5 per shingle, h1/h2 = the two 32-bit hex halves, g_i = (h1+i·h2) mod p.
     mins = ", ".join(
-        f"MIN(md5('{i}:' || shingle)) AS mh{i}" for i in range(8)
+        f"MIN((h1 + {i} * h2) % 4294967291) AS mh{i}" for i in range(8)
     )
-    return f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
+    return (
+        "hv AS (SELECT doc_id, "
+        "CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT) AS h1, "
+        "CAST('0x' || substring(md5(shingle), 9, 8) AS BIGINT) AS h2 FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM hv GROUP BY doc_id)"
+    )
 
 
 def _duck_bands() -> str:
@@ -857,8 +864,7 @@ def _duck_bands() -> str:
     for b in range(4):
         lo, hi = 2 * b, 2 * b + 1
         bands.append(
-            f"SELECT doc_id, {b} AS band, "
-            f"md5(coalesce(mh{lo}, '') || '|' || coalesce(mh{hi}, '')) AS key FROM sig"
+            f"SELECT doc_id, {b} AS band, mh{lo} AS k0, mh{hi} AS k1 FROM sig"
         )
     return " UNION ALL ".join(bands)
 
@@ -871,14 +877,15 @@ def _duck_bands() -> str:
     banded AS ({_duck_bands()})
     SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
     FROM banded a
-    JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    JOIN banded b
+      ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1 AND a.doc_id < b.doc_id
     """,
 )
 def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs (north-star dedup): 8 salted-md5 minhashes
-    (lexicographic min over hex strings — any total order works for MinHash),
-    4 bands × 2 rows, bucket join. Fully SQL-oracle-checkable because the
-    hash order is engine-independent."""
+    """MinHash+LSH candidate pairs (north-star dedup): 8 double-hashed
+    minhashes (one md5 per shingle, g_i = (h1 + i*h2) mod p — engine-
+    independent integer order), 4 bands x 2 rows, bucket join on the band's
+    minhash tuple. Fully SQL-oracle-checkable."""
     from .operators.dedup import lsh_candidate_pairs
 
     return lsh_candidate_pairs(load(spark, sf_dir, "documents", spread=True))
