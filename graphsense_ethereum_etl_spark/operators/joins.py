@@ -1,0 +1,115 @@
+"""Join operators beyond plain equi-joins (SURVEY.md §2.4 "absent in
+reference → engine provides"): a generic as-of join and a skew-salted join.
+
+Both are DataFrame-level compositions — no custom Catalyst rules — chosen for
+their 100-TB plan shapes:
+
+  - ``asof_join`` uses the union+window formulation: ONE shuffle on the `by`
+    key, linear in |left| + |right|. The naive range-join formulation
+    (l.ts >= r.ts, take max) explodes to Σ per-key |L|·|R| pair rows before
+    pruning; at stream scale that is the difference between a sort and a
+    cross product. Reference analog: the date→block-range lookup
+    (eth_cassandra_streaming.py:199-216) is a 1-key instance of this.
+  - ``salted_join`` is the standard skew mitigation when one join key is hot
+    (e.g. a contract address holding 10% of all traces): the fact side gets
+    a deterministic salt in [0, S), the dim side is replicated S ways, and
+    the join key becomes (key, salt) — each hot key's rows spread over S
+    tasks instead of one straggler. AQE's skew-join split handles moderate
+    skew automatically; explicit salting is for the pathological keys AQE
+    can't split (single-key partitions beyond advisory size). Results are
+    exactly those of the unsalted join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach ``right_cols`` from
+    the right row with the greatest ``right_ts`` <= (or < when
+    ``inclusive=False``) the left row's ``left_ts``, matching on ``by``.
+    Left rows with no prior right row keep nulls (left-join semantics).
+
+    Implementation: tag and union both sides, then one window per right
+    column — ``last(value, ignorenulls=True)`` over
+    ``partitionBy(by).orderBy(ts, tag)`` with an unbounded-preceding frame.
+    Right rows get tag 0 and left rows tag 1, so at equal timestamps the
+    right row is inside the frame iff ``inclusive``. One hash exchange on
+    ``by``, one sort — the plan a range-join strategy would need anyway,
+    without the candidate-pair blowup.
+
+    Ties inside the right table (same (by, ts)) are the caller's contract to
+    resolve (pre-aggregate); the operator itself is deterministic given
+    distinct right (by, ts) pairs.
+    """
+    rtag = 0 if inclusive else 1
+    ltag = 1 if inclusive else 0
+    lhs = left.select(
+        F.col(by).alias("_by"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(ltag).alias("_tag"),
+        F.struct(*left.columns).alias("_l"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+    )
+    rhs = right.select(
+        F.col(by).alias("_by"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(rtag).alias("_tag"),
+        F.lit(None).cast(lhs.schema["_l"].dataType).alias("_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    w = (
+        W.partitionBy("_by")
+        .orderBy("_ts", "_tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = lhs.unionByName(rhs).select(
+        "_l",
+        "_tag",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in right_cols],
+    )
+    # Only left rows survive; right rows were carriers for the window state.
+    out = filled.filter(F.col("_tag") == ltag).select(
+        "_l.*", *[F.col(f"_r_{c}").alias(f"asof_{c}") for c in right_cols]
+    )
+    return out
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    num_salts: int = 8,
+    fact_salt_cols: Sequence[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``fact ⋈ dim`` on ``on`` with the fact side salted S ways.
+
+    The salt is ``pmod(xxhash64(fact_salt_cols), S)`` (deterministic — no
+    ``rand()``, so retried tasks and the DuckDB oracle see the same rows);
+    the dim side is exploded S ways via ``sequence(0, S-1)``. Equivalent to
+    the plain join for any key distribution; worth the S× dim replication
+    exactly when a key is hot enough to pin a whole task. Returns the fact
+    columns plus the dim columns (join key deduplicated).
+    """
+    salt_cols = list(fact_salt_cols) if fact_salt_cols else list(fact.columns)
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(num_salts)).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return salted_fact.join(salted_dim, on=[on, "_salt"], how=how).drop("_salt")

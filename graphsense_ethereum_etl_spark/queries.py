@@ -1341,3 +1341,90 @@ def apx1_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
     )
+
+
+@query(
+    "asof3_purchase_attribution",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts,
+             MIN(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    pur AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT CAST(p.event_id AS BIGINT) AS event_id,
+           CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(c.click_id AS BIGINT) AS click_id,
+           CAST(epoch_ms(p.ts) - epoch_ms(c.ts) AS BIGINT) AS ms_since_click
+    FROM pur p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof3_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic as-of join OPERATOR (operators/joins.py::asof_join — the
+    union+window formulation, one shuffle on the key): attribute every
+    purchase to the user's most recent click at-or-before it. The right
+    side is pre-aggregated to distinct (user, ts) so tie resolution is the
+    caller's (deterministic) contract; oracle is DuckDB's native ASOF LEFT
+    JOIN — two different algorithms, same result set."""
+    from .operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id", "ts"],
+    )
+    return joined.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("asof_click_id").cast("bigint").alias("click_id"),
+        (F.unix_millis("ts") - F.unix_millis("asof_ts")).cast("bigint").alias("ms_since_click"),
+    )
+
+
+@query(
+    "j5_salted_join",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def j5_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join OPERATOR (operators/joins.py::salted_join): the fact
+    side salted 8 ways on a deterministic hash, dim side replicated 8 ways,
+    join on (key, salt) — result provably identical to the plain join (the
+    oracle IS the plain join). The mitigation for single hot keys AQE's
+    skew split cannot break up."""
+    from .operators.joins import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(
+        li, orders, on="l_orderkey", num_salts=8,
+        fact_salt_cols=["l_orderkey", "l_linenumber"],
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(22,6)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("bigint").alias("n_items"),
+    )

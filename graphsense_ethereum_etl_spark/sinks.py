@@ -104,3 +104,35 @@ def write_configuration(
         "id string, block_bucket_size int, tx_prefix_length int",
     )
     df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (the co-located-join layout, SURVEY.md §4):
+    hash-bucket the rows on the join key at WRITE time so that every
+    subsequent equi-join or aggregation on that key is exchange-free — the
+    scan's output partitioning already satisfies the join's requirement.
+    This is the Spark-native generalization of the reference's 5-hex-char
+    tx_hash_prefix partitioning (eth_cassandra_streaming.py:428-429): both
+    pre-hash the data so point/join access needs no data movement; bucketing
+    keeps file counts bounded (num_buckets files per write task ceiling)
+    where value-partitioning by prefix would create 16^5 directories.
+
+    At 100 TB: bucket both fact tables on the same key with the same count
+    (e.g. transaction and trace on block_id, 4096 buckets) and the daily
+    enrichment/join jobs skip both sort-merge exchanges — typically the
+    single largest shuffle in the pipeline.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(*(sort_cols or [bucket_col]))
+    )
+    writer.saveAsTable(table)
