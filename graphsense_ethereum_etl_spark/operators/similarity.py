@@ -201,3 +201,128 @@ def lsh_ann_pairs(
         )
         .filter(F.col("score") >= min_score)
     )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse-quantizer centroids: (cluster, centroid array<double>).
+
+    Seed assignment is deterministic (``vec_id % n_clusters``); ``iters``
+    Lloyd iterations refine it (assign to nearest centroid → recompute
+    means). ``iters=0`` keeps every step ANSI-SQL-expressible (the oracle
+    path); training iterations are the standard iterative-DataFrame loop —
+    each iteration is one broadcast-join assignment pass plus one
+    mean-aggregation, nothing driver-side.
+
+    Centroid means are computed with per-row DECIMAL casts so the sum is
+    exact and order-independent — the centroid doubles come out bit-identical
+    in any engine, which is what makes the downstream cosine assignments
+    reproducible (repo determinism rule #1, queries.py module doc).
+    """
+    assign = embeddings.select(
+        (F.col(id_col) % n_clusters).cast("int").alias("cluster"),
+        F.col(vec_col).alias("v"),
+    )
+    cent = _centroids_from(assign)
+    for _ in range(iters):
+        scored = _assign_clusters(embeddings, cent, 1, id_col, vec_col)
+        assign = scored.select("cluster", F.col("v"))
+        cent = _centroids_from(assign)
+    return cent
+
+
+def _centroids_from(assign: DataFrame) -> DataFrame:
+    """(cluster, v:array) → (cluster, centroid:array<double>), exact means."""
+    comp = (
+        assign.select("cluster", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(27,10)")).cast("double") / F.count("*")
+            ).alias("comp")
+        )
+    )
+    return comp.groupBy("cluster").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "comp"))), lambda s: s["comp"]
+        ).alias("centroid")
+    )
+
+
+def _assign_clusters(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Nearest-``nprobe`` clusters per vector by cosine (broadcast the tiny
+    centroid table; score every (vector, centroid) pair with the same JVM
+    double fold the exact search uses; 9-dp rounding + cluster-id tiebreak
+    keeps the argmax stable across engines)."""
+    scored = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    ).crossJoin(F.broadcast(centroids))
+    w = Window.partitionBy("vid").orderBy(
+        F.round(cosine("v", "centroid"), 9).desc(), F.col("cluster")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("vid", "v", "cluster")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    k: int = 10,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: assign every candidate to its nearest
+    centroid (an inverted list keyed by cluster), probe each query's
+    ``nprobe`` nearest clusters, exact-rescore only those lists.
+
+    The 100-TB shape: candidate vectors shuffle ONCE on cluster id (that
+    exchange IS the inverted index — at rest you'd ``write_bucketed`` it),
+    queries × centroids is a broadcast cross of a k-row table, and the probe
+    join moves each query to nprobe/k of the data instead of all of it —
+    brute_force_topk's cost × (nprobe / n_clusters), same per-pair kernel.
+    """
+    cent = ivf_centroids(embeddings, n_clusters, iters, id_col, vec_col)
+    cand = _assign_clusters(embeddings, cent, 1, id_col, vec_col).select(
+        F.col("cluster"), F.col("vid").alias("cand_id"), F.col("v").alias("cv")
+    )
+    probe = _assign_clusters(queries, cent, nprobe, id_col, vec_col).select(
+        F.col("cluster"), F.col("vid").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        cand.join(probe, "cluster")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id", F.round(cosine("qv", "cv"), 9).alias("score9")
+        )
+        # a candidate can appear via several probed clusters → dedupe
+        .groupBy("query_id", "cand_id")
+        .agg(F.max("score9").alias("score9"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score9").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("cand_id").cast("bigint"),
+            F.round("score9", 6).alias("score"),
+            "rank",
+        )
+    )

@@ -1428,3 +1428,55 @@ def j5_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count("*").cast("bigint").alias("n_items"),
     )
+
+
+@query(
+    "sim4_ivf_ann",
+    f"""
+    WITH comp AS (
+      SELECT CAST(e.vec_id % 8 AS INT) AS cluster, r.pos AS pos,
+             CAST(SUM(CAST(e.embedding[r.pos + 1] AS DECIMAL(27,10))) AS DOUBLE)
+               / COUNT(*) AS comp
+      FROM embeddings e, range(64) AS r(pos)
+      GROUP BY 1, 2),
+    cent AS (
+      SELECT cluster, list(comp ORDER BY pos) AS centroid FROM comp GROUP BY cluster),
+    cand_scored AS (
+      SELECT e.vec_id AS vid, e.embedding AS v, c.cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_DUCK_COS.format(a="e.embedding", b="c.centroid")}, 9) DESC,
+                        c.cluster) AS rn
+      FROM embeddings e, cent c),
+    cand AS (SELECT cluster, vid AS cand_id, v AS cv FROM cand_scored WHERE rn = 1),
+    probe AS (
+      SELECT cluster, vid AS query_id, v AS qv
+      FROM cand_scored WHERE vid < 5 AND rn <= 2),
+    scored AS (
+      SELECT query_id, cand_id,
+             MAX(round({_DUCK_COS.format(a="qv", b="cv")}, 9)) AS score9
+      FROM cand JOIN probe USING (cluster)
+      WHERE cand_id != query_id
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, cand_id, score9,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score9 DESC, cand_id) AS rn
+      FROM scored)
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(cand_id AS BIGINT) AS cand_id,
+           round(score9, 6) AS score, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def sim4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (operators/similarity.py::ivf_topk — the other scale
+    path next to sim3's sign-LSH): deterministic coarse quantizer (seed
+    assignment vec_id % 8, decimal-exact centroid means, 0 Lloyd iterations
+    so the whole pipeline stays oracle-expressible), candidates shuffled
+    once on cluster id (the inverted list), nprobe=2 probe, exact top-10
+    rescore. Training iterations (iters>0) use the identical code path and
+    stay rows-only checkable."""
+    from .operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), n_clusters=8, nprobe=2, k=10)
