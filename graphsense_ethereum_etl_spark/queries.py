@@ -1480,3 +1480,91 @@ def sim4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), n_clusters=8, nprobe=2, k=10)
+
+
+@query(
+    "sq1_scalar_subquery",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       FROM customer)
+    """,
+)
+def sq1_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (engine-provided general SQL surface):
+    customers above the global mean balance. Catalyst plans the subquery as
+    an independent stage whose single-row result feeds the filter — the same
+    two-phase shape as the reference's resume probe (S4/A1)."""
+    c = load(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer_sq1")
+    return spark.sql(
+        """
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer_sq1
+        WHERE c_acctbal > (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                           FROM customer_sq1)
+        """
+    )
+
+
+@query(
+    "sq2_correlated_exists",
+    """
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+    """,
+)
+def sq2_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery: suppliers with at least one near-max-
+    quantity line item. Catalyst decorrelates it into a left-semi join —
+    the plan j2_semi_join builds explicitly, derived here by the optimizer
+    from the subquery form."""
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_sq2")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sq2")
+    return spark.sql(
+        """
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+        FROM supplier_sq2 s
+        WHERE EXISTS (SELECT 1 FROM lineitem_sq2 l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+        """
+    )
+
+
+@query(
+    "u1_unpivot",
+    """
+    SELECT p_brand, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT p_brand,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+             CAST(MAX(p_size) AS DOUBLE) AS max_size,
+             CAST(COUNT(*) AS DOUBLE) AS n_parts
+      FROM part GROUP BY p_brand)
+    UNPIVOT (val FOR metric IN (avg_price, max_size, n_parts))
+    """,
+)
+def u1_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long; inverse of a5's conditional pivot) via the
+    DataFrame ``unpivot`` API — Catalyst's Expand node, one pass, no join;
+    oracle uses DuckDB's native UNPIVOT."""
+    p = load(spark, sf_dir, "part")
+    wide = p.groupBy("p_brand").agg(
+        (
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_price"),
+        F.max("p_size").cast("double").alias("max_size"),
+        F.count("*").cast("double").alias("n_parts"),
+    )
+    return wide.unpivot(
+        ids=["p_brand"],
+        values=["avg_price", "max_size", "n_parts"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
