@@ -38,6 +38,9 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # Queries that persist intermediates (dd2) must not donate their
+        # cache to — or steal executor memory from — later queries.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
 

@@ -45,3 +45,36 @@ def test_global_topk_avoids_full_sort(spark, sf_dir):
 
     df = REGISTRY["o1_global_topk"].fn(spark, sf_dir)
     assert "TakeOrderedAndProject" in executed_plan(df)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime row-level filtering (the 100-TB shuffle-join lever when the
+    dim side carries a selective filter but is too big to broadcast): Spark
+    builds a bloom filter from the filtered build side and injects a
+    might_contain predicate into the probe-side scan, cutting the fact
+    shuffle before it happens. Thresholds are lowered to make the tiny test
+    tables eligible — on a real cluster the defaults (10 MB creation side)
+    gate it to genuinely selective dims."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
