@@ -95,3 +95,96 @@ def extract_features(media: DataFrame, extractor: str = "fake") -> DataFrame:
             yield out
 
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int, height: int, extractor: str = "fake") -> DataFrame:
+    """Resize: 1-in-1-out mapInPandas over Arrow batches, emitting new binary
+    content plus updated meta. The real path would decode → PIL resize →
+    re-encode; the stub deterministically truncates/tiles the payload to
+    width*height bytes so row count, schema, and batch shape are the real
+    pipeline's."""
+    if extractor == "real":  # pragma: no cover - codec libs absent by design
+        raise NotImplementedError(
+            "real resize requires PIL (not installed); use extractor='fake'"
+        )
+    target = width * height
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                out = (b * (target // max(len(b), 1) + 1))[:target] if b else b"\x00" * target
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "content": out,
+                        "meta": {
+                            "mime": "image/raw",
+                            "n_bytes": len(out),
+                            "width": width,
+                            "height": height,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8,
+                  extractor: str = "fake") -> DataFrame:
+    """Frame sampling: 1-in-N-out mapInPandas (row-expanding, the video →
+    frames shape). The real path would ffmpeg-demux and keep every Nth frame;
+    the stub slices the payload into ``every_n_bytes`` windows, capped at
+    ``max_frames`` — exercising the same expansion, ordering, and memory
+    profile (frames stream out per Arrow batch; no row ever materializes the
+    whole video more than once)."""
+    if extractor == "real":  # pragma: no cover - codec libs absent by design
+        raise NotImplementedError(
+            "real frame sampling requires ffmpeg (not installed); use extractor='fake'"
+        )
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                for i in range(min(max_frames, max(1, (len(b) + every_n_bytes - 1) // every_n_bytes))):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_index": i,
+                            "frame": b[i * every_n_bytes : (i + 1) * every_n_bytes],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(frame_batches, schema=FRAME_SCHEMA)

@@ -76,3 +76,39 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
         extract_features(media, "real")
+
+
+def test_resize_media_plumbing(spark, sf_dir):
+    from graphsense_ethereum_etl_spark.operators.multimodal import (
+        attach_media_columns,
+        resize_media,
+    )
+    from graphsense_ethereum_etl_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents").limit(20)
+    media = attach_media_columns(docs, "doc_id", "text")
+    out = resize_media(media, width=8, height=4)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(r["content"]) == 32 for r in rows)
+    assert all(r["meta"]["width"] == 8 and r["meta"]["height"] == 4 for r in rows)
+
+
+def test_sample_frames_expands_rows(spark, sf_dir):
+    from graphsense_ethereum_etl_spark.operators.multimodal import (
+        attach_media_columns,
+        sample_frames,
+    )
+    from graphsense_ethereum_etl_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents").limit(10)
+    media = attach_media_columns(docs, "doc_id", "text")
+    out = sample_frames(media, every_n_bytes=16, max_frames=4)
+    rows = out.collect()
+    assert len(rows) >= 10  # expansion happened
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r["frame_index"])
+    for idxs in by_id.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense, ordered
+        assert len(idxs) <= 4
