@@ -2,11 +2,15 @@
 (SURVEY.md §2.2), each as a composable ``Column``-returning function.
 
 All are pure Catalyst expressions — they stay inside whole-stage codegen,
-vectorize, and push down; none require Python execution.
+vectorize, and push down; none require Python execution. The single
+exception is the uint256↔binary codec pair at the bottom (Arrow-vectorized
+pandas UDFs — a codec-boundary op per the §2.11 policy, since base-256
+arbitrary-precision digit extraction has no Catalyst expression).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -91,3 +95,51 @@ def topics_to_json(topics: Column | str) -> Column:
     return F.when(c.isNotNull() & (F.size(c) > 0), joined).otherwise(
         F.when(c.isNotNull(), F.lit("[]"))
     )
+
+
+def uint_to_bin32(col: Column | str) -> Column:
+    """Lossless uint256 companion column (SURVEY.md §7.4.1): a non-negative
+    DECIMAL(38,0) (the canonical wei/difficulty type — covers every realistic
+    chain value) encoded as a 32-byte big-endian BinaryType, the exact bytes
+    Cassandra's varint would hold for adversarial values beyond Decimal(38).
+
+    Arrow-vectorized pandas UDF: Python ints are arbitrary-precision, so the
+    base-256 digit extraction is exact; this is a codec-boundary op (§2.11
+    UDF policy — same class as the RPC fetch and media decode), never a
+    transform hot path. None-safe.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            return int(v).to_bytes(32, "big")
+
+        return s.map(one)
+
+    return enc(F.col(col) if isinstance(col, str) else col)
+
+
+def bin32_to_uint(col: Column | str) -> Column:
+    """Inverse of ``uint_to_bin32``: 32-byte big-endian → DECIMAL(38,0).
+    Values above 38 digits (true adversarial uint256) cannot round-trip
+    through the decimal — callers keep the binary column authoritative and
+    this decode is for the ≤38-digit range (asserted)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("decimal(38,0)")
+    def dec(s: pd.Series) -> pd.Series:
+        from decimal import Decimal
+
+        def one(b):
+            if b is None:
+                return None
+            v = int.from_bytes(bytes(b), "big")
+            assert v < 10**38, "value exceeds Decimal(38) — keep the binary column"
+            return Decimal(v)
+
+        return s.map(one)
+
+    return dec(F.col(col) if isinstance(col, str) else col)

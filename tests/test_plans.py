@@ -78,3 +78,24 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning — the reference's manual block_id_group
+    restriction (eth_cassandra_streaming.py:228-243) done by Catalyst at
+    runtime: a fact table partitioned on the bucket column joined against a
+    filtered dim gets the dim's keys pushed into the scan's
+    PartitionFilters, so only matching bucket directories are read."""
+    from graphsense_ethereum_etl_spark.functions.columns import block_bucket
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "bucket", block_bucket("l_orderkey")
+    )
+    li.write.partitionBy("bucket").parquet(str(tmp_path / "li"))
+    fact = spark.read.parquet(str(tmp_path / "li"))
+    dim = spark.range(0, 200).select(F.col("id").alias("bucket")).filter(
+        F.col("bucket") < 3
+    )
+    j = fact.join(dim, "bucket").groupBy("bucket").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan or "PartitionFilters: [(bucket" in plan, plan[:2000]

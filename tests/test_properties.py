@@ -78,3 +78,41 @@ def test_topic0_defaults(spark):
     assert cass == {1: "0xaa", 2: "0x", 3: "0x"}
     csv = {r["id"]: r["t"] for r in df.select("id", topic0_with_default("topics", None).alias("t")).collect()}
     assert csv == {1: "0xaa", 2: None, 3: None}
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**38 - 1), min_size=1, max_size=20
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_uint256_binary_roundtrip(spark, values):
+    """§7.4.1 lossless companion: DECIMAL(38,0) → 32-byte big-endian binary
+    → DECIMAL(38,0) is the identity over the full decimal range, and the
+    encoding is exactly 32 bytes (what a CQL varint reader expects)."""
+    from decimal import Decimal
+
+    from graphsense_ethereum_etl_spark.functions.columns import (
+        bin32_to_uint,
+        uint_to_bin32,
+    )
+
+    df = spark.createDataFrame(
+        [(Decimal(v),) for v in values], "v decimal(38,0)"
+    )
+    out = df.select(
+        "v",
+        uint_to_bin32("v").alias("b"),
+        bin32_to_uint(uint_to_bin32("v")).alias("back"),
+    ).collect()
+    for r in out:
+        assert len(r["b"]) == 32
+        assert int.from_bytes(r["b"], "big") == int(r["v"])
+        assert r["back"] == r["v"]
+
+
+def test_uint256_binary_none_safe(spark):
+    from graphsense_ethereum_etl_spark.functions.columns import uint_to_bin32
+
+    df = spark.createDataFrame([(None,)], "v decimal(38,0)")
+    assert df.select(uint_to_bin32("v").alias("b")).collect()[0]["b"] is None
