@@ -1568,3 +1568,44 @@ def u1_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@query(
+    "rj1_range_join",
+    """
+    WITH bands AS (
+      SELECT b.band, b.band * 50.0 AS lo, b.band * 50.0 + 75.0 AS hi
+      FROM (SELECT unnest(range(10)) AS band) b)
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN bands ON e.value >= bands.lo AND e.value < bands.hi
+    GROUP BY band
+    """,
+)
+def rj1_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join (SURVEY.md §2.4 — absent in the reference, provided
+    by the engine): events joined into OVERLAPPING value bands
+    [band·50, band·50+75) on a pure inequality predicate — not rewritable to
+    an equi-join because one event can land in two bands. The band dim is
+    tiny and broadcast, so the non-equi join is a broadcast nested loop over
+    10 rows per event — the right plan at any fact scale; band-interval
+    dims that grow instead call for the asof/bucketized patterns."""
+    ev = load(spark, sf_dir, "events")
+    bands = spark.range(10).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 50.0).alias("lo"),
+        (F.col("id") * 50.0 + 75.0).alias("hi"),
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("band").cast("bigint"), "n_events", "sum_value")
+    )
