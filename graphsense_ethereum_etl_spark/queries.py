@@ -1609,3 +1609,42 @@ def rj1_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("band").cast("bigint"), "n_events", "sum_value")
     )
+
+
+@query(
+    "smp1_hash_sample",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+    FROM documents
+    WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':salt'), 1, 8) AS BIGINT)
+          % 100 < 10
+    """,
+)
+def smp1_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (training-data staple): keep ~10% of
+    documents by bucketing a hash of the stable key, NOT ``rand()`` — the
+    sample is reproducible across runs/retries/engines and naturally
+    consistent (a doc is in or out forever; growing the corpus never
+    resamples old rows). Bucket = first 8 md5 hex chars of "id:salt" as an
+    integer mod 100 — engine-independent, so the oracle is exact. In a pure
+    Spark deployment you'd swap md5 for ``xxhash64`` (cheaper, same
+    contract)."""
+    d = load(spark, sf_dir, "documents")
+    # md5-derived bucket — engine-independent (oracle-determinism rule):
+    # bucket = first 8 md5 hex chars of "id:salt" as int, mod 100.
+    return (
+        d.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "lang",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":salt"))), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(100),
+            ).alias("bucket"),
+        )
+        .filter(F.col("bucket") < 10)
+        .select("doc_id", "lang")
+    )

@@ -136,3 +136,53 @@ def write_bucketed(
         .sortBy(*(sort_cols or [bucket_col]))
     )
     writer.saveAsTable(table)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "block_id_group",
+    target_records_per_file: int = 1_000_000,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-files maintenance (the operational tax of incremental ingest —
+    every micro-batch writes at least one file per touched partition, and at
+    1000 batches/day a 100-TB table degrades into millions of KB-scale
+    files). Rewrites the dataset in place: one shuffle keyed on the
+    partition column (AQE coalesces to as few tasks as data volume needs),
+    optional re-sort to restore clustering (O2), atomic-ish swap via
+    overwrite. Returns the number of files after compaction.
+
+    On a real deployment this runs per-partition-predicate (compact only
+    partitions whose file count exceeds a threshold) and under a table
+    format with real transactions (Delta/Iceberg OPTIMIZE); the operator
+    keeps the same shape.
+    """
+    df = spark.read.parquet(path)
+    compacted = df.repartition(F.col(partition_col))
+    if sort_cols:
+        compacted = compacted.sortWithinPartitions(*sort_cols)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    (
+        compacted.write.mode("overwrite")
+        .option("maxRecordsPerFile", str(target_records_per_file))
+        .partitionBy(partition_col)
+        .parquet(tmp)
+    )
+    # Swap: overwrite the original location from the compacted copy.
+    spark.read.parquet(tmp).write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    # Best-effort cleanup of the staging copy via Hadoop FS (works for any
+    # supported scheme, not just local paths).
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(tmp)
+    p.getFileSystem(hconf).delete(p, True)
+    fs_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = fs_path.getFileSystem(hconf)
+    it = fs.listFiles(fs_path, True)
+    n = 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            n += 1
+    return n

@@ -98,3 +98,28 @@ def test_configuration_write(spark, tmp_path):
         1000,
         5,
     )
+
+
+def test_compact_partitions_reduces_file_count(spark, sf_dir, tmp_path):
+    from graphsense_ethereum_etl_spark.sinks import compact_partitions
+    from graphsense_ethereum_etl_spark.functions.columns import block_bucket
+    from graphsense_ethereum_etl_spark.queries import load
+
+    path = str(tmp_path / "frag")
+    li = load(spark, sf_dir, "lineitem").withColumn("bucket", block_bucket("l_orderkey"))
+    # simulate incremental ingest: many tiny appends → many files/partition
+    for lo in range(0, 40, 10):
+        (
+            li.filter((F.col("l_linenumber") > lo % 7))
+            .limit(2000)
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+    import glob
+
+    before = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
+    rows_before = spark.read.parquet(path).count()
+    after = compact_partitions(spark, path, partition_col="bucket")
+    assert spark.read.parquet(path).count() == rows_before  # lossless
+    assert after < before  # fewer files
