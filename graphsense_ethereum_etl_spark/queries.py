@@ -1648,3 +1648,44 @@ def smp1_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < 10)
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "cc1_dup_clusters",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    {_duck_minhash_sig()},
+    banded AS ({_duck_bands()}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b
+        ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1 AND a.doc_id < b.doc_id),
+    sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT s AS v FROM sym),
+    reach(v, r) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT reach.v, sym.d FROM reach JOIN sym ON reach.r = sym.s)
+    SELECT CAST(v AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY v
+    """,
+)
+def cc1_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering — the step after pairwise dedup: MinHash-LSH
+    candidate PAIRS (dd3) grouped into duplicate CLUSTERS via iterative
+    min-label propagation (operators/graph.py::connected_components;
+    lineage-checkpointed per round, 1-row convergence probe). cluster_id =
+    the minimum doc_id in the component, i.e. the canonical representative
+    a training pipeline would keep. Oracle: DuckDB recursive CTE over the
+    identical pair set."""
+    from .operators.dedup import lsh_candidate_pairs
+    from .operators.graph import connected_components
+
+    pairs = lsh_candidate_pairs(load(spark, sf_dir, "documents", spread=True))
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return comp.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )
