@@ -1689,3 +1689,54 @@ def cc1_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("bigint").alias("doc_id"),
         F.col("component").cast("bigint").alias("cluster_id"),
     )
+
+
+@query(
+    "q5_region_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: six-table star join (region→nation→customer→orders→
+    lineitem→supplier with the local-supplier correlation predicate).
+    Declared as a flat join chain — Catalyst's join reordering + AQE pick
+    the physical order, and every dim side under the threshold broadcasts,
+    so the only shuffle is the fact-side aggregation. The 100-TB sanity
+    check for the optimizer-driven plan SURVEY.md §4 promises."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    j = (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            supplier,
+            (supplier.s_suppkey == lineitem.l_suppkey)
+            & (supplier.s_nationkey == customer.c_nationkey),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(22,6)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
