@@ -51,9 +51,15 @@ def load(
     to restore the layout a real multi-file table would have. It stays
     opt-in because the exchange is pure overhead for scan-light queries.
     """
+    # events.ts is TIMESTAMP(NANOS) in parquet, which Spark rejects outright
+    # unless nanosAsLong is on. session.py sets it at build time, but queries
+    # may run under a CALLER-provided session (the driver contract passes its
+    # own SparkSession into queries()) — it's a runtime-settable SQL conf, so
+    # set it defensively here before touching the file.
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is TIMESTAMP(NANOS) in parquet — read as int64 ns (see
-    # session.py nanosAsLong) and truncate to µs exactly as DuckDB does.
+    # ts arrives as int64 ns; truncate to µs exactly as DuckDB does.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if spread:
