@@ -102,3 +102,18 @@ def test_registry_contract():
     os_ = entry_mod.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) > 0
+
+
+def test_events_load_sets_nanos_conf_itself(spark, sf_dir):
+    """The driver contract passes a CALLER-owned SparkSession into
+    queries(); load() must not depend on our session factory having set
+    nanosAsLong (events is TIMESTAMP(NANOS) parquet, rejected without it)."""
+    from graphsense_ethereum_etl_spark.queries import load
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    try:
+        assert load(spark, sf_dir, "events").limit(3).count() == 3
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark.conf.set(key, "true")
