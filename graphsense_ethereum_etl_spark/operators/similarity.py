@@ -150,17 +150,14 @@ def _hyperplane(plane: int, dim: int) -> list[float]:
     return comps
 
 
-def sign_lsh_signatures(
-    embeddings: DataFrame,
-    n_planes: int = 8,
-    dim: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Per-vector sign-LSH bucket id: bit p = [v · hyperplane_p > 0]."""
-    sig = F.lit(0).cast("bigint")
+def _bucket_expr(vec_col: str, plane_offset: int, n_planes: int, dim: int):
+    """Column: ``n_planes``-bit sign bucket using hyperplanes
+    [plane_offset, plane_offset + n_planes). Bit p = [v · plane_p > 0],
+    computed with the same sequential double fold as the cosine kernel so
+    DuckDB's ``list_sum(list_transform(...))`` reproduces the sign exactly."""
+    bucket = F.lit(0).cast("bigint")
     for p in range(n_planes):
-        plane = _hyperplane(p, dim)
+        plane = _hyperplane(plane_offset + p, dim)
         proj = F.aggregate(
             F.zip_with(
                 F.col(vec_col),
@@ -170,29 +167,103 @@ def sign_lsh_signatures(
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return embeddings.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def sign_lsh_signatures(
+    embeddings: DataFrame,
+    n_bands: int = 4,
+    band_planes: int = 4,
+    dim: int = 64,
+    split_planes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded sign-LSH signatures: one row per (vector, band) with the band's
+    primary ``band_planes``-bit bucket plus a ``split_planes``-bit sub-bucket
+    (used by the bucket-size cap to re-split oversized buckets with MORE
+    hyperplanes, preserving the similarity grouping).
+
+    OR-amplification (b bands × r planes, the dd3/MinHash band layout): a
+    pair is a candidate if it collides in ANY band — P(candidate) =
+    1 − (1 − p^r)^b with p = 1 − θ/π, so recall for near-dups grows with b
+    while the per-band bucket count 2^r (a free parameter: hyperplanes cost
+    nothing to add) controls bucket sizes. Scale knobs at 100 TB: grow r with
+    log2(n) to keep bucket sizes flat, grow b to buy recall back."""
+    structs = []
+    primary_total = n_bands * band_planes
+    for b in range(n_bands):
+        structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                _bucket_expr(vec_col, b * band_planes, band_planes, dim).alias(
+                    "bucket"
+                ),
+                _bucket_expr(
+                    vec_col, primary_total + b * split_planes, split_planes, dim
+                ).alias("sub"),
+            )
+        )
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*structs)).alias("bb")
+    ).select(id_col, vec_col, "bb.band", "bb.bucket", "bb.sub")
 
 
 def lsh_ann_pairs(
     embeddings: DataFrame,
-    n_planes: int = 8,
+    n_bands: int = 4,
+    band_planes: int = 4,
     dim: int = 64,
     min_score: float = 0.0,
+    bucket_cap: int | None = None,
+    split_planes: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN candidate pairs: same-bucket vectors, exact-rescored with cosine.
-    Shuffle cost is bounded by bucket sizes (2^n_planes buckets)."""
-    sigs = sign_lsh_signatures(embeddings, n_planes, dim, id_col, vec_col)
+    """ANN candidate pairs: vectors sharing any band bucket, exact-rescored
+    with cosine, deduped across bands.
+
+    Bucket-size cap: buckets holding more than ``bucket_cap`` vectors are
+    re-split by ``split_planes`` extra hyperplanes (sub-bucket), bounding the
+    same-bucket self-join at Σ min(bucket, cap·2^split)² instead of Σ bucket²
+    — the re-split keys stay similarity-preserving (more planes, not id
+    hashing), so recall inside a hot bucket degrades gracefully rather than
+    randomly. Refined ids are offset by 2^band_planes so split and unsplit
+    buckets can never collide.
+
+    Every step (projection folds, window count, CASE re-split, pair join,
+    rescore) is plain ANSI SQL over deterministic md5-derived plane literals
+    — the DuckDB oracle reproduces the result bit-for-bit (queries.py
+    sim3_lsh_ann splices the plane components into the SQL)."""
+    sigs = sign_lsh_signatures(
+        embeddings, n_bands, band_planes, dim, split_planes, id_col, vec_col
+    )
+    if bucket_cap is not None:
+        w = Window.partitionBy("band", "bucket")
+        sigs = sigs.withColumn("bsz", F.count("*").over(w)).select(
+            id_col,
+            vec_col,
+            "band",
+            F.when(
+                F.col("bsz") > bucket_cap,
+                F.lit(1 << band_planes)
+                + F.col("bucket") * (1 << split_planes)
+                + F.col("sub"),
+            )
+            .otherwise(F.col("bucket"))
+            .alias("bkt"),
+        )
+    else:
+        sigs = sigs.select(id_col, vec_col, "band", F.col("bucket").alias("bkt"))
     a = sigs.select(
-        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        "band", "bkt", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
     b = sigs.select(
-        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        "band", "bkt", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
     return (
-        a.join(b, ["bucket"])
+        a.join(b, ["band", "bkt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             F.col("id_a").cast("bigint"),
@@ -200,6 +271,10 @@ def lsh_ann_pairs(
             F.round(cosine("va", "vb"), 6).alias("score"),
         )
         .filter(F.col("score") >= min_score)
+        # a pair can collide in several bands — dedupe on the slim key
+        # (scores are identical, max is just the deterministic pick)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("score").alias("score"))
     )
 
 

@@ -985,14 +985,85 @@ def sim2_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_cosine_pairs(load(spark, sf_dir, "embeddings"), threshold=0.25)
 
 
-@query("sim3_lsh_ann", None)
+def _duck_lsh_sql(
+    n_bands: int = 4,
+    band_planes: int = 4,
+    dim: int = 64,
+    min_score: float = 0.2,
+    bucket_cap: int = 40,
+    split_planes: int = 2,
+) -> str:
+    """DuckDB oracle for banded sign-LSH: the hyperplanes are md5-derived
+    constants, so we generate their components in Python and splice them into
+    the SQL as literal arrays (same technique as ``_duck_lang_case``). Every
+    step — projection fold, sign bucket, window count, cap re-split, band
+    join, cosine rescore — is then plain ANSI SQL."""
+    from .operators.similarity import _hyperplane
+
+    def proj(vec: str, plane_idx: int) -> str:
+        lits = ", ".join(
+            f"CAST({x!r} AS DOUBLE)" for x in _hyperplane(plane_idx, dim)
+        )
+        return (
+            f"list_sum(list_transform(list_zip({vec}, [{lits}]),"
+            f" s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+        )
+
+    def bucket(vec: str, offset: int, n: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN {proj(vec, offset + p)} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n)
+        )
+        return f"({terms})"
+
+    primary_total = n_bands * band_planes
+    bands_l = ", ".join(str(b) for b in range(n_bands))
+    buckets_l = ", ".join(
+        bucket("embedding", b * band_planes, band_planes) for b in range(n_bands)
+    )
+    subs_l = ", ".join(
+        bucket("embedding", primary_total + b * split_planes, split_planes)
+        for b in range(n_bands)
+    )
+    cos = _DUCK_COS.format(a="a.v", b="b.v")
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding AS v,
+             UNNEST([{bands_l}]) AS band,
+             UNNEST([{buckets_l}]) AS bucket,
+             UNNEST([{subs_l}]) AS sub
+      FROM embeddings),
+    sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bsz FROM sigs),
+    refined AS (
+      SELECT vec_id, v, band,
+             CASE WHEN bsz > {bucket_cap}
+                  THEN {1 << band_planes} + bucket * {1 << split_planes} + sub
+                  ELSE bucket END AS bkt
+      FROM sized),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS score
+      FROM refined a JOIN refined b
+        ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           MAX(score) AS score
+    FROM pairs WHERE score >= {min_score} GROUP BY 1, 2
+    """
+
+
+@query("sim3_lsh_ann", _duck_lsh_sql())
 def sim3_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (north-star similarity, the 100 TB path):
-    deterministic random-hyperplane signatures → bucket join → exact rescore.
-    Non-SQL-expressible oracle (hyperplanes derived in Python) → rows-only."""
+    """Banded sign-LSH ANN (north-star similarity, the 100 TB path):
+    b bands × r deterministic random-hyperplane planes (OR-amplification,
+    the dd3 band layout), bucket-size cap with hyperplane re-split, band
+    bucket join → exact cosine rescore → cross-band dedupe. Oracle: the
+    hyperplanes are md5-derived constants spliced into the DuckDB SQL as
+    literal arrays, so the whole pipeline is hash-checkable."""
     from .operators.similarity import lsh_ann_pairs
 
-    return lsh_ann_pairs(load(spark, sf_dir, "embeddings"), min_score=0.2)
+    return lsh_ann_pairs(
+        load(spark, sf_dir, "embeddings"), min_score=0.2, bucket_cap=40
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1338,14 +1409,42 @@ def gs1_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("apx1_approx_distinct", None)
+@query(
+    "apx1_approx_distinct",
+    """
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS orders_within_tol,
+           TRUE AS parts_within_tol
+    FROM lineitem
+    """,
+)
 def apx1_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct (engine-provided sketch; no exact
-    SQL oracle by construction → rows-only check; the exact counterpart is
-    a2_global_stats.n_orders)."""
-    return load(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    """HyperLogLog++ approximate distinct. The sketch value itself is
+    engine-specific (DuckDB's approx_count_distinct uses a different HLL
+    implementation), so the checkable facts emitted are the EXACT distinct
+    counts plus booleans asserting the HLL estimate landed within 5% of
+    exact (rsd=0.02, so 5% is 2.5σ) — the oracle computes the exact counts
+    and expects the booleans TRUE. A broken sketch fails the hash match."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("apx_o"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("apx_p"),
+    )
+    tol = 0.05
+    return agg.select(
+        F.col("exact_orders").cast("bigint").alias("exact_orders"),
+        F.col("exact_parts").cast("bigint").alias("exact_parts"),
+        (
+            F.abs(F.col("apx_o") - F.col("exact_orders"))
+            <= F.lit(tol) * F.col("exact_orders")
+        ).alias("orders_within_tol"),
+        (
+            F.abs(F.col("apx_p") - F.col("exact_parts"))
+            <= F.lit(tol) * F.col("exact_parts")
+        ).alias("parts_within_tol"),
     )
 
 
