@@ -6,11 +6,11 @@ Three tiers (north-star surface):
     take top-k per query with a window. Scales linearly in candidates ×
     queries; right answer for recall evaluation and small query batches.
   - blocked all-pairs cosine (``blocked_cosine_pairs``): exact all-pairs ≥
-    threshold via block-partitioned GEMM — vectors grouped into blocks,
-    block-pair cross join, numpy matrix multiply per block pair inside
-    Arrow-batched ``mapInPandas``. This is the classic distributed
-    similarity-join layout: O(n²/B²) tasks each doing a BLAS multiply,
-    no row ever leaving its two blocks' task.
+    threshold via block-partitioned GEMM — rows tagged with their block-pair
+    tasks (row-preserving, no ``collect_list`` packing), one
+    ``applyInPandas`` group per block pair, chunk-tiled BLAS multiply. The
+    classic distributed similarity-join layout: O(n²/B²) tasks each doing a
+    GEMM, with per-task memory bounded by two blocks plus one score tile.
   - sign-LSH (random hyperplane) bucketed ANN: the 100 TB path — hash each
     vector to a ``n_planes``-bit signature of deterministic pseudo-random
     hyperplanes; candidates = same-bucket pairs only, then exact re-score.
@@ -25,7 +25,6 @@ the 1e-6 rounding used for comparison.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -80,47 +79,71 @@ def blocked_cosine_pairs(
     embeddings: DataFrame,
     threshold: float,
     n_blocks: int = 8,
+    gemm_chunk: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ ``threshold`` via blocked GEMM.
 
-    Vectors are hashed into ``n_blocks`` groups; every block pair (i ≤ j)
-    becomes one task that multiplies the two blocks' matrices with BLAS and
-    emits qualifying (id_a < id_b) pairs. Scale knob: pick n_blocks so a
-    block (rows/n_blocks × dim floats) fits comfortably in a task — the
-    shuffle moves each block n_blocks times, never the pair matrix."""
-    blocks = (
-        embeddings.select(
-            (F.col(id_col) % n_blocks).cast("int").alias("blk"),
-            F.col(id_col).cast("long").alias("id"),
-            F.col(vec_col).cast("array<float>").alias("v"),
-        )
-        .groupBy("blk")
-        .agg(F.collect_list("id").alias("ids"), F.collect_list("v").alias("vecs"))
-    )
-    left = blocks.select(
-        F.col("blk").alias("blk_l"), F.col("ids").alias("ids_l"), F.col("vecs").alias("vecs_l")
-    )
-    right = blocks.select(
-        F.col("blk").alias("blk_r"), F.col("ids").alias("ids_r"), F.col("vecs").alias("vecs_r")
-    )
-    pairs = left.crossJoin(right).filter(F.col("blk_l") <= F.col("blk_r"))
+    Row-preserving tiling: each vector row is tagged with the block-pair
+    tasks it participates in (left side of pairs (blk, j ≥ blk), right side
+    of pairs (i ≤ blk, blk)) via a cheap ``sequence`` explode — no
+    ``collect_list`` packing, so no row ever approaches the JVM single-row /
+    2 GB limit and the shuffle moves slim (pair, side, id, vec) rows. Each
+    pair group lands in ONE ``applyInPandas`` task as Arrow batches; the
+    kernel assembles the two sides' matrices and multiplies them with BLAS
+    in ``gemm_chunk`` × ``gemm_chunk`` tiles, so peak task memory is the two
+    block matrices plus one bounded score tile regardless of block size.
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                ids_l = np.asarray(row["ids_l"], dtype=np.int64)
-                ids_r = np.asarray(row["ids_r"], dtype=np.int64)
-                m_l = np.array([np.asarray(v) for v in row["vecs_l"]], dtype=np.float64)
-                m_r = np.array([np.asarray(v) for v in row["vecs_r"]], dtype=np.float64)
-                m_l /= np.linalg.norm(m_l, axis=1, keepdims=True)
-                m_r /= np.linalg.norm(m_r, axis=1, keepdims=True)
-                scores = m_l @ m_r.T
+    Scale knobs: ``n_blocks`` bounds rows-per-task (grow it O(n) so a block
+    stays ~constant); replication factor is n_blocks + 1 row copies, same
+    asymptotics as the classic blocked layout but with streamable rows."""
+    base = embeddings.select(
+        (F.col(id_col) % n_blocks).cast("int").alias("blk"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<float>").alias("v"),
+    )
+    left = base.withColumn(
+        "j", F.explode(F.expr(f"sequence(blk, {n_blocks - 1})"))
+    ).select(
+        (F.col("blk") * n_blocks + F.col("j")).alias("pair"),
+        F.lit(0).alias("side"),
+        "id",
+        "v",
+    )
+    right = base.withColumn("i", F.explode(F.expr("sequence(0, blk)"))).select(
+        (F.col("i") * n_blocks + F.col("blk")).alias("pair"),
+        F.lit(1).alias("side"),
+        "id",
+        "v",
+    )
+    tagged = left.unionByName(right)
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        blk_l, blk_r = divmod(int(key[0]), n_blocks)
+        l = pdf[pdf["side"] == 0]
+        r = pdf[pdf["side"] == 1]
+        if l.empty or r.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "score": "float64"}
+            )
+        ids_l = l["id"].to_numpy(dtype=np.int64)
+        ids_r = r["id"].to_numpy(dtype=np.int64)
+        m_l = np.array(l["v"].tolist(), dtype=np.float64)
+        m_r = np.array(r["v"].tolist(), dtype=np.float64)
+        m_l /= np.linalg.norm(m_l, axis=1, keepdims=True)
+        m_r /= np.linalg.norm(m_r, axis=1, keepdims=True)
+        out_a, out_b, out_s = [], [], []
+        for a0 in range(0, len(ids_l), gemm_chunk):
+            tile_l = m_l[a0 : a0 + gemm_chunk]
+            for b0 in range(0, len(ids_r), gemm_chunk):
+                scores = tile_l @ m_r[b0 : b0 + gemm_chunk].T
                 ia, ib = np.nonzero(scores >= threshold)
-                id_a, id_b = ids_l[ia], ids_r[ib]
-                if row["blk_l"] == row["blk_r"]:
-                    # diagonal block: each unordered pair appears twice
+                id_a = ids_l[a0 + ia]
+                id_b = ids_r[b0 + ib]
+                if blk_l == blk_r:
+                    # diagonal pair: both sides hold the full block, each
+                    # unordered pair appears twice — keep the ordered half
                     keep = id_a < id_b
                     lo, hi = id_a[keep], id_b[keep]
                 else:
@@ -129,15 +152,20 @@ def blocked_cosine_pairs(
                     keep = id_a != id_b
                     lo = np.minimum(id_a[keep], id_b[keep])
                     hi = np.maximum(id_a[keep], id_b[keep])
-                yield pd.DataFrame(
-                    {
-                        "id_a": lo,
-                        "id_b": hi,
-                        "score": np.round(scores[ia[keep], ib[keep]], 6),
-                    }
-                )
+                out_a.append(lo)
+                out_b.append(hi)
+                out_s.append(np.round(scores[ia[keep], ib[keep]], 6))
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "score": np.concatenate(out_s),
+            }
+        )
 
-    return pairs.mapInPandas(kernel, schema="id_a bigint, id_b bigint, score double")
+    return tagged.groupBy("pair").applyInPandas(
+        kernel, schema="id_a bigint, id_b bigint, score double"
+    )
 
 
 def _hyperplane(plane: int, dim: int) -> list[float]:

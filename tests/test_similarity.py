@@ -1,14 +1,20 @@
-"""IVF ANN operator tests beyond the oracle query: Lloyd training iterations
-(the rows-only path) still produce a well-formed index, and probing more
-clusters monotonically improves recall vs the exact baseline."""
+"""IVF + sign-LSH ANN operator tests beyond the oracle query: Lloyd training
+iterations (the rows-only path) still produce a well-formed index, probing
+more clusters monotonically improves recall vs the exact baseline, banded LSH
+finds planted near-duplicates (including through the bucket-size-cap re-split
+path), and OR-amplification is monotone in the number of bands."""
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import functions as F
 
 from graphsense_ethereum_etl_spark.operators.similarity import (
+    blocked_cosine_pairs,
     brute_force_topk,
     ivf_topk,
+    lsh_ann_pairs,
 )
 from graphsense_ethereum_etl_spark.queries import load
 
@@ -40,3 +46,67 @@ def test_ivf_recall_improves_with_nprobe(spark, sf_dir):
     r2, r8 = recall(2), recall(8)
     assert r8 >= r2
     assert r8 == 1.0  # nprobe = n_clusters probes everything → exact
+
+
+def _planted_duplicates(spark, n=40, dim=16):
+    """n deterministic base vectors, each with an exact copy at id+1000 —
+    every (i, i+1000) pair has cosine exactly 1.0, so a sign-LSH with ANY
+    plane set puts both copies in the same bucket in EVERY band."""
+    rows = []
+    for i in range(n):
+        v = [math.sin(0.1 * i + 0.3 * d) for d in range(dim)]
+        rows.append((i, v))
+        rows.append((i + 1000, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_finds_planted_duplicates(spark):
+    emb = _planted_duplicates(spark)
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_ann_pairs(emb, dim=16, min_score=0.99).collect()
+    }
+    assert all((i, i + 1000) in found for i in range(40))
+
+
+def test_lsh_bucket_cap_keeps_duplicate_recall(spark):
+    # cap=2 forces nearly every bucket through the re-split path; exact
+    # copies share the sub-bucket too (same planes), so recall stays 1.0
+    emb = _planted_duplicates(spark)
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_ann_pairs(emb, dim=16, min_score=0.99, bucket_cap=2).collect()
+    }
+    assert all((i, i + 1000) in found for i in range(40))
+
+
+def test_lsh_or_amplification_monotone_in_bands(spark, sf_dir):
+    # bands of a 2-band run are a prefix of the 4-band run's plane indices,
+    # so (uncapped) the 2-band candidate set is a subset of the 4-band one
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    pairs2 = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_ann_pairs(emb, n_bands=2, min_score=0.2).collect()
+    }
+    pairs4 = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_ann_pairs(emb, n_bands=4, min_score=0.2).collect()
+    }
+    assert pairs2 <= pairs4
+    assert len(pairs4) >= len(pairs2)
+
+
+def test_blocked_gemm_tiling_invariant(spark, sf_dir):
+    """The chunked-GEMM result is independent of tile size and block count —
+    exercising blocks far larger than a tile (the case the old collect_list
+    layout could not stream) yields the identical pair set."""
+    emb = load(spark, sf_dir, "embeddings")
+
+    def pairs(**kw):
+        return sorted(
+            (r["id_a"], r["id_b"], r["score"])
+            for r in blocked_cosine_pairs(emb, threshold=0.25, **kw).collect()
+        )
+
+    # n_blocks=1: ONE 500-row group, forced through 7-row score tiles
+    assert pairs(n_blocks=1, gemm_chunk=7) == pairs(n_blocks=8, gemm_chunk=1024)
