@@ -126,7 +126,8 @@ def bin32_to_uint(col: Column | str) -> Column:
     """Inverse of ``uint_to_bin32``: 32-byte big-endian → DECIMAL(38,0).
     Values above 38 digits (true adversarial uint256) cannot round-trip
     through the decimal — callers keep the binary column authoritative and
-    this decode is for the ≤38-digit range (asserted)."""
+    this decode raises ValueError for the out-of-range case (a real raise,
+    not an ``assert``, so ``python -O`` cannot strip the guard)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("decimal(38,0)")
@@ -137,7 +138,11 @@ def bin32_to_uint(col: Column | str) -> Column:
             if b is None:
                 return None
             v = int.from_bytes(bytes(b), "big")
-            assert v < 10**38, "value exceeds Decimal(38) — keep the binary column"
+            if v >= 10**38:
+                raise ValueError(
+                    "value exceeds Decimal(38,0) — keep the binary column "
+                    "authoritative for adversarial uint256"
+                )
             return Decimal(v)
 
         return s.map(one)

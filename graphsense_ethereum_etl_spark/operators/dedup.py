@@ -46,10 +46,10 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-# Largest 32-bit prime: the double-hashing modulus. h1 + i*h2 stays well
-# inside int64 (max ~8 * 2^32 * 2^32 would overflow — hence both h1 and h2
-# are 32-bit values, so i*h2 <= 7 * (2^32-1) < 2^35, no overflow).
-_MERSENNE_P = 4294967291
+# Largest prime below 2^32 (4294967291 = 2^32 - 5): the double-hashing
+# modulus. h1 + i*h2 stays well inside int64 (both h1 and h2 are 32-bit
+# values, so i*h2 <= 7 * (2^32-1) < 2^35, no overflow).
+_PRIME_32 = 4294967291
 
 
 def minhash_signatures(
@@ -89,7 +89,7 @@ def minhash_signatures(
     )
     return hv.groupBy(id_col).agg(
         *[
-            F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(_MERSENNE_P)).alias(f"mh{i}")
+            F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(_PRIME_32)).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )
@@ -203,6 +203,12 @@ def ngram_jaccard_pairs(
             ).alias("arr")
         )
         .select("id", F.size("arr").alias("n"), "arr")
+        # CALLER CONTRACT: this cache is held until the session clears it
+        # (spark.catalog.clearCache() or unpersisting the returned lineage) —
+        # the operator returns a lazy frame, so it cannot unpersist eagerly
+        # without recomputing three downstream branches. bench.py clears the
+        # cache between runs; long-lived sessions should do the same after
+        # materializing the result.
         .persist()
     )
     # Explode only the prefix: first |A| − ceil(t·|A|) + 1 rarest shingles.

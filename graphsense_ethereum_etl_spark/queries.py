@@ -987,12 +987,14 @@ def sim2_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_lsh_sql(
     n_bands: int = 4,
-    band_planes: int = 4,
+    band_planes: int = 6,
     dim: int = 64,
     min_score: float = 0.2,
     bucket_cap: int = 40,
     split_planes: int = 2,
 ) -> str:
+    # NOTE: these defaults MUST mirror lsh_ann_pairs' defaults — the
+    # sim3_lsh_ann query relies on both sides agreeing.
     """DuckDB oracle for banded sign-LSH: the hyperplanes are md5-derived
     constants, so we generate their components in Python and splice them into
     the SQL as literal arrays (same technique as ``_duck_lang_case``). Every
@@ -1844,4 +1846,119 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
         F.count("*").cast("bigint").alias("n_items"),
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    WITH agg AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS rev_dec,
+             o_orderdate, o_orderpriority
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority)
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM agg
+    ORDER BY rev_dec DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog (shipping priority): selective dim filter broadcast
+    against the fact join, grouped revenue, global top-10. The revenue sum is
+    exact (per-row DECIMAL cast) so the ORDER BY + LIMIT cut is identical in
+    both engines; the sort key ends with l_orderkey (unique per group) so the
+    limit is deterministic under revenue ties. Physically: one fact shuffle
+    for the agg, TakeOrderedAndProject for the top-10 (no global sort)."""
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == F.col("c_custkey")
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(22,6)")
+        ).alias("rev_dec")
+    )
+    return (
+        agg.orderBy(F.col("rev_dec").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customer",
+    """
+    SELECT c_name,
+           CAST(c_custkey AS BIGINT) AS c_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog (large-volume customer): HAVING-subquery membership
+    expressed as an aggregate + left-semi join on the fact key (the IN
+    subquery's plan shape), customer dim broadcast, then the grouped rollup
+    and a deterministic top-100 (sort key ends with the unique o_orderkey).
+    The quantity sums are exact DECIMAL both in the threshold predicate and
+    the output, so the >250 cut and the LIMIT cut match any engine."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qsum"))
+        .filter(F.col("qsum") > 250)
+        .select("l_orderkey")
+    )
+    orders = load(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    agg = j.groupBy(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qsum"))
+    return (
+        agg.orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qsum").cast("double").alias("sum_qty"),
+        )
     )

@@ -86,7 +86,7 @@ def run_incremental(
     bucket_size: int = 1000,
     dialect: str = CASSANDRA,
     fail_after_tables: int | None = None,
-    collect_stats: bool = True,
+    collect_stats: bool = False,
 ) -> IngestStats:
     """The micro-batch loop. ``fail_after_tables`` injects a crash after N
     child-table writes within the final batch (test hook for the
@@ -143,8 +143,9 @@ def run_incremental(
                 writer = writer.partitionBy("block_id_group")
             writer.parquet(f"{sink_root}/{table}")
             if collect_stats:
-                # Recomputes the frame — test/inspection convenience only;
-                # at scale read write-task metrics instead.
+                # Recomputes the frame — test/inspection convenience only
+                # (default OFF; at scale read the sink's Parquet metadata or
+                # write-task metrics instead of paying a second pipeline run).
                 stats.rows[table] = stats.rows.get(table, 0) + df.count()
             written += 1
         stats.batches += 1

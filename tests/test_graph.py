@@ -3,18 +3,65 @@ integrated dedup-clustering path; these pin the operator's semantics)."""
 
 from __future__ import annotations
 
-from graphsense_ethereum_etl_spark.operators.graph import connected_components
+import math
+
+import pytest
+
+from graphsense_ethereum_etl_spark.operators.graph import (
+    _star_components,
+    connected_components,
+)
 
 
-def test_chain_and_island(spark):
+@pytest.mark.parametrize("algorithm", ["label", "star"])
+def test_chain_and_island(spark, algorithm):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "src bigint, dst bigint"
     )
-    out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, algorithm=algorithm).collect()
+    }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
-def test_direction_independence(spark):
+@pytest.mark.parametrize("algorithm", ["label", "star"])
+def test_direction_independence(spark, algorithm):
     edges = spark.createDataFrame([(5, 2), (2, 9)], "src bigint, dst bigint")
-    out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, algorithm=algorithm).collect()
+    }
     assert out == {2: 2, 5: 2, 9: 2}
+
+
+def test_star_matches_label_on_random_graph(spark):
+    # deterministic pseudo-random edge soup: mixed components, repeated
+    # edges, both directions
+    edges = spark.createDataFrame(
+        [((i * 37) % 60, (i * 53 + 11) % 60) for i in range(80)],
+        "src bigint, dst bigint",
+    )
+    label = {
+        r["id"]: r["component"] for r in connected_components(edges).collect()
+    }
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert star == label
+
+
+def test_star_converges_logarithmically_on_chain(spark):
+    """The adversarial case for label propagation: a path graph of n nodes
+    has diameter n-1, so min-label needs ~n rounds; large-star/small-star
+    must finish in O(log n)."""
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    labels, rounds = _star_components(edges, "src", "dst", max_iter=50)
+    out = {r["id"]: r["component"] for r in labels.collect()}
+    assert out == {i: 0 for i in range(n)}
+    # generous constant over ceil(log2(200)) ≈ 7.6 — far below diameter 199
+    assert rounds <= 3 * math.ceil(math.log2(n))

@@ -37,6 +37,31 @@ def test_asof_join_exclusive(spark):
     assert _rows(out, "name", "asof_v") == [("p1", 90)]
 
 
+def test_asof_join_fill_is_row_atomic(spark):
+    """A right row holding NULL in one of right_cols must still supply ALL
+    asof_* values (no stitching an older row's value into one column)."""
+    left = spark.createDataFrame([(1, 20, "p1")], "k int, ts int, name string")
+    right = spark.createDataFrame(
+        [(1, 10, 100, 7), (1, 15, None, 8)], "k int, ts int, v int, w int"
+    )
+    out = asof_join(
+        left, right, by="k", left_ts="ts", right_ts="ts", right_cols=["v", "w"]
+    )
+    # newest right row (ts=15) wins atomically: v=None, w=8 — NOT (100, 8)
+    assert _rows(out, "name", "asof_v", "asof_w") == [("p1", None, 8)]
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    fact = spark.createDataFrame([(1, "a")], "k int, x string")
+    dim = spark.createDataFrame([(1, "d")], "k int, y string")
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="fact-preserving"):
+            salted_join(fact, dim, on="k", how=how)
+    # fact-preserving joins stay accepted
+    assert salted_join(fact, dim, on="k", how="left_semi").count() == 1
+    assert salted_join(fact, dim, on="k", how="left_anti").count() == 0
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
     orders = load(spark, sf_dir, "orders").select(
