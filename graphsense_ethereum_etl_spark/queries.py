@@ -1850,6 +1850,64 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "k5_versioned_reorg",
+    """
+    WITH b AS (
+      SELECT CAST(FLOOR(o_orderkey / 1000) AS BIGINT) AS bucket,
+             CASE WHEN FLOOR(o_orderkey / 1000) = 0
+                  THEN lower(o_orderpriority) ELSE o_orderpriority END AS pri
+      FROM orders WHERE o_orderkey >= 0 AND o_orderkey < 2000)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CASE WHEN pri = lower(pri) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lower
+    FROM b GROUP BY bucket
+    """,
+)
+def k5_versioned_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional sink semantics end-to-end (versioned.py — the manifest
+    -pointer table): full commit of orders bucketed by o_orderkey//1000, a
+    partition OVERWRITE of bucket 0 (priorities lower-cased), then a chain-
+    reorg ``invalidate_from(2)`` (pure manifest edit), and a snapshot read
+    of the surviving state. The oracle recomputes the retained buckets'
+    expected content directly from orders — a torn swap, lost overwrite, or
+    under/over-dropped reorg all change the hash."""
+    import tempfile
+
+    from .versioned import VersionedTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        block_bucket("o_orderkey").alias("bucket"),
+    )
+    t = VersionedTable(
+        spark, tempfile.mkdtemp(prefix="vt_query_"), partition_col="bucket"
+    )
+    t.write_partitions(orders)
+    t.write_partitions(
+        orders.filter(F.col("bucket") == 0).withColumn(
+            "o_orderpriority", F.lower("o_orderpriority")
+        )
+    )
+    t.invalidate_from(2)
+    return (
+        t.read()
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority") == F.lower("o_orderpriority"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_lower"),
+        )
+    )
+
+
+@query(
     "q3_shipping_priority",
     """
     WITH agg AS (

@@ -1,0 +1,231 @@
+"""Manifest-pointer versioned Parquet table — the transactional layer the
+reference lacks entirely (SURVEY.md §7.4.4 flags reorg/late-data as needing
+delete+rewrite under a transaction; the reference's Cassandra upserts sidestep
+it, a file sink cannot).
+
+Layout::
+
+    <root>/
+      _MANIFEST                  # pointer file: name of the current manifest
+      _manifests/m-00000001.json # snapshot: {partition_value: data_dir, ...}
+      data/<uuid>/part-*.parquet # immutable data dirs, one per (partition,
+                                 # commit) — files KEEP the partition column
+
+Why this shape (it is a minimal Delta/Iceberg):
+  - every commit writes NEW immutable data dirs, then replaces the manifest,
+    then atomically swaps the one-line pointer file (rename — atomic on
+    POSIX/HDFS; on object stores the pointer is a single small PUT). Readers
+    resolve the pointer ONCE, then read a frozen set of dirs — a reader
+    racing any commit sees the complete old snapshot or the complete new
+    one, never a mix, and never a partially-written dir (uncommitted dirs
+    are invisible: no manifest references them).
+  - chain-reorg invalidation (``invalidate_from``) and partition overwrite
+    are pure MANIFEST edits — zero data IO, atomic, and trivially
+    revertible (the old manifest file still exists).
+  - compaction rewrites data dirs and swaps the manifest; concurrent
+    readers keep their snapshot because old dirs are only removed by an
+    explicit ``vacuum`` (grace = readers' max query lifetime, the
+    Delta VACUUM contract).
+  - manifest-level partition pruning: ``read(partitions=...)`` loads only
+    the matching dirs — the same file-skipping Delta gets from its log.
+
+Scale posture: the manifest holds one entry per live partition (a 100-TB
+table at 1000-block buckets ≈ 20k entries — KB-scale JSON); commits are
+O(touched partitions); no listing of the data tree is ever needed (the
+manifest IS the listing, which is also why this beats raw
+``partitionBy``-overwrite on object stores where LIST is slow and
+rename-based overwrite is non-atomic).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_POINTER = "_MANIFEST"
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+class VersionedTable:
+    """Partitioned Parquet table with snapshot-isolated commits."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        partition_col: str = "block_id_group",
+    ) -> None:
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.partition_col = partition_col
+        os.makedirs(f"{self.root}/{_MANIFEST_DIR}", exist_ok=True)
+        os.makedirs(f"{self.root}/{_DATA_DIR}", exist_ok=True)
+
+    # -- snapshot resolution ------------------------------------------------
+
+    def _current_manifest_name(self) -> str | None:
+        try:
+            with open(f"{self.root}/{_POINTER}") as fh:
+                return fh.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def snapshot(self) -> dict[str, str]:
+        """{partition_value(str): data dir(abs path)} for the current
+        version. This is the read-side anchor: resolve once, then every
+        subsequent read of those dirs is immutable."""
+        name = self._current_manifest_name()
+        if name is None:
+            return {}
+        with open(f"{self.root}/{_MANIFEST_DIR}/{name}") as fh:
+            rel = json.load(fh)["partitions"]
+        return {k: f"{self.root}/{_DATA_DIR}/{v}" for k, v in rel.items()}
+
+    def read(self, partitions: list[int] | None = None) -> DataFrame:
+        """Snapshot read; ``partitions`` prunes at the MANIFEST level (only
+        matching dirs are handed to the scan)."""
+        snap = self.snapshot()
+        if partitions is not None:
+            wanted = {str(p) for p in partitions}
+            snap = {k: v for k, v in snap.items() if k in wanted}
+        if not snap:
+            return self.spark.createDataFrame([], f"{self.partition_col} bigint")
+        return self.spark.read.parquet(*sorted(snap.values()))
+
+    # -- commits ------------------------------------------------------------
+
+    def _swap(self, partitions_rel: dict[str, str]) -> None:
+        """Write the next manifest, then atomically swap the pointer
+        (tmp-file + rename: a crash before the rename leaves the old
+        version current; after it, the new one — no in-between)."""
+        current = self._current_manifest_name()
+        seq = int(current.split("-")[1].split(".")[0]) + 1 if current else 1
+        name = f"m-{seq:08d}.json"
+        with open(f"{self.root}/{_MANIFEST_DIR}/{name}", "w") as fh:
+            json.dump({"partitions": partitions_rel}, fh, sort_keys=True)
+        tmp = f"{self.root}/{_POINTER}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(name)
+        os.replace(tmp, f"{self.root}/{_POINTER}")
+
+    def _manifest_rel(self) -> dict[str, str]:
+        return {
+            k: v[len(f"{self.root}/{_DATA_DIR}/") :]
+            for k, v in self.snapshot().items()
+        }
+
+    def write_partitions(self, df: DataFrame) -> list[str]:
+        """Commit ``df`` as a partition OVERWRITE for every partition value
+        it contains (the idempotent micro-batch semantics run_incremental
+        needs): data lands in fresh immutable dirs first, the manifest swap
+        publishes all of them at once. Returns the partition values written.
+        """
+        staging = f"{self.root}/{_DATA_DIR}/stage-{uuid.uuid4().hex}"
+        # _pv duplicates the partition column into the directory name so the
+        # files themselves KEEP the real column (manifest dirs are read
+        # directly, with no partition-discovery to resurrect it).
+        (
+            df.withColumn("_pv", F.col(self.partition_col))
+            .repartition(F.col(self.partition_col))
+            .write.mode("overwrite")
+            .partitionBy("_pv")
+            .parquet(staging)
+        )
+        rel = self._manifest_rel()
+        written: list[str] = []
+        for entry in sorted(os.listdir(staging)):
+            if not entry.startswith("_pv="):
+                continue
+            val = entry.split("=", 1)[1]
+            dirname = f"{uuid.uuid4().hex}"
+            os.replace(f"{staging}/{entry}", f"{self.root}/{_DATA_DIR}/{dirname}")
+            rel[val] = dirname
+            written.append(val)
+        _rm(staging)
+        self._swap(rel)
+        return written
+
+    def invalidate_from(self, first_partition: int) -> list[str]:
+        """Chain-reorg handling as a PURE manifest edit: drop every
+        partition >= ``first_partition`` from the snapshot — no data IO,
+        atomic, revertible (prior manifest file remains). Returns dropped
+        partition values."""
+        rel = self._manifest_rel()
+        dropped = [k for k in rel if int(k) >= first_partition]
+        for k in dropped:
+            del rel[k]
+        self._swap(rel)
+        return sorted(dropped)
+
+    def compact(
+        self,
+        target_records_per_file: int = 1_000_000,
+        sort_cols: list[str] | None = None,
+    ) -> int:
+        """Rewrite the current snapshot into one file-set per partition
+        (restoring clustering via ``sort_cols``), publish via manifest swap.
+        Readers holding the old snapshot are untouched until ``vacuum``.
+        Returns the number of live partitions."""
+        snap = self.snapshot()
+        if not snap:
+            return 0
+        df = self.spark.read.parquet(*sorted(snap.values()))
+        compacted = df.repartition(F.col(self.partition_col))
+        if sort_cols:
+            compacted = compacted.sortWithinPartitions(*sort_cols)
+        staging = f"{self.root}/{_DATA_DIR}/stage-{uuid.uuid4().hex}"
+        (
+            compacted.withColumn("_pv", F.col(self.partition_col))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", str(target_records_per_file))
+            .partitionBy("_pv")
+            .parquet(staging)
+        )
+        rel: dict[str, str] = {}
+        for entry in sorted(os.listdir(staging)):
+            if not entry.startswith("_pv="):
+                continue
+            val = entry.split("=", 1)[1]
+            dirname = f"{uuid.uuid4().hex}"
+            os.replace(f"{staging}/{entry}", f"{self.root}/{_DATA_DIR}/{dirname}")
+            rel[val] = dirname
+        _rm(staging)
+        self._swap(rel)
+        return len(rel)
+
+    def vacuum(self, keep_manifests: int = 2) -> list[str]:
+        """Delete data dirs unreferenced by the ``keep_manifests`` newest
+        manifests (the reader-grace contract: a dir disappears only once no
+        retained snapshot can reference it). Returns removed dir names."""
+        import shutil
+
+        manifests = sorted(os.listdir(f"{self.root}/{_MANIFEST_DIR}"))
+        keep = manifests[-keep_manifests:] if keep_manifests else []
+        live: set[str] = set()
+        for name in keep:
+            with open(f"{self.root}/{_MANIFEST_DIR}/{name}") as fh:
+                live.update(json.load(fh)["partitions"].values())
+        removed: list[str] = []
+        data_root = f"{self.root}/{_DATA_DIR}"
+        # stage-* dirs here are crash debris (commits clean theirs up on
+        # success); removing them assumes the single-writer contract —
+        # don't vacuum concurrently with an in-flight commit.
+        for entry in sorted(os.listdir(data_root)):
+            if entry in live:
+                continue
+            shutil.rmtree(f"{data_root}/{entry}")
+            removed.append(entry)
+        for name in manifests[: len(manifests) - keep_manifests]:
+            os.remove(f"{self.root}/{_MANIFEST_DIR}/{name}")
+        return removed
+
+
+def _rm(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)

@@ -1,0 +1,113 @@
+"""Manifest-pointer versioned table: snapshot isolation for compaction and
+reorg (the VERDICT round-1 gap — the raw double-write swap let a racing
+reader observe partial state; here a reader's resolved snapshot is immutable
+by construction)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from graphsense_ethereum_etl_spark.versioned import VersionedTable
+
+
+def _frame(spark, lo, hi, tag):
+    return spark.createDataFrame(
+        [(i, i // 10, tag) for i in range(lo, hi)],
+        "block_id bigint, block_id_group bigint, tag string",
+    )
+
+
+def test_write_read_and_partition_overwrite(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    t.write_partitions(_frame(spark, 0, 30, "v1"))  # buckets 0,1,2
+    assert t.read().count() == 30
+    # overwrite bucket 1 only
+    t.write_partitions(_frame(spark, 10, 20, "v2"))
+    rows = t.read().collect()
+    assert len(rows) == 30
+    tags = {r["block_id_group"]: r["tag"] for r in rows}
+    assert tags == {0: "v1", 1: "v2", 2: "v1"}
+
+
+def test_manifest_level_pruning(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    t.write_partitions(_frame(spark, 0, 30, "x"))
+    pruned = t.read(partitions=[1])
+    assert pruned.count() == 10
+    # only ONE data dir reaches the scan
+    assert len(pruned.inputFiles()) < len(t.read().inputFiles())
+
+
+def test_reorg_invalidate_is_metadata_only(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    t.write_partitions(_frame(spark, 0, 30, "x"))
+    dirs_before = set(os.listdir(f"{root}/data"))
+    dropped = t.invalidate_from(1)
+    assert dropped == ["1", "2"]
+    assert t.read().count() == 10
+    # zero data IO: every data dir still on disk (old snapshot intact)
+    assert set(os.listdir(f"{root}/data")) == dirs_before
+
+
+def test_concurrent_reader_never_observes_partial_state(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    t.write_partitions(_frame(spark, 0, 30, "old"))
+    # reader resolves its snapshot FIRST (what spark does at plan time)
+    reader_paths = sorted(t.snapshot().values())
+    # writer compacts AND overwrites AND reorgs while the "reader" is live
+    t.compact(sort_cols=["block_id"])
+    t.write_partitions(_frame(spark, 0, 30, "new"))
+    t.invalidate_from(2)
+    # the reader's frozen snapshot is still fully intact and consistent
+    old = spark.read.parquet(*reader_paths).collect()
+    assert len(old) == 30
+    assert {r["tag"] for r in old} == {"old"}
+    # a fresh reader sees the full new state (overwrite minus reorg)
+    new = t.read().collect()
+    assert {r["tag"] for r in new} == {"new"}
+    assert len(new) == 20  # bucket 2 dropped by the reorg
+
+
+def test_crash_before_swap_leaves_old_version(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    t.write_partitions(_frame(spark, 0, 10, "old"))
+
+    # inject a crash between data-dir landing and the pointer swap
+    real_swap = t._swap
+
+    def boom(rel):
+        raise RuntimeError("crash before pointer swap")
+
+    t._swap = boom
+    with pytest.raises(RuntimeError):
+        t.write_partitions(_frame(spark, 0, 10, "new"))
+    t._swap = real_swap
+    # table still serves the old committed version
+    assert {r["tag"] for r in t.read().collect()} == {"old"}
+    # the orphaned dirs are crash debris; vacuum clears them
+    removed = t.vacuum(keep_manifests=1)
+    assert removed  # the unreferenced new-data dir went away
+    assert {r["tag"] for r in t.read().collect()} == {"old"}
+
+
+def test_compact_reduces_files_and_vacuum_prunes(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    # many tiny commits into the same bucket -> many data dirs
+    for k in range(4):
+        t.write_partitions(_frame(spark, 0, 10, f"c{k}"))
+    n_dirs_before = len(os.listdir(f"{root}/data"))
+    assert t.compact(sort_cols=["block_id"]) == 1
+    assert t.read().count() == 10
+    assert {r["tag"] for r in t.read().collect()} == {"c3"}
+    removed = t.vacuum(keep_manifests=1)
+    assert removed
+    assert len(os.listdir(f"{root}/data")) < n_dirs_before
+    assert t.read().count() == 10
