@@ -8,16 +8,23 @@ id-batch with batched RPC inside ``mapInPandas`` (Arrow batches out). Task
 parallelism replaces the thread pool; at 1000 executors this scales the
 extraction linearly while keeping each RPC batch bounded.
 
-No Ethereum node exists in this harness, so the transport is pluggable:
-``fetcher`` takes a list of block ids and returns per-entity record batches.
-The default raises ``NotImplementedError`` (clearly-marked stub); tests
-inject a deterministic fake (see sources/generator.py for the schema-shaped
-equivalent). The web3 import is gated — absent in this container.
+Transport: ``JsonRpcTransport`` speaks the actual wire protocol — JSON-RPC
+2.0 *batch* POSTs (one HTTP round-trip per ``rpc_batch_size`` blocks, the
+reference's batch_size=50 semantics) over stdlib urllib; no third-party
+client needed, which is also how ethereum-etl's underlying provider works.
+The HTTP POST itself is pluggable (``post=``) so tests drive the full
+encode → batch → decode → hex-conversion path against recorded fixtures
+without a node, and a real deployment can swap in a pooled/authenticated
+session. ``rpc_block_fetcher`` adapts it to the ``BatchFetcher`` shape
+``fetch_blocks`` consumes.
 """
 
 from __future__ import annotations
 
+import json
+import urllib.request
 from collections.abc import Callable, Iterator
+from decimal import Decimal
 from typing import Any
 
 import pandas as pd
@@ -28,19 +35,108 @@ from ..schemas import RAW_BLOCK
 BatchFetcher = Callable[[list[int]], list[dict[str, Any]]]
 
 
+class JsonRpcTransport:
+    """Minimal JSON-RPC 2.0 batch client (eth_cassandra_streaming.py:107-133
+    parity: one batched request per chunk, responses matched by id).
+
+    ``post``: optional ``bytes -> bytes`` override for the HTTP POST —
+    recorded-fixture tests and custom sessions plug in here."""
+
+    def __init__(
+        self,
+        provider_uri: str,
+        timeout: float = 30.0,
+        post: Callable[[bytes], bytes] | None = None,
+    ) -> None:
+        self.provider_uri = provider_uri
+        self.timeout = timeout
+        self._post = post or self._http_post
+
+    def _http_post(self, body: bytes) -> bytes:  # pragma: no cover - needs node
+        req = urllib.request.Request(
+            self.provider_uri,
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return resp.read()
+
+    def request_batch(
+        self, calls: list[tuple[str, list[Any]]]
+    ) -> list[dict[str, Any]]:
+        """One HTTP round-trip for ``calls``; results returned in call order
+        (the server may reorder — responses are re-matched by id). Raises on
+        any per-call error object (partial batch failures must not silently
+        drop blocks — the resume marker would skip them forever)."""
+        payload = [
+            {"jsonrpc": "2.0", "id": i, "method": method, "params": params}
+            for i, (method, params) in enumerate(calls)
+        ]
+        raw = self._post(json.dumps(payload).encode())
+        responses = json.loads(raw)
+        by_id: dict[int, dict[str, Any]] = {}
+        for r in responses:
+            if "error" in r and r["error"] is not None:
+                raise RuntimeError(
+                    f"JSON-RPC error for call {r.get('id')}: {r['error']}"
+                )
+            by_id[int(r["id"])] = r["result"]
+        missing = [i for i in range(len(calls)) if i not in by_id]
+        if missing:
+            raise RuntimeError(f"JSON-RPC batch response missing ids {missing}")
+        return [by_id[i] for i in range(len(calls))]
+
+
+def _hx(v: str | None) -> int | None:
+    return None if v is None else int(v, 16)
+
+
+def raw_block_from_rpc(result: dict[str, Any]) -> dict[str, Any]:
+    """eth_getBlockByNumber result → RAW_BLOCK record: quantity fields are
+    hex strings on the wire; wei-scale quantities decode through Python int
+    (arbitrary precision) into Decimal for the DECIMAL(38,0) columns."""
+    return {
+        "number": _hx(result["number"]),
+        "hash": result["hash"],
+        "parent_hash": result["parentHash"],
+        "nonce": result.get("nonce"),
+        "sha3_uncles": result.get("sha3Uncles"),
+        "logs_bloom": result.get("logsBloom"),
+        "transactions_root": result.get("transactionsRoot"),
+        "state_root": result.get("stateRoot"),
+        "receipts_root": result.get("receiptsRoot"),
+        "miner": result.get("miner"),
+        "difficulty": Decimal(_hx(result.get("difficulty")) or 0),
+        "total_difficulty": Decimal(_hx(result.get("totalDifficulty")) or 0),
+        "size": _hx(result.get("size")),
+        "extra_data": result.get("extraData"),
+        "gas_limit": _hx(result.get("gasLimit")),
+        "gas_used": _hx(result.get("gasUsed")),
+        "base_fee_per_gas": _hx(result.get("baseFeePerGas")),
+        "timestamp": _hx(result.get("timestamp")),
+        "transaction_count": len(result.get("transactions", [])),
+    }
+
+
+def rpc_block_fetcher(transport: JsonRpcTransport) -> BatchFetcher:
+    """BatchFetcher over a real transport: ONE batched POST per id-chunk
+    (eth_getBlockByNumber, full transaction objects), decoded to RAW_BLOCK
+    records."""
+
+    def fetch(block_ids: list[int]) -> list[dict[str, Any]]:
+        calls = [
+            ("eth_getBlockByNumber", [hex(b), True]) for b in block_ids
+        ]
+        return [raw_block_from_rpc(r) for r in transport.request_batch(calls)]
+
+    return fetch
+
+
 def default_rpc_fetcher(provider_uri: str) -> BatchFetcher:
-    """Real-node fetcher factory. Requires web3 (not installed here) — the
-    reference's equivalent is ExportBlocksJob over batched JSON-RPC
-    (eth_cassandra_streaming.py:107-133)."""
-    try:
-        import web3  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "JSON-RPC extraction needs the 'web3' package and a reachable "
-            "Ethereum node; neither exists in this environment. Inject a "
-            "'fetcher' callable instead."
-        ) from exc
-    raise NotImplementedError("real RPC transport is out of harness scope")
+    """Real-node fetcher: stdlib-HTTP JSON-RPC batch transport. Needs a
+    reachable node at ``provider_uri`` (none in this harness — tests inject
+    a recorded ``post``)."""
+    return rpc_block_fetcher(JsonRpcTransport(provider_uri))
 
 
 def fetch_blocks(

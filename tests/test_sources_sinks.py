@@ -52,11 +52,121 @@ def test_rpc_source_plumbing(spark):
     assert max(seen_chunks or [10]) <= 10
 
 
-def test_rpc_default_fetcher_is_stubbed():
-    from graphsense_ethereum_etl_spark.sources.rpc import default_rpc_fetcher
+def _make_fixture_node_post():
+    """Recorded-node stand-in FACTORY: the returned closure parses the
+    JSON-RPC batch request and answers each eth_getBlockByNumber with a
+    wire-shaped result (hex quantities), deliberately in REVERSED order to
+    exercise the id re-matching. Built as a nested function so cloudpickle
+    ships it BY VALUE to executors (the pytest test module itself is not
+    importable on Spark workers)."""
 
-    with pytest.raises(NotImplementedError, match="web3"):
-        default_rpc_fetcher("http://localhost:8545")
+    def post(body: bytes) -> bytes:
+        import json
+
+        calls = json.loads(body)
+        out = []
+        for call in calls:
+            assert call["jsonrpc"] == "2.0"
+            assert call["method"] == "eth_getBlockByNumber"
+            num = int(call["params"][0], 16)
+            assert call["params"][1] is True  # full tx objects
+            out.append(
+                {
+                    "jsonrpc": "2.0",
+                    "id": call["id"],
+                    "result": {
+                        "number": hex(num),
+                        "hash": f"0x{num:064x}",
+                        "parentHash": f"0x{max(num - 1, 0):064x}",
+                        "nonce": "0x0000000000000042",
+                        "miner": "0x" + "ab" * 20,
+                        "difficulty": hex(10**22 + num),
+                        "totalDifficulty": hex(10**25 + num),
+                        "size": hex(500 + num % 7),
+                        "extraData": "0x",
+                        "gasLimit": hex(30_000_000),
+                        "gasUsed": hex(num * 21_000),
+                        "baseFeePerGas": hex(7 + num),
+                        "timestamp": hex(1_600_000_000 + num * 12),
+                        "transactions": [{}] * (num % 4),
+                    },
+                }
+            )
+        return json.dumps(list(reversed(out))).encode()
+
+    return post
+
+
+_fixture_node_post = _make_fixture_node_post()
+
+
+def test_jsonrpc_transport_batch_roundtrip():
+    from graphsense_ethereum_etl_spark.sources.rpc import JsonRpcTransport
+
+    posts = []
+
+    def post(body):
+        posts.append(body)
+        return _fixture_node_post(body)
+
+    t = JsonRpcTransport("http://node:8545", post=post)
+    results = t.request_batch(
+        [("eth_getBlockByNumber", [hex(b), True]) for b in (5, 3, 9)]
+    )
+    assert len(posts) == 1  # ONE http round-trip for the whole batch
+    # responses re-matched by id despite the reversed wire order
+    assert [int(r["number"], 16) for r in results] == [5, 3, 9]
+
+
+def test_jsonrpc_transport_error_and_missing_id():
+    import json
+
+    from graphsense_ethereum_etl_spark.sources.rpc import JsonRpcTransport
+
+    err = JsonRpcTransport(
+        "http://node:8545",
+        post=lambda b: json.dumps(
+            [{"jsonrpc": "2.0", "id": 0, "error": {"code": -32000, "message": "boom"}}]
+        ).encode(),
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        err.request_batch([("eth_getBlockByNumber", ["0x1", True])])
+
+    short = JsonRpcTransport(
+        "http://node:8545",
+        post=lambda b: json.dumps(
+            [{"jsonrpc": "2.0", "id": 0, "result": {}}]
+        ).encode(),
+    )
+    with pytest.raises(RuntimeError, match="missing ids"):
+        short.request_batch(
+            [("eth_getBlockByNumber", ["0x1", True])] * 2
+        )
+
+
+def test_rpc_transport_end_to_end_through_spark(spark):
+    """The full S1 path against the recorded fixture: distributed id range →
+    batched JSON-RPC per chunk → hex decode → Arrow batches with RAW_BLOCK
+    types (wei quantities land as exact Decimals)."""
+    from decimal import Decimal
+
+    from graphsense_ethereum_etl_spark.sources.rpc import (
+        JsonRpcTransport,
+        fetch_blocks,
+        rpc_block_fetcher,
+    )
+
+    fetcher = rpc_block_fetcher(
+        JsonRpcTransport("http://node:8545", post=_make_fixture_node_post())
+    )
+    df = fetch_blocks(spark, 0, 59, fetcher, rpc_batch_size=25, tasks=3)
+    rows = {r["number"]: r for r in df.collect()}
+    assert set(rows) == set(range(60))
+    assert rows[9]["gas_used"] == 9 * 21_000
+    assert rows[9]["timestamp"] == 1_600_000_000 + 9 * 12
+    assert rows[9]["transaction_count"] == 1
+    assert rows[9]["difficulty"] == Decimal(10**22 + 9)
+    assert rows[9]["base_fee_per_gas"] == 16
 
 
 def test_partitioned_parquet_layout_and_pruning(spark, tmp_path):
