@@ -928,6 +928,40 @@ def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load(spark, sf_dir, "documents"))
 
 
+def _duck_simhash_pairs(max_hamming: int = 3, n_pieces: int = 4, bits: int = 16) -> str:
+    piece_bits = bits // n_pieces
+    mask = (1 << piece_bits) - 1
+    ps = ", ".join(str(p) for p in range(n_pieces))
+    vals = ", ".join(
+        f"((simhash >> {p * piece_bits}) & {mask})" for p in range(n_pieces)
+    )
+    return f"""
+    WITH sims AS ({_duck_simhash()}),
+    pieces AS (
+      SELECT doc_id, simhash, UNNEST([{ps}]) AS p, UNNEST([{vals}]) AS val
+      FROM sims),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sa,
+                      b.doc_id AS id_b, b.simhash AS sb
+      FROM pieces a JOIN pieces b
+        ON a.p = b.p AND a.val = b.val AND a.doc_id < b.doc_id)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+@query("dd5_simhash_pairs", _duck_simhash_pairs())
+def dd5_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS (north-star dedup, completing dd4):
+    piece-banding candidate pruning (pigeonhole over n_pieces > max_hamming)
+    + exact popcount(xor) verification — operators/dedup.py
+    simhash_hamming_pairs."""
+    from .operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(load(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # North-star: similarity search (embeddings table)
 # ---------------------------------------------------------------------------
