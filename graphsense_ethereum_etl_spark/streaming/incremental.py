@@ -37,11 +37,22 @@ from ..sinks import SORT_COLUMNS
 ChainSource = Callable[[SparkSession, int, int], dict[str, DataFrame]]
 
 
-def latest_ingested_block(spark: SparkSession, block_table_path: str) -> int | None:
+def latest_ingested_block(
+    spark: SparkSession, block_table_path: str, sink_format: str = "parquet"
+) -> int | None:
     """S4 — resume scan: max(block_id) over the sink. Over Parquet this is a
     metadata-only aggregate (row-group stats), the engine-native equivalent
     of the reference's PER-PARTITION-LIMIT dance
-    (eth_cassandra_streaming.py:225-245)."""
+    (eth_cassandra_streaming.py:225-245). In versioned mode the scan reads
+    the current SNAPSHOT, so a crash mid-commit (data dirs landed, pointer
+    not swapped) correctly resumes from the last PUBLISHED block."""
+    if sink_format == "versioned":
+        from ..versioned import VersionedTable
+
+        df = VersionedTable(spark, block_table_path).read()
+        if "block_id" not in df.columns:
+            return None
+        return df.agg(F.max("block_id").alias("m")).collect()[0]["m"]
     if not os.path.exists(block_table_path):
         return None
     row = (
@@ -87,10 +98,18 @@ def run_incremental(
     dialect: str = CASSANDRA,
     fail_after_tables: int | None = None,
     collect_stats: bool = False,
+    sink_format: str = "parquet",
 ) -> IngestStats:
     """The micro-batch loop. ``fail_after_tables`` injects a crash after N
     child-table writes within the final batch (test hook for the
     children-before-marker recovery semantics).
+
+    ``sink_format="versioned"`` routes every table through the
+    manifest-pointer ``VersionedTable`` (versioned.py): each table's batch
+    commit becomes ATOMIC (a torn write can never surface — uncommitted data
+    dirs are invisible), while cross-table consistency keeps the same
+    children-before-marker ordering (the block table's commit still
+    publishes last, and the resume scan reads only published snapshots).
 
     Batch/bucket alignment: dynamic partition overwrite replaces whole
     ``block_id_group`` partitions, so each micro-batch must cover whole
@@ -101,7 +120,7 @@ def run_incremental(
     # Idempotent re-runs: only replace the partitions a batch touches.
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     batch_size = max(bucket_size, (batch_size // bucket_size) * bucket_size)
-    resume = latest_ingested_block(spark, f"{sink_root}/block")
+    resume = latest_ingested_block(spark, f"{sink_root}/block", sink_format)
     rng = resolve_range(resume, head, start_block, end_block)
     stats = IngestStats()
     if rng is None:
@@ -132,16 +151,23 @@ def run_incremental(
         for table, df in writes:
             if fail_after_tables is not None and written >= fail_after_tables and lo + batch_size > end:
                 raise RuntimeError(f"injected crash before writing '{table}'")
-            out = df
             sort_cols = SORT_COLUMNS.get(table, [])
-            if "block_id_group" in out.columns:
-                out = out.repartition(F.col("block_id_group"))
-            if sort_cols:
-                out = out.sortWithinPartitions(*sort_cols)
-            writer = out.write.mode("overwrite")
-            if "block_id_group" in df.columns:
-                writer = writer.partitionBy("block_id_group")
-            writer.parquet(f"{sink_root}/{table}")
+            if sink_format == "versioned":
+                from ..versioned import VersionedTable
+
+                VersionedTable(spark, f"{sink_root}/{table}").write_partitions(
+                    df, sort_cols=sort_cols
+                )
+            else:
+                out = df
+                if "block_id_group" in out.columns:
+                    out = out.repartition(F.col("block_id_group"))
+                if sort_cols:
+                    out = out.sortWithinPartitions(*sort_cols)
+                writer = out.write.mode("overwrite")
+                if "block_id_group" in df.columns:
+                    writer = writer.partitionBy("block_id_group")
+                writer.parquet(f"{sink_root}/{table}")
             if collect_stats:
                 # Recomputes the frame — test/inspection convenience only
                 # (default OFF; at scale read the sink's Parquet metadata or
@@ -153,14 +179,34 @@ def run_incremental(
     return stats
 
 
-def invalidate_from(spark: SparkSession, sink_root: str, block_id: int, bucket_size: int = 1000) -> list[str]:
+def invalidate_from(
+    spark: SparkSession,
+    sink_root: str,
+    block_id: int,
+    bucket_size: int = 1000,
+    sink_format: str = "parquet",
+) -> list[str]:
     """Chain-reorg handling (SURVEY.md §7.4.4 — unhandled in the reference):
     drop every bucket partition that contains ``block_id`` or later across
     all entity tables, so the next incremental run re-ingests from the fork
-    point. Partition-granular delete+rewrite is the Parquet equivalent of
-    Delta's transactional replace for trailing buckets.
+    point. In versioned mode this is an atomic manifest edit per table (zero
+    data IO, old snapshot preserved); the raw-parquet fallback is a
+    partition-granular rmtree.
 
-    Returns the removed partition directory names."""
+    Returns the removed partition names."""
+    if sink_format == "versioned":
+        from ..versioned import VersionedTable
+
+        first_bucket = block_id // bucket_size
+        removed_v: list[str] = []
+        for table in ("log", "trace", "transaction", "block"):
+            if not os.path.exists(f"{sink_root}/{table}/_MANIFEST"):
+                continue
+            dropped = VersionedTable(spark, f"{sink_root}/{table}").invalidate_from(
+                first_bucket
+            )
+            removed_v.extend(f"{table}/block_id_group={d}" for d in dropped)
+        return removed_v
     import shutil
 
     first_bucket = block_id // bucket_size

@@ -119,20 +119,26 @@ class VersionedTable:
             for k, v in self.snapshot().items()
         }
 
-    def write_partitions(self, df: DataFrame) -> list[str]:
+    def write_partitions(
+        self, df: DataFrame, sort_cols: list[str] | None = None
+    ) -> list[str]:
         """Commit ``df`` as a partition OVERWRITE for every partition value
         it contains (the idempotent micro-batch semantics run_incremental
         needs): data lands in fresh immutable dirs first, the manifest swap
-        publishes all of them at once. Returns the partition values written.
+        publishes all of them at once. ``sort_cols`` restores the clustering
+        order at rest (O2). Returns the partition values written.
         """
         staging = f"{self.root}/{_DATA_DIR}/stage-{uuid.uuid4().hex}"
         # _pv duplicates the partition column into the directory name so the
         # files themselves KEEP the real column (manifest dirs are read
         # directly, with no partition-discovery to resurrect it).
+        out = df.withColumn("_pv", F.col(self.partition_col)).repartition(
+            F.col(self.partition_col)
+        )
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
         (
-            df.withColumn("_pv", F.col(self.partition_col))
-            .repartition(F.col(self.partition_col))
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .partitionBy("_pv")
             .parquet(staging)
         )

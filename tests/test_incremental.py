@@ -76,6 +76,56 @@ def test_crash_recovery_children_before_marker(spark, tmp_path):
     assert _table_counts(spark, root) == expected
 
 
+def test_versioned_ingest_resume_crash_and_reorg(spark, tmp_path):
+    """The full operational story on the transactional sink: ingest+resume,
+    crash recovery (marker commit is atomic AND last), metadata-only reorg,
+    re-ingest from the fork point."""
+    from graphsense_ethereum_etl_spark.streaming.incremental import invalidate_from
+    from graphsense_ethereum_etl_spark.versioned import VersionedTable
+
+    root = str(tmp_path / "vsink")
+
+    def counts():
+        return {
+            t: VersionedTable(spark, f"{root}/{t}").read().count()
+            for t in ["block", "transaction", "trace", "log"]
+        }
+
+    stats = run_incremental(
+        spark, source, root, head=39, batch_size=20, bucket_size=10,
+        sink_format="versioned",
+    )
+    assert stats.blocks == 40
+    assert latest_ingested_block(spark, f"{root}/block", "versioned") == 39
+    base = counts()
+    assert base["block"] == 40
+
+    # crash mid-batch: children published, marker not — resume lags, rerun heals
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_incremental(
+            spark, source, root, head=59, batch_size=20, bucket_size=10,
+            fail_after_tables=2, sink_format="versioned",
+        )
+    assert latest_ingested_block(spark, f"{root}/block", "versioned") == 39
+    run_incremental(
+        spark, source, root, head=59, batch_size=20, bucket_size=10,
+        sink_format="versioned",
+    )
+    assert latest_ingested_block(spark, f"{root}/block", "versioned") == 59
+    after = counts()
+
+    # reorg at block 45: buckets 4,5 drop across all tables — no data IO
+    removed = invalidate_from(spark, root, 45, bucket_size=10, sink_format="versioned")
+    assert "block/block_id_group=4" in removed and "block/block_id_group=5" in removed
+    assert latest_ingested_block(spark, f"{root}/block", "versioned") == 39
+    # re-ingest from the fork point restores the exact pre-reorg state
+    run_incremental(
+        spark, source, root, head=59, batch_size=20, bucket_size=10,
+        sink_format="versioned",
+    )
+    assert counts() == after
+
+
 def test_generator_edge_shapes(spark):
     chain = gen_chain(spark, 0, 20, partitions=2)
     blocks = chain["blocks"].collect()
