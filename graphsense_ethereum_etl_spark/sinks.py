@@ -138,6 +138,71 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def zorder_value(
+    cols: list,
+    mins: list[float],
+    maxs: list[float],
+    bits: int = 8,
+):
+    """Z-order (Morton) key as a pure Catalyst expression: each column is
+    min/max-normalized to a ``bits``-bit integer rank, then the ranks' bits
+    are interleaved. Rows close in the Z-curve are close in EVERY listed
+    dimension, so sorting files by this key bounds each file's min/max range
+    in all dimensions at once — multi-column row-group/file skipping, where
+    a linear sort only ever skips on its leading column."""
+    n = len(cols)
+    z = F.lit(0).cast("bigint")
+    for i, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
+        col = F.col(c) if isinstance(c, str) else c
+        span = (hi - lo) or 1.0
+        rank = F.least(
+            F.lit((1 << bits) - 1),
+            F.greatest(
+                F.lit(0),
+                ((col.cast("double") - F.lit(float(lo)))
+                 * F.lit(float((1 << bits) - 1) / span)).cast("bigint"),
+            ),
+        )
+        for b in range(bits):
+            z = z + F.shiftright(rank, b).bitwiseAND(1) * F.lit(
+                1 << (b * n + i)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered Parquet write (the Delta/Iceberg OPTIMIZE ZORDER
+    analog, as one range-partitioned sort): one stats pass collects each
+    column's min/max (a 1-row aggregate — at scale, use table-level stats),
+    then rows are range-partitioned AND sorted by the Morton key so both
+    file boundaries and row-group boundaries cut the Z-curve. Point/range
+    predicates on ANY of ``zorder_cols`` then skip most files via Parquet
+    min/max stats — the write-side generalization of the single-column
+    clustering in ``write_partitioned_parquet`` (SORT_COLUMNS covers the
+    primary access path; Z-order covers secondary paths like topic0 +
+    block_id together)."""
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn{i}") for i, c in enumerate(zorder_cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx{i}") for i, c in enumerate(zorder_cols)],
+    ).collect()[0]
+    mins = [stats[f"mn{i}"] for i in range(len(zorder_cols))]
+    maxs = [stats[f"mx{i}"] for i in range(len(zorder_cols))]
+    z = zorder_value(zorder_cols, mins, maxs, bits)
+    out = df.withColumn("_z", z)
+    if num_files:
+        out = out.repartitionByRange(num_files, F.col("_z"))
+    else:
+        out = out.repartitionByRange(F.col("_z"))
+    out.sortWithinPartitions("_z").drop("_z").write.mode(mode).parquet(path)
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

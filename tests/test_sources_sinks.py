@@ -233,3 +233,43 @@ def test_compact_partitions_reduces_file_count(spark, sf_dir, tmp_path):
     after = compact_partitions(spark, path, partition_col="bucket")
     assert spark.read.parquet(path).count() == rows_before  # lossless
     assert after < before  # fewer files
+
+
+def test_zorder_bounds_all_dimensions(spark, tmp_path):
+    """Quantify the skipping property: on a 64x64 grid written to 16 files,
+    a linear sort by x leaves each file spanning ~the full y range (no
+    skipping possible on y), while Z-order bounds BOTH dimensions' per-file
+    spans — which is exactly what Parquet min/max stats skip on."""
+    from graphsense_ethereum_etl_spark.sinks import write_zordered
+
+    grid = spark.range(64 * 64).selectExpr(
+        "CAST(id % 64 AS BIGINT) AS x", "CAST(id DIV 64 AS BIGINT) AS y"
+    )
+    linear = str(tmp_path / "linear")
+    zed = str(tmp_path / "zorder")
+    (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    write_zordered(grid, zed, ["x", "y"], bits=6, num_files=16)
+
+    def mean_span(path, col):
+        import pyspark.sql.functions as F
+
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("span"))
+        )
+        rows = per_file.collect()
+        return sum(r["span"] for r in rows) / len(rows)
+
+    # linear-by-x: y is unclustered — every file spans ~all of y
+    assert mean_span(linear, "y") > 55
+    # z-order: BOTH dimensions bounded well below the full 0..63 range
+    assert mean_span(zed, "x") < 35
+    assert mean_span(zed, "y") < 35
+    # lossless
+    assert spark.read.parquet(zed).count() == 64 * 64
