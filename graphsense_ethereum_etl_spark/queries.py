@@ -1463,12 +1463,22 @@ def apx1_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact (rsd=0.02, so 5% is 2.5σ) — the oracle computes the exact counts
     and expects the booleans TRUE. A broken sketch fails the hash match."""
     li = load(spark, sf_dir, "lineitem")
-    agg = li.agg(
-        F.count_distinct("l_orderkey").alias("exact_orders"),
-        F.count_distinct("l_partkey").alias("exact_parts"),
+    # Two different-column COUNT(DISTINCT)s in one agg would plan as an
+    # Expand (3x the fact rows through the shuffle). Split instead: each
+    # exact count is a map-side-deduped two-phase agg on its own key, the
+    # two HLLs stream together in one scan (no distinct rewrite), and three
+    # 1-row frames cross-join — strictly less shuffle at any scale.
+    o = (
+        li.select("l_orderkey")
+        .distinct()
+        .agg(F.count("*").alias("exact_orders"))
+    )
+    p = li.select("l_partkey").distinct().agg(F.count("*").alias("exact_parts"))
+    apx = li.agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("apx_o"),
         F.approx_count_distinct("l_partkey", 0.02).alias("apx_p"),
     )
+    agg = o.crossJoin(p).crossJoin(apx)
     tol = 0.05
     return agg.select(
         F.col("exact_orders").cast("bigint").alias("exact_orders"),

@@ -118,6 +118,90 @@ def raw_block_from_rpc(result: dict[str, Any]) -> dict[str, Any]:
     }
 
 
+def raw_transaction_from_rpc(
+    tx: dict[str, Any], block_timestamp: int | None
+) -> dict[str, Any]:
+    """eth_getBlockByNumber(full=True) tx object → RAW_TRANSACTION record."""
+    return {
+        "hash": tx["hash"],
+        "nonce": _hx(tx.get("nonce")),
+        "block_hash": tx.get("blockHash"),
+        "block_number": _hx(tx.get("blockNumber")),
+        "transaction_index": _hx(tx.get("transactionIndex")),
+        "from_address": tx.get("from"),
+        "to_address": tx.get("to"),
+        "value": Decimal(_hx(tx.get("value")) or 0),
+        "gas": _hx(tx.get("gas")),
+        "gas_price": Decimal(_hx(tx.get("gasPrice")) or 0),
+        "input": tx.get("input"),
+        "block_timestamp": block_timestamp,
+        "max_fee_per_gas": _hx(tx.get("maxFeePerGas")),
+        "max_priority_fee_per_gas": _hx(tx.get("maxPriorityFeePerGas")),
+        "transaction_type": _hx(tx.get("type")),
+    }
+
+
+def raw_receipt_from_rpc(r: dict[str, Any]) -> dict[str, Any]:
+    """eth_getBlockReceipts receipt object → RAW_RECEIPT record."""
+    return {
+        "transaction_hash": r["transactionHash"],
+        "cumulative_gas_used": Decimal(_hx(r.get("cumulativeGasUsed")) or 0),
+        "gas_used": Decimal(_hx(r.get("gasUsed")) or 0),
+        "contract_address": r.get("contractAddress"),
+        "root": r.get("root"),
+        "status": _hx(r.get("status")),
+        "effective_gas_price": _hx(r.get("effectiveGasPrice")),
+    }
+
+
+def raw_log_from_rpc(lg: dict[str, Any]) -> dict[str, Any]:
+    """Receipt-embedded log object → RAW_LOG record."""
+    return {
+        "transaction_hash": lg.get("transactionHash"),
+        "block_number": _hx(lg.get("blockNumber")),
+        "block_hash": lg.get("blockHash"),
+        "address": lg.get("address"),
+        "data": lg.get("data"),
+        "topics": lg.get("topics"),
+        "log_index": _hx(lg.get("logIndex")),
+        "transaction_index": _hx(lg.get("transactionIndex")),
+    }
+
+
+def raw_trace_from_rpc(t: dict[str, Any], trace_index: int) -> dict[str, Any]:
+    """trace_block (parity-style) item → RAW_TRACE record: nested
+    action/result flattened, status derived from error, trace_id composed
+    as type_txhash_traceaddress (the ethereum-etl convention)."""
+    action = t.get("action") or {}
+    result = t.get("result") or {}
+    addr = t.get("traceAddress") or []
+    tx_hash = t.get("transactionHash")
+    trace_id = "_".join(
+        [t.get("type", ""), tx_hash or "genesis", *[str(a) for a in addr]]
+    )
+    return {
+        "transaction_hash": tx_hash,
+        "block_number": t.get("blockNumber"),
+        "transaction_index": t.get("transactionPosition"),
+        "from_address": action.get("from") or action.get("author"),
+        "to_address": action.get("to"),
+        "value": Decimal(_hx(action.get("value")) or 0),
+        "input": action.get("input"),
+        "output": result.get("output"),
+        "trace_type": t.get("type"),
+        "call_type": action.get("callType"),
+        "reward_type": action.get("rewardType"),
+        "gas": _hx(action.get("gas")),
+        "gas_used": _hx(result.get("gasUsed")),
+        "subtraces": t.get("subtraces"),
+        "trace_address": addr,
+        "error": t.get("error"),
+        "status": 0 if t.get("error") else 1,
+        "trace_id": trace_id,
+        "trace_index": trace_index,
+    }
+
+
 def rpc_block_fetcher(transport: JsonRpcTransport) -> BatchFetcher:
     """BatchFetcher over a real transport: ONE batched POST per id-chunk
     (eth_getBlockByNumber, full transaction objects), decoded to RAW_BLOCK
@@ -132,6 +216,72 @@ def rpc_block_fetcher(transport: JsonRpcTransport) -> BatchFetcher:
     return fetch
 
 
+def rpc_transaction_fetcher(transport: JsonRpcTransport) -> BatchFetcher:
+    """S1 transactions: same eth_getBlockByNumber batch, exploding the full
+    tx objects (block timestamp attached from the enclosing block, matching
+    the reference's enrichment input shape)."""
+
+    def fetch(block_ids: list[int]) -> list[dict[str, Any]]:
+        calls = [("eth_getBlockByNumber", [hex(b), True]) for b in block_ids]
+        out: list[dict[str, Any]] = []
+        for blk in transport.request_batch(calls):
+            ts = _hx(blk.get("timestamp"))
+            out.extend(
+                raw_transaction_from_rpc(tx, ts)
+                for tx in blk.get("transactions", [])
+                if isinstance(tx, dict)
+            )
+        return out
+
+    return fetch
+
+
+def rpc_receipt_fetcher(transport: JsonRpcTransport) -> BatchFetcher:
+    """S2 receipts: eth_getBlockReceipts per block id, batched — one call
+    per BLOCK rather than per transaction (the modern replacement for the
+    reference's per-tx eth_getTransactionReceipt fan-out)."""
+
+    def fetch(block_ids: list[int]) -> list[dict[str, Any]]:
+        calls = [("eth_getBlockReceipts", [hex(b)]) for b in block_ids]
+        out: list[dict[str, Any]] = []
+        for receipts in transport.request_batch(calls):
+            out.extend(raw_receipt_from_rpc(r) for r in receipts or [])
+        return out
+
+    return fetch
+
+
+def rpc_log_fetcher(transport: JsonRpcTransport) -> BatchFetcher:
+    """S2 logs: receipt-embedded log objects from the same
+    eth_getBlockReceipts batch."""
+
+    def fetch(block_ids: list[int]) -> list[dict[str, Any]]:
+        calls = [("eth_getBlockReceipts", [hex(b)]) for b in block_ids]
+        out: list[dict[str, Any]] = []
+        for receipts in transport.request_batch(calls):
+            for r in receipts or []:
+                out.extend(raw_log_from_rpc(lg) for lg in r.get("logs", []))
+        return out
+
+    return fetch
+
+
+def rpc_trace_fetcher(transport: JsonRpcTransport) -> BatchFetcher:
+    """S3 traces: trace_block per block id, batched; trace_index enumerates
+    within each block (the reference's ordering contract)."""
+
+    def fetch(block_ids: list[int]) -> list[dict[str, Any]]:
+        calls = [("trace_block", [hex(b)]) for b in block_ids]
+        out: list[dict[str, Any]] = []
+        for traces in transport.request_batch(calls):
+            out.extend(
+                raw_trace_from_rpc(t, i) for i, t in enumerate(traces or [])
+            )
+        return out
+
+    return fetch
+
+
 def default_rpc_fetcher(provider_uri: str) -> BatchFetcher:
     """Real-node fetcher: stdlib-HTTP JSON-RPC batch transport. Needs a
     reachable node at ``provider_uri`` (none in this harness — tests inject
@@ -139,23 +289,24 @@ def default_rpc_fetcher(provider_uri: str) -> BatchFetcher:
     return rpc_block_fetcher(JsonRpcTransport(provider_uri))
 
 
-def fetch_blocks(
+def fetch_entity(
     spark: SparkSession,
     start_block: int,
     end_block: int,
     fetcher: BatchFetcher,
+    schema,
     rpc_batch_size: int = 50,
     tasks: int | None = None,
 ) -> DataFrame:
     """Distributed extraction: partition [start_block, end_block] into tasks,
     fetch each task's ids in ``rpc_batch_size`` chunks (mirroring the
     reference's batch_size=50, eth_cassandra_streaming.py:586), emit Arrow
-    batches with the RAW_BLOCK schema."""
+    batches with the given raw-entity schema."""
     n_ids = end_block - start_block + 1
     if tasks is None:
         tasks = max(1, min(spark.sparkContext.defaultParallelism, n_ids))
     ids = spark.range(start_block, end_block + 1, 1, tasks)
-    fields = [f.name for f in RAW_BLOCK.fields]
+    fields = [f.name for f in schema.fields]
 
     def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -166,4 +317,49 @@ def fetch_blocks(
                 out = pd.DataFrame.from_records(records, columns=fields)
                 yield out
 
-    return ids.mapInPandas(fetch_partition, schema=RAW_BLOCK)
+    return ids.mapInPandas(fetch_partition, schema=schema)
+
+
+def fetch_blocks(
+    spark: SparkSession,
+    start_block: int,
+    end_block: int,
+    fetcher: BatchFetcher,
+    rpc_batch_size: int = 50,
+    tasks: int | None = None,
+) -> DataFrame:
+    """S1 blocks via ``fetch_entity`` with the RAW_BLOCK schema."""
+    return fetch_entity(
+        spark, start_block, end_block, fetcher, RAW_BLOCK, rpc_batch_size, tasks
+    )
+
+
+def rpc_chain_source(transport: JsonRpcTransport, rpc_batch_size: int = 50):
+    """ChainSource over a live transport: ``(spark, lo, hi) -> {entity:
+    DataFrame}`` — plug directly into ``run_incremental`` to ingest a real
+    chain with the same micro-batch/resume/marker semantics the synthetic
+    generator exercises. Each entity is its own distributed fetch (blocks +
+    transactions share the eth_getBlockByNumber batch; receipts + logs share
+    eth_getBlockReceipts; traces use trace_block)."""
+    from ..schemas import RAW_LOG, RAW_RECEIPT, RAW_TRACE, RAW_TRANSACTION
+
+    def source(spark: SparkSession, lo: int, hi: int) -> dict[str, DataFrame]:
+        return {
+            "blocks": fetch_entity(
+                spark, lo, hi, rpc_block_fetcher(transport), RAW_BLOCK, rpc_batch_size
+            ),
+            "transactions": fetch_entity(
+                spark, lo, hi, rpc_transaction_fetcher(transport), RAW_TRANSACTION, rpc_batch_size
+            ),
+            "receipts": fetch_entity(
+                spark, lo, hi, rpc_receipt_fetcher(transport), RAW_RECEIPT, rpc_batch_size
+            ),
+            "logs": fetch_entity(
+                spark, lo, hi, rpc_log_fetcher(transport), RAW_LOG, rpc_batch_size
+            ),
+            "traces": fetch_entity(
+                spark, lo, hi, rpc_trace_fetcher(transport), RAW_TRACE, rpc_batch_size
+            ),
+        }
+
+    return source

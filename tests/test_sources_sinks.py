@@ -54,7 +54,7 @@ def test_rpc_source_plumbing(spark):
 
 def _make_fixture_node_post():
     """Recorded-node stand-in FACTORY: the returned closure parses the
-    JSON-RPC batch request and answers each eth_getBlockByNumber with a
+    JSON-RPC batch request and answers eth_getBlockByNumber / eth_getBlockReceipts / trace_block with
     wire-shaped result (hex quantities), deliberately in REVERSED order to
     exercise the id re-matching. Built as a nested function so cloudpickle
     ships it BY VALUE to executors (the pytest test module itself is not
@@ -63,35 +63,102 @@ def _make_fixture_node_post():
     def post(body: bytes) -> bytes:
         import json
 
+        def tx_hash(num, i):
+            return f"0x{num * 1000 + i:064x}"
+
+        def txs(num):
+            return [
+                {
+                    "hash": tx_hash(num, i),
+                    "nonce": hex(i),
+                    "blockHash": f"0x{num:064x}",
+                    "blockNumber": hex(num),
+                    "transactionIndex": hex(i),
+                    "from": "0x" + "aa" * 20,
+                    "to": "0x" + "bb" * 20,
+                    "value": hex(10**18 + num),
+                    "gas": hex(21_000),
+                    "gasPrice": hex(10**9),
+                    "input": "0x",
+                    "maxFeePerGas": hex(2 * 10**9),
+                    "maxPriorityFeePerGas": hex(10**8),
+                    "type": "0x2",
+                }
+                for i in range(num % 4)
+            ]
+
         calls = json.loads(body)
         out = []
         for call in calls:
             assert call["jsonrpc"] == "2.0"
-            assert call["method"] == "eth_getBlockByNumber"
             num = int(call["params"][0], 16)
-            assert call["params"][1] is True  # full tx objects
-            out.append(
-                {
-                    "jsonrpc": "2.0",
-                    "id": call["id"],
-                    "result": {
-                        "number": hex(num),
-                        "hash": f"0x{num:064x}",
-                        "parentHash": f"0x{max(num - 1, 0):064x}",
-                        "nonce": "0x0000000000000042",
-                        "miner": "0x" + "ab" * 20,
-                        "difficulty": hex(10**22 + num),
-                        "totalDifficulty": hex(10**25 + num),
-                        "size": hex(500 + num % 7),
-                        "extraData": "0x",
-                        "gasLimit": hex(30_000_000),
-                        "gasUsed": hex(num * 21_000),
-                        "baseFeePerGas": hex(7 + num),
-                        "timestamp": hex(1_600_000_000 + num * 12),
-                        "transactions": [{}] * (num % 4),
-                    },
+            if call["method"] == "eth_getBlockByNumber":
+                assert call["params"][1] is True  # full tx objects
+                result = {
+                    "number": hex(num),
+                    "hash": f"0x{num:064x}",
+                    "parentHash": f"0x{max(num - 1, 0):064x}",
+                    "nonce": "0x0000000000000042",
+                    "miner": "0x" + "ab" * 20,
+                    "difficulty": hex(10**22 + num),
+                    "totalDifficulty": hex(10**25 + num),
+                    "size": hex(500 + num % 7),
+                    "extraData": "0x",
+                    "gasLimit": hex(30_000_000),
+                    "gasUsed": hex(num * 21_000),
+                    "baseFeePerGas": hex(7 + num),
+                    "timestamp": hex(1_600_000_000 + num * 12),
+                    "transactions": txs(num),
                 }
-            )
+            elif call["method"] == "eth_getBlockReceipts":
+                result = [
+                    {
+                        "transactionHash": t["hash"],
+                        "cumulativeGasUsed": hex((i + 1) * 21_000),
+                        "gasUsed": hex(21_000),
+                        "contractAddress": None,
+                        "status": "0x1",
+                        "effectiveGasPrice": hex(10**9 + 7),
+                        "logs": [
+                            {
+                                "transactionHash": t["hash"],
+                                "blockNumber": hex(num),
+                                "blockHash": f"0x{num:064x}",
+                                "address": "0x" + "cc" * 20,
+                                "data": "0x00",
+                                "topics": [f"0x{j:064x}" for j in range(i % 3)],
+                                "logIndex": hex(i),
+                                "transactionIndex": hex(i),
+                            }
+                        ],
+                    }
+                    for i, t in enumerate(txs(num))
+                ]
+            elif call["method"] == "trace_block":
+                result = [
+                    {
+                        "action": {
+                            "from": "0x" + "aa" * 20,
+                            "to": "0x" + "bb" * 20,
+                            "value": hex(num),
+                            "gas": hex(21_000),
+                            "input": "0x",
+                            "callType": "call",
+                        },
+                        "result": {"gasUsed": hex(20_000), "output": "0x"},
+                        "type": "call",
+                        "traceAddress": [0, i],
+                        "subtraces": 0,
+                        "transactionHash": t["hash"],
+                        "transactionPosition": i,
+                        "blockNumber": num,
+                        "error": "Reverted" if (num + i) % 5 == 0 else None,
+                    }
+                    for i, t in enumerate(txs(num))
+                ]
+            else:  # pragma: no cover
+                raise AssertionError(f"unexpected method {call['method']}")
+            out.append({"jsonrpc": "2.0", "id": call["id"], "result": result})
         return json.dumps(list(reversed(out))).encode()
 
     return post
@@ -273,3 +340,42 @@ def test_zorder_bounds_all_dimensions(spark, tmp_path):
     assert mean_span(zed, "y") < 35
     # lossless
     assert spark.read.parquet(zed).count() == 64 * 64
+
+
+def test_rpc_chain_source_through_run_incremental(spark, tmp_path):
+    """S1-S3 completion: the full extract->transform->write loop running
+    against the recorded JSON-RPC node — blocks + exploded transactions
+    (eth_getBlockByNumber), receipts + logs (eth_getBlockReceipts), traces
+    (trace_block) — with the same resume/marker semantics the synthetic
+    generator exercises."""
+    from graphsense_ethereum_etl_spark.sources.rpc import (
+        JsonRpcTransport,
+        rpc_chain_source,
+    )
+    from graphsense_ethereum_etl_spark.streaming.incremental import (
+        latest_ingested_block,
+        run_incremental,
+    )
+
+    source = rpc_chain_source(
+        JsonRpcTransport("http://node:8545", post=_make_fixture_node_post()),
+        rpc_batch_size=10,
+    )
+    root = str(tmp_path / "chain")
+    stats = run_incremental(
+        spark, source, root, head=19, batch_size=10, bucket_size=10
+    )
+    assert stats.blocks == 20
+    assert latest_ingested_block(spark, f"{root}/block") == 19
+    n_txs = sum(b % 4 for b in range(20))
+    counts = {
+        t: spark.read.parquet(f"{root}/{t}").count()
+        for t in ["block", "transaction", "trace", "log"]
+    }
+    assert counts["block"] == 20
+    assert counts["transaction"] == n_txs  # enrichment kept every tx
+    assert counts["trace"] == n_txs  # one trace per tx in the fixture
+    assert counts["log"] == n_txs  # one log per receipt
+    # enrichment really joined receipts: effective gas price landed
+    tx = spark.read.parquet(f"{root}/transaction")
+    assert tx.filter("receipt_gas_used IS NOT NULL").count() == n_txs
