@@ -1419,6 +1419,86 @@ def pct1_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w4_rank_family",
+    """
+    WITH ranked AS (
+      SELECT o_orderstatus, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             RANK()         OVER w AS rnk,
+             DENSE_RANK()   OVER w AS drnk,
+             NTILE(4)       OVER w AS quartile,
+             round(PERCENT_RANK() OVER w, 9) AS pct_rank,
+             round(CUME_DIST()    OVER w, 9) AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice DESC, o_orderkey))
+    SELECT o_orderstatus, o_orderkey,
+           CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk,
+           CAST(quartile AS BIGINT) AS quartile, pct_rank, cume
+    FROM ranked WHERE rnk <= 50
+    """,
+)
+def w4_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full rank-function family (§2.6 beyond row_number): rank,
+    dense_rank, ntile, percent_rank, cume_dist over a deterministic total
+    order (unique tiebreak key), top-50 per status. The ratio functions are
+    single IEEE divisions of exact longs — rounded to 9 dp for cross-engine
+    hash stability."""
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderstatus",
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 9).alias("cume"),
+        )
+        .filter(F.col("rnk") <= 50)
+    )
+
+
+@query(
+    "apx2_approx_quantiles",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS exact_median,
+           TRUE AS approx_within_tol
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def apx2_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch, approx_percentile):
+    the sketch value is engine-specific, so the checkable facts are the
+    exact interpolated median plus a boolean asserting the sketch landed
+    within 2% relative error (accuracy=1000 → well inside) — same
+    tolerance-boolean oracle pattern as apx1."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias(
+                "exact_median"
+            ),
+            F.approx_percentile(
+                "o_totalprice", F.lit(0.5), F.lit(1000)
+            ).alias("apx"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_median",
+            (
+                F.abs(F.col("apx") - F.col("exact_median"))
+                <= F.lit(0.02) * F.abs(F.col("exact_median"))
+            ).alias("approx_within_tol"),
+        )
+    )
+
+
+@query(
     "gs1_grouping_sets",
     """
     SELECT l_returnflag, l_linestatus,
