@@ -53,3 +53,76 @@ def test_running_user_totals_across_batches(spark, tmp_path):
     assert state2[1] == (3, 17.5)  # 2 prior events + 1 new, state carried over
     assert state2[3] == (1, 7.0)
     assert 2 not in state2  # unchanged key not re-emitted in update mode
+
+
+def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
+    """transformWithStateInPandas operator: only the first occurrence of
+    each fingerprint is ever emitted — including duplicates arriving in
+    LATER micro-batches (state store carries the seen-set across runs)."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas needs protobuf on workers",
+    )
+    from graphsense_ethereum_etl_spark.streaming.stateful import (
+        streaming_first_seen,
+    )
+
+    doc_schema = "doc_id bigint, fp string"
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "docs_ckpt")
+    out = str(tmp_path / "docs_out")
+
+    def run():
+        stream = spark.readStream.schema(doc_schema).json(src)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            streaming_first_seen(stream, key_col="fp")
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: A twice (intra-batch dup) + B
+    spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B")], doc_schema
+    ).write.json(src)
+    run()
+    got1 = {(r["doc_id"], r["fp"]) for r in spark.read.parquet(out).collect()}
+    assert {fp for _, fp in got1} == {"A", "B"}
+    assert len(got1) == 2  # intra-batch duplicate suppressed
+
+    # batch 2: cross-batch duplicate of A + new C → only C emitted
+    spark.createDataFrame([(4, "A"), (5, "C")], doc_schema).write.mode(
+        "append"
+    ).json(src)
+    run()
+    got2 = {(r["doc_id"], r["fp"]) for r in spark.read.parquet(out).collect()}
+    assert got2 - got1 == {(5, "C")}
+
+
+def test_streaming_first_seen_gated_without_protobuf(spark, tmp_path):
+    """In environments without protobuf the operator fails FAST with a clear
+    message instead of dying inside a streaming query."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return  # environment has protobuf: the e2e test above covers it
+    except ImportError:
+        pass
+    import pytest
+
+    from graphsense_ethereum_etl_spark.streaming.stateful import (
+        streaming_first_seen,
+    )
+
+    stream = spark.readStream.schema("doc_id bigint, fp string").json(str(tmp_path))
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        streaming_first_seen(stream)
