@@ -1843,6 +1843,102 @@ def rj1_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g3_triangle_count",
+    """
+    WITH raw AS (
+      SELECT CAST(o_orderkey % 50 AS BIGINT) AS a,
+             CAST((o_orderkey * 7 + 3) % 50 AS BIGINT) AS b
+      FROM orders),
+    e AS (
+      SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM raw WHERE a != b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over an edge list (the classic multi-way self-join
+    graph analytic): canonicalize to u < v edges, then the u < v < w wedge
+    join counts each triangle exactly once. Three hash joins on slim long
+    pairs; Catalyst reuses the deduped edge relation across the three scan
+    branches. Edge list derived deterministically from orders."""
+    raw = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 50).cast("bigint").alias("a"),
+        ((F.col("o_orderkey") * 7 + 3) % 50).cast("bigint").alias("b"),
+    )
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+    )
+    return tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
+@query(
+    "smp2_stratified_sample",
+    """
+    WITH b AS (
+      SELECT o_orderstatus, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':strat'), 1, 8)
+                  AS BIGINT) % 100 AS bucket
+      FROM orders)
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM b
+    WHERE bucket < CASE o_orderstatus
+                   WHEN 'F' THEN 10 WHEN 'O' THEN 5 ELSE 50 END
+    GROUP BY o_orderstatus
+    """,
+)
+def smp2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling (training-data staple — e.g.
+    downsample the dominant language, keep all of a rare one): per-stratum
+    rates applied via the same reproducible hash-bucket as smp1, so the
+    sample is consistent across runs AND strata rates can change without
+    resampling other strata. The oracle checks the exact per-stratum
+    membership, not just counts."""
+    d = load(spark, sf_dir, "orders")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":strat"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(100),
+    )
+    rate = (
+        F.when(F.col("o_orderstatus") == "F", 10)
+        .when(F.col("o_orderstatus") == "O", 5)
+        .otherwise(50)
+    )
+    return (
+        d.select("o_orderstatus", F.col("o_orderkey").cast("bigint").alias("o_orderkey"), bucket.alias("bucket"), rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+        )
+    )
+
+
+@query(
     "smp1_hash_sample",
     """
     SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
