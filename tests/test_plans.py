@@ -99,3 +99,37 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     j = fact.join(dim, "bucket").groupBy("bucket").count()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan or "PartitionFilters: [(bucket" in plan, plan[:2000]
+
+
+def test_q3_topk_plan_shape(spark, sf_dir):
+    """Q3's limit must plan as TakeOrderedAndProject (heap per partition +
+    driver merge, no global sort), with both dim joins broadcast."""
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    df = REGISTRY["q3_shipping_priority"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert has_broadcast_join(df)
+
+
+def test_q18_topk_plan_shape(spark, sf_dir):
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    df = REGISTRY["q18_large_volume_customer"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in executed_plan(df)
+
+
+def test_sim3_single_signature_exchange(spark, sf_dir):
+    """The LSH candidate generation must evaluate the (expensive) signature
+    subplan ONCE: exactly one exchange partitioned on the band/bucket key —
+    a self-join regression would show two."""
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    df = REGISTRY["sim3_lsh_ann"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    band_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "band" in ln
+    ]
+    assert len(band_exchanges) == 1, band_exchanges
