@@ -46,6 +46,36 @@ def windowed_event_counts(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "2 hours",
+    max_lag: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join (§2.10 — the hardest streaming
+    shape: BOTH sides buffer state): match left rows to right rows with the
+    same key whose timestamp lies in (left_ts - max_lag, left_ts]. The
+    watermarks plus the time-range predicate are what let Spark EVICT
+    buffered rows — an unbounded-state join is rejected by the engine.
+
+    The classic use: correlate a transaction stream with its receipt stream
+    arriving up to ``max_lag`` later. Works identically on batch frames
+    (same predicate, no state), which is how the oracle would check it.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    return lw.join(
+        rw,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts <= lts)
+        & (rts > lts - F.expr(f"INTERVAL {max_lag}")),
+    )
+
+
 def run_stream_to_parquet(
     stream_df: DataFrame,
     sink_path: str,

@@ -126,3 +126,49 @@ def test_streaming_first_seen_gated_without_protobuf(spark, tmp_path):
     stream = spark.readStream.schema("doc_id bigint, fp string").json(str(tmp_path))
     with pytest.raises(NotImplementedError, match="protobuf"):
         streaming_first_seen(stream)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: right rows match only inside the
+    (left_ts - 1h, left_ts] window — the bounded-state correlation shape."""
+    from graphsense_ethereum_etl_spark.streaming.structured import (
+        stream_stream_interval_join,
+    )
+
+    lsrc = str(tmp_path / "l")
+    rsrc = str(tmp_path / "r")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    lschema = "k bigint, ts timestamp, tx string"
+    rschema = "k bigint, ts timestamp, rc string"
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "tx1"), (2, "2024-01-01 10:30:00", "tx2")],
+        "k bigint, ts string, tx string",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "tx").write.json(lsrc)
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:30:00", "rc_in_window"),
+            (2, "2024-01-01 08:00:00", "rc_too_old"),
+            (1, "2024-01-01 10:05:00", "rc_after_left"),
+        ],
+        "k bigint, ts string, rc string",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "rc").write.json(rsrc)
+
+    joined = stream_stream_interval_join(
+        spark.readStream.schema(lschema).json(lsrc),
+        spark.readStream.schema(rschema).json(rsrc),
+        key="k",
+        max_lag="1 hour",
+    ).selectExpr("l.tx AS tx", "r.rc AS rc")
+
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["tx"], r["rc"]) for r in spark.read.parquet(out).collect()}
+    assert rows == {("tx1", "rc_in_window")}
