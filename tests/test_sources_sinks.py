@@ -379,3 +379,25 @@ def test_rpc_chain_source_through_run_incremental(spark, tmp_path):
     # enrichment really joined receipts: effective gas price landed
     tx = spark.read.parquet(f"{root}/transaction")
     assert tx.filter("receipt_gas_used IS NOT NULL").count() == n_txs
+
+
+def test_ethrpc_python_datasource(spark):
+    """Spark 4 Python Data Source packaging of the RPC fetchers:
+    spark.read.format('ethrpc') plans one partition per RPC batch and
+    decodes wire-hex blocks against the recorded fixture node."""
+    from graphsense_ethereum_etl_spark.sources.datasource import register_ethrpc
+
+    register_ethrpc(spark, post=_make_fixture_node_post())
+    df = (
+        spark.read.format("ethrpc")
+        .option("uri", "http://node:8545")
+        .option("start", "0")
+        .option("end", "39")
+        .option("batch", "10")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # one per 10-block RPC batch
+    rows = {r["number"]: r for r in df.collect()}
+    assert set(rows) == set(range(40))
+    assert rows[7]["gas_used"] == 7 * 21_000
+    assert rows[7]["transaction_count"] == 3
