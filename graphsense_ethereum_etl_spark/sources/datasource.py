@@ -23,7 +23,12 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 from typing import Any
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from ..schemas import RAW_BLOCK
 
@@ -51,6 +56,9 @@ class EthRpcDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return _EthRpcReader(self.options, type(self)._test_post)
 
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _EthRpcStreamReader(self.options, type(self)._test_post)
+
 
 class _EthRpcReader(DataSourceReader):
     def __init__(
@@ -77,6 +85,67 @@ class _EthRpcReader(DataSourceReader):
         fields = [f.name for f in RAW_BLOCK.fields]
         for rec in fetcher(list(range(partition.start, partition.end + 1))):
             yield tuple(rec[f] for f in fields)
+
+
+class _EthRpcStreamReader(DataSourceStreamReader):
+    """Streaming chain follower — the Structured-Streaming shape of the
+    reference's ingest loop (SURVEY.md §3.1): the checkpointed offset
+    ``{"next": <block id>}`` IS the resume marker, owned by the streaming
+    checkpoint instead of a sink scan.
+
+    Per trigger: ``latestOffset`` probes the node head via
+    ``eth_blockNumber`` (S6) unless a fixed ``end`` bounds the backfill;
+    ``partitions(start, end)`` splits the uncommitted range into
+    ``batch``-aligned chunks (one executor task per RPC batch); ``read``
+    re-fetchable by id, so recovery replays are idempotent."""
+
+    def __init__(
+        self, options: dict[str, str], post: Callable[[bytes], bytes] | None
+    ) -> None:
+        self.uri = options.get("uri", "http://localhost:8545")
+        self.start = int(options.get("start", "0"))
+        self.end = int(options["end"]) if "end" in options else None
+        self.batch = int(options.get("batch", "50"))
+        self._post = post
+
+    def _transport(self):
+        from .rpc import JsonRpcTransport
+
+        return JsonRpcTransport(self.uri, post=self._post)
+
+    def _head(self) -> int:
+        if self.end is not None:
+            return self.end
+        [head_hex] = self._transport().request_batch([("eth_blockNumber", [])])
+        return int(head_hex, 16)
+
+    def initialOffset(self) -> dict:
+        return {"next": self.start}
+
+    def latestOffset(self) -> dict:
+        return {"next": self._head() + 1}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["next"]), int(end["next"]) - 1
+        return [
+            _BlockRange(b, min(b + self.batch - 1, hi))
+            for b in range(lo, hi + 1, self.batch)
+        ] or [_BlockRange(lo, lo - 1)]
+
+    def read(self, partition: _BlockRange) -> Iterator[tuple[Any, ...]]:
+        if partition.end < partition.start:
+            return iter([])
+        from .rpc import rpc_block_fetcher
+
+        fetcher = rpc_block_fetcher(self._transport())
+        fields = [f.name for f in RAW_BLOCK.fields]
+        return iter(
+            tuple(rec[f] for f in fields)
+            for rec in fetcher(list(range(partition.start, partition.end + 1)))
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 def register_ethrpc(spark, post: Callable[[bytes], bytes] | None = None) -> None:
