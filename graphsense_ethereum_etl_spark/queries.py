@@ -1026,6 +1026,7 @@ def _duck_lsh_sql(
     min_score: float = 0.2,
     bucket_cap: int = 40,
     split_planes: int = 2,
+    source: str = "embeddings",
 ) -> str:
     # NOTE: these defaults MUST mirror lsh_ann_pairs' defaults — the
     # sim3_lsh_ann query relies on both sides agreeing.
@@ -1068,7 +1069,7 @@ def _duck_lsh_sql(
              UNNEST([{bands_l}]) AS band,
              UNNEST([{buckets_l}]) AS bucket,
              UNNEST([{subs_l}]) AS sub
-      FROM embeddings),
+      FROM {source}),
     sized AS (
       SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bsz FROM sigs),
     refined AS (
@@ -1105,16 +1106,22 @@ def sim3_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim5_lsh_recall",
     f"""
-    WITH truth AS (
+    WITH panel AS (SELECT * FROM embeddings WHERE vec_id < 1000),
+    truth AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      FROM panel a JOIN panel b ON a.vec_id < b.vec_id
       WHERE round({_DUCK_COS.format(a="a.embedding", b="b.embedding")}, 6) >= 0.3),
     found AS ({{lsh}})
     SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
            CAST((SELECT COUNT(*) FROM found) AS BIGINT) AS n_found,
            round(CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
                  / NULLIF((SELECT COUNT(*) FROM truth), 0), 6) AS recall
-    """.format(lsh=_duck_lsh_sql(min_score=0.3)),
+    """.format(
+        lsh=_duck_lsh_sql(
+            min_score=0.3,
+            source="(SELECT * FROM embeddings WHERE vec_id < 1000)",
+        )
+    ),
 )
 def sim5_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall measurement for the banded LSH as a first-class, oracle-checked
@@ -1132,7 +1139,9 @@ def sim5_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, and this row keeps that trade-off measured instead of assumed."""
     from .operators.similarity import blocked_cosine_pairs, lsh_ann_pairs
 
-    emb = load(spark, sf_dir, "embeddings")
+    # fixed 1000-id panel: the metric is a sample statistic, so the exact
+    # all-pairs ground truth stays O(panel²) instead of O(corpus²) at scale
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     t = blocked_cosine_pairs(emb, threshold=0.3).agg(
         F.count("*").alias("n_true")
     )
