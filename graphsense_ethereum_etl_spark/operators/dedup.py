@@ -258,38 +258,58 @@ def ngram_jaccard_pairs(
 
 
 def simhash(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """SimHash fingerprint (``bits`` <= 16): per-token md5, take the first
-    4 hex chars (16 bits) as 4 nibbles, bitwise-majority over all token
-    occurrences; bit set iff the signed vote sum is > 0.
+    """SimHash fingerprint (``bits`` ∈ {16, 32, 48, 64}, default 64 — the
+    Manku et al. WWW'07 production width): per-token md5, take the first
+    ``bits/4`` hex chars as ``bits/16`` 16-bit chunks, bitwise-majority over
+    all token occurrences; bit set iff the signed vote sum is > 0.
 
-    Implemented as explode -> per-token hash value (md5 evaluated ONCE per
-    token; per-row folds would re-evaluate it inside each of the 16 bit
-    aggregates via CollapseProject inlining) -> grouped +/-1 conditional
-    sums with map-side partial aggregation. Hex-nibble decoding keeps it
-    reproducible in ANSI SQL for the oracle."""
-    assert bits <= 16
+    Implemented as explode -> per-token chunk values (md5 evaluated ONCE per
+    token; per-row folds would re-evaluate it inside each of the ``bits``
+    bit aggregates via CollapseProject inlining) -> grouped +/-1 conditional
+    sums with map-side partial aggregation. Bit extraction is shift-and-mask
+    on the 16-bit chunks, and the fingerprint packs into one signed BIGINT
+    (bit 63 contributes the two's-complement minimum, added LAST so every
+    partial sum stays in int64 range even under ANSI overflow checks) —
+    reproducible in ANSI SQL for the oracle (DuckDB '0x' hex cast, >>, &)."""
+    if bits % 16 != 0 or not 16 <= bits <= 64:
+        raise ValueError(f"bits must be a multiple of 16 in [16, 64], got {bits}")
+    chunks = bits // 16
     toks = docs.select(
         F.col(id_col).cast("bigint").alias(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )
-    # Per token: int value of the first 4 md5 hex chars (0..65535).
+    # Per token: the first `chunks` 16-bit values of the md5 digest
+    # (hex chars 1-4, 5-8, ... — one md5 call, shared by subexpression
+    # elimination across the chunk slices).
     tv = toks.select(
         id_col,
-        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint").alias("v"),
+        *[
+            F.conv(F.substring(F.md5("tok"), 4 * c + 1, 4), 16, 10)
+            .cast("bigint")
+            .alias(f"v{c}")
+            for c in range(chunks)
+        ],
     )
     votes = tv.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(((F.col("v") / (1 << b)).cast("bigint") % 2) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col(f"v{b // 16}"), b % 16).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"s{b}")
             for b in range(bits)
         ]
     )
     sim = F.lit(0).cast("bigint")
     for b in range(bits):
-        sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        # Bit 63 is the sign bit of the packed BIGINT: its two's-complement
+        # contribution is int64-min. It is added last (b ascending), so the
+        # running sum never exceeds 2^63 - 1 (bits 0..62 sum to exactly that).
+        term = F.lit(-(1 << 63)) if b == 63 else F.lit(1 << b)
+        sim = sim + F.when(F.col(f"s{b}") > 0, term).otherwise(F.lit(0))
     return votes.select(F.col(id_col), sim.alias("simhash"))
 
 
@@ -297,7 +317,7 @@ def simhash_hamming_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 16,
+    bits: int = 64,
     max_hamming: int = 3,
     n_pieces: int = 4,
 ) -> DataFrame:
@@ -310,14 +330,17 @@ def simhash_hamming_pairs(
     the distance budget must agree EXACTLY on at least one piece, so the
     join runs on (piece index, piece value) equality and only candidates pay
     the bit_count(xor) verification. All integer shifts/xor/popcount — fully
-    oracle-checkable.
+    oracle-checkable. Piece extraction is ``(simhash >> p·pb) & mask``:
+    arithmetic vs logical shift is irrelevant under the low-bit mask, so the
+    packed signed-BIGINT fingerprint (bit 63 = sign) needs no special-casing.
 
-    Scale notes: with the 16-bit classroom fingerprint each piece has only
-    2^4 values (hot buckets at corpus scale) — production uses bits=64 with
-    4×16-bit pieces, same code path. The fingerprint subplan feeds both join
-    sides; at 100 TB you materialize the fingerprint table once (versioned
-    sink) instead of recomputing it per side — kept inline here so the
-    operator is self-contained."""
+    Scale notes: the default is the production Manku layout — bits=64,
+    n_pieces=4 → 16-bit pieces with 2^16 values each, so piece buckets stay
+    ~|corpus|/65536 on non-adversarial data (see the hot-bucket test in
+    tests/test_dedup.py). The fingerprint subplan feeds both join sides; at
+    100 TB you materialize the fingerprint table once (versioned sink)
+    instead of recomputing it per side — kept inline here so the operator is
+    self-contained."""
     if n_pieces <= max_hamming:
         raise ValueError(
             "piece-banding needs n_pieces > max_hamming for lossless pruning"

@@ -897,38 +897,46 @@ def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(load(spark, sf_dir, "documents", spread=True))
 
 
-def _duck_simhash() -> str:
-    nib = (
-        "(instr('0123456789abcdef', substring(md5(t), {p}, 1)) - 1)"
-    )
-    v = " + ".join(
-        f"{nib.format(p=p + 1)} * {16 ** (3 - p)}" for p in range(4)
+def _duck_simhash(bits: int = 64) -> str:
+    # Mirrors operators/dedup.py simhash: 16-bit md5 chunks ('0x' hex cast),
+    # shift-and-mask bit votes, fingerprint packed into ONE signed BIGINT
+    # (bit 63 term = int64-min, added last so partial sums stay in range).
+    chunks = bits // 16
+    vs = ", ".join(
+        f"CAST('0x' || substring(md5(t), {4 * c + 1}, 4) AS BIGINT) AS v{c}"
+        for c in range(chunks)
     )
     votes = ", ".join(
-        f"SUM(CASE WHEN CAST(FLOOR(v / {1 << b}.0) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(16)
+        f"SUM(CASE WHEN ((v{b // 16} >> {b % 16}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
     )
-    bits = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+    terms = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN "
+        + ("(-9223372036854775807 - 1)" if b == 63 else str(1 << b))
+        + " ELSE 0 END"
+        for b in range(bits)
+    )
     return f"""
     WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
     tok AS (SELECT doc_id, unnest(w) AS t FROM toks),
-    tv AS (SELECT doc_id, {v} AS v FROM tok),
+    tv AS (SELECT doc_id, {vs} FROM tok),
     votes AS (SELECT doc_id, {votes} FROM tv GROUP BY doc_id)
-    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({bits} AS BIGINT) AS simhash
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({terms} AS BIGINT) AS simhash
     FROM votes
     """
 
 
 @query("dd4_simhash", _duck_simhash())
 def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (north-star dedup): 16-bit bitwise-majority over
-    per-token md5 hashes, computed as per-row array folds (no shuffle)."""
+    """SimHash fingerprints (north-star dedup): 64-bit bitwise-majority over
+    per-token md5 hashes (Manku WWW'07 production width), packed into one
+    signed BIGINT — operators/dedup.py simhash."""
     from .operators.dedup import simhash
 
     return simhash(load(spark, sf_dir, "documents"))
 
 
-def _duck_simhash_pairs(max_hamming: int = 3, n_pieces: int = 4, bits: int = 16) -> str:
+def _duck_simhash_pairs(max_hamming: int = 3, n_pieces: int = 4, bits: int = 64) -> str:
     piece_bits = bits // n_pieces
     mask = (1 << piece_bits) - 1
     ps = ", ".join(str(p) for p in range(n_pieces))

@@ -37,3 +37,61 @@ def test_simhash_banding_guard(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").filter("doc_id < 5")
     with pytest.raises(ValueError, match="n_pieces > max_hamming"):
         simhash_hamming_pairs(docs, max_hamming=4, n_pieces=4)
+
+
+def test_simhash_bits_guard(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter("doc_id < 5")
+    for bad in (8, 15, 17, 80, 0):
+        with pytest.raises(ValueError, match="multiple of 16"):
+            simhash(docs, bits=bad)
+
+
+def test_simhash_64bit_uses_full_width(spark, sf_dir):
+    """The 64-bit fingerprint actually spreads over the full word: on a real
+    corpus the high 48 bits are NOT constant (they would be if the widening
+    silently still derived everything from the first 4 hex chars), and at
+    least one fingerprint is negative (bit 63 set)."""
+    sims = simhash(load(spark, sf_dir, "documents"), bits=64)
+    rows = sims.selectExpr(
+        "COUNT(DISTINCT simhash >> 16) AS hi_distinct",
+        "SUM(CASE WHEN simhash < 0 THEN 1 ELSE 0 END) AS n_negative",
+        "COUNT(*) AS n",
+    ).collect()[0]
+    assert rows["hi_distinct"] > rows["n"] * 0.9  # high bits carry entropy
+    assert rows["n_negative"] > 0  # sign bit participates
+
+
+def test_simhash_piece_buckets_bounded_on_skewed_corpus(spark):
+    """Hot-bucket check (the r2 verdict's named scale-killer): on a skewed
+    corpus — 300 docs that are near-duplicates of one template plus 200
+    distinct docs — the 64-bit fingerprint's 16-bit pieces keep the largest
+    (piece, value) bucket at the near-dup cluster size, while the old 16-bit
+    layout (4-bit pieces, 16 values) collapses everything into a handful of
+    hot buckets. The piece space must absorb the DISTINCT docs."""
+    rows = [(i, f"the quick brown fox jumps over the lazy dog variant {i}") for i in range(300)]
+    rows += [(1000 + i, f"totally unrelated document number {i} with words w{i} x{i * 7} y{i * 13}") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def max_bucket(bits: int) -> tuple[int, int]:
+        piece_bits = bits // 4
+        mask = (1 << piece_bits) - 1
+        sims = simhash(docs, bits=bits)
+        pieces = sims.selectExpr(
+            "doc_id",
+            f"posexplode(array({', '.join(f'shiftright(simhash, {p * piece_bits}) & {mask}' for p in range(4))})) AS (p, val)",
+        )
+        stats = pieces.groupBy("p", "val").count()
+        top = stats.orderBy(stats["count"].desc()).first()["count"]
+        n_buckets = stats.count()
+        return top, n_buckets
+
+    top64, buckets64 = max_bucket(64)
+    top16, buckets16 = max_bucket(16)
+    # The old 16-bit layout has at most 4 positions × 2^4 values = 64 buckets
+    # TOTAL — every bucket is hot at corpus scale by construction.
+    assert buckets16 <= 64
+    # 16-bit pieces: the 200 distinct docs spread across the 2^16 piece
+    # space (≫ 64 buckets), and the hottest bucket is bounded by the
+    # engineered near-dup cluster, not by |corpus| / piece-space.
+    assert buckets64 >= 300
+    assert top64 <= 300  # ≤ the cluster size: unrelated docs don't pile on
