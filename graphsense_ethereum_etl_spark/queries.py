@@ -1118,7 +1118,7 @@ def sim3_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM panel a JOIN panel b ON a.vec_id < b.vec_id
-      WHERE round({_DUCK_COS.format(a="a.embedding", b="b.embedding")}, 6) >= 0.3),
+      WHERE {_DUCK_COS.format(a="a.embedding", b="b.embedding")} >= 0.3),
     found AS ({{lsh}})
     SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
            CAST((SELECT COUNT(*) FROM found) AS BIGINT) AS n_found,
@@ -1133,7 +1133,9 @@ def sim3_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim5_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall measurement for the banded LSH as a first-class, oracle-checked
-    fact: exact all-pairs ground truth at cosine >= 0.5 (blocked GEMM)
+    fact: exact all-pairs ground truth at cosine >= 0.3 (blocked GEMM,
+    thresholded on the RAW unrounded score — the sim2 convention, matched
+    by the oracle's truth WHERE clause)
     versus the pairs the banded LSH surfaces at the same threshold. The LSH
     exact-rescores its candidates with the same rounding, so found ⊆ truth
     and recall = |found| / |truth| — a deterministic quality metric the

@@ -153,7 +153,15 @@ def zorder_value(
     n = len(cols)
     z = F.lit(0).cast("bigint")
     for i, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
+        if lo is None or hi is None:
+            raise ValueError(
+                f"z-order column #{i} has no min/max (empty input or all-NULL "
+                "column) — nothing to normalize; filter NULLs or skip z-ordering"
+            )
         col = F.col(c) if isinstance(c, str) else c
+        # NULL inputs would otherwise yield NULL Morton keys that land in an
+        # arbitrary range partition: pin them to the column minimum instead.
+        col = F.coalesce(col.cast("double"), F.lit(float(lo)))
         span = (hi - lo) or 1.0
         rank = F.least(
             F.lit((1 << bits) - 1),
@@ -194,6 +202,11 @@ def write_zordered(
     ).collect()[0]
     mins = [stats[f"mn{i}"] for i in range(len(zorder_cols))]
     maxs = [stats[f"mx{i}"] for i in range(len(zorder_cols))]
+    if any(v is None for v in mins + maxs):
+        # Empty input or an all-NULL z-order column: there is no range to
+        # cluster on — degrade to a plain write instead of a TypeError.
+        df.write.mode(mode).parquet(path)
+        return
     z = zorder_value(zorder_cols, mins, maxs, bits)
     out = df.withColumn("_z", z)
     if num_files:

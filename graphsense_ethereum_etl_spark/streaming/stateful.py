@@ -62,8 +62,12 @@ def streaming_first_seen(docs_stream: DataFrame, key_col: str = "fp") -> DataFra
     one boolean ValueState per key. Unlike ``dropDuplicates`` (whose state
     can only be bounded with a watermark column), the processor owns its
     state lifecycle — TTL/timers can bound it without a watermark, and the
-    state store is RocksDB (required by the API; the session conf is set
-    here for local use).
+    state store must be RocksDB (required by the API). THE CALLER sets
+    ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB provider
+    in session setup — this operator verifies the conf and raises instead of
+    mutating it, because a conf set here as a side effect would silently
+    switch the provider for every OTHER streaming query started later in
+    the same session.
 
     At 100 TB: one shuffle on the key per micro-batch; state is one boolean
     per distinct key in RocksDB, the minimal possible dedup footprint.
@@ -110,10 +114,17 @@ def streaming_first_seen(docs_stream: DataFrame, key_col: str = "fp") -> DataFra
             pass
 
     spark = docs_stream.sparkSession
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     )
+    provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    if not provider.endswith("RocksDBStateStoreProvider"):
+        raise ValueError(
+            "transformWithStateInPandas requires the RocksDB state store; "
+            f'set spark.conf.set("spark.sql.streaming.stateStore.providerClass", "{rocksdb}") '
+            "in session setup before building this operator (not set here: a "
+            "session-wide conf mutation would leak into unrelated streaming queries)"
+        )
     return docs_stream.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=FirstSeen(),
         outputStructType=schema,

@@ -207,11 +207,19 @@ class VersionedTable:
     def vacuum(self, keep_manifests: int = 2) -> list[str]:
         """Delete data dirs unreferenced by the ``keep_manifests`` newest
         manifests (the reader-grace contract: a dir disappears only once no
-        retained snapshot can reference it). Returns removed dir names."""
+        retained snapshot can reference it). ``keep_manifests`` must be >= 1:
+        the newest manifest is the currently published snapshot, and
+        vacuuming its data dirs would silently truncate the live table while
+        _MANIFEST still points at it. Returns removed dir names."""
         import shutil
 
+        if keep_manifests < 1:
+            raise ValueError(
+                "keep_manifests must be >= 1: the newest manifest is the "
+                "published snapshot and can never be vacuumed away"
+            )
         manifests = sorted(os.listdir(f"{self.root}/{_MANIFEST_DIR}"))
-        keep = manifests[-keep_manifests:] if keep_manifests else []
+        keep = manifests[-keep_manifests:]
         live: set[str] = set()
         for name in keep:
             with open(f"{self.root}/{_MANIFEST_DIR}/{name}") as fh:

@@ -439,3 +439,32 @@ def test_ethrpc_streaming_source(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 30
     assert {r["number"] for r in rows} == set(range(30))
+
+def test_zorder_empty_and_null_inputs(spark, tmp_path):
+    """Empty input / all-NULL z-order column degrade to a plain write (no
+    TypeError on None min/max), and NULL values in a z-order column pin to
+    the column minimum instead of producing NULL Morton keys."""
+    from graphsense_ethereum_etl_spark.sinks import write_zordered, zorder_value
+    import pytest
+
+    empty = spark.range(0).selectExpr("id AS x", "id AS y")
+    p1 = str(tmp_path / "empty")
+    write_zordered(empty, p1, ["x", "y"], num_files=4)  # must not raise
+    assert spark.read.parquet(p1).count() == 0
+
+    allnull = spark.range(5).selectExpr("id AS x", "CAST(NULL AS BIGINT) AS y")
+    p2 = str(tmp_path / "allnull")
+    write_zordered(allnull, p2, ["x", "y"], num_files=2)
+    assert spark.read.parquet(p2).count() == 5
+
+    with pytest.raises(ValueError, match="min/max"):
+        zorder_value(["x"], [None], [None])
+
+    # NULL input rows: Morton key equals the key of the column minimum
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(None,), (0,), (7,)], "x bigint")
+    keys = df.select(zorder_value(["x"], [0.0], [7.0], bits=4).alias("z")).collect()
+    zs = [r["z"] for r in keys]
+    assert zs[0] == zs[1]  # NULL pinned to min
+    assert zs[2] is not None and zs[2] > zs[1]

@@ -74,6 +74,15 @@ def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
     ckpt = str(tmp_path / "docs_ckpt")
     out = str(tmp_path / "docs_out")
 
+    # The operator requires (and verifies, without mutating) the RocksDB
+    # state-store provider — session setup owns the conf.
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
     def run():
         stream = spark.readStream.schema(doc_schema).json(src)
 
@@ -106,6 +115,11 @@ def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
     run()
     got2 = {(r["doc_id"], r["fp"]) for r in spark.read.parquet(out).collect()}
     assert got2 - got1 == {(5, "C")}
+
+    if prior is None:
+        spark.conf.unset(conf_key)
+    else:
+        spark.conf.set(conf_key, prior)
 
 
 def test_streaming_first_seen_gated_without_protobuf(spark, tmp_path):

@@ -111,3 +111,15 @@ def test_compact_reduces_files_and_vacuum_prunes(spark, tmp_path_factory):
     assert removed
     assert len(os.listdir(f"{root}/data")) < n_dirs_before
     assert t.read().count() == 10
+
+def test_vacuum_refuses_to_drop_published_snapshot(spark, tmp_path_factory):
+    """keep_manifests=0 would delete the data dirs the published _MANIFEST
+    still points at (silent truncation) — the guard refuses."""
+    root = str(tmp_path_factory.mktemp("vt_guard"))
+    t = VersionedTable(spark, root)
+    t.write_partitions(_frame(spark, 0, 10, "live"))
+    with pytest.raises(ValueError, match="keep_manifests"):
+        t.vacuum(keep_manifests=0)
+    with pytest.raises(ValueError, match="keep_manifests"):
+        t.vacuum(keep_manifests=-1)
+    assert t.read().count() == 10  # table untouched
