@@ -334,16 +334,119 @@ def fetch_blocks(
     )
 
 
-def rpc_chain_source(transport: JsonRpcTransport, rpc_batch_size: int = 50):
+# The DAO hard-fork block and the WithdrawDAO refund contract: at the fork,
+# clients moved every DAO child-account balance into the refund contract as
+# irregular state changes with NO transactions — the same reason genesis
+# allocations are invisible to trace_block. ethereum-etl synthesizes both as
+# 'genesis'/'daofork' trace rows (the reference enables this with
+# include_genesis_traces/include_daofork_traces,
+# eth_cassandra_streaming.py:162-163, called with True, True at :626).
+GENESIS_BLOCK = 0
+DAOFORK_BLOCK = 1_920_000
+DAOFORK_REFUND_CONTRACT = "0xbf4ed7b27f1d666546e30d74d50d173d20bca754"
+
+
+def _synthetic_trace_rows(
+    block_number: int,
+    trace_type: str,
+    transfers: list[tuple[str | None, str, int]],
+) -> list[dict[str, Any]]:
+    """RAW_TRACE-shaped rows for value moves that never had a transaction:
+    (from_address, to_address, value_wei) triples become status-1 traces with
+    trace_id '<type>_<to|from>' (the ethereum-etl id convention), empty
+    trace_address, and trace_index enumerating within the block."""
+    rows: list[dict[str, Any]] = []
+    for i, (from_addr, to_addr, value_wei) in enumerate(transfers):
+        id_addr = to_addr if trace_type == "genesis" else (from_addr or to_addr)
+        rows.append(
+            {
+                "transaction_hash": None,
+                "block_number": block_number,
+                "transaction_index": None,
+                "from_address": from_addr,
+                "to_address": to_addr,
+                "value": Decimal(value_wei),
+                "input": None,
+                "output": None,
+                "trace_type": trace_type,
+                "call_type": None,
+                "reward_type": None,
+                "gas": None,
+                "gas_used": None,
+                "subtraces": 0,
+                "trace_address": [],
+                "error": None,
+                "status": 1,
+                "trace_id": f"{trace_type}_{id_addr}",
+                "trace_index": i,
+            }
+        )
+    return rows
+
+
+def genesis_traces(
+    spark: SparkSession, allocations: list[tuple[str, int]]
+) -> DataFrame:
+    """S3 synthetic genesis traces: one 'genesis' trace per allocation
+    (address, value_wei) in block 0 — the pre-mine state trace_block can
+    never return. The mainnet allocation list ships with any client's
+    genesis.json; callers supply it (or a test fixture)."""
+    from ..schemas import RAW_TRACE
+
+    rows = _synthetic_trace_rows(
+        GENESIS_BLOCK, "genesis", [(None, addr, wei) for addr, wei in allocations]
+    )
+    return spark.createDataFrame(rows, RAW_TRACE)
+
+
+def daofork_traces(
+    spark: SparkSession,
+    balances: list[tuple[str, int]],
+    refund_contract: str = DAOFORK_REFUND_CONTRACT,
+) -> DataFrame:
+    """S3 synthetic DAO-fork traces: one 'daofork' trace per DAO child
+    account (address, balance_wei) moving its balance into the WithdrawDAO
+    refund contract at block 1,920,000 — irregular state changes with no
+    transactions, invisible to trace_block."""
+    from ..schemas import RAW_TRACE
+
+    rows = _synthetic_trace_rows(
+        DAOFORK_BLOCK,
+        "daofork",
+        [(addr, refund_contract, wei) for addr, wei in balances],
+    )
+    return spark.createDataFrame(rows, RAW_TRACE)
+
+
+def rpc_chain_source(
+    transport: JsonRpcTransport,
+    rpc_batch_size: int = 50,
+    genesis_allocations: list[tuple[str, int]] | None = None,
+    daofork_balances: list[tuple[str, int]] | None = None,
+):
     """ChainSource over a live transport: ``(spark, lo, hi) -> {entity:
     DataFrame}`` — plug directly into ``run_incremental`` to ingest a real
     chain with the same micro-batch/resume/marker semantics the synthetic
     generator exercises. Each entity is its own distributed fetch (blocks +
     transactions share the eth_getBlockByNumber batch; receipts + logs share
-    eth_getBlockReceipts; traces use trace_block)."""
+    eth_getBlockReceipts; traces use trace_block).
+
+    When ``genesis_allocations`` / ``daofork_balances`` are provided, the
+    trace frame for a batch covering block 0 / block 1,920,000 additionally
+    carries the synthetic 'genesis' / 'daofork' traces (reference parity:
+    include_genesis_traces/include_daofork_traces are both True in the
+    reference's ingest, so a from-genesis backfill without these rows would
+    silently lack every pre-mine allocation and the DAO refund moves)."""
     from ..schemas import RAW_LOG, RAW_RECEIPT, RAW_TRACE, RAW_TRANSACTION
 
     def source(spark: SparkSession, lo: int, hi: int) -> dict[str, DataFrame]:
+        traces = fetch_entity(
+            spark, lo, hi, rpc_trace_fetcher(transport), RAW_TRACE, rpc_batch_size
+        )
+        if genesis_allocations and lo <= GENESIS_BLOCK <= hi:
+            traces = genesis_traces(spark, genesis_allocations).unionByName(traces)
+        if daofork_balances and lo <= DAOFORK_BLOCK <= hi:
+            traces = traces.unionByName(daofork_traces(spark, daofork_balances))
         return {
             "blocks": fetch_entity(
                 spark, lo, hi, rpc_block_fetcher(transport), RAW_BLOCK, rpc_batch_size
@@ -357,9 +460,7 @@ def rpc_chain_source(transport: JsonRpcTransport, rpc_batch_size: int = 50):
             "logs": fetch_entity(
                 spark, lo, hi, rpc_log_fetcher(transport), RAW_LOG, rpc_batch_size
             ),
-            "traces": fetch_entity(
-                spark, lo, hi, rpc_trace_fetcher(transport), RAW_TRACE, rpc_batch_size
-            ),
+            "traces": traces,
         }
 
     return source

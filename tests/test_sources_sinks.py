@@ -468,3 +468,64 @@ def test_zorder_empty_and_null_inputs(spark, tmp_path):
     zs = [r["z"] for r in keys]
     assert zs[0] == zs[1]  # NULL pinned to min
     assert zs[2] is not None and zs[2] > zs[1]
+
+def test_rpc_chain_source_synthetic_genesis_and_daofork_traces(spark, tmp_path):
+    """S3 completion (r2 verdict #2): a from-genesis backfill carries the
+    synthetic 'genesis' allocation traces (block 0) and a batch covering the
+    DAO-fork block carries the 'daofork' refund traces — value moves that
+    trace_block can never return. Shapes follow the ethereum-etl
+    conventions: trace_id '<type>_<address>', empty trace_address,
+    per-block trace_index enumeration, status 1, no transaction_hash."""
+    from graphsense_ethereum_etl_spark.sources.rpc import (
+        DAOFORK_BLOCK,
+        DAOFORK_REFUND_CONTRACT,
+        JsonRpcTransport,
+        rpc_chain_source,
+    )
+    from graphsense_ethereum_etl_spark.streaming.incremental import run_incremental
+
+    alloc = [("0x" + f"{i:040x}", 10**18 * (i + 1)) for i in range(5)]
+    dao = [("0x" + f"{0xd00 + i:040x}", 7**i) for i in range(3)]
+    source = rpc_chain_source(
+        JsonRpcTransport("http://node:8545", post=_make_fixture_node_post()),
+        rpc_batch_size=10,
+        genesis_allocations=alloc,
+        daofork_balances=dao,
+    )
+
+    # End-to-end: blocks 0..19 through run_incremental → genesis rows land
+    root = str(tmp_path / "chain")
+    run_incremental(spark, source, root, head=19, batch_size=10, bucket_size=10)
+    traces = spark.read.parquet(f"{root}/trace")
+    gen = traces.filter("trace_type = 'genesis'").orderBy("trace_index").collect()
+    assert len(gen) == 5
+    # the Cassandra-dialect pipeline decoded hex addresses to 20-byte binary,
+    # renamed transaction_hash/block_number, and joined trace_address to ''
+    assert [r["to_address"] for r in gen] == [bytes.fromhex(a[2:]) for a, _ in alloc]
+    assert [int(r["value"]) for r in gen] == [w for _, w in alloc]
+    assert [r["trace_index"] for r in gen] == list(range(5))
+    assert all(r["block_id"] == 0 for r in gen)
+    assert all(r["trace_address"] == "" for r in gen)
+    assert all(r["status"] == 1 for r in gen)
+    assert all(r["tx_hash"] is None for r in gen)
+    assert gen[0]["trace_id"] == f"genesis_{alloc[0][0]}"
+    # genesis rows ADD to (not replace) the RPC traces of block 0..19
+    assert traces.filter("trace_type = 'call'").count() == sum(b % 4 for b in range(20))
+
+    # A batch covering the DAO-fork block carries the refund traces
+    frames = source(spark, DAOFORK_BLOCK - 2, DAOFORK_BLOCK + 2)
+    dao_rows = (
+        frames["traces"].filter("trace_type = 'daofork'").orderBy("trace_index").collect()
+    )
+    assert len(dao_rows) == 3
+    assert all(r["to_address"] == DAOFORK_REFUND_CONTRACT for r in dao_rows)
+    assert [r["from_address"] for r in dao_rows] == [a for a, _ in dao]
+    assert [int(r["value"]) for r in dao_rows] == [w for _, w in dao]
+    assert all(r["block_number"] == DAOFORK_BLOCK for r in dao_rows)
+    assert dao_rows[0]["trace_id"] == f"daofork_{dao[0][0]}"
+
+    # ...and a batch NOT covering either block carries no synthetic rows
+    frames2 = source(spark, 5, 9)
+    assert frames2["traces"].filter(
+        "trace_type IN ('genesis', 'daofork')"
+    ).count() == 0
