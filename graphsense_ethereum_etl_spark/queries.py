@@ -2468,3 +2468,87 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qsum").cast("double").alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exchange rates: the reference's 7th table (schema.cql:79-82) end-to-end
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fx1_fiat_conversion",
+    """
+    WITH days AS (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS d
+      FROM orders
+      WHERE CAST(strftime(o_orderdate, '%d') AS INT) % 3 = 1
+        AND strftime(o_orderdate, '%Y-%m-%d') >= '1995-02-01'),
+    rates AS (
+      SELECT CAST(d AS DATE) AS rd,
+             CAST(CAST(CAST('0x' || substring(md5('USD' || '|' || d), 1, 8) AS BIGINT) % 500
+                  AS DOUBLE) / 1000.0 + 0.5 AS FLOAT) AS rate
+      FROM days),
+    conv AS (
+      SELECT o.o_orderdate, o.o_totalprice, r.rate
+      FROM orders o ASOF LEFT JOIN rates r ON CAST(o.o_orderdate AS DATE) >= r.rd)
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN rate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unrated,
+           CAST(SUM(CAST(o_totalprice * rate AS DECIMAL(26,6))) AS DOUBLE) AS usd_total
+    FROM conv GROUP BY month
+    """,
+)
+def fx1_fiat_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-rates ingest + fiat conversion end-to-end — the reference's
+    exchange_rates table (schema.cql:79-82) in its original consuming role
+    (the -p/--previous_day flag's rationale, eth_cassandra_streaming.py:
+    509-515): a sparse date-keyed rates table (every 3rd day, starting
+    1995-02-01 so January orders exercise the unrated-row semantics) built
+    through the long→map ingest operator (map<text,float>, deterministic
+    md5-derived rates), then value × rate[USD] via the AS-OF conversion —
+    densified validity intervals + broadcast equi-join, so the fact side is
+    never shuffled (operators/rates.py). Oracle: DuckDB native ASOF LEFT
+    JOIN over the same sparse rates — the dense-dim equi-join must agree
+    with true as-of semantics exactly, including NULLs for pre-rates rows.
+    Monthly rollup with the per-row DECIMAL cast for bit-stable sums."""
+    from .operators.rates import convert_to_fiat, rates_long_to_map
+
+    orders = load(spark, sf_dir, "orders")
+    days = (
+        orders.select(F.to_date("o_orderdate").alias("dd"))
+        .distinct()
+        .filter((F.dayofmonth("dd") % 3 == 1) & (F.col("dd") >= F.lit("1995-02-01")))
+        .select(F.date_format("dd", "yyyy-MM-dd").alias("d"))
+    )
+    long_rates = days.select(
+        "d", F.explode(F.array(F.lit("EUR"), F.lit("USD"))).alias("currency")
+    ).withColumn(
+        "rate",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", "currency", "d")), 1, 8), 16, 10
+            ).cast("bigint")
+            % 500
+        )
+        / F.lit(1000.0)
+        + F.lit(0.5),
+    )
+    rates = rates_long_to_map(long_rates, date_col="d")
+    conv = convert_to_fiat(
+        orders.select("o_orderdate", "o_totalprice"),
+        rates,
+        value_col="o_totalprice",
+        date_col="o_orderdate",
+        currency="USD",
+        end_date="2001-08-01",
+        out_col="fiat_usd",
+    )
+    return conv.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("rate").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unrated"),
+        F.sum(F.col("fiat_usd").cast("decimal(26,6)")).cast("double").alias("usd_total"),
+    )
