@@ -170,8 +170,10 @@ def ngram_jaccard_pairs(
     DF counts → re-join → per-doc frequency-sorted shingle array via
     groupBy + sort_array(collect_list) (an agg, not a window: map-side
     partial combine applies), persisted because three downstream branches
-    consume it — at 100 TB you would equally materialize the sorted sets
-    rather than recompute three explode+shuffle lineages. The prefix
+    consume it — at 100 TB you materialize instead of persist: see
+    ``ngram_jaccard_pairs_bucketed``, which writes the prefix index and
+    sorted sets as bucketed tables and runs the candidate join
+    exchange-free. The prefix
     self-join runs on slim (id, n, shingle) rows, both sides the same
     subplan (one shuffle exchange, ReusedExchange), candidates dedupe via
     groupBy (slim two-long rows, map-side combine — NOT dropDuplicates over
@@ -221,8 +223,14 @@ def ngram_jaccard_pairs(
             )
         ).alias("shingle"),
     )
-    # Length filter (also lossless): Jaccard ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t.
-    cands = (
+    cands = _jaccard_candidate_join(prefix, threshold)
+    return _jaccard_verify(cands, sorted_sets, threshold)
+
+
+def _jaccard_candidate_join(prefix: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-index self-join → deduped candidate pairs. The length filter is
+    also lossless: Jaccard ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t."""
+    return (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
@@ -239,6 +247,13 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("n_shared_prefix"))
     )
+
+
+def _jaccard_verify(
+    cands: DataFrame, sorted_sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact array_intersect verification of candidate pairs against the
+    full sorted shingle sets; emits (id_a, id_b, jaccard ≥ threshold)."""
     verified = (
         cands.join(sorted_sets.select(F.col("id").alias("id_a"), F.col("arr").alias("sh_a")), "id_a")
         .join(sorted_sets.select(F.col("id").alias("id_b"), F.col("arr").alias("sh_b")), "id_b")
@@ -255,6 +270,63 @@ def ngram_jaccard_pairs(
         F.col("id_b").cast("bigint"),
         F.round("jaccard", 6).alias("jaccard"),
     )
+
+
+def ngram_jaccard_pairs_bucketed(
+    spark,
+    docs: DataFrame,
+    table: str,
+    num_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The 100 TB materialization of ``ngram_jaccard_pairs`` (same result,
+    different storage contract): the prefix inverted index is WRITTEN as a
+    table bucketed + sorted on ``shingle`` and the sorted shingle sets as a
+    table bucketed on ``id`` (``sinks.write_bucketed``), then the candidate
+    self-join reads the bucketed index from BOTH sides — the scan's output
+    partitioning already satisfies the join's distribution requirement, so
+    the sort-merge join runs with ZERO Exchange on the hot path (asserted
+    in tests/test_dedup.py). At corpus scale this is the difference between
+    re-shuffling the exploded prefix index on every dedup run and paying
+    the shuffle once at index-build time; incremental corpora re-join new
+    documents' prefixes against the standing index for free.
+
+    Tables ``{table}_prefix`` and ``{table}_sets`` are (over)written in the
+    session catalog; callers own their lifecycle."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_k)).alias("s")
+    ).select("id", F.xxhash64("s").alias("shingle"))
+    df_freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sorted_sets = (
+        sh.join(df_freq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "shingle"))), lambda s: s["shingle"]
+            ).alias("arr")
+        )
+        .select("id", F.size("arr").alias("n"), "arr")
+    )
+    prefix = sorted_sets.select(
+        "id",
+        "n",
+        F.explode(
+            F.slice(
+                F.col("arr"), 1, (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+            )
+        ).alias("shingle"),
+    )
+    from ..sinks import write_bucketed
+
+    write_bucketed(prefix, f"{table}_prefix", "shingle", num_buckets, sort_cols=["shingle"])
+    write_bucketed(sorted_sets, f"{table}_sets", "id", num_buckets, sort_cols=["id"])
+    pre = spark.table(f"{table}_prefix")
+    sets = spark.table(f"{table}_sets")
+    cands = _jaccard_candidate_join(pre, threshold)
+    return _jaccard_verify(cands, sets, threshold)
 
 
 def simhash(
