@@ -65,24 +65,26 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("label").alias("nbr_label"))
         )
+        new_label = F.least(
+            labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
+        )
+        # Probe fusion (r2 verdict #8): the old label is in hand during the
+        # round's join, so the per-row change flag rides INSIDE the frame the
+        # round materializes anyway — the convergence probe is then a
+        # filter+limit(1) count over the just-checkpointed partitions (a
+        # cached scan), not a second labels⋈labels shuffle-join job per round.
+        # Min-propagation only ever decreases labels, so "<" is the change.
         new_labels = (
             labels.join(nbr_min, labels["v"] == nbr_min["s"], "left")
             .select(
                 labels["v"],
-                F.least(
-                    labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label < labels["label"]).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_changed").limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels.select(F.col("v").alias("id"), F.col("label").alias("component"))
@@ -105,9 +107,15 @@ def _star_components(
     each round at least halves the height of every tree, so the edge set
     converges to per-component stars (v → component-min) in O(log n) rounds
     independent of diameter. ``localCheckpoint`` truncates lineage per round
-    (same trap as the label loop). Convergence probe: the star edge set is
-    stable (1-row exceptAll check — the distinct'd edge sets are slim
-    (long, long) rows).
+    (same trap as the label loop). Convergence probe, fused (r2 verdict #8):
+    each round computes a cheap order-independent SIGNATURE of its edge set
+    (count + decimal-exact sum of xxhash64(u,v)) as one aggregate over the
+    just-checkpointed partitions. A signature differing from last round's
+    PROVES the set changed (equal sets ⇒ equal signature), so the expensive
+    two-sided exceptAll set-compare runs only when the signature repeats —
+    i.e. exactly once, at the suspected fixpoint, to rule out a hash-sum
+    collision. Soundness is preserved; the per-round probe drops from two
+    shuffle-join jobs to one cached-scan aggregate.
 
     Returns (labels, rounds_used): labels as (id, component) for every
     non-isolated vertex.
@@ -126,6 +134,14 @@ def _star_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    def _signature(df: DataFrame):
+        row = df.agg(
+            F.count("*").alias("c"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["c"], row["h"])
+
+    prev_sig = _signature(e)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -156,10 +172,15 @@ def _star_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        sig = _signature(small)
+        if sig != prev_sig:
+            e, prev_sig = small, sig  # provably changed — no set-compare needed
+            continue
+        # signature repeated: confirm true fixpoint (collision guard)
         changed = (
             small.exceptAll(e).limit(1).count() + e.exceptAll(small).limit(1).count()
         )
-        e = small
+        e, prev_sig = small, sig
         if changed == 0:
             break
     # stars: u → component min (u never the min itself); minima label themselves
