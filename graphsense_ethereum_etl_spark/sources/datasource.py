@@ -97,7 +97,24 @@ class _EthRpcStreamReader(DataSourceStreamReader):
     ``eth_blockNumber`` (S6) unless a fixed ``end`` bounds the backfill;
     ``partitions(start, end)`` splits the uncommitted range into
     ``batch``-aligned chunks (one executor task per RPC batch); ``read``
-    re-fetchable by id, so recovery replays are idempotent."""
+    re-fetchable by id, so recovery replays are idempotent.
+
+    ``maxBlocksPerBatch`` (the reference's ``-b`` batching semantics,
+    eth_cassandra_streaming.py:479-483): caps how far ``latestOffset`` may
+    advance past the current position, so a long-idle stream resuming
+    against a far-ahead head plans ceil(pending / cap) bounded micro-batches
+    instead of ONE catch-up batch over millions of blocks (which would be a
+    single all-or-nothing commit: no incremental checkpoints, cluster-sized
+    task wave, full replay on any failure). Python stream readers don't
+    receive the JVM's admission-control start offset, so the position is a
+    driver-side cursor synced from ``initialOffset``, ``commit`` and every
+    ``partitions(start, end)`` call. On RESTART the engine re-plans the last
+    offset-log batch (``partitions`` of the restored range) before the first
+    ``latestOffset`` — verified empirically, and the same engine contract
+    pyspark's own ``_SimpleStreamReaderWrapper`` documents and depends on —
+    so the cursor is always current before a cap is computed; the
+    cursor-None fallback (cap relative to the configured ``start``) can
+    only under-advance, never skip, and the next ``partitions`` re-syncs."""
 
     def __init__(
         self, options: dict[str, str], post: Callable[[bytes], bytes] | None
@@ -106,6 +123,12 @@ class _EthRpcStreamReader(DataSourceStreamReader):
         self.start = int(options.get("start", "0"))
         self.end = int(options["end"]) if "end" in options else None
         self.batch = int(options.get("batch", "50"))
+        self.max_blocks = (
+            int(options["maxBlocksPerBatch"]) if "maxBlocksPerBatch" in options else None
+        )
+        if self.max_blocks is not None and self.max_blocks < 1:
+            raise ValueError("maxBlocksPerBatch must be >= 1")
+        self._cursor: int | None = None
         self._post = post
 
     def _transport(self):
@@ -120,13 +143,24 @@ class _EthRpcStreamReader(DataSourceStreamReader):
         return int(head_hex, 16)
 
     def initialOffset(self) -> dict:
+        self._cursor = self.start
         return {"next": self.start}
 
     def latestOffset(self) -> dict:
-        return {"next": self._head() + 1}
+        uncapped = self._head() + 1
+        if self.max_blocks is None:
+            return {"next": uncapped}
+        base = self._cursor if self._cursor is not None else self.start
+        capped = min(uncapped, base + self.max_blocks)
+        # never regress behind a restored checkpoint ahead of `start`: Spark
+        # planning clamps to max(committed, capped) via partitions(start, ...)
+        self._cursor = capped
+        return {"next": capped}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["next"]), int(end["next"]) - 1
+        # authoritative sync: the batch being planned commits through `end`
+        self._cursor = max(self._cursor or 0, int(end["next"]))
         return [
             _BlockRange(b, min(b + self.batch - 1, hi))
             for b in range(lo, hi + 1, self.batch)
@@ -145,7 +179,9 @@ class _EthRpcStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass
+        # offsets are self-describing (no external cleanup); the commit just
+        # keeps the rate-limit cursor in step with the engine's progress
+        self._cursor = max(self._cursor or 0, int(end["next"]))
 
 
 def register_ethrpc(spark, post: Callable[[bytes], bytes] | None = None) -> None:

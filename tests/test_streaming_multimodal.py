@@ -112,3 +112,69 @@ def test_sample_frames_expands_rows(spark, sf_dir):
     for idxs in by_id.values():
         assert sorted(idxs) == list(range(len(idxs)))  # dense, ordered
         assert len(idxs) <= 4
+
+
+def test_ethrpc_stream_rate_limited_catchup(spark, tmp_path):
+    """r2 verdict #9 — maxBlocksPerBatch: a stream facing N pending blocks
+    drains them in ceil(N / cap) bounded micro-batches with checkpointed
+    resume intact (each availableNow run is one micro-batch — Python
+    sources fall back to single-batch execution — so the run loop IS the
+    restart path: every batch after the first resumes from the checkpoint),
+    never emitting duplicates, and keeps honoring the cap when the head
+    advances later."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_sources_sinks import _make_fixture_node_post
+
+    from graphsense_ethereum_etl_spark.sources.datasource import register_ethrpc
+
+    register_ethrpc(spark, post=_make_fixture_node_post())
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run(end):
+        q = (
+            spark.readStream.format("ethrpc")
+            .option("start", "0")
+            .option("end", str(end))
+            .option("batch", "5")
+            .option("maxBlocksPerBatch", "10")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        df = spark.read.parquet(out)
+        return df.count(), df.select("number").distinct().count()
+
+    # 25 pending blocks (0..24), cap 10 → exactly ceil(25/10) = 3 batches
+    counts = [run(24) for _ in range(4)]
+    assert counts[0] == (10, 10)   # batch 1: blocks 0..9
+    assert counts[1] == (20, 20)   # batch 2 (resumed from checkpoint): 10..19
+    assert counts[2] == (25, 25)   # batch 3: 20..24 (remainder < cap)
+    assert counts[3] == (25, 25)   # caught up: empty batch, no duplicates
+
+    # head advances by 15 → first catch-up batch is capped at 10 again
+    assert run(39) == (35, 35)
+    assert run(39) == (40, 40)
+
+    # guard: a nonsensical cap fails fast
+    import pytest
+
+    with pytest.raises(Exception, match="maxBlocksPerBatch"):
+        (
+            spark.readStream.format("ethrpc")
+            .option("start", "0")
+            .option("end", "5")
+            .option("maxBlocksPerBatch", "0")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
