@@ -44,6 +44,29 @@ def distinct_token_count(text: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(text))).cast("bigint")
 
 
+# GPT-2-style pre-tokenizer approximation (the "BPE-ish regex" counter): a
+# piece is an English contraction suffix, an optionally-space-prefixed letter
+# run, digit run, or punctuation run. Whitespace itself is not a piece. Plain
+# alternation only — no backreferences/lookarounds — so Java regex (Spark)
+# and RE2 (DuckDB regexp_extract_all) agree token-for-token, which is what
+# makes the count oracle-checkable. This approximates tiktoken-style piece
+# counts for budgeting/stats; it is NOT a byte-pair merge (no vocab).
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Array of BPE-ish pieces of ``text`` (see ``BPE_ISH_PATTERN``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Piece count under the BPE-ish pre-tokenizer — the training-data
+    token-budget estimator (whitespace token counts undercount code/punct
+    heavy text; piece counts track subword tokenizers much closer)."""
+    return F.size(bpe_ish_tokens(text)).cast("bigint")
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct word ``k``-grams (the MinHash/Jaccard input set).
 

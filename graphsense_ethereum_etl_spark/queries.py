@@ -2552,3 +2552,109 @@ def fx1_fiat_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_unrated"),
         F.sum(F.col("fiat_usd").cast("decimal(26,6)")).cast("double").alias("usd_total"),
     )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    """
+    WITH late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_3'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog (suppliers who kept orders waiting), adapted to the
+    slimmed testdata: "late" = l_shipdate > o_orderdate + 60 days. The
+    classic formulation is a correlated EXISTS + NOT-EXISTS double self-join
+    on lineitem — the oracle keeps that shape as the cross-check (its late
+    set is DISTINCT per (order, supplier), so a supplier with several late
+    lines in one order is credited once on both sides). The Spark
+    plan reformulates both subqueries as ONE aggregation over the order:
+    per l_orderkey compute the distinct-supplier count and the distinct LATE
+    suppliers; a supplier qualifies iff it is the SOLE late supplier of a
+    multi-supplier order — so the whole predicate pair costs one shuffle on
+    l_orderkey (map-side combinable) instead of two more self-joins of the
+    fact table, and the supplier/nation dims broadcast. Dedup of the credit
+    (a supplier with several late lines in one order counts once per
+    order — EXISTS semantics) falls out of the per-order aggregation.
+    Deterministic top-100: numwait DESC, then s_name."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.array_sort(
+            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey")))
+        ).alias("late_supps"),
+    )
+    sole_late = per_order.filter(
+        (F.size("late_supps") == 1) & (F.col("n_supp") > 1)
+    ).select("l_orderkey", F.col("late_supps").getItem(0).alias("l_suppkey"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3").select(
+        "n_nationkey"
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supp), sole_late.l_suppkey == supp.s_suppkey
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "t5_bpe_token_counts",
+    r"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+             AS BIGINT) AS n_pieces,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+           round(CAST(len(regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+             AS DOUBLE) / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6)
+             AS pieces_per_word
+    FROM documents
+    """,
+)
+def t5_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (north-star text analysis, completing the
+    whitespace counter t1): GPT-2-style pre-tokenizer pieces via one
+    regexp_extract_all — plain alternation, so Java regex and RE2 agree
+    piece-for-piece (functions/text.py BPE_ISH_PATTERN). pieces_per_word is
+    the fertility estimate used for token budgeting. 100% Catalyst, no
+    Python."""
+    from .functions.text import bpe_ish_token_count, token_count
+
+    return load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        bpe_ish_token_count("text").alias("n_pieces"),
+        token_count("text").alias("n_ws_tokens"),
+        F.round(
+            bpe_ish_token_count("text").cast("double")
+            / token_count("text").cast("double"),
+            6,
+        ).alias("pieces_per_word"),
+    )
