@@ -2658,3 +2658,181 @@ def t5_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pieces_per_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H analog widening (round 3): distinct plan patterns per query —
+# correlated EXISTS (q4), pure pushdown scan-agg (q6), conditional ratio
+# over a broadcast dim (q14), OR-of-ANDs CNF pushdown (q19).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog (order-priority checking): how many orders in a
+    quarter had at least one line shipped >45 days after the order date
+    ("late"), per priority class. The testdata lacks l_commitdate /
+    l_receiptdate, so lateness is shipdate vs orderdate — same correlated-
+    EXISTS shape. The Spark plan is a LEFT SEMI join whose condition
+    carries the correlation (l_shipdate > o_orderdate + 45d) — semi
+    semantics dedupe multi-line matches without a DISTINCT, and the
+    quarter filter prunes orders BEFORE the join (pushed to the scan).
+    At 100 TB both sides are facts → shuffle semi-join on orderkey; the
+    quarter predicate keeps the probe side a sliver of the table."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(22,6))) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+      AND l_quantity < CAST(24 AS DOUBLE)
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog (forecast revenue change): a pure scan-filter-agg —
+    the canonical predicate-pushdown showcase. All predicates reach the
+    parquet scan as PushedFilters (asserted in tests/test_plans.py), so at
+    100 TB row groups whose min/max statistics miss the year window are
+    skipped without decoding. Discount bounds are compared as DOUBLE
+    literals on both engines (no decimal-promotion ambiguity). Revenue is
+    the house decimal-exact sum cast to DOUBLE at the end."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= F.lit(0.05).cast("double"))
+        & (F.col("l_discount") <= F.lit(0.07).cast("double"))
+        & (F.col("l_quantity") < F.lit(24.0).cast("double"))
+    )
+    return li.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(22,6)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    WITH j AS (
+      SELECT CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
+                  ELSE CAST(0 AS DECIMAL(22,6)) END AS promo_part,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)) AS rev
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00')
+    SELECT CAST(SUM(promo_part) AS DOUBLE) AS promo_rev,
+           CAST(SUM(rev) AS DOUBLE) AS total_rev,
+           round(100.0 * CAST(SUM(promo_part) AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS promo_pct
+    FROM j
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog (promotion effect): share of one month's revenue
+    from PROMO-type parts. Plan: month filter pushed to the lineitem scan,
+    part dim broadcast (no shuffle), conditional decimal sums in one pass.
+    The percentage is computed double/double AFTER each sum is cast to
+    DOUBLE (decimal-division scale rules differ between engines; double
+    division does not), rounded to 6 places on both sides."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(22,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(22,6)")
+    )
+    agg = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.sum(promo).cast("double").alias("promo_rev"),
+        F.sum(rev).cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        "promo_rev",
+        "total_rev",
+        F.round(100.0 * F.col("promo_rev") / F.col("total_rev"), 6).alias("promo_pct"),
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog (discounted revenue): an OR of three brand/size/
+    quantity conjunctions spanning both join sides. Catalyst extracts the
+    single-side common factors from the disjunction (CNF conversion):
+    p_brand IN (12,23,3) + the p_size envelope push to the part scan and
+    the l_quantity envelope [1,30] pushes to the lineitem scan, so the
+    broadcast join only sees candidate rows; the full disjunction is
+    re-checked post-join. At 100 TB that pre-join pruning is the
+    difference between scanning 3 brands and scanning the whole fact."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(22,6)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
