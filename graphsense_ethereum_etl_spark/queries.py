@@ -2836,3 +2836,284 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count("*").cast("bigint").alias("n_lines"),
     )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS val
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, CAST(val AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(val AS DOUBLE) >
+          (SELECT CAST(SUM(val) AS DOUBLE) * 0.0005 FROM pv)
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (important stock): parts whose revenue exceeds a
+    fraction of GLOBAL revenue — a grouped agg filtered against a scalar
+    subquery over the same agg. The Spark plan computes the per-part
+    decimal-exact sums once, derives the global threshold by re-aggregating
+    that (small) result, and broadcasts the 1-row threshold back via
+    crossJoin — the fact table is scanned and shuffled exactly once; the
+    second pass runs over |parts| rows, not |lineitem|. Threshold compare
+    happens in DOUBLE on both engines (exact sums first, one double
+    multiply after)."""
+    li = load(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(22,6)")
+        ).alias("val")
+    )
+    pv = pv.persist()
+    thr = pv.agg(
+        (F.sum("val").cast("double") * F.lit(0.0005)).alias("thr")
+    )
+    return (
+        pv.crossJoin(F.broadcast(thr))
+        .filter(F.col("val").cast("double") > F.col("thr"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("val").cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog (customer order-count distribution): LEFT OUTER
+    join keeps order-less customers (c_count = 0 — COUNT of a NULL column
+    skips them, the classic outer-join-count idiom), then a second agg
+    over the first's output builds the histogram. The non-equi residue
+    (o_orderpriority <> '1-URGENT') rides the join condition, NOT a
+    pre-filter on customer — outer semantics require it. First agg
+    shuffles on custkey; the histogram agg runs over |customers| rows."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    j = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    c_orders = j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("bigint").alias("c_count")
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog (top supplier): the supplier(s) with max quarterly
+    revenue — scalar-subquery MAX against the same derived view, keeping
+    ALL ties (the reason Q15 is not just a LIMIT 1). Ties are decided on
+    EXACT decimal revenue (both engines compare the decimal, only the
+    output is cast to double) so cross-engine tie sets are identical.
+    Plan: one shuffle to build rev, 1-row MAX broadcast back, supplier
+    dim broadcast — the quarter filter prunes the fact scan."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(22,6)")
+        ).alias("total_rev")
+    )
+    rev = rev.persist()
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < CAST(0 AS DOUBLE))
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog (supplier counts by part attributes), with
+    lineitem standing in for partsupp as the part↔supplier bridge.
+    Exclusion list (negative-balance suppliers) is a broadcast LEFT ANTI
+    join — NOT IN over a small, non-null key set is exactly anti-join
+    semantics, and broadcasting it avoids shuffling the fact. Part
+    attribute filters (brand/type/size IN-list) push to the broadcast
+    part scan. One shuffle for the distinct-supplier count."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < F.lit(0.0).cast("double")
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#5' AND l.l_quantity < 0.5 * pa.avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog (small-quantity-order revenue): lines of one
+    brand's parts with quantity under half the part's average quantity —
+    the classic correlated-average decorrelated into a per-part agg +
+    join. The oracle computes the per-part average over ALL parts; the
+    Spark plan pushes the brand filter FIRST (partkey determines brand, so
+    restricting the average's input to the brand's lines is equivalence-
+    preserving) — at 100 TB this turns a full-fact self-aggregation into
+    one over the selected brand's sliver. avg_qty is exact-decimal sum /
+    count in DOUBLE, so the 0.5×avg threshold compares identically across
+    engines."""
+    brand_parts = load(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#5"
+    ).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+      AND c_acctbal >
+          (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           FROM customer WHERE c_acctbal > CAST(0 AS DOUBLE))
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog (global sales opportunity): well-funded customers
+    (balance above the positive-balance average) in selected segments with
+    no RECENT order — the testdata's dense order history leaves no
+    customer with zero orders ever, so "lapsed since 2000" keeps the
+    NOT-EXISTS shape non-degenerate. Three patterns in one plan: a scalar AVG subquery
+    (computed as exact-decimal sum / count in DOUBLE — a plain double AVG
+    is summation-order-dependent and can flip boundary rows between
+    engines), broadcast back via crossJoin; a LEFT ANTI join against
+    orders for NOT EXISTS; and the segment IN-list pushed to the customer
+    scan. The anti join shuffles on custkey (orders is a fact); everything
+    else is broadcast."""
+    cust = load(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > F.lit(0.0).cast("double")).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.filter(
+            F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING", "MACHINERY")
+        )
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
