@@ -3117,3 +3117,255 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+           round(ps.unit_cost, 6) AS unit_cost
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size = 10 AND p.p_type = 'STANDARD'
+      AND ps.unit_cost = (SELECT MIN(ps2.unit_cost) FROM ps ps2
+                          WHERE ps2.l_partkey = ps.l_partkey)
+    ORDER BY p.p_partkey, s.s_name
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog (minimum-cost supplier): for each part in a
+    size/type slice, the supplier(s) with the lowest observed unit cost,
+    with lineitem standing in for partsupp (unit cost = total price /
+    total quantity per part-supplier pair). The oracle keeps the classic
+    correlated-MIN subquery; the Spark plan decorrelates it into a window
+    MIN over the partkey partition — no second scan or self-join, the
+    per-pair agg output is reused in place. The part slice is pushed
+    BELOW the agg as a broadcast semi-join on lineitem (partkey determines
+    the part attributes, so pre-restricting is equivalence-preserving);
+    at 100 TB the pair-agg then runs over the slice, not the full fact.
+    unit_cost is exact-decimal sums divided in DOUBLE → cross-engine
+    stable ties; rounding is output-only."""
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 10) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    ).join(F.broadcast(part.select("p_partkey")),
+           F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+        ).alias("unit_cost")
+    )
+    w = W.partitionBy("l_partkey")
+    best = ps.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    WITH all_volume AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,6)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'EUROPE')
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE) AS nation_rev,
+           CAST(SUM(volume) AS DOUBLE) AS total_rev,
+           round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM all_volume GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog (national market share): one supplier nation's
+    share of yearly revenue sold into one region's customer market. A
+    5-dim snowflake around two facts: customer→nation→region and
+    supplier→nation legs are all broadcast (dims are tiny), so the only
+    shuffle is lineitem⋈orders on orderkey. The region filter prunes the
+    customer leg BEFORE it reaches the join (broadcast side built from
+    the filtered snowflake), and the share is a conditional decimal sum —
+    one pass, no second join against a "nation-only" subplan. Year is
+    extracted as INT on both engines; ratio computed in DOUBLE after the
+    exact sums."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cust = (
+        load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("c_custkey")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"),
+                                   F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(22,6)")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(22,6)")
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum(nation_vol).cast("double").alias("nation_rev"),
+        F.sum("volume").cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        "o_year", "nation_rev", "total_rev",
+        F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - p.p_retailprice * l.l_quantity AS DECIMAL(22,6)))
+                AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, o_year
+    ORDER BY n.n_name, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog (product-type profit): profit per supplier nation
+    per year over parts matching a name pattern, with p_retailprice ×
+    quantity standing in for partsupp supplycost. The LIKE filter prunes
+    the broadcast part dim before the join; part/supplier/nation legs all
+    broadcast, so the single shuffle is lineitem⋈orders — then one
+    grouped decimal sum. The profit expression is computed per-row and
+    decimal-cast BEFORE summing (sums of signed doubles are the classic
+    order-sensitivity trap)."""
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_retailprice")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(22,6)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("n_name", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    """
+    SELECT s.s_name, s.s_suppkey
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_2'
+      AND s.s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > CAST(45 AS DECIMAL(18,2)))
+    ORDER BY s.s_suppkey
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog (potential part promotion): suppliers in one
+    nation who moved >45 units of some 'small%' part in a year — an IN
+    subquery whose inner query is itself a grouped agg with HAVING (the
+    nested-semi-with-threshold pattern; lineitem stands in for partsupp
+    availqty). Spark plan: year + part-name filters prune the fact scan
+    (part broadcast), per (supplier, part) decimal sum, HAVING filter,
+    then a LEFT SEMI join from the nation-filtered supplier dim into that
+    qualifying set — distinct-ing falls out of semi semantics. The HAVING
+    compares exact decimals, so the qualifying set is engine-stable."""
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    qualifying = (
+        li.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > F.lit(45).cast("decimal(18,2)"))
+        .select("l_suppkey")
+    )
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2").select(
+        "n_nationkey"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    return (
+        supp.join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_suppkey")
+    )
