@@ -119,6 +119,31 @@ def test_q18_topk_plan_shape(spark, sf_dir):
     assert "TakeOrderedAndProject" in executed_plan(df)
 
 
+def test_q21_single_fact_shuffle(spark, sf_dir):
+    """Q21's per-order aggregate must cost ONE exchange on l_orderkey.
+    A countDistinct alongside collect_set would Expand-rewrite into a
+    two-level aggregate with an extra hashpartitioning(l_orderkey,
+    l_suppkey) exchange — the size(collect_set) form avoids it."""
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    df = REGISTRY["q21_suppliers_kept_waiting"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and "l_orderkey" in ln
+        and "l_suppkey" in ln
+    ]
+    assert not bad, bad
+    orderkey_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "l_orderkey" in ln
+    ]
+    assert len(orderkey_exchanges) == 1, orderkey_exchanges
+
+
 def test_sim3_single_signature_exchange(spark, sf_dir):
     """The LSH candidate generation must evaluate the (expensive) signature
     subplan ONCE: exactly one exchange partitioned on the band/bucket key —
