@@ -1,0 +1,330 @@
+"""Command-line driver — the user-facing surface of the engine.
+
+Reference parity: the reference's primary entry points are argparse CLIs
+(``eth_cassandra_streaming.py:470-547`` builds the parser, ``:562-658`` the
+ingest loop; the CSV variant at ``eth_csv_export.py:380-455,457-607``). This
+module exposes the same lifecycle over the Spark engine::
+
+    python -m graphsense_ethereum_etl_spark ingest \
+        -w http://node:8545 -o /data/eth -s 0 -e 100000 -b 1000
+
+Subcommands:
+
+``ingest``
+    Micro-batch extract → transform → partitioned write with sink-derived
+    resume (continue-from-latest unless ``-s`` forces a start, exactly the
+    reference's semantics at ``eth_cassandra_streaming.py:588-599`` /
+    ``README.md:68-70``), children-before-marker crash consistency, and a
+    final ``configuration`` metadata write (K3,
+    ``eth_cassandra_streaming.py:653-656``).
+``info``
+    Print last-synced (node head) and last-ingested (sink resume scan)
+    block and exit — the reference's ``-i/--info`` flag (``:589-592``).
+``invalidate``
+    Chain-reorg handling: drop every bucket partition at/after a block
+    across all entity tables (SURVEY.md §7.4.4; no reference equivalent —
+    the reference must re-ingest into Cassandra and rely on upserts).
+
+Provider URIs: ``http(s)://…`` talks JSON-RPC 2.0 batch to a real node;
+``synthetic://<head>`` serves the deterministic generator chain
+(sources/generator.py) so the full CLI lifecycle runs hermetically — demos,
+tests, and throughput benchmarks need no node.
+"""
+
+from __future__ import annotations
+
+import time
+from argparse import ArgumentParser, Namespace
+from collections.abc import Callable
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+
+from .operators.pipelines import CASSANDRA, CSV
+from .streaming.incremental import (
+    IngestStats,
+    invalidate_from,
+    latest_ingested_block,
+    resolve_range,
+    run_incremental,
+)
+
+SYNTHETIC_SCHEME = "synthetic://"
+
+
+def build_parser() -> ArgumentParser:
+    """Argument surface mirroring the reference's ``create_parser``
+    (eth_cassandra_streaming.py:470-547); sink flags replace the Cassandra
+    cluster flags (``-d/--db_nodes``, ``-k/--keyspace``) since the Spark
+    engine's sink is a path + format, not a session."""
+    parser = ArgumentParser(
+        prog="graphsense_ethereum_etl_spark",
+        description="Ethereum ETL on Spark: ingest, info, invalidate",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    ingest = sub.add_parser(
+        "ingest", help="micro-batch ingest with sink-derived resume"
+    )
+    ingest.add_argument(
+        "-w",
+        "--provider-uri",
+        dest="provider_uri",
+        required=True,
+        help="JSON-RPC node URI, or synthetic://<head> for the "
+        "deterministic generator chain",
+    )
+    ingest.add_argument(
+        "-o",
+        "--sink-root",
+        dest="sink_root",
+        required=True,
+        help="sink directory (one subdir per entity table)",
+    )
+    ingest.add_argument(
+        "-s",
+        "--start-block",
+        dest="start_block",
+        type=int,
+        default=None,
+        help="start block (default: continue from last ingested block)",
+    )
+    ingest.add_argument(
+        "-e",
+        "--end-block",
+        dest="end_block",
+        type=int,
+        default=None,
+        help="end block (default: last available block)",
+    )
+    ingest.add_argument(
+        "-b",
+        "--batch-size",
+        dest="batch_size",
+        type=int,
+        default=1000,
+        help="blocks per micro-batch; rounded up to a bucket multiple so "
+        "each batch overwrites whole partitions (default: 1000)",
+    )
+    ingest.add_argument(
+        "-p",
+        "--previous-day",
+        dest="prev_day",
+        action="store_true",
+        help="only ingest blocks strictly before today's UTC midnight "
+        "(exchange rates for the current day may not exist yet)",
+    )
+    ingest.add_argument(
+        "-i",
+        "--info",
+        action="store_true",
+        help="display block information and exit",
+    )
+    ingest.add_argument(
+        "-t",
+        "--timeout",
+        dest="timeout",
+        type=float,
+        default=3600.0,
+        help="JSON-RPC timeout in seconds (default: 3600)",
+    )
+    ingest.add_argument(
+        "--bucket-size",
+        dest="bucket_size",
+        type=int,
+        default=1000,
+        help="block_id_group bucket size (default: 1000, schema.cql parity)",
+    )
+    ingest.add_argument(
+        "--rpc-batch-size",
+        dest="rpc_batch_size",
+        type=int,
+        default=50,
+        help="JSON-RPC calls per HTTP round-trip (default: 50)",
+    )
+    ingest.add_argument(
+        "--sink-format",
+        dest="sink_format",
+        choices=["parquet", "versioned"],
+        default="parquet",
+        help="parquet: dynamic partition overwrite; versioned: atomic "
+        "manifest-pointer commits (default: parquet)",
+    )
+    ingest.add_argument(
+        "--dialect",
+        dest="dialect",
+        choices=[CASSANDRA, CSV],
+        default=CASSANDRA,
+        help="transform dialect: cassandra (binary columns, | trace paths) "
+        "or csv (hex strings, - trace paths)",
+    )
+
+    info = sub.add_parser("info", help="print head / resume state and exit")
+    info.add_argument("-w", "--provider-uri", dest="provider_uri", required=True)
+    info.add_argument("-o", "--sink-root", dest="sink_root", required=True)
+    info.add_argument("-t", "--timeout", dest="timeout", type=float, default=3600.0)
+    info.add_argument(
+        "--sink-format",
+        dest="sink_format",
+        choices=["parquet", "versioned"],
+        default="parquet",
+    )
+
+    inv = sub.add_parser(
+        "invalidate", help="drop bucket partitions at/after a block (reorg)"
+    )
+    inv.add_argument("-o", "--sink-root", dest="sink_root", required=True)
+    inv.add_argument(
+        "--from-block", dest="from_block", type=int, required=True
+    )
+    inv.add_argument("--bucket-size", dest="bucket_size", type=int, default=1000)
+    inv.add_argument(
+        "--sink-format",
+        dest="sink_format",
+        choices=["parquet", "versioned"],
+        default="parquet",
+    )
+
+    return parser
+
+
+def _resolve_provider(
+    args: Namespace,
+) -> tuple[Callable, int]:
+    """Build (chain_source, head) from the provider URI.
+
+    ``synthetic://<head>`` → generator chain with a fixed head;
+    anything else → JSON-RPC transport with an ``eth_blockNumber`` probe.
+    """
+    uri: str = args.provider_uri
+    if uri.startswith(SYNTHETIC_SCHEME):
+        from .sources.generator import gen_chain
+
+        head = int(uri[len(SYNTHETIC_SCHEME) :])
+
+        def source(spark: SparkSession, lo: int, hi: int):
+            return gen_chain(spark, lo, hi)
+
+        return source, head
+
+    from .sources.rpc import JsonRpcTransport, node_head, rpc_chain_source
+
+    transport = JsonRpcTransport(uri, timeout=getattr(args, "timeout", 3600.0))
+    rpc_bs = getattr(args, "rpc_batch_size", 50)
+    return rpc_chain_source(transport, rpc_batch_size=rpc_bs), node_head(transport)
+
+
+def _utc_midnight_today() -> int:
+    now = datetime.now(timezone.utc)
+    return int(
+        datetime(now.year, now.month, now.day, tzinfo=timezone.utc).timestamp()
+    )
+
+
+def print_block_info(last_synced: int, last_ingested: int | None) -> None:
+    """eth_cassandra_streaming.py:550-559 parity."""
+    print(f"Last synced block: {last_synced:,}")
+    if last_ingested is None:
+        print("Last ingested block: None")
+    else:
+        print(f"Last ingested block: {last_ingested:,}")
+
+
+def cmd_ingest(args: Namespace, spark: SparkSession) -> IngestStats:
+    source, head = _resolve_provider(args)
+    if args.prev_day:
+        if args.provider_uri.startswith(SYNTHETIC_SCHEME):
+            raise SystemExit(
+                "--previous-day needs real block timestamps; "
+                "the synthetic chain has no calendar"
+            )
+        from .sources.rpc import JsonRpcTransport, last_block_before
+
+        transport = JsonRpcTransport(args.provider_uri, timeout=args.timeout)
+        head = last_block_before(transport, _utc_midnight_today(), head)
+        if head < 0:
+            print("No blocks to ingest")
+            return IngestStats()
+
+    resume = latest_ingested_block(
+        spark, f"{args.sink_root}/block", args.sink_format
+    )
+    print_block_info(head, resume)
+    if args.info:
+        return IngestStats()
+
+    rng = resolve_range(resume, head, args.start_block, args.end_block)
+    if rng is None:
+        print("No blocks to ingest")
+        return IngestStats()
+    start, end = rng
+    t0 = time.perf_counter()
+    print(f"Ingesting block range {start:,}:{end:,} into {args.sink_root}")
+    stats = run_incremental(
+        spark,
+        source,
+        args.sink_root,
+        head=head,
+        start_block=args.start_block,
+        end_block=args.end_block,
+        batch_size=args.batch_size,
+        bucket_size=args.bucket_size,
+        dialect=args.dialect,
+        sink_format=args.sink_format,
+    )
+    dt = time.perf_counter() - t0
+    rate = stats.blocks / dt if dt > 0 else float("inf")
+    print(
+        f"Processed block range {start:,}:{end:,} "
+        f"({stats.batches} batches, {rate:.1f} blocks/s)"
+    )
+
+    from .sinks import write_configuration
+
+    write_configuration(
+        spark,
+        f"{args.sink_root}/configuration",
+        keyspace=args.sink_root.rstrip("/").rsplit("/", 1)[-1],
+        bucket_size=args.bucket_size,
+    )
+    return stats
+
+
+def cmd_info(args: Namespace, spark: SparkSession) -> IngestStats:
+    _, head = _resolve_provider(args)
+    resume = latest_ingested_block(
+        spark, f"{args.sink_root}/block", args.sink_format
+    )
+    print_block_info(head, resume)
+    return IngestStats()
+
+
+def cmd_invalidate(args: Namespace, spark: SparkSession) -> IngestStats:
+    removed = invalidate_from(
+        spark,
+        args.sink_root,
+        args.from_block,
+        bucket_size=args.bucket_size,
+        sink_format=args.sink_format,
+    )
+    for name in removed:
+        print(f"removed {name}")
+    print(f"Invalidated {len(removed)} partitions from block {args.from_block:,}")
+    return IngestStats()
+
+
+def main(
+    argv: list[str] | None = None, spark: SparkSession | None = None
+) -> IngestStats:
+    """Entry point. ``spark`` is injectable for tests; the default builds
+    the standard local session (session.py — AQE, UTC, Arrow)."""
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        from .session import get_spark
+
+        spark = get_spark(app_name=f"etl-{args.command}")
+    if args.command == "ingest":
+        return cmd_ingest(args, spark)
+    if args.command == "info":
+        return cmd_info(args, spark)
+    return cmd_invalidate(args, spark)

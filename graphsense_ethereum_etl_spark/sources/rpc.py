@@ -464,3 +464,49 @@ def rpc_chain_source(
         }
 
     return source
+
+
+# ---------------------------------------------------------------------------
+# S6 head / cutoff probes (driver-side, one tiny RPC each)
+# ---------------------------------------------------------------------------
+
+
+def node_head(transport: JsonRpcTransport) -> int:
+    """Last synced block of the node (eth_blockNumber) — the reference's
+    get_last_synced_block (eth_cassandra_streaming.py:191-194)."""
+    [head_hex] = transport.request_batch([("eth_blockNumber", [])])
+    return int(head_hex, 16)
+
+
+def block_timestamp(transport: JsonRpcTransport, block_id: int) -> int:
+    """Epoch-seconds timestamp of one block (header-only fetch)."""
+    [blk] = transport.request_batch(
+        [("eth_getBlockByNumber", [hex(block_id), False])]
+    )
+    return int(blk["timestamp"], 16)
+
+
+def last_block_before(
+    transport: JsonRpcTransport, cutoff_ts: int, head: int
+) -> int:
+    """Largest block id with timestamp < ``cutoff_ts`` — the reference's
+    get_last_block_yesterday (eth_cassandra_streaming.py:197-211: cutoff =
+    today's UTC midnight, used by the -p/--previous_day flag so a daily
+    ingest never splits a calendar day). Binary search over the chain's
+    monotone timestamps: O(log head) header fetches instead of a scan.
+
+    Returns -1 if even block 0 is at/after the cutoff (nothing to ingest).
+    """
+    if block_timestamp(transport, 0) >= cutoff_ts:
+        return -1
+    if block_timestamp(transport, head) < cutoff_ts:
+        return head
+    # invariant: ts(lo) < cutoff <= ts(hi)
+    lo, hi = 0, head
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if block_timestamp(transport, mid) < cutoff_ts:
+            lo = mid
+        else:
+            hi = mid
+    return lo

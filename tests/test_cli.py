@@ -1,0 +1,183 @@
+"""CLI driver tests (cli.py) — the reference's user-facing surface
+(eth_cassandra_streaming.py:470-547 parser, :562-658 main loop) driven
+end-to-end over the synthetic chain and recorded transports."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from graphsense_ethereum_etl_spark.cli import build_parser, main
+
+
+def test_parser_reference_parity_flags():
+    """The reference's short flags (-w -s -e -b -p -i -t) all parse, plus
+    the sink flags that replace its Cassandra cluster args."""
+    args = build_parser().parse_args(
+        [
+            "ingest",
+            "-w", "http://node:8545",
+            "-o", "/tmp/sink",
+            "-s", "0",
+            "-e", "99",
+            "-b", "500",
+            "-p",
+            "-i",
+            "-t", "60",
+        ]
+    )
+    assert args.command == "ingest"
+    assert args.provider_uri == "http://node:8545"
+    assert (args.start_block, args.end_block) == (0, 99)
+    assert args.batch_size == 500 and args.prev_day and args.info
+    assert args.timeout == 60.0
+    # defaults mirror the engine's schema.cql-parity constants
+    assert args.bucket_size == 1000 and args.rpc_batch_size == 50
+    assert args.sink_format == "parquet" and args.dialect == "cassandra"
+
+
+def test_cli_ingest_then_resume(spark, tmp_path):
+    """20-block ingest, then a second invocation continues from the sink's
+    max block (README.md:68-70 continue-from-latest semantics) without
+    re-ingesting certified blocks."""
+    sink = str(tmp_path / "eth")
+    s1 = main(
+        [
+            "ingest",
+            "-w", "synthetic://25",
+            "-o", sink,
+            "-e", "19",
+            "-b", "10",
+            "--bucket-size", "10",
+        ],
+        spark=spark,
+    )
+    assert s1.blocks == 20 and s1.batches == 2
+
+    blocks = spark.read.parquet(f"{sink}/block")
+    assert blocks.select("block_id").distinct().count() == 20
+
+    # resume: head=25, sink max=19 → ingest exactly 20..25
+    s2 = main(
+        [
+            "ingest",
+            "-w", "synthetic://25",
+            "-o", sink,
+            "-b", "10",
+            "--bucket-size", "10",
+        ],
+        spark=spark,
+    )
+    assert s2.blocks == 6
+    blocks = spark.read.parquet(f"{sink}/block")
+    assert blocks.select("block_id").distinct().count() == 26
+
+    # K3 configuration metadata written (eth_cassandra_streaming.py:653-656)
+    conf = spark.read.parquet(f"{sink}/configuration").collect()[0]
+    assert conf["block_bucket_size"] == 10
+
+
+def test_cli_info_flag_skips_ingest(spark, tmp_path, capsys):
+    sink = str(tmp_path / "eth")
+    stats = main(
+        ["ingest", "-w", "synthetic://10", "-o", sink, "-i"], spark=spark
+    )
+    assert stats.blocks == 0
+    assert not os.path.exists(f"{sink}/block")
+    out = capsys.readouterr().out
+    assert "Last synced block: 10" in out
+    assert "Last ingested block: None" in out
+
+
+def test_cli_info_subcommand(spark, tmp_path, capsys):
+    sink = str(tmp_path / "eth")
+    main(
+        ["ingest", "-w", "synthetic://9", "-o", sink, "-b", "10",
+         "--bucket-size", "10"],
+        spark=spark,
+    )
+    capsys.readouterr()
+    main(["info", "-w", "synthetic://9", "-o", sink], spark=spark)
+    out = capsys.readouterr().out
+    assert "Last synced block: 9" in out
+    assert "Last ingested block: 9" in out
+
+
+def test_cli_invalidate_reorg(spark, tmp_path):
+    sink = str(tmp_path / "eth")
+    main(
+        [
+            "ingest",
+            "-w", "synthetic://29",
+            "-o", sink,
+            "-b", "10",
+            "--bucket-size", "10",
+        ],
+        spark=spark,
+    )
+    stats = main(
+        [
+            "invalidate",
+            "-o", sink,
+            "--from-block", "15",
+            "--bucket-size", "10",
+        ],
+        spark=spark,
+    )
+    assert stats.blocks == 0
+    blocks = spark.read.parquet(f"{sink}/block")
+    # block 15 is in bucket 1 → buckets 1 and 2 dropped, bucket 0 intact
+    assert blocks.agg({"block_id": "max"}).collect()[0][0] == 9
+
+
+def test_cli_prev_day_rejected_on_synthetic(spark, tmp_path):
+    with pytest.raises(SystemExit, match="previous-day"):
+        main(
+            [
+                "ingest",
+                "-w", "synthetic://10",
+                "-o", str(tmp_path / "eth"),
+                "-p",
+            ],
+            spark=spark,
+        )
+
+
+def test_last_block_before_bisects():
+    """Binary search over monotone chain timestamps: finds the last block
+    strictly before the cutoff with O(log head) header fetches, not a
+    scan (reference get_last_block_yesterday parity)."""
+    from graphsense_ethereum_etl_spark.sources.rpc import (
+        JsonRpcTransport,
+        last_block_before,
+    )
+
+    calls: list[int] = []
+
+    def post(body: bytes) -> bytes:
+        reqs = json.loads(body)
+        out = []
+        for r in reqs:
+            assert r["method"] == "eth_getBlockByNumber"
+            n = int(r["params"][0], 16)
+            calls.append(n)
+            out.append(
+                {
+                    "jsonrpc": "2.0",
+                    "id": r["id"],
+                    "result": {"number": hex(n), "timestamp": hex(1000 + 13 * n)},
+                }
+            )
+        return json.dumps(out).encode()
+
+    t = JsonRpcTransport("http://node:8545", post=post)
+    head = 1000
+    # cutoff lands exactly on block 700's timestamp → last strictly-before is 699
+    assert last_block_before(t, 1000 + 13 * 700, head) == 699
+    assert len(calls) <= 2 + 11  # endpoints + ceil(log2(1000)) probes
+
+    calls.clear()
+    assert last_block_before(t, 1000, head) == -1  # genesis already at cutoff
+    assert last_block_before(t, 10**9, head) == head  # cutoff after head
