@@ -3,12 +3,20 @@
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct. Decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` Pandas functions — the only sanctioned Python hot path,
-because codec work genuinely can't be a Catalyst expression. The actual
-codec libraries (PIL/ffmpeg/librosa) are NOT in this container, so the decode
-step is STUBBED: ``extractor="real"`` raises ``NotImplementedError`` with the
-dependency named, and the default extractor is a deterministic fake that
-derives pseudo-features from the bytes — which keeps the Spark-side plumbing
-(schema, batch shape, partition parallelism) real and testable.
+because codec work genuinely can't be a Catalyst expression.
+
+Two extractors share identical Spark plumbing (schema, batch shape,
+partition parallelism):
+
+- ``extractor="real"`` — actual decode via the pure-stdlib codecs in
+  operators/codecs.py: PNG (zlib inflate + scanline unfilter), netpbm
+  P5/P6 (single images and concatenated ffmpeg-image2pipe streams, the
+  dependency-free video container), and PCM WAV. Formats that need
+  external libraries (JPEG, MP4, …) raise ``NotImplementedError`` naming
+  the dependency (Pillow/ffmpeg are not in this container).
+- ``extractor="fake"`` (default) — a deterministic stub deriving
+  pseudo-features from the byte length, kept as the SQL-oracle-checkable
+  path (mm1) since the oracle can reproduce arithmetic but not a codec.
 
 Scale posture: mapInPandas streams Arrow record batches (bounded memory per
 task); binary payloads never hit the driver; feature extraction is
@@ -73,20 +81,30 @@ def _fake_features(payload: bytes) -> tuple[int, int, int, int]:
 def extract_features(media: DataFrame, extractor: str = "fake") -> DataFrame:
     """Decode/feature-extract via mapInPandas (Arrow batches).
 
-    ``extractor="real"`` is the production path — it needs an image/audio
-    codec library that is not installed here, so it raises with the exact
-    dependency; ``"fake"`` exercises the identical plumbing with the
-    deterministic stub."""
-    if extractor == "real":  # pragma: no cover - codec libs absent by design
-        raise NotImplementedError(
-            "real media decode requires PIL/ffmpeg (not installed in this "
-            "container); use extractor='fake' for the plumbing path"
-        )
+    ``extractor="real"`` decodes PNG / netpbm / WAV headers (codecs.py,
+    header-only — no pixel inflate on this path); ``"fake"`` exercises the
+    identical plumbing with the deterministic stub."""
+    if extractor == "real":
+        from .codecs import media_features
+
+        def feature_fn(payload: bytes):
+            # Per-row tolerance: one corrupt/unknown payload must not kill a
+            # whole 1000-executor stage — it degrades to (n_bytes, null,
+            # null, null) and the caller filters. NotImplementedError (a
+            # format needing an absent library) still raises: that is a
+            # deployment gap, not bad data.
+            try:
+                return media_features(payload)
+            except ValueError:
+                return len(payload), None, None, None
+    else:
+        feature_fn = _fake_features
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_features(b if b is not None else b"") for b in pdf["content"]
+                feature_fn(bytes(b) if b is not None else b"")
+                for b in pdf["content"]
             ]
             out = pd.DataFrame(
                 feats, columns=["n_bytes", "width", "height", "n_frames"]
@@ -126,28 +144,42 @@ FRAME_SCHEMA = T.StructType(
 
 def resize_media(media: DataFrame, width: int, height: int, extractor: str = "fake") -> DataFrame:
     """Resize: 1-in-1-out mapInPandas over Arrow batches, emitting new binary
-    content plus updated meta. The real path would decode → PIL resize →
-    re-encode; the stub deterministically truncates/tiles the payload to
-    width*height bytes so row count, schema, and batch shape are the real
-    pipeline's."""
-    if extractor == "real":  # pragma: no cover - codec libs absent by design
-        raise NotImplementedError(
-            "real resize requires PIL (not installed); use extractor='fake'"
-        )
+    content plus updated meta.
+
+    ``extractor="real"``: decode (PNG/netpbm, codecs.py) → nearest-neighbor
+    resample → re-encode as PNG. ``"fake"``: deterministically truncates/
+    tiles the payload to width*height bytes — same row count, schema, and
+    batch shape."""
     target = width * height
+
+    if extractor == "real":
+        from .codecs import decode_image, png_encode, resize_nearest
+
+        def one(b: bytes) -> tuple[bytes, str]:
+            out = png_encode(resize_nearest(decode_image(b), width, height))
+            return out, "image/png"
+    else:
+
+        def one(b: bytes) -> tuple[bytes, str]:
+            out = (
+                (b * (target // max(len(b), 1) + 1))[:target]
+                if b
+                else b"\x00" * target
+            )
+            return out, "image/raw"
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content) if content is not None else b""
-                out = (b * (target // max(len(b), 1) + 1))[:target] if b else b"\x00" * target
+                out, mime = one(b)
                 rows.append(
                     {
                         "media_id": mid,
                         "content": out,
                         "meta": {
-                            "mime": "image/raw",
+                            "mime": mime,
                             "n_bytes": len(out),
                             "width": width,
                             "height": height,
@@ -160,30 +192,53 @@ def resize_media(media: DataFrame, width: int, height: int, extractor: str = "fa
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8,
-                  extractor: str = "fake") -> DataFrame:
+                  extractor: str = "fake", every_n_frames: int = 1) -> DataFrame:
     """Frame sampling: 1-in-N-out mapInPandas (row-expanding, the video →
-    frames shape). The real path would ffmpeg-demux and keep every Nth frame;
-    the stub slices the payload into ``every_n_bytes`` windows, capped at
-    ``max_frames`` — exercising the same expansion, ordering, and memory
-    profile (frames stream out per Arrow batch; no row ever materializes the
-    whole video more than once)."""
-    if extractor == "real":  # pragma: no cover - codec libs absent by design
-        raise NotImplementedError(
-            "real frame sampling requires ffmpeg (not installed); use extractor='fake'"
-        )
+    frames shape).
+
+    ``extractor="real"``: the payload is a concatenated netpbm P5/P6 stream
+    (ffmpeg ``-f image2pipe -vcodec ppm`` output — a real, dependency-free
+    video container); every ``every_n_frames``-th frame is kept, capped at
+    ``max_frames``, each re-encoded as PNG. ``frame_index`` is the index IN
+    THE SOURCE STREAM (so downstream can recover timestamps). Containers
+    that need a demuxer (MP4/MKV) raise NotImplementedError naming ffmpeg.
+
+    ``"fake"``: slices the payload into ``every_n_bytes`` windows capped at
+    ``max_frames`` — same expansion, ordering, and memory profile (frames
+    stream out per Arrow batch; no row ever materializes the whole video
+    more than once)."""
+    if extractor == "real":
+        from .codecs import pnm_stream_frames, png_encode, sniff_mime
+
+        def frames_of(b: bytes) -> list[tuple[int, bytes]]:
+            mime = sniff_mime(b)
+            if mime != "image/x-portable-anymap":
+                raise NotImplementedError(
+                    f"frame sampling of {mime} needs ffmpeg (not installed); "
+                    "supported real container: concatenated netpbm P5/P6"
+                )
+            frames = pnm_stream_frames(b)
+            picked = range(0, len(frames), max(1, every_n_frames))
+            return [
+                (i, png_encode(frames[i])) for i in list(picked)[:max_frames]
+            ]
+    else:
+
+        def frames_of(b: bytes) -> list[tuple[int, bytes]]:
+            n = min(max_frames, max(1, (len(b) + every_n_bytes - 1) // every_n_bytes))
+            return [
+                (i, b[i * every_n_bytes : (i + 1) * every_n_bytes])
+                for i in range(n)
+            ]
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content) if content is not None else b""
-                for i in range(min(max_frames, max(1, (len(b) + every_n_bytes - 1) // every_n_bytes))):
+                for i, frame in frames_of(b):
                     rows.append(
-                        {
-                            "media_id": mid,
-                            "frame_index": i,
-                            "frame": b[i * every_n_bytes : (i + 1) * every_n_bytes],
-                        }
+                        {"media_id": mid, "frame_index": i, "frame": frame}
                     )
             yield pd.DataFrame(rows)
 

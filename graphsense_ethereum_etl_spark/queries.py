@@ -1223,6 +1223,66 @@ def mm1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, extractor="fake")
 
 
+@query(
+    "mm2_png_roundtrip",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(16 + doc_id % 32 AS INTEGER) AS width,
+           CAST(8 + doc_id % 16 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def mm2_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec end-to-end through the Spark plumbing: per document,
+    encode an actual PNG (operators/codecs.py png_encode — zlib chunks,
+    filter-0 scanlines) with dimensions derived from doc_id and pixels from
+    the text bytes, then run the production decode path
+    (extract_features(extractor="real") → mapInPandas → PNG IHDR parse).
+    The oracle recomputes the expected dimensions arithmetically, so a
+    broken encoder, a broken header parse, or any plumbing that reorders /
+    drops rows flips the hash. n_bytes is excluded from the projection —
+    it depends on zlib's compressed size, which is not SQL-reproducible.
+    Full pixel-level decode correctness (all five PNG filters, palette,
+    netpbm streams, WAV) is unit-tested in tests/test_codecs.py."""
+    import pandas as pd
+
+    from .operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+
+    def encode_batches(batches):
+        import numpy as np
+
+        from .operators.codecs import png_encode
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 16 + int(doc_id) % 32
+                h = 8 + int(doc_id) % 16
+                raw = np.frombuffer(
+                    (text or " ").encode("utf-8"), dtype=np.uint8
+                )
+                px = np.resize(raw, (h, w, 3))  # tile text bytes to h×w×3
+                payload = png_encode(px)
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "content": payload,
+                        "meta": {"mime": "image/png", "n_bytes": len(payload)},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+    return extract_features(media, extractor="real").select(
+        "media_id", "width", "height", "n_frames"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.10 streaming surface (batch-checkable event-time operators)
 # ---------------------------------------------------------------------------
@@ -3440,6 +3500,7 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "q8_market_share",
     "q9_product_profit",
     "q20_potential_promotion",
+    "mm2_png_roundtrip",  # new in r4 (real-codec path)
     # certified only in r01 (dropped out of the r02/r03 prefix)
     "apx1_approx_distinct",
     "asof3_purchase_attribution",

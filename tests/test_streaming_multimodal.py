@@ -72,10 +72,12 @@ def test_multimodal_plumbing(spark):
     assert feats[2]["n_bytes"] == 0
     assert feats[3]["n_bytes"] == 0  # null payload → empty bytes
 
-    import pytest
-
-    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
-        extract_features(media, "real")
+    # real extractor over non-media payloads: per-row degradation to null
+    # dims (never a stage failure) — real decode itself is covered in
+    # tests/test_codecs.py
+    real = {r["media_id"]: r for r in extract_features(media, "real").collect()}
+    assert real[1]["n_bytes"] == 11
+    assert real[1]["width"] is None and real[1]["n_frames"] is None
 
 
 def test_resize_media_plumbing(spark, sf_dir):
