@@ -395,6 +395,7 @@ def simhash_hamming_pairs(
     bits: int = 64,
     max_hamming: int = 3,
     n_pieces: int = 4,
+    candidate_strategy: str = "aggregate",
 ) -> DataFrame:
     """Near-duplicate PAIRS from SimHash fingerprints: (id_a, id_b, hamming)
     for every pair within ``max_hamming`` bit flips.
@@ -412,14 +413,28 @@ def simhash_hamming_pairs(
     Scale notes: the default is the production Manku layout — bits=64,
     n_pieces=4 → 16-bit pieces with 2^16 values each, so piece buckets stay
     ~|corpus|/65536 on non-adversarial data (see the hot-bucket test in
-    tests/test_dedup.py). The fingerprint subplan feeds both join sides; at
-    100 TB you materialize the fingerprint table once (versioned sink)
-    instead of recomputing it per side — kept inline here so the operator is
-    self-contained."""
+    tests/test_dedup.py).
+
+    ``candidate_strategy``:
+
+    - ``"aggregate"`` (default) — the sim3 single-aggregation layout: ONE
+      groupBy (piece, value) collects each bucket's (id, simhash) members,
+      intra-bucket pairs explode map-side. The expensive fingerprint
+      subplan (token explode + 65-aggregate majority vote) is evaluated
+      ONCE — the self-join form evaluates it per side (measured ~2× at
+      sf0.1). Requires each piece bucket's members to fit one array
+      (fine at ~|corpus|/2^16 per bucket).
+    - ``"join"`` — piece-keyed self-join; never materializes a bucket in
+      memory, so it survives adversarial piece-value skew (e.g. a corpus
+      full of identical/empty docs collapsing into one bucket) at the cost
+      of recomputing the fingerprint subplan per side — at 100 TB, pair it
+      with a materialized fingerprint table (versioned sink) instead."""
     if n_pieces <= max_hamming:
         raise ValueError(
             "piece-banding needs n_pieces > max_hamming for lossless pruning"
         )
+    if candidate_strategy not in ("aggregate", "join"):
+        raise ValueError(f"unknown candidate_strategy {candidate_strategy!r}")
     piece_bits = bits // n_pieces
     sims = simhash(docs, text_col, id_col, bits)
     mask = (1 << piece_bits) - 1
@@ -433,18 +448,43 @@ def simhash_hamming_pairs(
     pieces = sims.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*piece_structs)).alias("pc")
     ).select(id_col, "simhash", "pc.p", "pc.val")
-    a = pieces.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"), "p", "val"
-    )
-    b = pieces.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"), "p", "val"
-    )
+    if candidate_strategy == "aggregate":
+        buckets = (
+            pieces.groupBy("p", "val")
+            .agg(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
+                ).alias("members")
+            )
+            .filter(F.size("members") > 1)
+        )
+        cands = (
+            buckets.select(F.explode("members").alias("a"), "members")
+            .select("a", F.explode("members").alias("b"))
+            .filter(F.col("a.i") < F.col("b.i"))
+            .select(
+                F.col("a.i").alias("id_a"),
+                F.col("b.i").alias("id_b"),
+                F.col("a.s").alias("sa"),
+                F.col("b.s").alias("sb"),
+            )
+            .distinct()
+        )
+    else:
+        a = pieces.select(
+            F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"), "p", "val"
+        )
+        b = pieces.select(
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"), "p", "val"
+        )
+        cands = (
+            a.join(b, ["p", "val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sa", "sb")
+            .distinct()
+        )
     return (
-        a.join(b, ["p", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sa", "sb")
-        .distinct()
-        .withColumn(
+        cands.withColumn(
             "hamming",
             F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("bigint"),
         )

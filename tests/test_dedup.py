@@ -37,6 +37,21 @@ def test_simhash_banding_guard(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").filter("doc_id < 5")
     with pytest.raises(ValueError, match="n_pieces > max_hamming"):
         simhash_hamming_pairs(docs, max_hamming=4, n_pieces=4)
+    with pytest.raises(ValueError, match="candidate_strategy"):
+        simhash_hamming_pairs(docs, candidate_strategy="nope")
+
+
+def test_simhash_candidate_strategies_agree(spark, sf_dir):
+    """The single-aggregation candidate generator (default) and the
+    skew-safe self-join fallback must surface the identical pair set."""
+    docs = load(spark, sf_dir, "documents").filter("doc_id < 200")
+    agg = sorted(
+        map(tuple, simhash_hamming_pairs(docs, candidate_strategy="aggregate").collect())
+    )
+    join = sorted(
+        map(tuple, simhash_hamming_pairs(docs, candidate_strategy="join").collect())
+    )
+    assert agg == join and len(agg) > 0
 
 
 def test_simhash_bits_guard(spark, sf_dir):
