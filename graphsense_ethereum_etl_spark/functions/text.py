@@ -99,6 +99,40 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized_text(text))
 
 
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): no backreferences, no lookaround, alternation-free (the two
+# engines differ on leftmost-first vs leftmost-longest alternation).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Training-data scrubbing: replace email addresses then IPv4 literals
+    with typed placeholders. Emails first — an address can embed digits and
+    dots that would otherwise half-match the IP pattern. Pure Catalyst
+    ``regexp_replace`` (replaces ALL occurrences; the DuckDB oracle needs
+    the explicit 'g' flag for the same semantics)."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(c, IPV4_RE, "<IP>")
+
+
+def dup_shingle_ratio(text: Column | str, k: int = 3) -> Column:
+    """Gopher-style repetition signal: the fraction of word ``k``-grams that
+    are duplicates of an earlier one — 1 − |distinct k-grams| / |k-grams|.
+    High values flag boilerplate/spam/looping text. 0.0 for documents
+    shorter than ``k`` tokens (nothing repeats in an empty set)."""
+    w = tokens(text)
+    total = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    distinct = F.size(shingles(text, k))
+    return F.when(
+        total > 0,
+        F.round(
+            (total - distinct).cast("double") / total.cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+
+
 def alpha_ratio(text: Column | str) -> Column:
     """Share of [a-z] characters after lowercasing — quality signal."""
     c = F.lower(F.col(text) if isinstance(text, str) else text)

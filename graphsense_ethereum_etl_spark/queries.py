@@ -3470,6 +3470,148 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# North-star: training-pipeline curation ops (redaction, repetition, mixing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t6_pii_redaction",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.7 end' AS txt
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(txt,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+             AS n_ips,
+           md5(regexp_replace(regexp_replace(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'))
+             AS redacted_fp
+    FROM aug
+    """,
+)
+def t6_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data staple): regexp-replace emails then IPv4
+    literals with typed placeholders, plus per-doc match counts — 100%
+    Catalyst expressions (functions/text.py::redact_pii). The synthetic
+    corpus contains no PII, so each doc is AUGMENTED with a deterministic
+    doc_id-derived email + IP before redaction: the oracle reproduces the
+    augmentation, the match counts, and the md5 of the redacted text
+    byte-for-byte — a silent regex-semantics divergence between engines
+    (alternation order, missing 'g' flag) flips the hash. Patterns are
+    Java-regex/RE2-agreeing by construction (no alternation/lookaround)."""
+    from .functions.text import EMAIL_RE, IPV4_RE, redact_pii
+
+    aug = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7 end"),
+        ).alias("txt"),
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("txt", F.lit(EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("txt", F.lit(IPV4_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.md5(redact_pii("txt")).alias("redacted_fp"),
+    )
+
+
+@query(
+    "t7_repetition_ratio",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+    stats AS (
+      SELECT doc_id,
+             greatest(len(w) - 2, 0) AS total,
+             CASE WHEN len(w) >= 3 THEN (
+               SELECT COUNT(DISTINCT s.w[s.i] || ' ' || s.w[s.i+1] || ' ' || s.w[s.i+2])
+               FROM (SELECT w, UNNEST(range(1, len(w)-1)) AS i) s
+             ) ELSE 0 END AS n_distinct
+      FROM toks)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN total > 0
+                THEN round(CAST(total - n_distinct AS DOUBLE)
+                           / CAST(total AS DOUBLE), 6)
+                ELSE 0.0 END AS dup_ratio
+    FROM stats
+    """,
+)
+def t7_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: fraction of word 3-grams that
+    duplicate an earlier one (1 − distinct/total). Boilerplate, spam, and
+    degenerate looping text score high; the filter threshold is the
+    caller's. Pure Catalyst: token split + the zip_with shingle kernel from
+    functions/text.py — no UDF, fully pushdown-friendly."""
+    from .functions.text import dup_shingle_ratio
+
+    return load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        dup_shingle_ratio("text", k=3).alias("dup_ratio"),
+    )
+
+
+@query(
+    "smp3_mix_rebalance",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY 1)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, d.source
+    FROM documents d JOIN c ON d.source = c.source
+    WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)
+               AS BIGINT) % 10000
+          < CAST(floor(least(1.0, 15.0 / cnt) * 10000) AS BIGINT)
+    """,
+)
+def smp3_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix rebalancing (pretraining data-mixing staple): cap every
+    source at ~15 docs by deriving a per-source keep-rate (least(1, cap/n))
+    and applying it with the smp1 deterministic hash-bucket filter — so the
+    kept set is reproducible, consistent under corpus growth, and
+    membership-exact for the oracle. Plan: one tiny groupBy for the
+    per-source counts, broadcast back onto the fact (the fact table is
+    never shuffled), Catalyst md5-bucket filter. At 100 TB the counts side
+    is table statistics; the rebalance itself stays a broadcast + filter."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("cnt"))
+    cuts = counts.select(
+        "source",
+        F.floor(F.least(F.lit(1.0), F.lit(15.0) / F.col("cnt")) * 10000)
+        .cast("bigint")
+        .alias("cut"),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(10000),
+    )
+    return (
+        d.join(F.broadcast(cuts), "source")
+        .filter(bucket < F.col("cut"))
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry certification ordering
 # ---------------------------------------------------------------------------
 #
@@ -3515,6 +3657,9 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "q9_product_profit",
     "q20_potential_promotion",
     "mm2_png_roundtrip",  # new in r4 (real-codec path)
+    "t6_pii_redaction",  # new in r4
+    "t7_repetition_ratio",  # new in r4
+    "smp3_mix_rebalance",  # new in r4
     # certified only in r01 (dropped out of the r02/r03 prefix)
     "apx1_approx_distinct",
     "asof3_purchase_attribution",
