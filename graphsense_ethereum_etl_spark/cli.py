@@ -170,6 +170,18 @@ def build_parser() -> ArgumentParser:
         default="parquet",
     )
 
+    rates = sub.add_parser(
+        "ingest-rates",
+        help="exchange-rates CSV → exchange_rates table (schema.cql:79-82)",
+    )
+    rates.add_argument(
+        "--csv",
+        dest="rates_csv",
+        required=True,
+        help="long-form CSV with columns date,currency,rate",
+    )
+    rates.add_argument("-o", "--sink-root", dest="sink_root", required=True)
+
     inv = sub.add_parser(
         "invalidate", help="drop bucket partitions at/after a block (reorg)"
     )
@@ -299,6 +311,26 @@ def cmd_info(args: Namespace, spark: SparkSession) -> IngestStats:
     return IngestStats()
 
 
+def cmd_ingest_rates(args: Namespace, spark: SparkSession) -> IngestStats:
+    """Long-form rates CSV → the ``exchange_rates`` table shape
+    (date, fiat_values map<string,float> — schema.cql:79-82). The reference
+    deprecates in-driver rates ingest (README.md:83-87) but still creates
+    the table; this subcommand keeps the table's write path first-class so
+    ``convert_to_fiat`` (operators/rates.py) has an engine-native source."""
+    from .operators.rates import rates_long_to_map
+
+    long_df = spark.read.option("header", "true").csv(args.rates_csv)
+    out = rates_long_to_map(long_df)
+    out.coalesce(1).write.mode("overwrite").parquet(
+        f"{args.sink_root}/exchange_rates"
+    )
+    n = spark.read.parquet(f"{args.sink_root}/exchange_rates").count()
+    print(f"Ingested {n} exchange-rate days into {args.sink_root}/exchange_rates")
+    stats = IngestStats()
+    stats.rows["exchange_rates"] = n
+    return stats
+
+
 def cmd_invalidate(args: Namespace, spark: SparkSession) -> IngestStats:
     removed = invalidate_from(
         spark,
@@ -327,4 +359,6 @@ def main(
         return cmd_ingest(args, spark)
     if args.command == "info":
         return cmd_info(args, spark)
+    if args.command == "ingest-rates":
+        return cmd_ingest_rates(args, spark)
     return cmd_invalidate(args, spark)

@@ -145,6 +145,28 @@ def test_cli_prev_day_rejected_on_synthetic(spark, tmp_path):
         )
 
 
+def test_cli_ingest_rates(spark, tmp_path):
+    csv = tmp_path / "rates.csv"
+    csv.write_text(
+        "date,currency,rate\n"
+        "2024-01-01,USD,2300.5\n"
+        "2024-01-01,EUR,2100.25\n"
+        "2024-01-03,USD,2310.0\n"
+    )
+    sink = str(tmp_path / "eth")
+    stats = main(
+        ["ingest-rates", "--csv", str(csv), "-o", sink], spark=spark
+    )
+    assert stats.rows["exchange_rates"] == 2
+    rows = {
+        r["date"]: r["fiat_values"]
+        for r in spark.read.parquet(f"{sink}/exchange_rates").collect()
+    }
+    assert rows["2024-01-01"]["USD"] == pytest.approx(2300.5)
+    assert rows["2024-01-01"]["EUR"] == pytest.approx(2100.25)
+    assert rows["2024-01-03"] == {"USD": pytest.approx(2310.0)}
+
+
 def test_last_block_before_bisects():
     """Binary search over monotone chain timestamps: finds the last block
     strictly before the cutoff with O(log head) header fetches, not a

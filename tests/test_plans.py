@@ -119,6 +119,21 @@ def test_q18_topk_plan_shape(spark, sf_dir):
     assert "TakeOrderedAndProject" in executed_plan(df)
 
 
+def test_smp3_broadcasts_counts_not_fact(spark, sf_dir):
+    """Mix rebalancing must broadcast the tiny per-source counts onto the
+    fact table — the only Exchange allowed is the counts aggregation; a
+    shuffled fact join would be the scale-killer."""
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    df = REGISTRY["smp3_mix_rebalance"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    shuffles = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(shuffles) == 1, shuffles  # the counts groupBy only
+
+
 def test_q21_single_fact_shuffle(spark, sf_dir):
     """Q21's per-order aggregate must cost ONE exchange on l_orderkey.
     A countDistinct alongside collect_set would Expand-rewrite into a
