@@ -158,6 +158,26 @@ def build_parser() -> ArgumentParser:
         help="transform dialect: cassandra (binary columns, | trace paths) "
         "or csv (hex strings, - trace paths)",
     )
+    ingest.add_argument(
+        "--stream",
+        action="store_true",
+        help="Structured Streaming mode: the ethrpc stream source drives "
+        "foreachBatch; resume lives in the stream checkpoint",
+    )
+    ingest.add_argument(
+        "--checkpoint",
+        dest="checkpoint",
+        default=None,
+        help="checkpoint dir for --stream (default: <sink-root>/_checkpoint)",
+    )
+    ingest.add_argument(
+        "--max-blocks-per-batch",
+        dest="max_blocks_per_batch",
+        type=int,
+        default=None,
+        help="--stream rate limit: cap blocks per micro-batch (catch-up "
+        "after downtime drains in ceil(pending/cap) batches)",
+    )
 
     info = sub.add_parser("info", help="print head / resume state and exit")
     info.add_argument("-w", "--provider-uri", dest="provider_uri", required=True)
@@ -242,7 +262,36 @@ def print_block_info(last_synced: int, last_ingested: int | None) -> None:
         print(f"Last ingested block: {last_ingested:,}")
 
 
-def cmd_ingest(args: Namespace, spark: SparkSession) -> IngestStats:
+def cmd_ingest(args: Namespace, spark: SparkSession, rpc_post=None) -> IngestStats:
+    if args.stream:
+        if args.provider_uri.startswith(SYNTHETIC_SCHEME):
+            raise SystemExit(
+                "--stream needs a JSON-RPC provider (the ethrpc stream "
+                "source probes eth_blockNumber); the synthetic chain is "
+                "batch-only"
+            )
+        from .streaming.incremental import run_streaming_ingest
+
+        stats = run_streaming_ingest(
+            spark,
+            args.provider_uri,
+            args.sink_root,
+            checkpoint=args.checkpoint or f"{args.sink_root}/_checkpoint",
+            start_block=args.start_block or 0,
+            end_block=args.end_block,
+            max_blocks_per_batch=args.max_blocks_per_batch,
+            bucket_size=args.bucket_size,
+            dialect=args.dialect,
+            sink_format=args.sink_format,
+            rpc_batch_size=args.rpc_batch_size,
+            rpc_post=rpc_post,
+        )
+        print(
+            f"Stream drained: {stats.batches} micro-batches, "
+            f"{stats.blocks} blocks (incl. bucket re-covers)"
+        )
+        return stats
+
     source, head = _resolve_provider(args)
     if args.prev_day:
         if args.provider_uri.startswith(SYNTHETIC_SCHEME):
@@ -346,17 +395,20 @@ def cmd_invalidate(args: Namespace, spark: SparkSession) -> IngestStats:
 
 
 def main(
-    argv: list[str] | None = None, spark: SparkSession | None = None
+    argv: list[str] | None = None,
+    spark: SparkSession | None = None,
+    rpc_post=None,
 ) -> IngestStats:
     """Entry point. ``spark`` is injectable for tests; the default builds
-    the standard local session (session.py — AQE, UTC, Arrow)."""
+    the standard local session (session.py — AQE, UTC, Arrow). ``rpc_post``
+    (tests) overrides the JSON-RPC HTTP POST with a recorded fixture."""
     args = build_parser().parse_args(argv)
     if spark is None:
         from .session import get_spark
 
         spark = get_spark(app_name=f"etl-{args.command}")
     if args.command == "ingest":
-        return cmd_ingest(args, spark)
+        return cmd_ingest(args, spark, rpc_post=rpc_post)
     if args.command == "info":
         return cmd_info(args, spark)
     if args.command == "ingest-rates":

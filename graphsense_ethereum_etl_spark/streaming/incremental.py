@@ -132,50 +132,171 @@ def run_incremental(
     for lo in range(start, end + 1, batch_size):
         hi = min(lo + batch_size - 1, end)
         raw = source(spark, lo, hi)
-        txs = enrich_transactions(raw["transactions"], raw["receipts"])
-        # The at-rest transaction layout adds block_id_group (not in the CQL
-        # schema, schema.cql:29-53) so every table overwrites exactly its own
-        # batch partitions — tx_hash_prefix stays as the in-file sort key for
-        # point lookups; 16^5 prefix *directories* would be pathological.
-        tx_out = transform_transactions(txs, dialect).withColumn(
-            "block_id_group",
-            F.floor(F.col("block_id") / F.lit(bucket_size)).cast("bigint"),
+        transform_and_write_batch(
+            spark,
+            raw,
+            sink_root,
+            bucket_size=bucket_size,
+            dialect=dialect,
+            sink_format=sink_format,
+            fail_after_tables=(
+                fail_after_tables if lo + batch_size > end else None
+            ),
+            collect_stats=collect_stats,
+            stats=stats,
         )
-        writes: list[tuple[str, DataFrame]] = [
-            ("log", transform_logs(raw["logs"], dialect, bucket_size)),
-            ("trace", transform_traces(raw["traces"], dialect, bucket_size)),
-            ("transaction", tx_out),
-            ("block", transform_blocks(raw["blocks"], dialect, bucket_size)),  # marker LAST
-        ]
-        written = 0
-        for table, df in writes:
-            if fail_after_tables is not None and written >= fail_after_tables and lo + batch_size > end:
-                raise RuntimeError(f"injected crash before writing '{table}'")
-            sort_cols = SORT_COLUMNS.get(table, [])
-            if sink_format == "versioned":
-                from ..versioned import VersionedTable
-
-                VersionedTable(spark, f"{sink_root}/{table}").write_partitions(
-                    df, sort_cols=sort_cols
-                )
-            else:
-                out = df
-                if "block_id_group" in out.columns:
-                    out = out.repartition(F.col("block_id_group"))
-                if sort_cols:
-                    out = out.sortWithinPartitions(*sort_cols)
-                writer = out.write.mode("overwrite")
-                if "block_id_group" in df.columns:
-                    writer = writer.partitionBy("block_id_group")
-                writer.parquet(f"{sink_root}/{table}")
-            if collect_stats:
-                # Recomputes the frame — test/inspection convenience only
-                # (default OFF; at scale read the sink's Parquet metadata or
-                # write-task metrics instead of paying a second pipeline run).
-                stats.rows[table] = stats.rows.get(table, 0) + df.count()
-            written += 1
         stats.batches += 1
         stats.blocks += hi - lo + 1
+    return stats
+
+
+def transform_and_write_batch(
+    spark: SparkSession,
+    raw: dict[str, DataFrame],
+    sink_root: str,
+    bucket_size: int = 1000,
+    dialect: str = CASSANDRA,
+    sink_format: str = "parquet",
+    fail_after_tables: int | None = None,
+    collect_stats: bool = False,
+    stats: IngestStats | None = None,
+) -> None:
+    """One micro-batch's transform → children-before-marker write sequence —
+    shared by the driver loop (``run_incremental``) and the Structured
+    Streaming sink (``run_streaming_ingest``). The caller guarantees the
+    batch covers whole ``block_id_group`` buckets (a partial leading bucket
+    would be wiped by the dynamic partition overwrite)."""
+    # Idempotent re-runs: only replace the partitions this batch touches.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    txs = enrich_transactions(raw["transactions"], raw["receipts"])
+    # The at-rest transaction layout adds block_id_group (not in the CQL
+    # schema, schema.cql:29-53) so every table overwrites exactly its own
+    # batch partitions — tx_hash_prefix stays as the in-file sort key for
+    # point lookups; 16^5 prefix *directories* would be pathological.
+    tx_out = transform_transactions(txs, dialect).withColumn(
+        "block_id_group",
+        F.floor(F.col("block_id") / F.lit(bucket_size)).cast("bigint"),
+    )
+    writes: list[tuple[str, DataFrame]] = [
+        ("log", transform_logs(raw["logs"], dialect, bucket_size)),
+        ("trace", transform_traces(raw["traces"], dialect, bucket_size)),
+        ("transaction", tx_out),
+        ("block", transform_blocks(raw["blocks"], dialect, bucket_size)),  # marker LAST
+    ]
+    written = 0
+    for table, df in writes:
+        if fail_after_tables is not None and written >= fail_after_tables:
+            raise RuntimeError(f"injected crash before writing '{table}'")
+        sort_cols = SORT_COLUMNS.get(table, [])
+        if sink_format == "versioned":
+            from ..versioned import VersionedTable
+
+            VersionedTable(spark, f"{sink_root}/{table}").write_partitions(
+                df, sort_cols=sort_cols
+            )
+        else:
+            out = df
+            if "block_id_group" in out.columns:
+                out = out.repartition(F.col("block_id_group"))
+            if sort_cols:
+                out = out.sortWithinPartitions(*sort_cols)
+            writer = out.write.mode("overwrite")
+            if "block_id_group" in df.columns:
+                writer = writer.partitionBy("block_id_group")
+            writer.parquet(f"{sink_root}/{table}")
+        if collect_stats and stats is not None:
+            # Recomputes the frame — test/inspection convenience only
+            # (default OFF; at scale read the sink's Parquet metadata or
+            # write-task metrics instead of paying a second pipeline run).
+            stats.rows[table] = stats.rows.get(table, 0) + df.count()
+        written += 1
+
+
+def run_streaming_ingest(
+    spark: SparkSession,
+    provider_uri: str,
+    sink_root: str,
+    checkpoint: str,
+    start_block: int = 0,
+    end_block: int | None = None,
+    max_blocks_per_batch: int | None = None,
+    bucket_size: int = 1000,
+    dialect: str = CASSANDRA,
+    sink_format: str = "parquet",
+    rpc_batch_size: int = 50,
+    rpc_post=None,
+    timeout_s: float = 600.0,
+) -> IngestStats:
+    """Structured-Streaming ingest: the ``ethrpc`` stream source
+    (sources/datasource.py — checkpointed offsets, eth_blockNumber head
+    probe, ``maxBlocksPerBatch`` rate-limited catch-up) drives
+    ``foreachBatch``, which fetches the batch's full entity set and runs the
+    SAME transform → children-before-marker write sequence as
+    ``run_incremental``. One ``availableNow`` trigger = drain-pending-
+    then-stop; resume lives in the stream checkpoint (engine-managed)
+    instead of the sink scan.
+
+    Bucket-alignment correctness: streamed offset ranges are cap-sized, not
+    bucket-aligned, and dynamic partition overwrite replaces WHOLE
+    ``block_id_group`` partitions — so each batch re-covers its partial
+    leading bucket (lo rounded down to a bucket boundary, entities
+    re-fetched for the widened range). Re-fetch + overwrite is exactly the
+    idempotent-replay story ``run_incremental`` uses for crash resume; a
+    replayed foreachBatch (crash between write and checkpoint commit)
+    rewrites the same partitions to the same content.
+
+    The streamed rows themselves only schedule the work (the stream carries
+    RAW_BLOCK rows; entities are fetched per batch) — the stream is the
+    resume/rate-limit machinery, the fetch path is shared with batch mode.
+    """
+    from pyspark.sql import functions as SF
+
+    from ..sources.datasource import register_ethrpc
+    from ..sources.rpc import JsonRpcTransport, rpc_chain_source
+
+    register_ethrpc(spark, post=rpc_post)
+    transport = JsonRpcTransport(provider_uri, post=rpc_post)
+    source = rpc_chain_source(transport, rpc_batch_size=rpc_batch_size)
+    stats = IngestStats()
+
+    def handle_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        rng = batch_df.agg(
+            SF.min("number").alias("lo"), SF.max("number").alias("hi")
+        ).collect()[0]
+        if rng["lo"] is None:
+            return
+        lo = (int(rng["lo"]) // bucket_size) * bucket_size  # re-cover bucket
+        hi = int(rng["hi"])
+        raw = source(spark, lo, hi)
+        transform_and_write_batch(
+            spark,
+            raw,
+            sink_root,
+            bucket_size=bucket_size,
+            dialect=dialect,
+            sink_format=sink_format,
+        )
+        stats.batches += 1
+        stats.blocks += hi - lo + 1
+
+    reader = (
+        spark.readStream.format("ethrpc")
+        .option("uri", provider_uri)
+        .option("start", str(start_block))
+        .option("batch", str(rpc_batch_size))
+    )
+    if end_block is not None:
+        reader = reader.option("end", str(end_block))
+    if max_blocks_per_batch is not None:
+        reader = reader.option("maxBlocksPerBatch", str(max_blocks_per_batch))
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
     return stats
 
 

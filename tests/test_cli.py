@@ -167,6 +167,87 @@ def test_cli_ingest_rates(spark, tmp_path):
     assert rows["2024-01-03"] == {"USD": pytest.approx(2310.0)}
 
 
+def test_cli_stream_ingest_rate_limited(spark, tmp_path):
+    """--stream: the ethrpc Structured-Streaming source drives the full
+    entity ingest through foreachBatch — checkpointed resume across
+    invocations (each availableNow run of a Python source is one
+    micro-batch), maxBlocksPerBatch rate limiting, and the partial-bucket
+    re-cover that keeps dynamic partition overwrite lossless when a
+    micro-batch starts mid-bucket."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_sources_sinks import _make_fixture_node_post
+
+    post = _make_fixture_node_post()
+    sink = str(tmp_path / "eth")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(end):
+        return main(
+            [
+                "ingest",
+                "--stream",
+                "-w", "http://node:8545",
+                "-o", sink,
+                "-e", str(end),
+                "--bucket-size", "10",
+                "--rpc-batch-size", "5",
+                "--max-blocks-per-batch", "10",
+                "--checkpoint", ckpt,
+            ],
+            spark=spark,
+            rpc_post=post,
+        )
+
+    def block_state():
+        df = spark.read.parquet(f"{sink}/block")
+        return df.count(), df.select("block_id").distinct().count()
+
+    run(24)
+    assert block_state() == (10, 10)  # micro-batch 1: blocks 0..9
+    run(24)
+    assert block_state() == (20, 20)  # resumed from checkpoint: 10..19
+    run(24)
+    assert block_state() == (25, 25)  # remainder 20..24
+    run(24)
+    assert block_state() == (25, 25)  # caught up: no new batch, no dups
+
+    # all entity tables landed (children-before-marker sequence)
+    for table in ("log", "trace", "transaction", "block"):
+        assert spark.read.parquet(f"{sink}/{table}").count() > 0
+
+    # head advances: next capped batch is 25..34, which starts MID-bucket —
+    # the re-cover must rewrite bucket 2 with blocks 20..29 intact
+    run(39)
+    n, d = block_state()
+    assert (n, d) == (35, 35)
+    b2 = (
+        spark.read.parquet(f"{sink}/block")
+        .filter("block_id >= 20 and block_id < 30")
+        .select("block_id")
+        .distinct()
+        .count()
+    )
+    assert b2 == 10
+    run(39)
+    assert block_state() == (40, 40)
+
+
+def test_cli_stream_rejects_synthetic(spark, tmp_path):
+    with pytest.raises(SystemExit, match="stream"):
+        main(
+            [
+                "ingest",
+                "--stream",
+                "-w", "synthetic://10",
+                "-o", str(tmp_path / "eth"),
+            ],
+            spark=spark,
+        )
+
+
 def test_last_block_before_bisects():
     """Binary search over monotone chain timestamps: finds the last block
     strictly before the cutoff with O(log head) header fetches, not a
