@@ -3469,6 +3469,106 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q12_shipmode_priority",
+    """
+    SELECT l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY ship_class
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog (shipping modes and order priority), completing the
+    22-query TPC-H family over the slimmed testdata: lineitem lacks
+    l_shipmode/l_commitdate/l_receiptdate, so l_returnflag stands in for
+    the mode dimension and "late" = shipped >30 days after the order date
+    (the q21 lateness convention). Shape preserved from the spec: fact-fact
+    equi-join, date-window fact filter (pushed to the scan), conditional
+    CASE sums over a priority predicate, tiny grouped result. Spark plan:
+    the lineitem filter prunes before the join; both CASE sums are
+    map-side-combinable longs — one shuffle on the join key, one on the
+    3-row aggregate."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@query(
+    "w5_range_frame",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(ts AS TIMESTAMP) AS ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                  OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS hour_sum,
+           CAST(COUNT(*)
+                  OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS hour_events
+    FROM events
+    """,
+)
+def w5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event TIME (§2.6 beyond the rows-frame
+    family): per user, the trailing-1-hour sliding sum/count at every event
+    — the classic "activity in the last hour" feature. A ROWS frame cannot
+    express this (row count ≠ time span); the RANGE frame bounds the frame
+    by ORDER-BY VALUE distance. Spark's rangeBetween needs a numeric
+    ordering column, so the frame runs over epoch seconds (identical to
+    DuckDB's RANGE over epoch(ts)); ties in ts are handled identically by
+    both engines because RANGE frames include ALL peer rows of the current
+    value. One shuffle on user_id; decimal per-row casts keep the sliding
+    sum exact and order-independent."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("hour_sum"),
+        F.count("*").over(w).cast("bigint").alias("hour_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: training-pipeline curation ops (redaction, repetition, mixing)
 # ---------------------------------------------------------------------------
@@ -3660,6 +3760,8 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "t6_pii_redaction",  # new in r4
     "t7_repetition_ratio",  # new in r4
     "smp3_mix_rebalance",  # new in r4
+    "q12_shipmode_priority",  # new in r4
+    "w5_range_frame",  # new in r4
     # certified only in r01 (dropped out of the r02/r03 prefix)
     "apx1_approx_distinct",
     "asof3_purchase_attribution",
