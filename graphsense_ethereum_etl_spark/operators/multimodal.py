@@ -90,12 +90,16 @@ def extract_features(media: DataFrame, extractor: str = "fake") -> DataFrame:
         def feature_fn(payload: bytes):
             # Per-row tolerance: one corrupt/unknown payload must not kill a
             # whole 1000-executor stage — it degrades to (n_bytes, null,
-            # null, null) and the caller filters. NotImplementedError (a
-            # format needing an absent library) still raises: that is a
-            # deployment gap, not bad data.
+            # null, null) and the caller filters. That includes payloads
+            # whose MAGIC matches but whose body is garbage (truncated IHDR
+            # → struct.error, bad IDAT → zlib.error, torn RIFF →
+            # wave.Error). NotImplementedError (a format needing an absent
+            # library) still raises: that is a deployment gap, not bad data.
             try:
                 return media_features(payload)
-            except ValueError:
+            except NotImplementedError:
+                raise
+            except Exception:
                 return len(payload), None, None, None
     else:
         feature_fn = _fake_features

@@ -213,6 +213,9 @@ def test_extract_features_real(spark):
         wav_encode(np.zeros(64, dtype=np.int16)),
         b"corrupt payload",
     ]
+    # valid magic + garbage body must degrade per-row, not kill the stage
+    payloads.append(PNG_MAGIC + b"\x00\x00")  # truncated before IHDR
+    payloads.append(b"RIFF\x00\x00\x00\x00WAVEgarbage")  # torn RIFF
     rows = {
         r["media_id"]: r
         for r in extract_features(_media_df(spark, payloads), extractor="real").collect()
@@ -220,9 +223,11 @@ def test_extract_features_real(spark):
     assert (rows[0]["width"], rows[0]["height"], rows[0]["n_frames"]) == (12, 8, 1)
     assert (rows[1]["width"], rows[1]["n_frames"]) == (12, 2)
     assert rows[2]["width"] is None and rows[2]["n_frames"] == 64
-    # corrupt row degrades to nulls instead of failing the stage
-    assert rows[3]["n_bytes"] == len(b"corrupt payload")
-    assert rows[3]["width"] is None and rows[3]["n_frames"] is None
+    # corrupt rows degrade to nulls instead of failing the stage —
+    # including bodies that lie about their magic
+    for mid in (3, 4, 5):
+        assert rows[mid]["n_bytes"] == len(payloads[mid])
+        assert rows[mid]["width"] is None and rows[mid]["n_frames"] is None
 
 
 def test_resize_media_real(spark):

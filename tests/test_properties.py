@@ -116,3 +116,63 @@ def test_uint256_binary_none_safe(spark):
 
     df = spark.createDataFrame([(None,)], "v decimal(38,0)")
     assert df.select(uint_to_bin32("v").alias("b")).collect()[0]["b"] is None
+
+
+def test_redact_pii_leaves_no_matches(spark):
+    """After redaction, the Java-side output must contain no match of either
+    pattern under PYTHON's regex engine (a third implementation agreeing is
+    strong evidence the patterns are engine-portable), and placeholders must
+    appear exactly where PII was present."""
+    import re
+
+    from graphsense_ethereum_etl_spark.functions.text import (
+        EMAIL_RE,
+        IPV4_RE,
+        redact_pii,
+    )
+
+    cases = [
+        "plain text no pii at all",
+        "mail me at a.b-c_d%e+f@sub.domain.co today",
+        "two emails x@y.io and z@w.org!",
+        "ip 10.0.0.1 then 255.255.255.255 end",
+        "email-with-ip-ish user10.0.0.1@host.com trailing 1.2.3.4",
+        "(parens) <brackets@example.com> [1.2.3.4]",
+        "borderline 999.999.999.999 and a@b.cd",
+        "no-tld a@b fails, bare 1.2.3 fails",
+        "",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, t string")
+    out = {r["i"]: r["red"] for r in df.select("i", redact_pii("t").alias("red")).collect()}
+    for i, case in enumerate(cases):
+        red = out[i]
+        assert not re.search(EMAIL_RE, red), (case, red)
+        assert not re.search(IPV4_RE, red), (case, red)
+        if re.search(EMAIL_RE, case):
+            assert "<EMAIL>" in red
+        if re.search(IPV4_RE, re.sub(EMAIL_RE, "<EMAIL>", case)):
+            assert "<IP>" in red
+        if not re.search(EMAIL_RE, case) and not re.search(IPV4_RE, case):
+            assert red == case  # no false positives
+
+
+def test_dup_shingle_ratio_bounds_and_values(spark):
+    from graphsense_ethereum_etl_spark.functions.text import dup_shingle_ratio
+
+    cases = {
+        0: ("", 0.0),                      # empty
+        1: ("one two", 0.0),               # shorter than k
+        2: ("a b c d e", 0.0),             # all distinct 3-grams
+        3: ("a b c a b c a b c", round(4 / 7, 6)),  # heavy repetition
+        4: ("x x x x x x", round(3 / 4, 6)),        # degenerate loop
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in cases.items()], "i long, t string"
+    )
+    got = {
+        r["i"]: r["ratio"]
+        for r in df.select("i", dup_shingle_ratio("t").alias("ratio")).collect()
+    }
+    for i, (_, want) in cases.items():
+        assert got[i] == want, (i, got[i], want)
+        assert 0.0 <= got[i] <= 1.0
