@@ -221,13 +221,14 @@ def build_parser() -> ArgumentParser:
 
 
 def _resolve_provider(
-    args: Namespace,
+    args: Namespace, rpc_post=None
 ) -> tuple[Callable, int]:
     """Build (chain_source, head) from the provider URI.
 
     ``synthetic://<head>`` → generator chain with a fixed head;
     anything else → JSON-RPC transport with an ``eth_blockNumber`` probe.
-    """
+    ``rpc_post`` (tests) replaces the transport's HTTP POST with a
+    recorded fixture — same hook the stream path uses."""
     uri: str = args.provider_uri
     if uri.startswith(SYNTHETIC_SCHEME):
         from .sources.generator import gen_chain
@@ -241,7 +242,9 @@ def _resolve_provider(
 
     from .sources.rpc import JsonRpcTransport, node_head, rpc_chain_source
 
-    transport = JsonRpcTransport(uri, timeout=getattr(args, "timeout", 3600.0))
+    transport = JsonRpcTransport(
+        uri, timeout=getattr(args, "timeout", 3600.0), post=rpc_post
+    )
     rpc_bs = getattr(args, "rpc_batch_size", 50)
     return rpc_chain_source(transport, rpc_batch_size=rpc_bs), node_head(transport)
 
@@ -292,7 +295,7 @@ def cmd_ingest(args: Namespace, spark: SparkSession, rpc_post=None) -> IngestSta
         )
         return stats
 
-    source, head = _resolve_provider(args)
+    source, head = _resolve_provider(args, rpc_post=rpc_post)
     if args.prev_day:
         if args.provider_uri.startswith(SYNTHETIC_SCHEME):
             raise SystemExit(
@@ -301,7 +304,9 @@ def cmd_ingest(args: Namespace, spark: SparkSession, rpc_post=None) -> IngestSta
             )
         from .sources.rpc import JsonRpcTransport, last_block_before
 
-        transport = JsonRpcTransport(args.provider_uri, timeout=args.timeout)
+        transport = JsonRpcTransport(
+            args.provider_uri, timeout=args.timeout, post=rpc_post
+        )
         head = last_block_before(transport, _utc_midnight_today(), head)
         if head < 0:
             print("No blocks to ingest")
@@ -351,8 +356,8 @@ def cmd_ingest(args: Namespace, spark: SparkSession, rpc_post=None) -> IngestSta
     return stats
 
 
-def cmd_info(args: Namespace, spark: SparkSession) -> IngestStats:
-    _, head = _resolve_provider(args)
+def cmd_info(args: Namespace, spark: SparkSession, rpc_post=None) -> IngestStats:
+    _, head = _resolve_provider(args, rpc_post=rpc_post)
     resume = latest_ingested_block(
         spark, f"{args.sink_root}/block", args.sink_format
     )
@@ -410,7 +415,7 @@ def main(
     if args.command == "ingest":
         return cmd_ingest(args, spark, rpc_post=rpc_post)
     if args.command == "info":
-        return cmd_info(args, spark)
+        return cmd_info(args, spark, rpc_post=rpc_post)
     if args.command == "ingest-rates":
         return cmd_ingest_rates(args, spark)
     return cmd_invalidate(args, spark)

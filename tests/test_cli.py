@@ -235,6 +235,48 @@ def test_cli_stream_ingest_rate_limited(spark, tmp_path):
     assert block_state() == (40, 40)
 
 
+def test_cli_batch_ingest_from_rpc_node(spark, tmp_path):
+    """The reference's primary mode end-to-end: batch ingest against a
+    (recorded) JSON-RPC node — head probed via eth_blockNumber, all five
+    entities fetched and transformed, and -p/--previous-day capping the
+    head via the timestamp bisection (fixture timestamps are in 2020, so
+    yesterday's cutoff keeps the full head)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_sources_sinks import _make_fixture_node_post
+
+    post = _make_fixture_node_post(head=14)
+    sink = str(tmp_path / "eth")
+    stats = main(
+        [
+            "ingest",
+            "-w", "http://node:8545",
+            "-o", sink,
+            "-b", "10",
+            "--bucket-size", "5",
+            "--rpc-batch-size", "5",
+            "-p",
+        ],
+        spark=spark,
+        rpc_post=post,
+    )
+    assert stats.blocks == 15  # 0..14: head from eth_blockNumber, -p keeps it
+    blocks = spark.read.parquet(f"{sink}/block")
+    assert blocks.select("block_id").distinct().count() == 15
+    for table in ("log", "trace", "transaction"):
+        assert spark.read.parquet(f"{sink}/{table}").count() > 0
+
+    # resume against the same node: nothing pending → zero-block run
+    s2 = main(
+        ["ingest", "-w", "http://node:8545", "-o", sink, "--bucket-size", "5"],
+        spark=spark,
+        rpc_post=post,
+    )
+    assert s2.blocks == 0
+
+
 def test_cli_stream_rejects_synthetic(spark, tmp_path):
     with pytest.raises(SystemExit, match="stream"):
         main(

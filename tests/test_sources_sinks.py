@@ -52,13 +52,14 @@ def test_rpc_source_plumbing(spark):
     assert max(seen_chunks or [10]) <= 10
 
 
-def _make_fixture_node_post():
+def _make_fixture_node_post(head=None):
     """Recorded-node stand-in FACTORY: the returned closure parses the
-    JSON-RPC batch request and answers eth_getBlockByNumber / eth_getBlockReceipts / trace_block with
-    wire-shaped result (hex quantities), deliberately in REVERSED order to
-    exercise the id re-matching. Built as a nested function so cloudpickle
-    ships it BY VALUE to executors (the pytest test module itself is not
-    importable on Spark workers)."""
+    JSON-RPC batch request and answers eth_getBlockByNumber (full and
+    header-only) / eth_getBlockReceipts / trace_block — plus eth_blockNumber
+    when ``head`` is given — with wire-shaped results (hex quantities),
+    deliberately in REVERSED order to exercise the id re-matching. Built as
+    a nested function so cloudpickle ships it BY VALUE to executors (the
+    pytest test module itself is not importable on Spark workers)."""
 
     def post(body: bytes) -> bytes:
         import json
@@ -91,7 +92,26 @@ def _make_fixture_node_post():
         out = []
         for call in calls:
             assert call["jsonrpc"] == "2.0"
+            if call["method"] == "eth_blockNumber":
+                assert head is not None, "fixture built without a head"
+                out.append(
+                    {"jsonrpc": "2.0", "id": call["id"], "result": hex(head)}
+                )
+                continue
             num = int(call["params"][0], 16)
+            if call["method"] == "eth_getBlockByNumber" and call["params"][1] is False:
+                # header-only probe (last_block_before bisection)
+                out.append(
+                    {
+                        "jsonrpc": "2.0",
+                        "id": call["id"],
+                        "result": {
+                            "number": hex(num),
+                            "timestamp": hex(1_600_000_000 + num * 12),
+                        },
+                    }
+                )
+                continue
             if call["method"] == "eth_getBlockByNumber":
                 assert call["params"][1] is True  # full tx objects
                 result = {
