@@ -235,6 +235,71 @@ def test_cli_stream_ingest_rate_limited(spark, tmp_path):
     assert block_state() == (40, 40)
 
 
+def test_cli_stream_ingest_versioned_sink(spark, tmp_path):
+    """--stream + --sink-format versioned: every micro-batch's tables land
+    as atomic manifest-pointer commits while the stream checkpoint owns
+    resume — two independent consistency mechanisms composing."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_sources_sinks import _make_fixture_node_post
+
+    from graphsense_ethereum_etl_spark.versioned import VersionedTable
+
+    post = _make_fixture_node_post()
+    sink = str(tmp_path / "eth")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        return main(
+            [
+                "ingest",
+                "--stream",
+                "-w", "http://node:8545",
+                "-o", sink,
+                "-e", "14",
+                "--bucket-size", "5",
+                "--rpc-batch-size", "5",
+                "--max-blocks-per-batch", "10",
+                "--checkpoint", ckpt,
+                "--sink-format", "versioned",
+            ],
+            spark=spark,
+            rpc_post=post,
+        )
+
+    run()
+    t = VersionedTable(spark, f"{sink}/block")
+    assert t.read().select("block_id").distinct().count() == 10  # batch 1
+    run()
+    assert t.read().select("block_id").distinct().count() == 15  # drained
+    run()  # caught up — snapshot unchanged, no duplicate rows
+    df = t.read()
+    assert df.count() == df.select("block_id").distinct().count() == 15
+
+
+def test_cli_ingest_csv_dialect(spark, tmp_path):
+    """--dialect csv: hex quantities stay strings (the CSV exporter's
+    transform dialect) instead of the Cassandra binary columns."""
+    sink = str(tmp_path / "eth")
+    main(
+        [
+            "ingest",
+            "-w", "synthetic://9",
+            "-o", sink,
+            "-b", "10",
+            "--bucket-size", "10",
+            "--dialect", "csv",
+        ],
+        spark=spark,
+    )
+    tx = spark.read.parquet(f"{sink}/transaction")
+    assert dict(tx.dtypes)["tx_hash"] == "string"
+    h = tx.select("tx_hash").first()["tx_hash"]
+    assert h.startswith("0x")
+
+
 def test_cli_batch_ingest_from_rpc_node(spark, tmp_path):
     """The reference's primary mode end-to-end: batch ingest against a
     (recorded) JSON-RPC node — head probed via eth_blockNumber, all five
