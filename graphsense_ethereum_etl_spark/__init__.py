@@ -11,10 +11,15 @@ Layout:
     session        SparkSession factory with scale-appropriate defaults
     schemas        StructType registry (reference tables + raw entities)
     functions/     column-expression library (hex, bucketing, text, vectors)
-    operators/     entity transform pipelines, joins, dedup, similarity
-    sources/       parquet/CSV readers, RPC fetch source (stub), generators
-    streaming/     incremental ingest (resume semantics) + structured streaming
+    operators/     entity transform pipelines, joins, dedup, similarity,
+                   multimodal columns + pure-stdlib media codecs
+    sources/       parquet/CSV readers, JSON-RPC fetch source, generators,
+                   the "ethrpc" Python Data Source (batch + stream)
+    streaming/     incremental ingest (resume semantics), streaming ingest,
+                   structured streaming, stateful operators
     plans/         plan inspection / explain helpers
+    cli            python -m graphsense_ethereum_etl_spark {ingest,info,
+                   ingest-rates,invalidate} — the reference's CLI surface
 """
 
 __version__ = "0.1.0"
