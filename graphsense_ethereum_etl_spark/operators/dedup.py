@@ -329,6 +329,82 @@ def ngram_jaccard_pairs_bucketed(
     return _jaccard_verify(cands, sets, threshold)
 
 
+def edit_distance_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 40,
+    max_distance: int = 10,
+    group_cols: tuple[str, ...] = ("lang",),
+    band_width: int = 16,
+) -> DataFrame:
+    """Fuzzy near-duplicate PAIRS by Levenshtein distance over a normalized
+    ``prefix_len``-char prefix (the title/URL fuzzy-match staple): all pairs
+    in the same ``group_cols`` whose prefix edit distance ≤ ``max_distance``.
+
+    Candidate pruning without all-pairs: edit distance ≥ |len(a) − len(b)|,
+    so qualifying pairs differ by ≤ ``max_distance`` characters of text
+    length. Each doc lands in length band ``len // band_width``; with
+    ``band_width > max_distance`` any qualifying pair sits in the SAME or
+    ADJACENT bands. Side A explodes into (band, band+1) and side B keeps
+    its own band, so the equi-join on (group, band) catches every pair
+    with the SHORTER-or-equal doc in the A role — ids are normalized to
+    (least, greatest) afterwards and same-band double-matches collapse
+    under DISTINCT. The length filter re-applies exactly, and only
+    surviving candidates pay the O(prefix²) Levenshtein — Spark's built-in
+    ``levenshtein`` (JVM-side), identical semantics to DuckDB's for the
+    oracle.
+
+    At 100 TB: band buckets are ~|group| · band_width / len-spread, and the
+    quadratic work is per (group, band) pair-neighborhood, not per corpus."""
+    if band_width <= max_distance:
+        raise ValueError("band_width must exceed max_distance for losslessness")
+    norm = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+        1,
+        prefix_len,
+    )
+    base = docs.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        *[F.col(c) for c in group_cols],
+        norm.alias("pfx"),
+        F.length(norm).alias("ln"),
+    )
+    band = (F.col("ln") / band_width).cast("bigint")
+    a = base.select(
+        F.col("id").alias("id_a"),
+        *[F.col(c).alias(f"ga_{c}") for c in group_cols],
+        F.col("pfx").alias("pa"),
+        F.col("ln").alias("la"),
+        F.explode(F.array(band, band + 1)).alias("band"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"gb_{c}") for c in group_cols],
+        F.col("pfx").alias("pb"),
+        F.col("ln").alias("lb"),
+        band.alias("band"),
+    )
+    join_on = [a["band"] == b["band"]] + [
+        F.col(f"ga_{c}") == F.col(f"gb_{c}") for c in group_cols
+    ]
+    return (
+        a.join(b, join_on)
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= max_distance)
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            *[F.col(f"ga_{c}").alias(c) for c in group_cols],
+            F.levenshtein("pa", "pb").cast("bigint").alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .distinct()
+    )
+
+
 def simhash(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:

@@ -3470,6 +3470,43 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd6_edit_distance_pairs",
+    """
+    WITH p AS (SELECT doc_id, lang,
+                 substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                           1, 40) AS pfx
+               FROM documents)
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+           a.lang AS lang,
+           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS distance
+    FROM p a JOIN p b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(length(a.pfx) - length(b.pfx)) <= 10
+    WHERE levenshtein(a.pfx, b.pfx) <= 10
+    """,
+)
+def dd6_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (fuzzy title/URL matching, completing
+    the dedup family): same-language docs whose normalized 40-char prefixes
+    are within Levenshtein 10 — length-banded candidate generation
+    (operators/dedup.py::edit_distance_pairs: |len diff| ≤ d bounds the
+    band neighborhood, band_width > d makes it lossless), built-in JVM
+    ``levenshtein`` verification only on candidates. The oracle runs the
+    equivalent all-pairs-within-group SQL — identical distance semantics in
+    DuckDB's levenshtein — so a banding coverage bug (a lost cross-band
+    pair) changes the row count."""
+    from .operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        load(spark, sf_dir, "documents"),
+        prefix_len=40,
+        max_distance=10,
+        group_cols=("lang",),
+        band_width=16,
+    )
+
+
+@query(
     "q12_shipmode_priority",
     """
     SELECT l_returnflag AS ship_class,
@@ -3762,6 +3799,7 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "smp3_mix_rebalance",  # new in r4
     "q12_shipmode_priority",  # new in r4
     "w5_range_frame",  # new in r4
+    "dd6_edit_distance_pairs",  # new in r4
     # certified only in r01 (dropped out of the r02/r03 prefix)
     "apx1_approx_distinct",
     "asof3_purchase_attribution",

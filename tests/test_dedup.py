@@ -41,6 +41,55 @@ def test_simhash_banding_guard(spark, sf_dir):
         simhash_hamming_pairs(docs, candidate_strategy="nope")
 
 
+def test_edit_distance_banding_lossless(spark):
+    """Length-banded candidate generation must equal brute force — with a
+    fixture that forces cross-band pairs in BOTH role orders (lower id
+    longer AND lower id shorter across a band boundary), the case a naive
+    upward-only explode misses."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (0, "aaaaaaaaaaaaaaaaa", "x"),     # 17 chars → band 1 (w=16)
+        (1, "aaaaaaaaaaaaaa", "x"),        # 14 chars → band 0, dist 3 to #0
+        (2, "aaaaaaaaaaaaaab", "x"),       # 15 chars → band 0, near both
+        (3, "aaaaaaaaaaaaaaaaa", "y"),     # other group: must not pair
+        (4, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzz", "x"),  # far from everything
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    banded = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in edit_distance_pairs(
+            docs, prefix_len=40, max_distance=5, band_width=16
+        ).collect()
+    }
+    norm = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 40
+    )
+    p = docs.select("doc_id", "lang", norm.alias("pfx"))
+    brute = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in p.alias("a")
+        .join(
+            p.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein("a.pfx", "b.pfx").cast("bigint").alias("distance"),
+        )
+        .filter("distance <= 5")
+        .collect()
+    }
+    assert banded == brute
+    assert (0, 1) in banded and (0, 2) in banded  # cross-band, both orders
+    with pytest.raises(ValueError, match="band_width"):
+        edit_distance_pairs(docs, max_distance=16, band_width=16)
+
+
 def test_simhash_candidate_strategies_agree(spark, sf_dir):
     """The single-aggregation candidate generator (default) and the
     skew-safe self-join fallback must surface the identical pair set."""
