@@ -355,8 +355,17 @@ def edit_distance_pairs(
     ``levenshtein`` (JVM-side), identical semantics to DuckDB's for the
     oracle.
 
-    At 100 TB: band buckets are ~|group| · band_width / len-spread, and the
-    quadratic work is per (group, band) pair-neighborhood, not per corpus."""
+    Scale posture — read before using beyond a panel: banding prunes by
+    LENGTH SPREAD. On corpora whose normalized prefixes are near-constant
+    length (every doc longer than ``prefix_len``), all rows share one band
+    and the join degenerates to quadratic per (group, band). That is
+    inherent to pure length filtering; the lossless scale path for tight
+    distance thresholds is positional segment indexing (PassJoin, Li/Deng/
+    Feng ICDE'11: d+1 segments, position-windowed substring probes), whose
+    probe fan-out grows O(d²) and only pays off at small d. The registry
+    query (dd6) therefore runs this operator on a FIXED PANEL (the sim5
+    ground-truth pattern): the measured fact stays O(panel²) at any corpus
+    size."""
     if band_width <= max_distance:
         raise ValueError("band_width must exceed max_distance for losslessness")
     norm = F.substring(
@@ -388,12 +397,18 @@ def edit_distance_pairs(
     join_on = [a["band"] == b["band"]] + [
         F.col(f"ga_{c}") == F.col(f"gb_{c}") for c in group_cols
     ]
+    # Orientation filter, lossless and duplicate-free BEFORE the expensive
+    # verify: keep a candidate row iff the a-role doc is strictly shorter,
+    # or lengths tie and ids are ordered. Every qualifying pair survives in
+    # exactly one orientation (same-band pairs appear in both orientations,
+    # cross-band pairs only with the shorter doc in the a role — covered by
+    # la < lb), so each pair pays ONE levenshtein and no distinct shuffle.
+    keep = (F.col("la") < F.col("lb")) | (
+        (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b"))
+    )
     return (
         a.join(b, join_on)
-        .filter(
-            (F.col("id_a") != F.col("id_b"))
-            & (F.abs(F.col("la") - F.col("lb")) <= max_distance)
-        )
+        .filter(keep & (F.col("lb") - F.col("la") <= max_distance))
         .select(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
@@ -401,7 +416,6 @@ def edit_distance_pairs(
             F.levenshtein("pa", "pb").cast("bigint").alias("distance"),
         )
         .filter(F.col("distance") <= max_distance)
-        .distinct()
     )
 
 

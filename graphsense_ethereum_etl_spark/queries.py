@@ -3475,7 +3475,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (SELECT doc_id, lang,
                  substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
                            1, 40) AS pfx
-               FROM documents)
+               FROM documents WHERE doc_id < 1000)
     SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
            a.lang AS lang,
            CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS distance
@@ -3489,16 +3489,20 @@ def dd6_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs (fuzzy title/URL matching, completing
     the dedup family): same-language docs whose normalized 40-char prefixes
     are within Levenshtein 10 — length-banded candidate generation
-    (operators/dedup.py::edit_distance_pairs: |len diff| ≤ d bounds the
-    band neighborhood, band_width > d makes it lossless), built-in JVM
-    ``levenshtein`` verification only on candidates. The oracle runs the
-    equivalent all-pairs-within-group SQL — identical distance semantics in
-    DuckDB's levenshtein — so a banding coverage bug (a lost cross-band
-    pair) changes the row count."""
+    (operators/dedup.py::edit_distance_pairs), built-in JVM ``levenshtein``
+    verification only on candidates. The oracle runs the equivalent
+    all-pairs-within-group SQL — identical distance semantics in DuckDB —
+    so a banding coverage bug (a lost cross-band pair) changes the row set.
+
+    Runs on a FIXED 1000-id panel (the sim5 ground-truth pattern): these
+    prefixes are all exactly 40 chars, so length banding cannot prune and
+    the pair space is inherently O(group²) — the panel keeps the measured
+    fact corpus-size-independent (see the operator docstring for the
+    segment-indexing alternative at small d)."""
     from .operators.dedup import edit_distance_pairs
 
     return edit_distance_pairs(
-        load(spark, sf_dir, "documents"),
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000),
         prefix_len=40,
         max_distance=10,
         group_cols=("lang",),
