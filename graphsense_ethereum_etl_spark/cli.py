@@ -155,8 +155,8 @@ def build_parser() -> ArgumentParser:
         dest="dialect",
         choices=[CASSANDRA, CSV],
         default=CASSANDRA,
-        help="transform dialect: cassandra (binary columns, | trace paths) "
-        "or csv (hex strings, - trace paths)",
+        help="transform dialect: cassandra (binary columns, ','-joined "
+        "trace paths) or csv (hex strings, '|'-joined trace paths)",
     )
     ingest.add_argument(
         "--stream",

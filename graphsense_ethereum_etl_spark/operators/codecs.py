@@ -249,7 +249,12 @@ def wav_info(payload: bytes) -> tuple[int, int, int, int]:
 def wav_encode(
     samples: np.ndarray, sample_rate: int = 8000, sample_width: int = 2
 ) -> bytes:
-    """PCM-encode an (n_samples,) or (n_samples, n_channels) int array."""
+    """PCM-encode an (n_samples,) or (n_samples, n_channels) int array.
+
+    ``sample_width=1`` takes SIGNED input samples in [-128, 127] and stores
+    them biased by +128: 8-bit WAV PCM is unsigned per the RIFF spec, so a
+    raw int8 dump would be misread by any standard decoder.
+    """
     if samples.ndim == 1:
         samples = samples[:, None]
     buf = io.BytesIO()
@@ -257,8 +262,14 @@ def wav_encode(
         w.setnchannels(samples.shape[1])
         w.setsampwidth(sample_width)
         w.setframerate(sample_rate)
-        dtype = {1: np.int8, 2: np.int16, 4: np.int32}[sample_width]
-        w.writeframes(np.ascontiguousarray(samples, dtype=dtype).tobytes())
+        if sample_width == 1:
+            raw = (
+                np.ascontiguousarray(samples, dtype=np.int16) + 128
+            ).astype(np.uint8)
+        else:
+            dtype = {2: np.int16, 4: np.int32}[sample_width]
+            raw = np.ascontiguousarray(samples, dtype=dtype)
+        w.writeframes(raw.tobytes())
     return buf.getvalue()
 
 

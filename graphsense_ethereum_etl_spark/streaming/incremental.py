@@ -116,9 +116,9 @@ def run_incremental(
     buckets — the Parquet analog of the reference CSV exporter's divisibility
     guards (eth_csv_export.py:493-506). ``batch_size`` is rounded up to a
     bucket multiple, and a resume re-ingests from the start of the last
-    partial bucket (idempotent overwrite ≙ Cassandra upsert re-run)."""
-    # Idempotent re-runs: only replace the partitions a batch touches.
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    partial bucket (idempotent overwrite ≙ Cassandra upsert re-run).
+    Dynamic partition overwrite is scoped per-writer inside
+    ``transform_and_write_batch`` — no session-conf side effects."""
     batch_size = max(bucket_size, (batch_size // bucket_size) * bucket_size)
     resume = latest_ingested_block(spark, f"{sink_root}/block", sink_format)
     rng = resolve_range(resume, head, start_block, end_block)
@@ -166,8 +166,6 @@ def transform_and_write_batch(
     Streaming sink (``run_streaming_ingest``). The caller guarantees the
     batch covers whole ``block_id_group`` buckets (a partial leading bucket
     would be wiped by the dynamic partition overwrite)."""
-    # Idempotent re-runs: only replace the partitions this batch touches.
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     txs = enrich_transactions(raw["transactions"], raw["receipts"])
     # The at-rest transaction layout adds block_id_group (not in the CQL
     # schema, schema.cql:29-53) so every table overwrites exactly its own
@@ -202,7 +200,13 @@ def transform_and_write_batch(
                 out = out.sortWithinPartitions(*sort_cols)
             writer = out.write.mode("overwrite")
             if "block_id_group" in df.columns:
-                writer = writer.partitionBy("block_id_group")
+                # Idempotent re-runs: only replace the partitions this batch
+                # touches. Scoped per-writer (NOT a session conf) so callers
+                # sharing the SparkSession keep default overwrite semantics
+                # for unrelated partitioned writes.
+                writer = writer.partitionBy("block_id_group").option(
+                    "partitionOverwriteMode", "dynamic"
+                )
             writer.parquet(f"{sink_root}/{table}")
         if collect_stats and stats is not None:
             # Recomputes the frame — test/inspection convenience only
@@ -240,7 +244,8 @@ def run_streaming_ingest(
     bucket-aligned, and dynamic partition overwrite replaces WHOLE
     ``block_id_group`` partitions — so each batch re-covers its partial
     leading bucket (lo rounded down to a bucket boundary, entities
-    re-fetched for the widened range). Re-fetch + overwrite is exactly the
+    re-fetched for the widened range), clamped so it never reaches below
+    the requested ``start_block``. Re-fetch + overwrite is exactly the
     idempotent-replay story ``run_incremental`` uses for crash resume; a
     replayed foreachBatch (crash between write and checkpoint commit)
     rewrites the same partitions to the same content.
@@ -265,8 +270,16 @@ def run_streaming_ingest(
         ).collect()[0]
         if rng["lo"] is None:
             return
-        lo = (int(rng["lo"]) // bucket_size) * bucket_size  # re-cover bucket
+        # Re-cover the batch's leading bucket so its partition rewrite is
+        # total — but never reach below the REQUESTED start: a non-aligned
+        # --start-block must not fetch/write blocks the user never asked
+        # for. The clamp can leave one partial leading bucket; its dynamic
+        # partition overwrite replaces any pre-existing rows of that bucket
+        # below start_block, which is the documented contract of forcing an
+        # unaligned start over an existing sink.
+        batch_lo = int(rng["lo"])
         hi = int(rng["hi"])
+        lo = max((batch_lo // bucket_size) * bucket_size, start_block)
         raw = source(spark, lo, hi)
         transform_and_write_batch(
             spark,
@@ -277,7 +290,8 @@ def run_streaming_ingest(
             sink_format=sink_format,
         )
         stats.batches += 1
-        stats.blocks += hi - lo + 1
+        # Count only newly streamed blocks, not bucket re-cover refetches.
+        stats.blocks += hi - batch_lo + 1
 
     reader = (
         spark.readStream.format("ethrpc")

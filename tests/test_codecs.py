@@ -155,6 +155,21 @@ def test_wav_roundtrip_info():
     assert (ch, rate, n, width) == (2, 8000, 400, 2)
 
 
+def test_wav_8bit_is_unsigned_biased():
+    # 8-bit WAV PCM is UNSIGNED (uint8, 128 bias per the RIFF spec): signed
+    # input samples must land biased by +128 in the data chunk, not as a raw
+    # int8 dump, or standard decoders misread every negative sample.
+    import io as _io
+    import wave as _wave
+
+    samples = np.array([-128, -1, 0, 1, 127], dtype=np.int16)
+    payload = wav_encode(samples, sample_rate=8000, sample_width=1)
+    with _wave.open(_io.BytesIO(payload), "rb") as w:
+        assert w.getsampwidth() == 1
+        raw = np.frombuffer(w.readframes(w.getnframes()), dtype=np.uint8)
+    assert raw.tolist() == [0, 127, 128, 129, 255]
+
+
 # ---------------------------------------------------------------------------
 # dispatch, features, resize
 # ---------------------------------------------------------------------------
