@@ -326,3 +326,28 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = (np.arange(height) * src_h // height).clip(0, src_h - 1)
     xs = (np.arange(width) * src_w // width).clip(0, src_w - 1)
     return img[ys][:, xs]
+
+
+def dhash(img: np.ndarray, hash_w: int = 8, hash_h: int = 8) -> int:
+    """Difference hash (dHash) — the standard perceptual image fingerprint
+    (Krawetz, "Kind of Like That", 2013; same family as pHash/aHash): mean-
+    grayscale, nearest-resize to ``(hash_w+1) × hash_h``, and bit
+    ``r*hash_w + c`` is set iff ``g[r, c] > g[r, c+1]``. Robust to uniform
+    brightness/contrast shifts and re-encoding; near-duplicate images land
+    within a few bit flips, so the fingerprints feed the same piece-banding
+    Hamming join as SimHash text dedup (dedup.py::fingerprint_hamming_pairs).
+
+    Returns an UNSIGNED ``hash_w*hash_h``-bit int (row-major, bit 0 =
+    top-left); callers packing 64 bits into a signed BIGINT column fold the
+    top bit two's-complement style.
+    """
+    g = img.astype(np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    small = resize_nearest(g, hash_w + 1, hash_h)
+    bits = small[:, :-1] > small[:, 1:]  # (hash_h, hash_w) row-major
+    fp = 0
+    for b, v in enumerate(bits.reshape(-1)):
+        if v:
+            fp |= 1 << b
+    return fp

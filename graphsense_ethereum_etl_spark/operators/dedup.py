@@ -519,14 +519,45 @@ def simhash_hamming_pairs(
       full of identical/empty docs collapsing into one bucket) at the cost
       of recomputing the fingerprint subplan per side — at 100 TB, pair it
       with a materialized fingerprint table (versioned sink) instead."""
+    sims = simhash(docs, text_col, id_col, bits)
+    return fingerprint_hamming_pairs(
+        sims,
+        id_col=id_col,
+        fp_col="simhash",
+        bits=bits,
+        max_hamming=max_hamming,
+        n_pieces=n_pieces,
+        candidate_strategy=candidate_strategy,
+    )
+
+
+def fingerprint_hamming_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+    bits: int = 64,
+    max_hamming: int = 3,
+    n_pieces: int = 4,
+    candidate_strategy: str = "aggregate",
+) -> DataFrame:
+    """Hamming-distance pair join over PRECOMPUTED integer fingerprints —
+    the piece-banding engine behind ``simhash_hamming_pairs``, factored out
+    so any 64-bit-or-narrower fingerprint modality plugs in: SimHash over
+    text, perceptual dHash over decoded images (multimodal.py::
+    perceptual_hash), audio chromaprints, etc. Semantics, candidate
+    strategies, and scale posture are documented on
+    ``simhash_hamming_pairs``; ``bits`` only needs to divide by
+    ``n_pieces`` here (the SimHash entry point constrains it further)."""
     if n_pieces <= max_hamming:
         raise ValueError(
             "piece-banding needs n_pieces > max_hamming for lossless pruning"
         )
     if candidate_strategy not in ("aggregate", "join"):
         raise ValueError(f"unknown candidate_strategy {candidate_strategy!r}")
+    if bits % n_pieces != 0:
+        raise ValueError(f"bits ({bits}) must divide evenly into {n_pieces} pieces")
     piece_bits = bits // n_pieces
-    sims = simhash(docs, text_col, id_col, bits)
+    sims = fps.select(F.col(id_col), F.col(fp_col).alias("simhash"))
     mask = (1 << piece_bits) - 1
     piece_structs = [
         F.struct(

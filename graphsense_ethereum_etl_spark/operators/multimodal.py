@@ -247,3 +247,56 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def perceptual_hash(
+    media: DataFrame, hash_w: int = 8, hash_h: int = 8
+) -> DataFrame:
+    """Perceptual image fingerprints: decode each binary image payload
+    (PNG/netpbm, codecs.py), nearest-resize to the dHash grid, and emit the
+    ``hash_w*hash_h``-bit difference hash packed into a signed BIGINT
+    (two's-complement fold of the top bit, matching the SimHash column
+    convention so both modalities share downstream tooling).
+
+    Feed the result straight into ``dedup.fingerprint_hamming_pairs`` for
+    image NEAR-duplicate detection — the image analog of SimHash text
+    dedup: re-encoded / slightly-retouched images land within a few bit
+    flips of each other. Corrupt or unsupported-but-sniffable payloads
+    degrade to a null fingerprint per row (filtered by callers) instead of
+    failing the stage; formats needing an absent library still raise.
+    """
+    n_bits = hash_w * hash_h
+    if n_bits > 64:
+        raise ValueError(f"dhash grid {hash_w}x{hash_h} exceeds 64 bits")
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_image, dhash
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                fp: int | None
+                try:
+                    raw = dhash(
+                        decode_image(bytes(content) if content is not None else b""),
+                        hash_w,
+                        hash_h,
+                    )
+                    # two's-complement fold into a signed 64-bit column
+                    fp = raw - (1 << 64) if raw >= (1 << 63) else raw
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    fp = None
+                rows.append({"media_id": mid, "dhash": fp})
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(hash_batches, schema=PHASH_SCHEMA)

@@ -1297,6 +1297,116 @@ def mm2_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm3_image_neardup",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             xor(
+               xor(CAST('0x' || substring(md5(CAST(doc_id % 16 AS VARCHAR)), 1, 15)
+                        AS BIGINT),
+                   CASE WHEN doc_id % 3 > 0
+                        THEN (CAST(1 AS BIGINT) << CAST((doc_id * 7) % 60 AS INTEGER))
+                        ELSE 0 END),
+               CASE WHEN doc_id % 3 > 1
+                    THEN (CAST(1 AS BIGINT) << CAST((doc_id * 7 + 13) % 60 AS INTEGER))
+                    ELSE 0 END) AS f
+      FROM documents WHERE doc_id < 200)
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+           CAST(b.doc_id AS BIGINT) AS id_b,
+           CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 4
+    """,
+)
+def mm3_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection via perceptual hashing — the missing
+    dedup modality next to text SimHash (dd5): encode a real PNG per
+    document, run the REAL decode path (codecs.py zlib inflate + unfilter),
+    nearest-resize to the dHash grid, difference-hash to a 60-bit
+    fingerprint, and band the fingerprints through the same Manku-style
+    piece-banding Hamming join as text dedup
+    (dedup.fingerprint_hamming_pairs — 5 pieces of 12 bits > max_hamming=4,
+    lossless pigeonhole pruning; no all-pairs).
+
+    Oracle strategy (the mm2 pattern): each document's pixel grid ENCODES an
+    arithmetically-known fingerprint — per dHash row, pixels walk down one
+    gray level where the target bit is set and up where it is not, so
+    decode → resize → dhash must reproduce it EXACTLY; any codec, resize,
+    packing, or banding defect flips the hash. Planted structure: docs
+    sharing ``doc_id % 16`` share a base fingerprint with ≤2 deterministic
+    bit flips each (≤4 apart pairwise — all within budget), while
+    cross-group md5 bases sit ~30 bits apart. The DuckDB oracle recomputes
+    the fingerprints arithmetically and joins all pairs (200 docs — fine at
+    oracle scale; the Spark side never does all-pairs). The 2× upscale
+    before encode makes the nearest-neighbor downsample in the dHash a real
+    resample, not an identity."""
+    import pandas as pd
+
+    from .operators.dedup import fingerprint_hamming_pairs
+    from .operators.multimodal import MEDIA_SCHEMA, perceptual_hash
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def encode_batches(batches):
+        import hashlib
+
+        import numpy as np
+
+        from .operators.codecs import png_encode
+
+        def fp_of(doc_id: int) -> int:
+            base = int(
+                hashlib.md5(str(doc_id % 16).encode()).hexdigest()[:15], 16
+            )
+            f = base
+            if doc_id % 3 > 0:
+                f ^= 1 << ((doc_id * 7) % 60)
+            if doc_id % 3 > 1:
+                f ^= 1 << ((doc_id * 7 + 13) % 60)
+            return f
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                f = fp_of(int(doc_id))
+                # 8 rows × 9 cols; bit r*8+c set iff g[r,c] > g[r,c+1]
+                g = np.zeros((8, 9), dtype=np.uint8)
+                for r in range(8):
+                    g[r, 0] = 128
+                    for c in range(8):
+                        bit = (f >> (r * 8 + c)) & 1 if r * 8 + c < 60 else 0
+                        g[r, c + 1] = g[r, c] - 1 if bit else g[r, c] + 1
+                up = np.repeat(np.repeat(g, 2, axis=0), 2, axis=1)  # 16×18
+                rgb = np.stack([up, up, up], axis=2)
+                payload = png_encode(rgb)
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "content": payload,
+                        "meta": {"mime": "image/png", "n_bytes": len(payload)},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+    fps = perceptual_hash(media).select(
+        "media_id", F.col("dhash").alias("fingerprint")
+    )
+    return fingerprint_hamming_pairs(
+        fps,
+        id_col="media_id",
+        fp_col="fingerprint",
+        bits=60,
+        max_hamming=4,
+        n_pieces=5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.10 streaming surface (batch-checkable event-time operators)
 # ---------------------------------------------------------------------------
@@ -2180,6 +2290,71 @@ def cc1_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("id").cast("bigint").alias("doc_id"),
         F.col("component").cast("bigint").alias("cluster_id"),
+    )
+
+
+@query(
+    "cc2_keep_canonical",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    {_duck_minhash_sig()},
+    banded AS ({_duck_bands()}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b
+        ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1 AND a.doc_id < b.doc_id),
+    sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT s AS v FROM sym),
+    reach(v, r) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT reach.v, sym.d FROM reach JOIN sym ON reach.r = sym.s),
+    comp AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) OVER (
+                  PARTITION BY COALESCE(c.cluster_id, d.doc_id)) AS BIGINT)
+             AS cluster_size,
+           ROW_NUMBER() OVER (
+             PARTITION BY COALESCE(c.cluster_id, d.doc_id)
+             ORDER BY d.n_chars DESC, d.doc_id ASC) = 1 AS keep
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """,
+)
+def cc2_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-keeper resolution — the step a training pipeline runs AFTER
+    dedup clustering (cc1): keep exactly ONE document per duplicate cluster
+    (the longest by ``n_chars``, doc_id as the deterministic tie-break) and
+    flag the rest for removal. Docs in no candidate pair are their own
+    singleton cluster (LEFT join + coalesce), so the output covers the whole
+    corpus and ``keep`` partitions it exactly: sum(keep) = number of unique
+    documents surviving dedup.
+
+    Scale shape: the cluster assignment is cc1's bounded min-label
+    propagation; the keeper choice is one window over cluster_id — a single
+    hash shuffle of (doc_id, cluster_id, n_chars), never the text column
+    (pruned before the exchange). No collect, no UDF."""
+    from .operators.dedup import lsh_candidate_pairs
+    from .operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    pairs = lsh_candidate_pairs(docs)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    slim = docs.select("doc_id", "n_chars")  # text pruned pre-shuffle
+    lab = slim.join(comp, slim.doc_id == comp.id, "left").select(
+        slim.doc_id.cast("bigint").alias("doc_id"),
+        F.coalesce(comp.component, slim.doc_id).cast("bigint").alias("cluster_id"),
+        "n_chars",
+    )
+    w = W.partitionBy("cluster_id")
+    wk = w.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        (F.row_number().over(wk) == 1).alias("keep"),
     )
 
 

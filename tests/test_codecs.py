@@ -285,3 +285,37 @@ def test_sample_frames_real(spark):
 def test_decode_image_jpeg_names_dependency():
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+
+
+def test_dhash_brightness_invariant_and_roundtrip():
+    """dHash is invariant to uniform brightness shifts and survives a PNG
+    encode→decode→2×-downsample round trip bit-exactly."""
+    from graphsense_ethereum_etl_spark.operators.codecs import (
+        dhash,
+        png_decode,
+        png_encode,
+    )
+
+    rng = _rng(11)
+    img = rng.integers(30, 200, size=(8, 9), dtype=np.uint8)
+    fp = dhash(img)
+    assert fp == dhash(np.clip(img.astype(np.int16) + 40, 0, 255).astype(np.uint8))
+    up = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+    rgb = np.stack([up, up, up], axis=2)
+    assert dhash(png_decode(png_encode(rgb))) == fp
+
+
+def test_dhash_near_duplicate_small_distance():
+    """A lightly perturbed image lands within a few bit flips; an unrelated
+    image lands far away."""
+    from graphsense_ethereum_etl_spark.operators.codecs import dhash
+
+    rng = _rng(12)
+    img = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    near = img.copy()
+    near[5:7, 5:7] = 255  # small local retouch
+    far = _rng(13).integers(0, 256, size=(32, 32), dtype=np.uint8)
+    d_near = bin(dhash(img) ^ dhash(near)).count("1")
+    d_far = bin(dhash(img) ^ dhash(far)).count("1")
+    assert d_near <= 6
+    assert d_far > 15

@@ -209,3 +209,50 @@ def test_ngram_jaccard_bucketed_colocated(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in ("dd2b_prefix", "dd2b_sets"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_fingerprint_hamming_pairs_matches_brute_force(spark):
+    """The factored banding engine over PRECOMPUTED fingerprints must be
+    lossless vs all-pairs popcount, including at non-16-multiple widths."""
+    from graphsense_ethereum_etl_spark.operators.dedup import (
+        fingerprint_hamming_pairs,
+    )
+
+    import random
+
+    rnd = random.Random(7)
+    fps = []
+    base = rnd.getrandbits(60)
+    for i in range(40):
+        f = base
+        for _ in range(rnd.randrange(0, 4)):
+            f ^= 1 << rnd.randrange(60)
+        fps.append((i, f))
+    for i in range(40, 60):  # far-away group
+        fps.append((i, rnd.getrandbits(60)))
+    expected = set()
+    for i, (ia, fa) in enumerate(fps):
+        for ib, fb in fps[i + 1 :]:
+            h = bin(fa ^ fb).count("1")
+            if h <= 4:
+                expected.add((ia, ib, h))
+    df = spark.createDataFrame(fps, "doc_id long, fingerprint long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in fingerprint_hamming_pairs(
+            df, bits=60, max_hamming=4, n_pieces=5
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_fingerprint_hamming_pairs_guards(spark):
+    from graphsense_ethereum_etl_spark.operators.dedup import (
+        fingerprint_hamming_pairs,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "doc_id long, fingerprint long")
+    with pytest.raises(ValueError, match="n_pieces"):
+        fingerprint_hamming_pairs(df, bits=60, max_hamming=5, n_pieces=5)
+    with pytest.raises(ValueError, match="divide"):
+        fingerprint_hamming_pairs(df, bits=60, max_hamming=3, n_pieces=7)
