@@ -419,6 +419,200 @@ def edit_distance_pairs(
     )
 
 
+def passjoin_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 40,
+    max_distance: int = 2,
+    group_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """PassJoin candidate generation (Li/Deng/Feng, ICDE'11 "PASS-JOIN: a
+    partition-based method for similarity joins") — the corpus-scale
+    edit-distance path ``edit_distance_pairs`` points to for small
+    ``max_distance``: positional SEGMENT indexing instead of length
+    banding, so candidates stay sparse even on constant-length corpora
+    (where pure length filtering degenerates to all-pairs per band).
+
+    Scheme, for d = ``max_distance``:
+
+    - **Index side**: every normalized prefix ``s`` is split into d+1
+      contiguous segments (even partition: the last ``len % (d+1)``
+      segments one char longer). By pigeonhole, any ``r`` with
+      ``ed(r, s) <= d`` contains at least ONE segment of ``s`` as an exact
+      substring, start-shifted by at most d.
+    - **Probe side**: every prefix ``r`` (length m) emits, for each
+      candidate indexed length ``l ∈ [m-d, m]`` (canonical orientation —
+      the indexed string is the shorter-or-equal one, so each qualifying
+      pair is generated from exactly one side), each segment slot k of the
+      LENGTH-l partition scheme, and each start offset within ±d of that
+      segment's home position, the corresponding substring of ``r``. Probe
+      fan-out is O((d+1)²·(2d+1)) per row — CONSTANT in corpus size (45
+      keys at d=2 before window clipping), all plain Catalyst arithmetic +
+      substring; the paper's tighter multi-match-aware position selection
+      is a subset of this ±d window, so the simpler window is equally
+      lossless, merely a few more candidates.
+    - **Join** on (group, l, segment-slot, segment-string) equality — an
+      equi-shuffle join, no theta join, no all-pairs — then candidate
+      pairs dedup under DISTINCT (a pair can match on several keys).
+
+    Returns the DISTINCT candidate pairs ``(id_s, id_r, ps, pr,
+    *group_cols)`` BEFORE Levenshtein verification, so tests and capacity
+    planning can measure candidate sparsity directly;
+    ``edit_distance_pairs_passjoin`` adds the verify."""
+    d = max_distance
+    if d < 0:
+        raise ValueError("max_distance must be >= 0")
+    nseg = d + 1
+    norm = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+        1,
+        prefix_len,
+    )
+    base = docs.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        *[F.col(c) for c in group_cols],
+        norm.alias("pfx"),
+        F.length(norm).cast("bigint").alias("ln"),
+    )
+
+    def seg_params(length_col, k: int):
+        """(start, len) of segment k in the length-`length_col` partition
+        scheme: first segments floor(l/nseg) chars, last l%nseg get +1."""
+        bseg = F.floor(length_col / nseg).cast("bigint")
+        rem = length_col % nseg
+        len_k = bseg + F.when(F.lit(k) >= (F.lit(nseg) - rem), 1).otherwise(0)
+        start_k = F.lit(k) * bseg + F.greatest(
+            F.lit(0).cast("bigint"), (F.lit(k) - (F.lit(nseg) - rem)).cast("bigint")
+        )
+        return start_k, len_k
+
+    # ---- index: each string partitioned by ITS OWN length's scheme
+    seg_structs = []
+    for k in range(nseg):
+        st, lk = seg_params(F.col("ln"), k)
+        seg_structs.append(
+            F.struct(F.lit(k).alias("k"), st.alias("st"), lk.alias("lk"))
+        )
+    idx = (
+        base.select(
+            F.col("id").alias("id_s"),
+            *[F.col(c).alias(f"gs_{c}") for c in group_cols],
+            F.col("pfx").alias("ps"),
+            F.col("ln").alias("ls"),
+            F.explode(F.array(*seg_structs)).alias("sg"),
+        )
+        .select(
+            "id_s",
+            *[f"gs_{c}" for c in group_cols],
+            "ps",
+            "ls",
+            F.col("sg.k").alias("ki"),
+            F.expr(
+                "substring(ps, CAST(sg.st + 1 AS INT), CAST(sg.lk AS INT))"
+            ).alias("segi"),
+        )
+    )
+
+    # ---- probe: substrings of r that could equal a segment of a
+    # shorter-or-equal indexed string, within the ±d position window
+    probe_structs = []
+    for dl in range(d + 1):
+        lval = F.col("ln") - dl
+        for k in range(nseg):
+            st, lk = seg_params(lval, k)
+            for po in range(-d, d + 1):
+                p = st + po
+                valid = (
+                    (lval >= 0)
+                    & (p >= 0)
+                    & (p <= F.col("ln") - lk)
+                )
+                probe_structs.append(
+                    F.struct(
+                        F.when(valid, lval).alias("l"),
+                        F.lit(k).alias("k"),
+                        p.alias("p"),
+                        lk.alias("lk"),
+                    )
+                )
+    prb = (
+        base.select(
+            F.col("id").alias("id_r"),
+            *[F.col(c).alias(f"gr_{c}") for c in group_cols],
+            F.col("pfx").alias("pr"),
+            F.col("ln").alias("lr"),
+            F.explode(F.array(*probe_structs)).alias("pb"),
+        )
+        .filter(F.col("pb.l").isNotNull())
+        .select(
+            "id_r",
+            *[f"gr_{c}" for c in group_cols],
+            "pr",
+            "lr",
+            F.col("pb.l").alias("l"),
+            F.col("pb.k").alias("kp"),
+            F.expr(
+                "substring(pr, CAST(pb.p + 1 AS INT), CAST(pb.lk AS INT))"
+            ).alias("segp"),
+        )
+    )
+
+    join_on = (
+        (F.col("l") == F.col("ls"))
+        & (F.col("kp") == F.col("ki"))
+        & (F.col("segp") == F.col("segi"))
+    )
+    for c in group_cols:
+        join_on = join_on & (F.col(f"gr_{c}") == F.col(f"gs_{c}"))
+    # Probe lengths stop at m, so ls <= lr always; ties fix roles by id.
+    orient = (F.col("ls") < F.col("lr")) | (F.col("id_s") < F.col("id_r"))
+    return (
+        prb.join(idx, join_on)
+        .filter(orient)
+        .select(
+            "id_s",
+            "id_r",
+            "ps",
+            "pr",
+            *[F.col(f"gs_{c}").alias(c) for c in group_cols],
+        )
+        .distinct()
+    )
+
+
+def edit_distance_pairs_passjoin(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 40,
+    max_distance: int = 2,
+    group_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Edit-distance near-dup pairs via PassJoin segment indexing — same
+    output contract as ``edit_distance_pairs`` (id_a, id_b, *group_cols,
+    distance), different candidate generation: positional segment probes
+    (see ``passjoin_candidate_pairs``) instead of length bands, so the
+    operator stays subquadratic on constant-length corpora where banding
+    degenerates. Intended for SMALL ``max_distance`` (probe fan-out grows
+    O(d³)); at large d prefer the banded operator on a bounded panel."""
+    cands = passjoin_candidate_pairs(
+        docs, text_col, id_col, prefix_len, max_distance, group_cols
+    )
+    return (
+        cands.withColumn(
+            "distance", F.levenshtein("ps", "pr").cast("bigint")
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select(
+            F.least("id_s", "id_r").alias("id_a"),
+            F.greatest("id_s", "id_r").alias("id_b"),
+            *group_cols,
+            "distance",
+        )
+    )
+
+
 def simhash(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:

@@ -3686,6 +3686,42 @@ def dd6_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd7_passjoin_pairs",
+    """
+    WITH p AS (SELECT doc_id, lang,
+                 substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                           1, 40) AS pfx
+               FROM documents)
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+           a.lang AS lang,
+           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS distance
+    FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= 2
+    """,
+)
+def dd7_passjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs at CORPUS scale — the PassJoin segment-
+    index path dd6's docstring promises (Li/Deng/Feng ICDE'11,
+    operators/dedup.py::edit_distance_pairs_passjoin): positional segment
+    probes replace length banding, so this runs over the WHOLE documents
+    table with no panel bound even though every normalized 40-char prefix
+    has the same length (the exact regime where dd6's banding degenerates
+    to quadratic). Candidate generation is an equi-join on (lang, length,
+    segment-slot, segment-substring) with constant per-row probe fan-out;
+    only the sparse candidates pay Levenshtein. Oracle: all-pairs-within-
+    group SQL at d=2 — identical distance semantics in DuckDB — so a lost
+    segment/window candidate changes the row set."""
+    from .operators.dedup import edit_distance_pairs_passjoin
+
+    return edit_distance_pairs_passjoin(
+        load(spark, sf_dir, "documents", spread=True),
+        prefix_len=40,
+        max_distance=2,
+        group_cols=("lang",),
+    )
+
+
+@query(
     "q12_shipmode_priority",
     """
     SELECT l_returnflag AS ship_class,

@@ -256,3 +256,112 @@ def test_fingerprint_hamming_pairs_guards(spark):
         fingerprint_hamming_pairs(df, bits=60, max_hamming=5, n_pieces=5)
     with pytest.raises(ValueError, match="divide"):
         fingerprint_hamming_pairs(df, bits=60, max_hamming=3, n_pieces=7)
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _edit_corpus(n: int = 120, seed: int = 3):
+    """Spread-length corpus with planted 0-3-edit mutations of earlier docs."""
+    import random
+
+    rnd = random.Random(seed)
+    alpha = "abcdef "
+    rows, texts = [], []
+    for i in range(n):
+        if i % 4 == 0 or not texts:
+            t = "".join(rnd.choice(alpha) for _ in range(rnd.randrange(5, 60)))
+        else:
+            t = list(rnd.choice(texts))
+            for _ in range(rnd.randrange(0, 4)):
+                op, pos = rnd.randrange(3), rnd.randrange(max(1, len(t)))
+                if op == 0 and t:
+                    t[pos] = rnd.choice(alpha)
+                elif op == 1:
+                    t.insert(pos, rnd.choice(alpha))
+                elif op == 2 and len(t) > 1:
+                    del t[pos]
+            t = "".join(t)
+        texts.append(t)
+        rows.append((i, t, "xx"))
+    return rows
+
+
+def _norm40(t: str) -> str:
+    import re
+
+    return re.sub(r"\s+", " ", t.strip().lower())[:40]
+
+
+def test_passjoin_matches_brute_force_and_banded(spark):
+    """PassJoin segment indexing is lossless: pair-set equality with both
+    the all-pairs ground truth and the length-banded operator on a
+    spread-length corpus (the regime where both apply)."""
+    import itertools
+
+    from graphsense_ethereum_etl_spark.operators.dedup import (
+        edit_distance_pairs,
+        edit_distance_pairs_passjoin,
+    )
+
+    rows = _edit_corpus()
+    d = 2
+    expected = {
+        (ia, ib, _py_levenshtein(_norm40(ta), _norm40(tb)))
+        for (ia, ta, _), (ib, tb, _) in itertools.combinations(rows, 2)
+        if _py_levenshtein(_norm40(ta), _norm40(tb)) <= d
+    }
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got_pass = {
+        (r.id_a, r.id_b, r.distance)
+        for r in edit_distance_pairs_passjoin(docs, max_distance=d).collect()
+    }
+    got_band = {
+        (r.id_a, r.id_b, r.distance)
+        for r in edit_distance_pairs(docs, max_distance=d, band_width=d + 1).collect()
+    }
+    assert got_pass == expected
+    assert got_band == expected
+    assert len(expected) > 50  # corpus actually exercises the operators
+
+
+def test_passjoin_subquadratic_on_constant_length_corpus(spark):
+    """The case dd6's panel note documents: on a CONSTANT-length corpus,
+    length banding degenerates to all-pairs per band, while PassJoin's
+    candidate set stays proportional to the true near-dup count — here
+    every candidate is a real pair (90 of 44,850 possible)."""
+    import random
+
+    from graphsense_ethereum_etl_spark.operators.dedup import (
+        edit_distance_pairs_passjoin,
+        passjoin_candidate_pairs,
+    )
+
+    rnd = random.Random(3)
+    rows = []
+    for i in range(300):
+        if i % 10 == 0 or not rows:
+            t = "".join(rnd.choice("abcdef") for _ in range(40))
+        elif i % 10 < 3:  # one-substitution near-dup of the group head
+            t = list(rows[i - i % 10][1])
+            t[rnd.randrange(40)] = rnd.choice("abcdef")
+            t = "".join(t)
+        else:
+            t = "".join(rnd.choice("abcdef") for _ in range(40))
+        rows.append((i, t, "xx"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    n_cand = passjoin_candidate_pairs(docs, max_distance=2).count()
+    n_pairs = edit_distance_pairs_passjoin(docs, max_distance=2).count()
+    all_pairs = 300 * 299 // 2
+    assert n_cand < all_pairs / 100  # subquadratic candidate generation
+    assert n_pairs > 0
+    assert n_cand >= n_pairs
