@@ -2162,6 +2162,90 @@ def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g4_pagerank_2iter",
+    """
+    WITH e AS (
+      SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             'p' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+    verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e
+                                      UNION ALL SELECT dst FROM e)),
+    c0 AS (SELECT e.dst AS v,
+                  CAST(1000000000000 AS BIGINT) // d.outdeg AS c
+           FROM e JOIN deg d ON e.src = d.src),
+    pr1 AS (SELECT verts.v,
+                   CAST(150000000000 + (85 * COALESCE(SUM(c0.c), 0)) // 100
+                        AS BIGINT) AS pr
+            FROM verts LEFT JOIN c0 ON c0.v = verts.v GROUP BY verts.v),
+    c1 AS (SELECT e.dst AS v, p.pr // d.outdeg AS c
+           FROM e JOIN deg d ON e.src = d.src JOIN pr1 p ON p.v = e.src),
+    pr2 AS (SELECT verts.v,
+                   CAST(150000000000 + (85 * COALESCE(SUM(c1.c), 0)) // 100
+                        AS BIGINT) AS pr
+            FROM verts LEFT JOIN c1 ON c1.v = verts.v GROUP BY verts.v)
+    SELECT v AS vertex, pr AS pagerank_fp FROM pr2
+    """,
+)
+def g4_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank, 2 unrolled iterations (damping 0.85) over the
+    supplier→part edge multigraph from lineitem — the iterative-algorithm
+    shape (message passing: scatter contributions along edges, gather-sum
+    per vertex) expressed as pure DataFrame joins/aggregations, one
+    scatter-gather round per iteration.
+
+    All arithmetic is INTEGER fixed-point at scale 10^12 (rank 1.0 ≡
+    10^12, contribution = rank DIV outdeg, damping via 85·x DIV 100):
+    bit-exact, order-independent, engine-independent — no float summation
+    ambiguity, so the oracle check is exact. Overflow headroom: gather sums
+    stay < 2^63 up to ~10^6 in-edges per vertex at this scale; beyond that
+    widen to DECIMAL(38,0). Dangling vertices (parts, out-degree 0) simply
+    stop propagating, matching the oracle's LEFT-join-0 semantics.
+
+    Scale shape: outdeg is a groupBy on src; each iteration is one
+    shuffle-join of edges against current ranks on src plus one gather
+    aggregation on dst — the standard Pregel-on-relational layout. A
+    convergence-loop variant would persist ranks between rounds and
+    lineage-checkpoint like operators/graph.py::connected_components."""
+    S = F.lit(1_000_000_000_000).cast("bigint")
+    e = load(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("bigint").alias("outdeg"))
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+
+    def iterate(rank_of_src):
+        # scatter: src rank / outdeg along each edge; gather: sum at dst
+        contrib = (
+            e.join(deg, "src")
+            .join(rank_of_src, "src")
+            .select(
+                F.col("dst").alias("v"),
+                F.expr("pr DIV outdeg").alias("c"),
+            )
+        )
+        return (
+            verts.join(contrib, "v", "left")
+            .groupBy("v")
+            .agg(
+                (
+                    F.lit(150_000_000_000).cast("bigint")
+                    + F.expr("85 * coalesce(sum(c), 0) DIV 100")
+                ).alias("pr")
+            )
+        )
+
+    pr1 = iterate(deg.select("src", S.alias("pr")).select("src", "pr"))
+    pr2 = iterate(pr1.withColumnRenamed("v", "src").withColumnRenamed("pr", "pr"))
+    return pr2.select(F.col("v").alias("vertex"), F.col("pr").alias("pagerank_fp"))
+
+
+@query(
     "smp2_stratified_sample",
     """
     WITH b AS (
@@ -3916,6 +4000,56 @@ def t7_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         dup_shingle_ratio("text", k=3).alias("dup_ratio"),
+    )
+
+
+@query(
+    "t8_quality_quantile_filter",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+               / CAST(length(lower(text)) AS DOUBLE) AS score
+      FROM documents),
+    thr AS (SELECT lang, quantile_cont(score, 0.1) AS t FROM s GROUP BY lang)
+    SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.lang AS lang, s.score AS score
+    FROM s JOIN thr ON s.lang = thr.lang
+    WHERE s.score >= thr.t
+    """,
+)
+def t8_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based corpus filtering (pretraining curation staple): drop
+    the bottom decile of documents BY LANGUAGE on a quality signal (t2's
+    alpha_ratio) — per-group thresholds, not a global one, so low-resource
+    languages aren't wiped out by high-resource score distributions.
+
+    Exact interpolated percentile (Spark ``percentile`` ≡ SQL
+    PERCENTILE_CONT ≡ DuckDB ``quantile_cont``, all at position p·(n−1))
+    rather than approx_percentile so the oracle check is exact; the
+    threshold itself is never output (its last-ulp interpolation detail is
+    engine-specific — comparisons are still stable because adjacent
+    distinct scores differ by ≥ 1/(n_chars_a·n_chars_b), far above ulp).
+
+    Scale shape: the per-lang threshold table is a tiny aggregate →
+    broadcast back onto the fact; the fact is scanned twice but never
+    shuffled. Exact percentile holds all group values in the aggregation
+    buffer — at 100 TB swap in approx_percentile (apx2 pattern) with a
+    tolerance band instead."""
+    s = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        (
+            F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).cast(
+                "double"
+            )
+            / F.length(F.lower(F.col("text"))).cast("double")
+        ).alias("score"),
+    )
+    thr = s.groupBy("lang").agg(F.percentile("score", 0.1).alias("t"))
+    return (
+        s.join(F.broadcast(thr), "lang")
+        .filter(F.col("score") >= F.col("t"))
+        .select("doc_id", "lang", "score")
     )
 
 
