@@ -476,26 +476,33 @@ def passjoin_candidate_pairs(
         F.length(norm).cast("bigint").alias("ln"),
     )
 
-    def seg_params(length_col, k: int):
-        """(start, len) of segment k in the length-`length_col` partition
-        scheme: first segments floor(l/nseg) chars, last l%nseg get +1."""
-        bseg = F.floor(length_col / nseg).cast("bigint")
-        rem = length_col % nseg
+    def seg_params(bseg, rem, k: int):
+        """(start, len) of segment k given bseg = l DIV nseg, rem = l %
+        nseg: first segments bseg chars, last `rem` get +1."""
         len_k = bseg + F.when(F.lit(k) >= (F.lit(nseg) - rem), 1).otherwise(0)
         start_k = F.lit(k) * bseg + F.greatest(
             F.lit(0).cast("bigint"), (F.lit(k) - (F.lit(nseg) - rem)).cast("bigint")
         )
         return start_k, len_k
 
-    # ---- index: each string partitioned by ITS OWN length's scheme
+    # ---- index: each string partitioned by ITS OWN length's scheme.
+    # bseg/rem are computed ONCE as columns; the per-segment structs are a
+    # handful of integer ops each — keeping every explode small enough to
+    # stay inside whole-stage codegen (a single flat (d+1)²(2d+1)-struct
+    # array made the whole query 2.3× slower at sf0.1: the oversized
+    # expression tree falls out of codegen into interpreted per-row
+    # projection).
+    ibase = base.withColumn("bseg", F.expr(f"ln DIV {nseg}")).withColumn(
+        "rem", F.col("ln") % nseg
+    )
     seg_structs = []
     for k in range(nseg):
-        st, lk = seg_params(F.col("ln"), k)
+        st, lk = seg_params(F.col("bseg"), F.col("rem"), k)
         seg_structs.append(
             F.struct(F.lit(k).alias("k"), st.alias("st"), lk.alias("lk"))
         )
     idx = (
-        base.select(
+        ibase.select(
             F.col("id").alias("id_s"),
             *[F.col(c).alias(f"gs_{c}") for c in group_cols],
             F.col("pfx").alias("ps"),
@@ -515,42 +522,53 @@ def passjoin_candidate_pairs(
     )
 
     # ---- probe: substrings of r that could equal a segment of a
-    # shorter-or-equal indexed string, within the ±d position window
-    probe_structs = []
-    for dl in range(d + 1):
-        lval = F.col("ln") - dl
-        for k in range(nseg):
-            st, lk = seg_params(lval, k)
-            for po in range(-d, d + 1):
-                p = st + po
-                valid = (
-                    (lval >= 0)
-                    & (p >= 0)
-                    & (p <= F.col("ln") - lk)
-                )
-                probe_structs.append(
-                    F.struct(
-                        F.when(valid, lval).alias("l"),
-                        F.lit(k).alias("k"),
-                        p.alias("p"),
-                        lk.alias("lk"),
-                    )
-                )
-    prb = (
+    # shorter-or-equal indexed string, within the ±d position window.
+    # Two-stage explode: stage 1 fixes the candidate indexed length l
+    # (d+1 values) and computes ITS bseg/rem once; stage 2 explodes the
+    # (k, po) window over those two columns.
+    pb1 = (
         base.select(
             F.col("id").alias("id_r"),
             *[F.col(c).alias(f"gr_{c}") for c in group_cols],
             F.col("pfx").alias("pr"),
             F.col("ln").alias("lr"),
-            F.explode(F.array(*probe_structs)).alias("pb"),
+            F.explode(
+                F.array(*[(F.col("ln") - dl).alias("l") for dl in range(d + 1)])
+            ).alias("l"),
         )
-        .filter(F.col("pb.l").isNotNull())
+        .filter(F.col("l") >= 0)
+        .withColumn("bseg", F.expr(f"l DIV {nseg}"))
+        .withColumn("rem", F.col("l") % nseg)
+    )
+    kp_structs = []
+    for k in range(nseg):
+        st, lk = seg_params(F.col("bseg"), F.col("rem"), k)
+        for po in range(-d, d + 1):
+            p = st + po
+            valid = (p >= 0) & (p <= F.col("lr") - lk)
+            kp_structs.append(
+                F.struct(
+                    F.when(valid, F.lit(k)).alias("k"),
+                    p.alias("p"),
+                    lk.alias("lk"),
+                )
+            )
+    prb = (
+        pb1.select(
+            "id_r",
+            *[f"gr_{c}" for c in group_cols],
+            "pr",
+            "lr",
+            "l",
+            F.explode(F.array(*kp_structs)).alias("pb"),
+        )
+        .filter(F.col("pb.k").isNotNull())
         .select(
             "id_r",
             *[f"gr_{c}" for c in group_cols],
             "pr",
             "lr",
-            F.col("pb.l").alias("l"),
+            "l",
             F.col("pb.k").alias("kp"),
             F.expr(
                 "substring(pr, CAST(pb.p + 1 AS INT), CAST(pb.lk AS INT))"

@@ -4104,6 +4104,171 @@ def smp3_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "smp4_sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM t)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cb // 256 AS BIGINT) AS seq_id,
+           CAST(cb % 256 AS BIGINT) AS offset_in_seq,
+           CAST((cb + n_tokens - 1) // 256 - cb // 256 AS BIGINT) AS n_spans
+    FROM c
+    """,
+)
+def smp4_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (the concat-then-split pretraining layout):
+    per source shard, documents are concatenated in doc_id order and cut
+    into fixed 256-token sequences; each doc gets its starting sequence id,
+    its offset inside that sequence, and how many sequence boundaries it
+    spans — exactly the bookkeeping a dataloader needs to map packed
+    sequences back to provenance. Pure integer window arithmetic (exclusive
+    running sum), deterministic and engine-exact.
+
+    Scale shape: ONE window shuffle partitioned by source — the natural
+    shard key, so no global ordering bottleneck; within a shard the running
+    sum is a single pass. A 100-TB corpus packs shard-parallel exactly like
+    this (with doc_id as the intra-shard order the pipeline already
+    guarantees)."""
+    budget = 256
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cb = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    d = d.withColumn("cb", cb)
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"cb DIV {budget}").alias("seq_id"),
+        (F.col("cb") % budget).cast("bigint").alias("offset_in_seq"),
+        (
+            F.expr(f"(cb + n_tokens - 1) DIV {budget}")
+            - F.expr(f"cb DIV {budget}")
+        ).cast("bigint").alias("n_spans"),
+    )
+
+
+@query(
+    "t9_bm25_scoring",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS dl,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x = 'spark')) AS tf_spark,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x = 'table')) AS tf_table,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x = 'query')) AS tf_query
+      FROM documents),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+             CAST(SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+             CAST(SUM(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_table,
+             CAST(SUM(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_query
+      FROM t)
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(t.dl AS BIGINT) AS dl,
+           CAST(t.tf_spark AS BIGINT) AS tf_spark,
+           CAST(t.tf_table AS BIGINT) AS tf_table,
+           CAST(t.tf_query AS BIGINT) AS tf_query,
+           ((CAST(g.n_docs - g.df_spark AS DOUBLE) + 0.5) / (CAST(g.df_spark AS DOUBLE) + 0.5))
+             * ((CAST(t.tf_spark AS DOUBLE) * 2.2)
+                / (CAST(t.tf_spark AS DOUBLE)
+                   + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(t.dl AS DOUBLE) / g.avgdl))))
+           + ((CAST(g.n_docs - g.df_table AS DOUBLE) + 0.5) / (CAST(g.df_table AS DOUBLE) + 0.5))
+             * ((CAST(t.tf_table AS DOUBLE) * 2.2)
+                / (CAST(t.tf_table AS DOUBLE)
+                   + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(t.dl AS DOUBLE) / g.avgdl))))
+           + ((CAST(g.n_docs - g.df_query AS DOUBLE) + 0.5) / (CAST(g.df_query AS DOUBLE) + 0.5))
+             * ((CAST(t.tf_query AS DOUBLE) * 2.2)
+                / (CAST(t.tf_query AS DOUBLE)
+                   + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(t.dl AS DOUBLE) / g.avgdl))))
+           AS score
+    FROM t CROSS JOIN g
+    """,
+)
+def t9_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring of the corpus against a fixed query
+    ("spark table query"; k1=1.2, b=0.75) — the retrieval/quality-scoring
+    staple. The idf factor uses the RATIO form (N−df+0.5)/(df+0.5) with the
+    log omitted: log is order-preserving, so rankings are unchanged, and
+    dropping it keeps every operation an exactly-specified IEEE op (+,−,×,÷)
+    — ln differs across libm implementations in the last ulp, which would
+    make a hash-exact oracle flaky. Per-term contributions are summed in
+    FIXED syntactic order (three explicit addends, not a SUM aggregate) for
+    the same reason.
+
+    Scale shape: tf/dl are per-row array expressions (no explode, no
+    shuffle); the global stats row (N, avgdl, per-term df) is one tiny
+    aggregate broadcast back over the fact — the fact table is never
+    shuffled. Adding terms is adding columns; a dynamic query-term TABLE
+    would explode tokens and shuffle on term instead (the inverted-index
+    layout)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    terms = ["spark", "table", "query"]
+
+    def tf_col(term: str):
+        # one-arg lambda: a two-arg signature would make F.filter bind the
+        # second parameter to the ELEMENT INDEX
+        return F.size(F.filter(toks, lambda x: x == term)).cast("bigint")
+
+    t = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(toks).cast("bigint").alias("dl"),
+        *[tf_col(term).alias(f"tf_{term}") for term in terms],
+    )
+    g = t.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{term}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{term}")
+            for term in terms
+        ],
+    )
+    k1, b = 1.2, 0.75
+
+    def contrib(term: str):
+        idf = (
+            (F.col("n_docs") - F.col(f"df_{term}")).cast("double") + F.lit(0.5)
+        ) / (F.col(f"df_{term}").cast("double") + F.lit(0.5))
+        tf = F.col(f"tf_{term}").cast("double")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        return idf * ((tf * F.lit(k1 + 1)) / denom)
+
+    score = contrib(terms[0]) + contrib(terms[1]) + contrib(terms[2])
+    return t.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        "dl",
+        *[f"tf_{term}" for term in terms],
+        score.alias("score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry certification ordering
 # ---------------------------------------------------------------------------
@@ -4123,6 +4288,8 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "dd7_passjoin_pairs",
     "t8_quality_quantile_filter",
     "g4_pagerank_2iter",
+    "smp4_sequence_packing",
+    "t9_bm25_scoring",
     "w5_range_frame",  # oracle changed r5 (epoch_us integer frame) → re-certify
     # certified r1-r3 only; rotated OUT of the r4 first-50 window — their
     # r4-round certification is stale against regenerated testdata, so they
