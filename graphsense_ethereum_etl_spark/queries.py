@@ -2226,7 +2226,12 @@ def g4_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def iterate(rank_of_src):
-        # scatter: src rank / outdeg along each edge; gather: sum at dst
+        # scatter: src rank / outdeg along each edge; gather: sum at dst.
+        # The gather AGGREGATES BEFORE joining the vertex table: groupBy on
+        # the 600k-edge contrib first (map-side partial combine, one
+        # shuffle), then the tiny per-vertex result joins verts — joining
+        # verts onto raw contributions first would shuffle the full edge
+        # volume twice (join exchange + agg exchange).
         contrib = (
             e.join(deg, "src")
             .join(rank_of_src, "src")
@@ -2235,15 +2240,13 @@ def g4_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("pr DIV outdeg").alias("c"),
             )
         )
-        return (
-            verts.join(contrib, "v", "left")
-            .groupBy("v")
-            .agg(
-                (
-                    F.lit(150_000_000_000).cast("bigint")
-                    + F.expr("85 * coalesce(sum(c), 0) DIV 100")
-                ).alias("pr")
-            )
+        gathered = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        return verts.join(gathered, "v", "left").select(
+            "v",
+            (
+                F.lit(150_000_000_000).cast("bigint")
+                + F.expr("85 * coalesce(s, 0) DIV 100")
+            ).alias("pr"),
         )
 
     pr1 = iterate(deg.select("src", S.alias("pr")).select("src", "pr"))
