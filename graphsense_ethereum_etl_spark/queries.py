@@ -2255,6 +2255,111 @@ def g4_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "km1_kmeans",
+    """
+    WITH q AS (
+      SELECT vec_id, i.i AS i,
+             CAST(FLOOR((CAST(embedding[i.i] AS DOUBLE) + 1.0) * 1048576)
+                  AS BIGINT) AS val
+      FROM embeddings, range(1, 65) i(i)),
+    c0 AS (SELECT vec_id AS c, i, val FROM q WHERE vec_id < 4),
+    d1 AS (
+      SELECT q.vec_id, c0.c,
+             CAST(SUM((q.val - c0.val) * (q.val - c0.val)) AS BIGINT) AS dist
+      FROM q JOIN c0 ON q.i = c0.i GROUP BY q.vec_id, c0.c),
+    a1 AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        FROM d1) WHERE rn = 1),
+    c1 AS (
+      SELECT a1.c, q.i, CAST(SUM(q.val) // COUNT(*) AS BIGINT) AS val
+      FROM q JOIN a1 ON q.vec_id = a1.vec_id GROUP BY a1.c, q.i),
+    d2 AS (
+      SELECT q.vec_id, c1.c,
+             CAST(SUM((q.val - c1.val) * (q.val - c1.val)) AS BIGINT) AS dist
+      FROM q JOIN c1 ON q.i = c1.i GROUP BY q.vec_id, c1.c),
+    a2 AS (
+      SELECT vec_id, c, dist FROM (
+        SELECT vec_id, c, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        FROM d2) WHERE rn = 1)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(c AS BIGINT) AS cluster,
+           CAST(dist AS BIGINT) AS sq_dist_fp
+    FROM a2
+    """,
+)
+def km1_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering over the embedding corpus (k=4, one full Lloyd
+    round: assign → recompute means → reassign), the embedding-side
+    iterative analog of g4 — centroid update and reassignment are each one
+    shuffle-join + aggregation, the Pregel-on-relational shape.
+
+    All arithmetic is QUANTIZED INTEGER (embeddings fixed-pointed at 2^20
+    with a +1 offset so every value is non-negative): squared distances and
+    centroid means are exact BIGINT sums/divisions, order-independent and
+    engine-identical, so the oracle hash-checks exactly — the float
+    formulation would diverge in summation order. Distances are translation
+    invariant, so the offset changes nothing; truncating integer division
+    (Spark DIV ≡ DuckDB // — verified trunc-toward-zero in both) is the
+    documented rounding of the centroid mean. Initial centroids are the
+    first k vectors by vec_id (deterministic seeding).
+
+    Scale shape: embeddings explode to (vec, dim, val) rows once; each
+    round is a join against the k×64-row centroid relation (broadcast) and
+    a (vec_id)-keyed aggregation with map-side partial sums. At 100 TB the
+    same plan holds — centroid relations stay tiny for any practical k."""
+    k, dims, scale = 4, 64, 1 << 20
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.posexplode("embedding").alias("p", "x"),
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).alias("i"),
+        F.floor((F.col("x").cast("double") + F.lit(1.0)) * scale)
+        .cast("bigint")
+        .alias("val"),
+    )
+    c0 = q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("c"), "i", F.col("val").alias("cval")
+    )
+
+    def assign(centroids):
+        d = (
+            q.join(F.broadcast(centroids), "i")
+            .groupBy("vec_id", "c")
+            .agg(
+                F.sum(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                )
+                .cast("bigint")
+                .alias("dist")
+            )
+        )
+        w = W.partitionBy("vec_id").orderBy("dist", "c")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "c", "dist")
+        )
+
+    a1 = assign(c0)
+    c1 = (
+        q.join(a1.select("vec_id", "c"), "vec_id")
+        .groupBy("c", "i")
+        .agg(F.expr("CAST(sum(val) DIV count(*) AS BIGINT)").alias("cval"))
+    )
+    a2 = assign(c1)
+    return a2.select(
+        "vec_id",
+        F.col("c").cast("bigint").alias("cluster"),
+        F.col("dist").alias("sq_dist_fp"),
+    )
+
+
+@query(
     "smp2_stratified_sample",
     """
     WITH b AS (
@@ -4340,6 +4445,11 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "w4_rank_family",
     "apx2_approx_quantiles",
     "gs1_grouping_sets",
+    # new in r5 but past the 50-query window (which is exactly filled by
+    # the 8 windowed new queries + the 42 stale recertifications above):
+    # covered by the full local parity replica now, first in line for the
+    # r6 certification rotation.
+    "km1_kmeans",
 ]
 
 
