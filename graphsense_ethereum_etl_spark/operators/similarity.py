@@ -380,6 +380,46 @@ def lsh_ann_pairs(
     )
 
 
+def cosine_pairs_within(
+    tagged: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine pairs ≥ ``threshold`` restricted to rows sharing
+    ``block_col`` — the within-block half of SemDeDup-style semantic dedup
+    (block = a k-means cluster id) or any precomputed blocking key.
+
+    The self-join shuffles both sides on the block key only, so candidate
+    cardinality is Σ|block|² instead of n²; scoring is the same JVM-side
+    sequential double fold as ``brute_force_topk`` (hash-exact vs a SQL
+    oracle). Callers control block granularity (more clusters → smaller
+    blocks) to bound the per-block quadratic term at scale."""
+    a = tagged.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).cast("long").alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = tagged.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).cast("long").alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    score = cosine("va", "vb")
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(score >= threshold)
+        .select(
+            F.col("blk").cast("bigint").alias("cluster"),
+            "id_a",
+            "id_b",
+            F.round(score, 6).alias("score"),
+        )
+    )
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     n_clusters: int = 8,

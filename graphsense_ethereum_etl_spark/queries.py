@@ -4378,6 +4378,390 @@ def t9_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# North-star: benchmark decontamination + n-gram LM scoring (r5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ctm1_decontamination",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+      FROM toks, unnest(range(1, len(w) - 2)) t(i)),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    cg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 != 0),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM cg GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+      FROM cg JOIN ev USING (g) GROUP BY doc_id)
+    SELECT CAST(h.doc_id AS BIGINT) AS doc_id, t.n_grams, h.n_hit_grams
+    FROM hits h JOIN tot t ON h.doc_id = t.doc_id
+    """,
+)
+def ctm1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 §C-style n-gram holdout): flag every
+    training document sharing a word 4-gram with the eval panel (doc_id ≡ 0
+    mod 97 — a stand-in for a benchmark set). operators/decontam.py:
+    eval-gram set is distinct-ed and BROADCAST; the corpus streams through
+    the broadcast join without shuffling text; only matched (id, gram)
+    pairs reach the per-doc count — on a clean 100 TB corpus the post-join
+    stream is ~empty."""
+    from .operators.decontam import ngram_contamination
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    return ngram_contamination(corpus, eval_set, n=4)
+
+
+@query(
+    "lm1_bigram_commonness",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+    pairs AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM toks, unnest(range(1, len(w))) t(i)),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pc FROM pairs GROUP BY w1, w2),
+    uc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS upc FROM pairs GROUP BY w1)
+    SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(bc.pc) AS BIGINT) AS sum_pair_cnt,
+           CAST(SUM(uc.upc) AS BIGINT) AS sum_prefix_cnt,
+           ROUND(CAST(SUM(bc.pc) AS DOUBLE) / CAST(SUM(uc.upc) AS DOUBLE), 9)
+             AS commonness
+    FROM pairs p
+    JOIN bc ON p.w1 = bc.w1 AND p.w2 = bc.w2
+    JOIN uc ON p.w1 = uc.w1
+    GROUP BY p.doc_id
+    """,
+)
+def lm1_bigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus LM quality signal, integer-exact: train a token
+    bigram model ON the corpus (pair + prefix occurrence counts), then score
+    each document by how common its bigrams are — sum of corpus-wide pair
+    counts over sum of prefix counts. Low commonness ≈ rare/garbled word
+    sequences (the role perplexity plays in CCNet, without ln(), whose
+    last-ulp libm differences would break hash-exact oracles; both sums are
+    BIGINT so the single final division is the only IEEE op).
+
+    Scale shape: one explode to (doc_id, w1, w2); the count tables shuffle
+    only (gram, count) pairs — vocabulary-bounded (Heaps' law), tiny
+    relative to the corpus — and come back as BROADCAST joins, so the
+    per-doc aggregation is the fact's only shuffle. At web scale the
+    bigram table may exceed broadcast reach; the fallback is the same plan
+    with a hash join co-partitioned on w1."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    pairs = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bc = pairs.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("pc"))
+    uc = pairs.groupBy("w1").agg(F.count("*").cast("bigint").alias("upc"))
+    return (
+        pairs.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(uc), ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("pc").cast("bigint").alias("sum_pair_cnt"),
+            F.sum("upc").cast("bigint").alias("sum_prefix_cnt"),
+        )
+        .withColumn(
+            "commonness",
+            F.round(
+                F.col("sum_pair_cnt").cast("double")
+                / F.col("sum_prefix_cnt").cast("double"),
+                9,
+            ),
+        )
+    )
+
+
+@query(
+    "chk1_token_chunks",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+    chunks AS (
+      SELECT doc_id, s, w[s:s+31] AS chunk
+      FROM toks, unnest(range(1, len(w) + 1, 8)) t(s))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(s AS BIGINT) AS start_pos,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           chunk[1] AS first_tok, chunk[len(chunk)] AS last_tok
+    FROM chunks
+    """,
+)
+def chk1_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (context-window preparation, the
+    complement of smp4's packing): each document is split into 32-token
+    chunks on an 8-token stride, tail chunks ragged. Pure Catalyst — one
+    sequence + slice transform per row, one explode; embarrassingly
+    parallel, no shuffle at any scale."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    chunk_expr = F.transform(
+        F.sequence(F.lit(1), F.size(toks), F.lit(8)),
+        lambda s: F.struct(
+            s.alias("s"), F.slice(toks, s, 32).alias("chunk")
+        ),
+    )
+    return (
+        docs.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.explode(chunk_expr).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.s").cast("bigint").alias("start_pos"),
+            F.size("c.chunk").cast("bigint").alias("n_tokens"),
+            F.element_at("c.chunk", 1).alias("first_tok"),
+            F.element_at("c.chunk", F.size("c.chunk")).alias("last_tok"),
+        )
+    )
+
+
+@query(
+    "smp5_domain_cap",
+    """
+    WITH r AS (
+      SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id
+             ) AS BIGINT) AS rk
+      FROM documents)
+    SELECT source, doc_id, rk FROM r WHERE rk <= 10
+    """,
+)
+def smp5_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (crawl-pipeline staple — bound any single
+    domain's share of the corpus): keep the first 10 documents per source
+    in deterministic md5 order, so the kept set is stable across runs and
+    independent of scan order. One shuffle on source; at 100 TB a skewed
+    mega-domain is handled by AQE skew splitting for the exchange plus the
+    fact that ROW_NUMBER's per-partition sort only needs the top-K kept —
+    a pre-filter on the hash (keep hash < quantile estimate, then exact
+    rank) bounds memory when K ≪ domain size."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    hx = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cap")))
+    w = W.partitionBy("source").orderBy(hx, F.col("doc_id"))
+    return (
+        docs.select(
+            "source",
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5/§2.9 additions: ordered-set aggregates, lateral top-n, listagg (r5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a6_ordered_set",
+    """
+    WITH c AS (
+      SELECT c_mktsegment, c_custkey, c_name,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer)
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(median(cents), 6) AS median_cents,
+           ROUND(quantile_cont(cents, 0.25), 6) AS p25_cents,
+           ROUND(quantile_cont(cents, 0.75), 6) AS p75_cents,
+           arg_min(c_name, c_custkey) AS first_cust,
+           arg_max(c_name, c_custkey) AS last_cust
+    FROM c GROUP BY c_mktsegment
+    """,
+)
+def a6_ordered_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates: exact median / interpolated percentiles and
+    arg_min/arg_max (min_by/max_by) per segment. Balances are quantized to
+    integer cents BEFORE aggregation so the percentile interpolation
+    a + (b-a)·f (f ∈ {0,¼,½,¾}) is exact in double in any engine; the
+    arg functions use the unique custkey as the ordering key so ties are
+    impossible. Exact percentiles sort per group — at 100 TB swap in
+    approx_percentile (apx2) or the GK sketch; this query is the exact
+    small-group form."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.median("cents"), 6).alias("median_cents"),
+        F.round(F.percentile("cents", F.lit(0.25)), 6).alias("p25_cents"),
+        F.round(F.percentile("cents", F.lit(0.75)), 6).alias("p75_cents"),
+        F.min_by("c_name", "c_custkey").alias("first_cust"),
+        F.max_by("c_name", "c_custkey").alias("last_cust"),
+    )
+
+
+@query(
+    "lat1_lateral_topn",
+    """
+    SELECT r.r_name, l.n_name, l.total_bal_cents
+    FROM region r, LATERAL (
+      SELECT n.n_name,
+             CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS total_bal_cents
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name
+      ORDER BY total_bal_cents DESC, n.n_name
+      LIMIT 2
+    ) l
+    """,
+)
+def lat1_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 nations by customer balance per
+    region) — the SQL-standard lateral form the reference's ad-hoc loops
+    can't express. Catalyst decorrelates the lateral into a join +
+    per-region windowed top-k rather than re-executing the subquery per
+    outer row, so the plan is the same shape as w2 at any scale; balances
+    aggregate as integer cents (exact)."""
+    load(spark, sf_dir, "region").createOrReplaceTempView("region_lat1")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat1")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat1")
+    return spark.sql(
+        """
+        SELECT r.r_name, l.n_name, l.total_bal_cents
+        FROM region_lat1 r, LATERAL (
+          SELECT n.n_name,
+                 CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS total_bal_cents
+          FROM nation_lat1 n JOIN customer_lat1 c
+            ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY total_bal_cents DESC, n.n_name
+          LIMIT 2
+        ) l
+        """
+    )
+
+
+@query(
+    "str2_listagg",
+    """
+    WITH d AS (
+      SELECT DISTINCT c.c_mktsegment, n.n_name
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    SELECT c_mktsegment,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM d GROUP BY c_mktsegment
+    """,
+)
+def str2_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): per market
+    segment, the sorted comma-joined list of nations its customers come
+    from. Spark 4's listagg WITHIN GROUP over a pre-distincted frame —
+    deterministic because the order-by key is total within each group.
+    collect + sort happens per group after a map-side distinct; group
+    cardinality (segments × nations) is bounded, so the agg state stays
+    small at any fact size."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    d = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_mktsegment", "n_name")
+        .distinct()
+    )
+    return d.groupBy("c_mktsegment").agg(
+        F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+            "nations"
+        ),
+        F.count("*").cast("bigint").alias("n_nations"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-star: semantic dedup (SemDeDup) — cluster then near-dup within (r5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dd8_semdedup",
+    f"""
+    WITH q AS (
+      SELECT vec_id, i.i AS i,
+             CAST(FLOOR((CAST(embedding[i.i] AS DOUBLE) + 1.0) * 1048576)
+                  AS BIGINT) AS val
+      FROM embeddings, range(1, 65) i(i)),
+    c0 AS (SELECT vec_id AS c, i, val FROM q WHERE vec_id < 4),
+    d1 AS (
+      SELECT q.vec_id, c0.c,
+             CAST(SUM((q.val - c0.val) * (q.val - c0.val)) AS BIGINT) AS dist
+      FROM q JOIN c0 ON q.i = c0.i GROUP BY q.vec_id, c0.c),
+    a1 AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        FROM d1) WHERE rn = 1),
+    c1 AS (
+      SELECT a1.c, q.i, CAST(SUM(q.val) // COUNT(*) AS BIGINT) AS val
+      FROM q JOIN a1 ON q.vec_id = a1.vec_id GROUP BY a1.c, q.i),
+    d2 AS (
+      SELECT q.vec_id, c1.c,
+             CAST(SUM((q.val - c1.val) * (q.val - c1.val)) AS BIGINT) AS dist
+      FROM q JOIN c1 ON q.i = c1.i GROUP BY q.vec_id, c1.c),
+    a2 AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        FROM d2) WHERE rn = 1)
+    SELECT CAST(x.c AS BIGINT) AS cluster,
+           CAST(x.vec_id AS BIGINT) AS id_a, CAST(y.vec_id AS BIGINT) AS id_b,
+           round({_DUCK_COS.format(a="a.embedding", b="b.embedding")}, 6) AS score
+    FROM a2 x JOIN a2 y ON x.c = y.c AND x.vec_id < y.vec_id
+    JOIN embeddings a ON a.vec_id = x.vec_id
+    JOIN embeddings b ON b.vec_id = y.vec_id
+    WHERE {_DUCK_COS.format(a="a.embedding", b="b.embedding")} >= 0.3
+    """,
+)
+def dd8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
+    then find cosine near-duplicates ONLY within each cluster — the
+    clustering turns the quadratic all-pairs problem into per-cluster
+    blocks. Reuses km1's integer-quantized one-round Lloyd assignment
+    (deterministic, oracle-identical); within-cluster pairs join on the
+    cluster id, so the candidate count is Σ|cluster|² ≪ n². At 100 TB,
+    raise k so clusters stay bounded (k ≈ n/10⁴ in the paper) — the plan
+    shape is unchanged; the pair join shuffles on cluster id only."""
+    from .operators.similarity import cosine_pairs_within
+
+    assign = km1_kmeans(spark, sf_dir).select(
+        "vec_id", F.col("cluster").alias("cluster")
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    )
+    tagged = emb.join(assign, "vec_id")
+    return cosine_pairs_within(tagged, block_col="cluster", threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
 # Registry certification ordering
 # ---------------------------------------------------------------------------
 #
@@ -4450,6 +4834,14 @@ _CERTIFICATION_PRIORITY: list[str] = [
     # covered by the full local parity replica now, first in line for the
     # r6 certification rotation.
     "km1_kmeans",
+    "ctm1_decontamination",
+    "lm1_bigram_commonness",
+    "chk1_token_chunks",
+    "smp5_domain_cap",
+    "a6_ordered_set",
+    "lat1_lateral_topn",
+    "str2_listagg",
+    "dd8_semdedup",
 ]
 
 
