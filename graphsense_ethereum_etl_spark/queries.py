@@ -4696,6 +4696,66 @@ def str2_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm4_wav_roundtrip",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(NULL AS INTEGER) AS width,
+           CAST(NULL AS INTEGER) AS height,
+           CAST(100 + doc_id % 64 AS INTEGER) AS n_samples
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def mm4_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end (the WAV sibling of mm2): per document,
+    synthesize a deterministic int16 PCM ramp of 100 + doc_id % 64 samples,
+    encode an actual RIFF/WAVE payload (operators/codecs.py wav_encode),
+    then run the production decode path (extract_features(extractor="real")
+    → mapInPandas → header-only RIFF parse). The oracle recomputes the
+    expected sample count arithmetically; width/height are NULL for audio,
+    so the query also proves nulls survive the Arrow feature batches.
+    Sample-level decode fidelity (incl. the unsigned 8-bit path) is
+    unit-tested in tests/test_codecs.py."""
+    import pandas as pd
+
+    from .operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id"
+    )
+
+    def encode_batches(batches):
+        import numpy as np
+
+        from .operators.codecs import wav_encode
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                n = 100 + int(doc_id) % 64
+                pcm = (
+                    (np.arange(n, dtype=np.int64) * 257 + int(doc_id)) % 4096
+                    - 2048
+                ).astype(np.int16)
+                payload = wav_encode(pcm, sample_rate=8000, sample_width=2)
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "content": payload,
+                        "meta": {"mime": "audio/wav", "n_bytes": len(payload)},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+    return extract_features(media, extractor="real").select(
+        "media_id",
+        "width",
+        "height",
+        F.col("n_frames").alias("n_samples"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: semantic dedup (SemDeDup) — cluster then near-dup within (r5)
 # ---------------------------------------------------------------------------
@@ -4842,6 +4902,7 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "lat1_lateral_topn",
     "str2_listagg",
     "dd8_semdedup",
+    "mm4_wav_roundtrip",
 ]
 
 
