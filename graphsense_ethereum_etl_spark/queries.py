@@ -2309,8 +2309,21 @@ def km1_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     round is a join against the k×64-row centroid relation (broadcast) and
     a (vec_id)-keyed aggregation with map-side partial sums. At 100 TB the
     same plan holds — centroid relations stay tiny for any practical k."""
-    k, dims, scale = 4, 64, 1 << 20
-    emb = load(spark, sf_dir, "embeddings")
+    return _kmeans_assign_one_round(
+        load(spark, sf_dir, "embeddings"), k=4
+    ).select(
+        "vec_id",
+        F.col("c").cast("bigint").alias("cluster"),
+        F.col("dist").alias("sq_dist_fp"),
+    )
+
+
+def _kmeans_assign_one_round(emb: DataFrame, k: int) -> DataFrame:
+    """Shared quantized-integer Lloyd round (see km1_kmeans for the full
+    rationale): assign → integer-mean update → reassign, returning
+    (vec_id, c, dist). Deterministic and engine-exact; parameterized on k
+    so SemDeDup (dd8) can run a finer clustering than km1's k=4 demo."""
+    scale = 1 << 20
     q = emb.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.posexplode("embedding").alias("p", "x"),
@@ -2351,12 +2364,7 @@ def km1_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c", "i")
         .agg(F.expr("CAST(sum(val) DIV count(*) AS BIGINT)").alias("cval"))
     )
-    a2 = assign(c1)
-    return a2.select(
-        "vec_id",
-        F.col("c").cast("bigint").alias("cluster"),
-        F.col("dist").alias("sq_dist_fp"),
-    )
+    return assign(c1)
 
 
 @query(
@@ -4472,9 +4480,11 @@ def lm1_bigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "p.w1", "p.w2")
     bc = pairs.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("pc"))
     uc = pairs.groupBy("w1").agg(F.count("*").cast("bigint").alias("upc"))
+    # fold the prefix counts INTO the bigram dim (both vocabulary-sized) so
+    # the 30M-row exploded fact pays ONE broadcast probe instead of two
+    lm = bc.join(uc, "w1")
     return (
-        pairs.join(F.broadcast(bc), ["w1", "w2"])
-        .join(F.broadcast(uc), ["w1"])
+        pairs.join(F.broadcast(lm), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
@@ -4769,7 +4779,7 @@ def mm4_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(FLOOR((CAST(embedding[i.i] AS DOUBLE) + 1.0) * 1048576)
                   AS BIGINT) AS val
       FROM embeddings, range(1, 65) i(i)),
-    c0 AS (SELECT vec_id AS c, i, val FROM q WHERE vec_id < 4),
+    c0 AS (SELECT vec_id AS c, i, val FROM q WHERE vec_id < 16),
     d1 AS (
       SELECT q.vec_id, c0.c,
              CAST(SUM((q.val - c0.val) * (q.val - c0.val)) AS BIGINT) AS dist
@@ -4805,15 +4815,17 @@ def dd8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then find cosine near-duplicates ONLY within each cluster — the
     clustering turns the quadratic all-pairs problem into per-cluster
     blocks. Reuses km1's integer-quantized one-round Lloyd assignment
-    (deterministic, oracle-identical); within-cluster pairs join on the
-    cluster id, so the candidate count is Σ|cluster|² ≪ n². At 100 TB,
-    raise k so clusters stay bounded (k ≈ n/10⁴ in the paper) — the plan
-    shape is unchanged; the pair join shuffles on cluster id only."""
+    (deterministic, oracle-identical) at k=16 — finer than km1's k=4 demo,
+    because the quadratic within-cluster term Σ|cluster|² is what the
+    operator must bound; within-cluster pairs join on the cluster id and
+    score through the vectorized Arrow kernel. At 100 TB, raise k so
+    clusters stay bounded (k ≈ n/10⁴ in the paper) — the plan shape is
+    unchanged; the pair join shuffles on cluster id only."""
     from .operators.similarity import cosine_pairs_within
 
-    assign = km1_kmeans(spark, sf_dir).select(
-        "vec_id", F.col("cluster").alias("cluster")
-    )
+    assign = _kmeans_assign_one_round(
+        load(spark, sf_dir, "embeddings"), k=16
+    ).select("vec_id", F.col("c").alias("cluster"))
     emb = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
     )
