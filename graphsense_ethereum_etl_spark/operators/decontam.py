@@ -77,6 +77,9 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count("*").cast("bigint").alias("n_hit_grams"))
     )
-    return hits.join(doc_totals, id_col).select(
+    # hits is the SMALL side (contaminated docs only — ~empty for a clean
+    # corpus); broadcast it so the corpus-sized totals frame streams through
+    # without an exchange.
+    return doc_totals.join(F.broadcast(hits), id_col).select(
         F.col(id_col).cast("bigint").alias(id_col), "n_grams", "n_hit_grams"
     )

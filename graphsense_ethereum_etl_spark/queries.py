@@ -4478,10 +4478,16 @@ def lm1_bigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
+    # The exploded pair stream is consumed three times (pair counts, prefix
+    # counts, per-doc probe) — deliberately re-exploded rather than
+    # pre-aggregated on (doc_id, w1, w2): every consumer map-side-combines
+    # to a vocabulary- or doc-count-bounded stream before its exchange, so
+    # re-scanning the corpus (cheap columnar reads) is the right trade
+    # against shuffling a corpus-sized (doc_id, bigram) relation.
     bc = pairs.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("pc"))
     uc = pairs.groupBy("w1").agg(F.count("*").cast("bigint").alias("upc"))
     # fold the prefix counts INTO the bigram dim (both vocabulary-sized) so
-    # the 30M-row exploded fact pays ONE broadcast probe instead of two
+    # the exploded fact pays ONE broadcast probe instead of two
     lm = bc.join(uc, "w1")
     return (
         pairs.join(F.broadcast(lm), ["w1", "w2"])

@@ -192,3 +192,99 @@ def test_rj1_scan_prunes_to_value_column(spark, sf_dir):
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     event_scans = [s for s in schemas if "value" in s]
     assert event_scans and all(s == "value:double" for s in event_scans), schemas
+
+
+def test_ctm1_eval_grams_broadcast_corpus_never_shuffled(spark, sf_dir):
+    """Decontamination must broadcast the (tiny) eval-gram set: the corpus
+    gram stream joins via BroadcastHashJoin, and the only hash exchange in
+    the plan is the final per-doc count aggregation — a corpus-side
+    exchange on `gram` would mean the whole corpus shuffles at 100 TB."""
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    df = REGISTRY["ctm1_decontamination"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the only gram-keyed exchange allowed is the EVAL side's distinct
+    # (tiny, feeds the BroadcastExchange); the corpus gram stream must not
+    # hash-exchange
+    gram_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(gram" in ln
+    ]
+    assert len(gram_exchanges) <= 1, gram_exchanges
+    # no corpus-sized side is broadcast: the final join builds on `hits`
+    # (contaminated docs only), asserted by the n_hit_grams column living
+    # on the build side — cheap proxy: exactly two BroadcastExchanges
+    # (eval grams + hits), never three
+    assert plan.count("BroadcastExchange") == 2, plan.count("BroadcastExchange")
+
+
+def test_lm1_fact_never_shuffles_raw_pairs(spark, sf_dir):
+    """lm1's exploded fact pays ONE broadcast probe (pair+prefix counts
+    pre-merged into one vocab-sized dim) and every exchange in the plan is
+    map-side-combined to a bounded stream: the count dims shuffle
+    vocabulary-sized aggregates, the final agg shuffles per-doc partials —
+    no exchange ever carries the raw (doc_id, bigram) relation. The corpus
+    is deliberately re-exploded per consumer (cheap columnar scans) instead
+    of materializing that corpus-sized shuffle."""
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    df = REGISTRY["lm1_bigram_commonness"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    # one probe on the fact + one inside the vocab-sized dim build (bc⋈uc)
+    assert plan.count("BroadcastHashJoin") == 2, plan.count("BroadcastHashJoin")
+    # every hash exchange sits above a partial HashAggregate (map-side
+    # combine) — a raw (doc_id, w1, w2) exchange would have none
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(doc_id" in ln and "w1" in ln
+    ]
+    assert not bad, bad
+
+
+def test_smp5_single_exchange_on_source(spark, sf_dir):
+    """The domain cap is one hash shuffle on `source` (window rank) — no
+    second exchange, no text column crossing the wire (pruned to the rank
+    inputs before the exchange)."""
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    df = REGISTRY["smp5_domain_cap"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1 and "source" in exchanges[0], exchanges
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all("text" not in s for s in schemas), schemas
+
+
+def test_lat1_decorrelates_to_windowed_topk(spark, sf_dir):
+    """Catalyst must decorrelate the LATERAL top-2 subquery into a join +
+    per-group window (w2's shape), not re-execute it per outer row — no
+    CartesianProduct, and a Window/rank appears in the executed plan."""
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    df = REGISTRY["lat1_lateral_topn"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_dd8_pairs_shuffle_on_cluster_only(spark, sf_dir):
+    """SemDeDup's pair join must shuffle on the cluster id (blk) — the
+    embedding matrix itself is never exchanged on vec-pair keys, so the
+    quadratic term stays per-cluster-bounded at any corpus size."""
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    df = REGISTRY["dd8_semdedup"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    blk_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "blk" in ln
+    ]
+    assert blk_exchanges, "expected the pair join keyed on blk"
