@@ -24,6 +24,12 @@ Subcommands:
     Chain-reorg handling: drop every bucket partition at/after a block
     across all entity tables (SURVEY.md §7.4.4; no reference equivalent —
     the reference must re-ingest into Cassandra and rely on upserts).
+``corpus``
+    Training-corpus curation over any documents parquet: ``dedup``
+    (exact / minhash / simhash keeper resolution), ``decontaminate``
+    (n-gram overlap vs an eval set), ``score`` (quality/lang/token
+    columns), ``sample`` (deterministic hash sample). No reference
+    equivalent — the LLM-pipeline surface of the engine.
 
 Provider URIs: ``http(s)://…`` talks JSON-RPC 2.0 batch to a real node;
 ``synthetic://<head>`` serves the deterministic generator chain
@@ -217,6 +223,44 @@ def build_parser() -> ArgumentParser:
         default="parquet",
     )
 
+    corpus = sub.add_parser(
+        "corpus",
+        help="training-corpus curation: dedup / decontaminate / score / sample",
+    )
+    corpus.add_argument(
+        "operation",
+        choices=["dedup", "decontaminate", "score", "sample"],
+        help="which curation pass to run over the input documents table",
+    )
+    corpus.add_argument(
+        "-i", "--input", dest="input", required=True, help="documents parquet path"
+    )
+    corpus.add_argument(
+        "-o", "--output", dest="output", required=True, help="output parquet path"
+    )
+    corpus.add_argument(
+        "--method",
+        choices=["exact", "minhash", "simhash"],
+        default="exact",
+        help="dedup clustering method",
+    )
+    corpus.add_argument(
+        "--eval-set",
+        dest="eval_set",
+        help="decontaminate: parquet path of the benchmark/eval documents",
+    )
+    corpus.add_argument(
+        "--ngram", type=int, default=8, help="decontaminate: word n-gram size"
+    )
+    corpus.add_argument(
+        "--rate", type=float, default=0.1, help="sample: keep fraction in [0,1]"
+    )
+    corpus.add_argument(
+        "--salt", default="sample", help="sample: determinism salt"
+    )
+    corpus.add_argument("--text-col", dest="text_col", default="text")
+    corpus.add_argument("--id-col", dest="id_col", default="doc_id")
+
     return parser
 
 
@@ -399,6 +443,40 @@ def cmd_invalidate(args: Namespace, spark: SparkSession) -> IngestStats:
     return IngestStats()
 
 
+def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
+    """Corpus curation passes (operators/corpus.py compositions): reads the
+    input documents parquet, writes the result parquet, prints a one-line
+    summary. No reference equivalent — this is the LLM-training-pipeline
+    surface of the engine."""
+    from .operators.corpus import dedup_keepers, hash_sample, score_documents
+
+    docs = spark.read.parquet(args.input)
+    if args.operation == "dedup":
+        out = dedup_keepers(
+            docs, method=args.method, text_col=args.text_col, id_col=args.id_col
+        )
+    elif args.operation == "decontaminate":
+        if not args.eval_set:
+            raise SystemExit("corpus decontaminate requires --eval-set")
+        from .operators.decontam import ngram_contamination
+
+        out = ngram_contamination(
+            docs,
+            spark.read.parquet(args.eval_set),
+            n=args.ngram,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+    elif args.operation == "score":
+        out = score_documents(docs, text_col=args.text_col, id_col=args.id_col)
+    else:
+        out = hash_sample(docs, rate=args.rate, id_col=args.id_col, salt=args.salt)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"corpus {args.operation}: wrote {n:,} rows to {args.output}")
+    return IngestStats()
+
+
 def main(
     argv: list[str] | None = None,
     spark: SparkSession | None = None,
@@ -418,4 +496,6 @@ def main(
         return cmd_info(args, spark, rpc_post=rpc_post)
     if args.command == "ingest-rates":
         return cmd_ingest_rates(args, spark)
+    if args.command == "corpus":
+        return cmd_corpus(args, spark)
     return cmd_invalidate(args, spark)

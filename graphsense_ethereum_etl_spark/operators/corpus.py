@@ -1,0 +1,127 @@
+"""Corpus-level pipeline compositions — the operations a training-data
+curation run strings together, exposed as single calls for the CLI
+(`corpus` subcommand) and reused by the registry queries.
+
+Each composition is built entirely from the registry's proven operators
+(dedup.py, decontam.py, functions/text.py), so scale posture is inherited:
+candidate generation is always banded/bucketed, keeper resolution is one
+window over the cluster id, scoring is pure Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def score_documents(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality/analysis column pack: every text signal the registry exposes
+    (token counts, quality ratios, language guess, fingerprint, repetition),
+    appended in one pass — 100% Catalyst expressions, no shuffle."""
+    c = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        T.token_count(c).alias("n_tokens"),
+        T.distinct_token_count(c).alias("n_distinct_tokens"),
+        T.bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        T.alpha_ratio(c).alias("alpha_ratio"),
+        T.mean_token_length(c).alias("mean_token_len"),
+        T.lang_id(c).alias("lang_guess"),
+        T.dup_shingle_ratio(c).alias("dup_shingle_ratio"),
+        T.fingerprint(c).alias("fingerprint"),
+    )
+
+
+def dedup_keepers(
+    docs: DataFrame,
+    method: str = "exact",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per document with (cluster_id, cluster_size, keep): the
+    canonical-keeper resolution a dedup pass feeds into the filter stage.
+
+    method="exact"  — md5-fingerprint clusters (byte-identical content).
+    method="minhash" — MinHash+LSH candidate pairs → connected components.
+    method="simhash" — SimHash Hamming pairs → connected components.
+
+    Keeper = lowest id per cluster (exact) / longest text with id
+    tie-break (near-dup methods, mirroring cc2)."""
+    if method == "exact":
+        fp = docs.select(
+            F.col(id_col), T.fingerprint(text_col).alias("cluster_key")
+        )
+        w = Window.partitionBy("cluster_key")
+        return fp.select(
+            F.col(id_col),
+            F.dense_rank()
+            .over(Window.orderBy("cluster_key"))
+            .cast("bigint")
+            .alias("cluster_id"),
+            F.count("*").over(w).cast("bigint").alias("cluster_size"),
+            (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
+        )
+
+    from .graph import connected_components
+
+    if method == "minhash":
+        from .dedup import lsh_candidate_pairs
+
+        pairs = lsh_candidate_pairs(docs, text_col=text_col, id_col=id_col)
+    elif method == "simhash":
+        from .dedup import simhash_hamming_pairs
+
+        pairs = simhash_hamming_pairs(
+            docs, text_col=text_col, id_col=id_col
+        ).select(F.col("id_a"), F.col("id_b"))
+    else:
+        raise ValueError(f"unknown dedup method: {method}")
+
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    slim = docs.select(
+        F.col(id_col), F.length(F.col(text_col)).alias("_len")
+    )
+    lab = slim.join(comp, slim[id_col] == comp.id, "left").select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.coalesce(comp.component, slim[id_col]).cast("bigint").alias("cluster_id"),
+        "_len",
+    )
+    w = Window.partitionBy("cluster_id")
+    wk = w.orderBy(F.col("_len").desc(), F.col(id_col).asc())
+    return lab.select(
+        id_col,
+        "cluster_id",
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        (F.row_number().over(wk) == 1).alias("keep"),
+    )
+
+
+def hash_sample(
+    docs: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic rate-based sample: md5-bucket the id into [0, 1e6) and
+    keep buckets below rate·1e6 — reproducible across runs and engines,
+    independent of scan order, consistent under re-partitioning (smp1's
+    scheme with a per-run salt)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(1_000_000),
+    )
+    return docs.filter(bucket < int(rate * 1_000_000))

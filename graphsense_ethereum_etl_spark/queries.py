@@ -4772,6 +4772,141 @@ def mm4_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "w6_ignore_nulls_ffill",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+)
+def w6_ignore_nulls_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS forward-fill — the standard-SQL gap-filling idiom
+    (attach "most recent purchase amount" to every event): last_value over
+    a running frame skipping nulls, ordered by (ts, event_id) so ties are
+    deterministic. One hash exchange on user_id + per-partition sort; the
+    carried value is copied, never re-aggregated, so floats stay exact."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("last_purchase_value"),
+    )
+
+
+@query(
+    "t10_filter_funnel",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':funnel'), 1, 8)
+                  AS BIGINT) % 100 AS bucket
+      FROM documents),
+    flags AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f_lang,
+             CASE WHEN lang = 'en' AND n_chars BETWEEN 50 AND 5000
+                       AND n_toks >= 20 THEN 1 ELSE 0 END AS f_quality,
+             CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+                  THEN 1 ELSE 0 END AS is_canonical,
+             bucket
+      FROM d),
+    staged AS (
+      SELECT doc_id, f_lang, f_quality,
+             f_quality * is_canonical AS f_dedup,
+             f_quality * is_canonical *
+               (CASE WHEN bucket < 50 THEN 1 ELSE 0 END) AS f_sample
+      FROM flags)
+    SELECT stage, n FROM (
+      SELECT 'a_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM staged
+      UNION ALL
+      SELECT 'b_lang', CAST(SUM(f_lang) AS BIGINT) FROM staged
+      UNION ALL
+      SELECT 'c_quality', CAST(SUM(f_quality) AS BIGINT) FROM staged
+      UNION ALL
+      SELECT 'd_dedup', CAST(SUM(f_dedup) AS BIGINT) FROM staged
+      UNION ALL
+      SELECT 'e_sample', CAST(SUM(f_sample) AS BIGINT) FROM staged)
+    """,
+)
+def t10_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel report — the per-stage survivor counts a
+    training-data pipeline publishes with every corpus release (raw →
+    language filter → quality gates → exact-dedup canonical → deterministic
+    sample). Composes the registry's own stages (t3's lang, t2-style
+    quality gates, t4's fingerprint dedup, smp1's hash sample) as indicator
+    columns in ONE pass: a single window over the fingerprint for
+    canonical-keeper, then one tiny aggregation — the corpus is scanned
+    once and only (fp, flags) rows cross the wire, never text."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    from .functions.text import fingerprint
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":funnel"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(100),
+    )
+    d = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("f_lang"),
+        (
+            (F.col("lang") == "en")
+            & F.col("n_chars").between(50, 5000)
+            & (F.size(toks) >= 20)
+        )
+        .cast("int")
+        .alias("f_quality"),
+        fingerprint("text").alias("fp"),
+        bucket.alias("bucket"),
+    )
+    is_canon = (
+        F.col("doc_id") == F.min("doc_id").over(W.partitionBy("fp"))
+    ).cast("int")
+    staged = d.select(
+        "f_lang",
+        "f_quality",
+        (F.col("f_quality") * is_canon).alias("f_dedup"),
+        (
+            F.col("f_quality")
+            * is_canon
+            * (F.col("bucket") < 50).cast("int")
+        ).alias("f_sample"),
+    )
+    agg = staged.agg(
+        F.count("*").cast("bigint").alias("a_raw"),
+        F.sum("f_lang").cast("bigint").alias("b_lang"),
+        F.sum("f_quality").cast("bigint").alias("c_quality"),
+        F.sum("f_dedup").cast("bigint").alias("d_dedup"),
+        F.sum("f_sample").cast("bigint").alias("e_sample"),
+    )
+    return agg.unpivot([], None, "stage", "n")
+
+
 # ---------------------------------------------------------------------------
 # North-star: semantic dedup (SemDeDup) — cluster then near-dup within (r5)
 # ---------------------------------------------------------------------------
@@ -4921,6 +5056,8 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "str2_listagg",
     "dd8_semdedup",
     "mm4_wav_roundtrip",
+    "w6_ignore_nulls_ffill",
+    "t10_filter_funnel",
 ]
 
 

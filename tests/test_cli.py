@@ -391,3 +391,74 @@ def test_last_block_before_bisects():
     calls.clear()
     assert last_block_before(t, 1000, head) == -1  # genesis already at cutoff
     assert last_block_before(t, 10**9, head) == head  # cutoff after head
+
+
+def test_cli_corpus_dedup_exact(spark, tmp_path, capsys):
+    out = str(tmp_path / "keepers")
+    main(
+        ["corpus", "dedup", "-i", "/root/testdata/sf0.001/documents.parquet",
+         "-o", out, "--method", "exact"],
+        spark=spark,
+    )
+    got = spark.read.parquet(out)
+    rows = got.collect()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert len(rows) == docs.count()  # one row per document
+    kept = [r for r in rows if r["keep"]]
+    # keepers partition the corpus: every cluster has exactly one keeper
+    assert len(kept) == got.select("cluster_id").distinct().count()
+    assert "wrote" in capsys.readouterr().out
+
+
+def test_cli_corpus_decontaminate_and_sample(spark, tmp_path):
+    src = "/root/testdata/sf0.001/documents.parquet"
+    ev = str(tmp_path / "eval")
+    spark.read.parquet(src).filter("doc_id % 7 = 0").write.parquet(ev)
+    out = str(tmp_path / "contam")
+    main(
+        ["corpus", "decontaminate", "-i", src, "-o", out,
+         "--eval-set", ev, "--ngram", "4"],
+        spark=spark,
+    )
+    contam = spark.read.parquet(out)
+    assert contam.columns == ["doc_id", "n_grams", "n_hit_grams"]
+    # the eval docs themselves are (trivially) contaminated, so hits exist
+    assert contam.count() > 0
+
+    sout = str(tmp_path / "sampled")
+    main(
+        ["corpus", "sample", "-i", src, "-o", sout, "--rate", "0.2"],
+        spark=spark,
+    )
+    n_all = spark.read.parquet(src).count()
+    n_s = spark.read.parquet(sout).count()
+    assert 0 < n_s < n_all
+    # determinism: same salt → same sample
+    sout2 = str(tmp_path / "sampled2")
+    main(
+        ["corpus", "sample", "-i", src, "-o", sout2, "--rate", "0.2"],
+        spark=spark,
+    )
+    a = sorted(r["doc_id"] for r in spark.read.parquet(sout).collect())
+    b = sorted(r["doc_id"] for r in spark.read.parquet(sout2).collect())
+    assert a == b
+
+
+def test_cli_corpus_score_and_minhash_dedup(spark, tmp_path):
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "scored")
+    main(["corpus", "score", "-i", src, "-o", out], spark=spark)
+    scored = spark.read.parquet(out)
+    assert {"n_tokens", "alpha_ratio", "lang_guess", "fingerprint"} <= set(
+        scored.columns
+    )
+    assert scored.count() == spark.read.parquet(src).count()
+
+    dout = str(tmp_path / "near")
+    main(
+        ["corpus", "dedup", "-i", src, "-o", dout, "--method", "minhash"],
+        spark=spark,
+    )
+    keepers = spark.read.parquet(dout)
+    assert keepers.filter("keep").count() <= keepers.count()
+    assert keepers.count() == spark.read.parquet(src).count()
