@@ -55,13 +55,13 @@ def dedup_keepers(
         fp = docs.select(
             F.col(id_col), T.fingerprint(text_col).alias("cluster_key")
         )
+        # cluster_id = min doc id per fingerprint: one PARTITIONED window
+        # (a dense_rank over a global ordering would funnel every row
+        # through a single task at scale)
         w = Window.partitionBy("cluster_key")
         return fp.select(
             F.col(id_col),
-            F.dense_rank()
-            .over(Window.orderBy("cluster_key"))
-            .cast("bigint")
-            .alias("cluster_id"),
+            F.min(id_col).over(w).cast("bigint").alias("cluster_id"),
             F.count("*").over(w).cast("bigint").alias("cluster_size"),
             (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
         )

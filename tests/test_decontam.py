@@ -83,3 +83,65 @@ def test_cosine_pairs_within_orders_ids(spark):
     )
     [r] = cosine_pairs_within(df, block_col="blk", threshold=0.9).collect()
     assert (r["id_a"], r["id_b"]) == (2, 10)
+
+
+def test_word_ngrams_count_property(spark):
+    """len(grams) == max(0, n_tokens - n + 1) for any doc and n."""
+    import pyspark.sql.functions as F
+
+    texts = [
+        " ".join(f"w{i}" for i in range(k)) for k in (0, 1, 4, 5, 6, 17)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    for n in (2, 5):
+        got = {
+            r["doc_id"]: len(r["g"])
+            for r in df.select(
+                "doc_id", word_ngrams("text", n).alias("g")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            k = len(t.split())
+            assert got[i] == max(0, k - n + 1), (n, k, got[i])
+
+
+def test_hash_sample_nested_and_rate_bounds(spark):
+    """Salted-bucket sampling is NESTED across rates (sample(r1) ⊆
+    sample(r2) for r1 <= r2 — the property that lets a pipeline grow its
+    sample without resampling) and rejects out-of-range rates."""
+    import pytest as _pytest
+
+    from graphsense_ethereum_etl_spark.operators.corpus import hash_sample
+
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s10 = {r["doc_id"] for r in hash_sample(docs, 0.1).collect()}
+    s30 = {r["doc_id"] for r in hash_sample(docs, 0.3).collect()}
+    assert s10 <= s30
+    assert 0.05 < len(s10) / 2000 < 0.15
+    assert 0.25 < len(s30) / 2000 < 0.35
+    # different salt ⇒ statistically different sample (not identical)
+    s10b = {r["doc_id"] for r in hash_sample(docs, 0.1, salt="other").collect()}
+    assert s10 != s10b
+    with _pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+
+
+def test_dedup_keepers_exact_invariants(spark):
+    """Every cluster has exactly one keeper; identical texts share a
+    cluster; the keeper is the minimum id."""
+    from graphsense_ethereum_etl_spark.operators.corpus import dedup_keepers
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text here"),
+            (2, "same  TEXT here"),  # normalizes equal (case+whitespace)
+            (3, "different entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_keepers(df, "exact").collect()}
+    assert rows[1]["cluster_id"] == rows[2]["cluster_id"]
+    assert rows[1]["keep"] and not rows[2]["keep"]
+    assert rows[3]["keep"] and rows[3]["cluster_size"] == 1
