@@ -4907,6 +4907,177 @@ def t10_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.unpivot([], None, "stage", "n")
 
 
+@query(
+    "win2_sliding_counts",
+    """
+    WITH e AS (
+      SELECT CAST(event_id AS BIGINT) AS event_id,
+             epoch_us(ts) AS ep_us, event_type
+      FROM events),
+    w AS (
+      SELECT event_id, event_type, s.s AS ws_epoch
+      FROM e, UNNEST([ (ep_us // 300000000) * 300,
+                       (ep_us // 300000000) * 300 - 300 ]) s(s))
+    SELECT ws_epoch, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id
+    FROM w GROUP BY ws_epoch, event_type
+    """,
+)
+def win2_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (10-minute windows, 5-minute slide) — the
+    overlapping-window sibling of win1's tumbling counts and the batch
+    shape of the Structured Streaming sliding aggregation. Spark's
+    window() replicates each event into duration/slide = 2 window rows
+    (an internal explode), then aggregates on (window, type) — exactly the
+    oracle's UNNEST of the two epoch-aligned starts. Replication factor is
+    the constant 2, so the shuffle is 2× the tumbling case at any scale."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("event_id").cast("bigint").alias("min_event_id"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("ws_epoch"),
+            "event_type",
+            "n",
+            "min_event_id",
+        )
+    )
+
+
+@query(
+    "smp6_temperature_sampling",
+    """
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+    thr AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(1000000 * sqrt(CAST((SELECT MIN(n_docs) FROM counts) AS DOUBLE)
+                                        / CAST(n_docs AS DOUBLE))) AS BIGINT) AS threshold
+      FROM counts),
+    kept AS (
+      SELECT d.source, CAST(d.doc_id AS BIGINT) AS doc_id
+      FROM documents d JOIN thr ON d.source = thr.source
+      WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 8)
+                 AS BIGINT) % 1000000 < thr.threshold)
+    SELECT t.source, t.n_docs, t.threshold,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(MIN(k.doc_id) AS BIGINT) AS min_kept_id
+    FROM thr t LEFT JOIN kept k ON t.source = k.source
+    GROUP BY t.source, t.n_docs, t.threshold
+    """,
+)
+def smp6_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-corpus staple —
+    mT5/XLM-R sample language ℓ with rate ∝ n_ℓ^(α−1)): α = 0.5, so each
+    source's keep-rate is sqrt(min_count / n_s) — the smallest source keeps
+    everything, a 100× bigger one keeps 10%. sqrt is a correctly-rounded
+    IEEE op, so thresholds are engine-identical; membership is the smp1
+    md5-bucket scheme (exact oracle). Scale shape: per-source counts are a
+    tiny aggregate joined back BROADCAST; the fact is filtered in place and
+    only (source, kept-id) pairs reach the report aggregation."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    counts = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    min_n = counts.agg(F.min("n_docs").alias("min_n"))
+    thr = counts.crossJoin(F.broadcast(min_n)).select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.lit(1_000_000)
+            * F.sqrt(
+                F.col("min_n").cast("double") / F.col("n_docs").cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("threshold"),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":temp"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(1_000_000),
+    )
+    kept = (
+        docs.join(F.broadcast(thr), "source")
+        .filter(bucket < F.col("threshold"))
+        .select("source", F.col("doc_id").cast("bigint").alias("doc_id"))
+    )
+    return (
+        thr.join(
+            kept.groupBy("source").agg(
+                F.count("*").cast("bigint").alias("n_kept_raw"),
+                F.min("doc_id").cast("bigint").alias("min_kept_id"),
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_docs",
+            "threshold",
+            F.coalesce("n_kept_raw", F.lit(0)).cast("bigint").alias("n_kept"),
+            "min_kept_id",
+        )
+    )
+
+
+@query(
+    "v1_token_zipf",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents),
+    vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT tok, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank,
+             CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_cnt
+      FROM vocab)
+    SELECT tok, cnt, rank, cum_cnt FROM ranked WHERE rank <= 50
+    """,
+)
+def v1_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics — the Zipf head table (top-50 tokens by
+    frequency with cumulative coverage) every corpus release publishes, and
+    the frequency input to stopword-list induction. The global window runs
+    over the VOCABULARY aggregate, not the corpus (vocabulary is
+    Heaps-law-bounded, so the single-partition ranked sort stays tiny at
+    any corpus size; the corpus itself only pays one map-side-combined
+    count shuffle on the token key)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("cnt"))
+    w = W.orderBy(F.col("cnt").desc(), F.col("tok"))
+    ranked = vocab.select(
+        "tok",
+        "cnt",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.sum("cnt")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("cum_cnt"),
+    )
+    return ranked.filter(F.col("rank") <= 50)
+
+
 # ---------------------------------------------------------------------------
 # North-star: semantic dedup (SemDeDup) — cluster then near-dup within (r5)
 # ---------------------------------------------------------------------------
@@ -5058,6 +5229,9 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "mm4_wav_roundtrip",
     "w6_ignore_nulls_ffill",
     "t10_filter_funnel",
+    "win2_sliding_counts",
+    "smp6_temperature_sampling",
+    "v1_token_zipf",
 ]
 
 
