@@ -30,13 +30,23 @@ def windowed_event_counts(
     key_col: str = "event_type",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window counts — the canonical late-data-tolerant
-    streaming aggregate. Works identically on a batch DataFrame (F.window is
-    a plain grouping expression), which is how the oracle checks it."""
+    """Watermarked windowed counts — the canonical late-data-tolerant
+    streaming aggregate. ``slide`` < ``window`` makes the windows SLIDING
+    (each event lands in window/slide rows — Spark replicates it into every
+    overlapping window before the aggregation); the default is tumbling.
+    Works identically on a batch DataFrame (F.window is a plain grouping
+    expression), which is how the oracle checks it (win1 tumbling, win2
+    sliding)."""
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .groupBy(win.alias("w"), F.col(key_col))
         .agg(F.count("*").alias("cnt"))
         .select(
             F.col("w.start").alias("window_start"),

@@ -180,3 +180,42 @@ def test_ethrpc_stream_rate_limited_catchup(spark, tmp_path):
             .start()
             .awaitTermination(60)
         )
+
+
+def test_sliding_window_stream_matches_batch(spark, sf_dir, tmp_path):
+    """SLIDING windows through a real stream: events replayed as a file
+    stream (availableNow, complete-mode aggregation) must produce exactly
+    the batch sliding aggregation (= win2's oracle shape)."""
+    from graphsense_ethereum_etl_spark.queries import load
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    src = str(tmp_path / "events_src")
+    ev.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(src)
+    )
+    agg = windowed_event_counts(
+        stream, window="10 minutes", slide="5 minutes", watermark="0 seconds"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = windowed_event_counts(
+        ev, window="10 minutes", slide="5 minutes", watermark="0 seconds"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["cnt"]
+        for r in spark.sql("select * from slide_agg").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["cnt"] for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
