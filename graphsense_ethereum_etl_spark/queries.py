@@ -5035,6 +5035,47 @@ def smp6_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "apx3_freq_items",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents),
+    vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab)
+    SELECT tok, cnt, TRUE AS in_sketch
+    FROM vocab, tot WHERE cnt > 0.05 * n
+    """,
+)
+def apx3_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the Karp/Misra-Gries one-pass sketch
+    (DataFrame.stat.freqItems) — the streaming-friendly frequent-token
+    detector. Like apx1's HLL pattern, the sketch CONTENT is
+    engine-specific (it may contain false positives by design), so the
+    checkable contract is its no-false-negative guarantee: every token
+    whose exact frequency exceeds the 5% support must appear in the sketch
+    — emitted as exact (token, count) rows plus an in_sketch boolean the
+    oracle expects TRUE. One pass over the exploded tokens with
+    per-partition O(1/support) state, merged on the driver — the MG layout
+    that works at any corpus size."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    sketch = toks.stat.freqItems(["tok"], support=0.05).select(
+        F.col("tok_freqItems").alias("sketch")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("bigint").alias("n"))
+    return (
+        vocab.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") > F.lit(0.05) * F.col("n"))
+        .crossJoin(F.broadcast(sketch))
+        .select("tok", "cnt", F.array_contains("sketch", F.col("tok")).alias("in_sketch"))
+    )
+
+
+@query(
     "v1_token_zipf",
     """
     WITH toks AS (
@@ -5232,6 +5273,7 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "win2_sliding_counts",
     "smp6_temperature_sampling",
     "v1_token_zipf",
+    "apx3_freq_items",
 ]
 
 
