@@ -28,8 +28,11 @@ Subcommands:
     Training-corpus curation over any documents parquet: ``dedup``
     (exact / minhash / simhash keeper resolution), ``decontaminate``
     (n-gram overlap vs an eval set), ``score`` (quality/lang/token
-    columns), ``sample`` (deterministic hash sample). No reference
-    equivalent — the LLM-pipeline surface of the engine.
+    columns), ``sample`` (deterministic hash sample), ``pack``
+    (concat-then-split sequence packing bookkeeping), ``chunk``
+    (sliding-window token chunks); ``dedup --method semantic`` runs
+    SemDeDup over an embedding column. No reference equivalent — the
+    LLM-pipeline surface of the engine.
 
 Provider URIs: ``http(s)://…`` talks JSON-RPC 2.0 batch to a real node;
 ``synthetic://<head>`` serves the deterministic generator chain
@@ -229,7 +232,7 @@ def build_parser() -> ArgumentParser:
     )
     corpus.add_argument(
         "operation",
-        choices=["dedup", "decontaminate", "score", "sample"],
+        choices=["dedup", "decontaminate", "score", "sample", "pack", "chunk"],
         help="which curation pass to run over the input documents table",
     )
     corpus.add_argument(
@@ -240,9 +243,9 @@ def build_parser() -> ArgumentParser:
     )
     corpus.add_argument(
         "--method",
-        choices=["exact", "minhash", "simhash"],
+        choices=["exact", "minhash", "simhash", "semantic"],
         default="exact",
-        help="dedup clustering method",
+        help="dedup clustering method (semantic expects an embedding column)",
     )
     corpus.add_argument(
         "--eval-set",
@@ -260,6 +263,30 @@ def build_parser() -> ArgumentParser:
     )
     corpus.add_argument("--text-col", dest="text_col", default="text")
     corpus.add_argument("--id-col", dest="id_col", default="doc_id")
+    corpus.add_argument("--vec-col", dest="vec_col", default="embedding")
+    corpus.add_argument(
+        "--n-clusters", dest="n_clusters", type=int, default=16,
+        help="semantic dedup: k-means block count",
+    )
+    corpus.add_argument(
+        "--threshold", type=float, default=0.9,
+        help="semantic dedup: cosine near-dup threshold",
+    )
+    corpus.add_argument(
+        "--seq-len", dest="seq_len", type=int, default=256,
+        help="pack: tokens per training sequence",
+    )
+    corpus.add_argument(
+        "--shard-col", dest="shard_col", default="source",
+        help="pack: shard/partition column",
+    )
+    corpus.add_argument(
+        "--chunk-tokens", dest="chunk_tokens", type=int, default=32,
+        help="chunk: tokens per chunk",
+    )
+    corpus.add_argument(
+        "--stride", type=int, default=8, help="chunk: chunk stride in tokens"
+    )
 
     return parser
 
@@ -452,9 +479,20 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
 
     docs = spark.read.parquet(args.input)
     if args.operation == "dedup":
-        out = dedup_keepers(
-            docs, method=args.method, text_col=args.text_col, id_col=args.id_col
-        )
+        if args.method == "semantic":
+            from .operators.corpus import semantic_dedup_keepers
+
+            out = semantic_dedup_keepers(
+                docs,
+                n_clusters=args.n_clusters,
+                threshold=args.threshold,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+            )
+        else:
+            out = dedup_keepers(
+                docs, method=args.method, text_col=args.text_col, id_col=args.id_col
+            )
     elif args.operation == "decontaminate":
         if not args.eval_set:
             raise SystemExit("corpus decontaminate requires --eval-set")
@@ -469,6 +507,26 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
         )
     elif args.operation == "score":
         out = score_documents(docs, text_col=args.text_col, id_col=args.id_col)
+    elif args.operation == "pack":
+        from .operators.corpus import pack_sequences
+
+        out = pack_sequences(
+            docs,
+            seq_len=args.seq_len,
+            shard_col=args.shard_col,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+    elif args.operation == "chunk":
+        from .operators.corpus import chunk_documents
+
+        out = chunk_documents(
+            docs,
+            chunk_tokens=args.chunk_tokens,
+            stride=args.stride,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
     else:
         out = hash_sample(docs, rate=args.rate, id_col=args.id_col, salt=args.salt)
     out.write.mode("overwrite").parquet(args.output)

@@ -125,3 +125,119 @@ def hash_sample(
         F.lit(1_000_000),
     )
     return docs.filter(bucket < int(rate * 1_000_000))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 256,
+    shard_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-split sequence packing bookkeeping (smp4's layout as a
+    reusable pass): per shard, documents concatenate in id order and cut
+    into fixed ``seq_len``-token sequences; each document row gains its
+    starting sequence id, offset inside it, and boundary-span count — what
+    a dataloader needs to map packed sequences back to provenance. One
+    window shuffle on the shard key; pure integer arithmetic."""
+    d = docs.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.col(shard_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn(
+        "cb", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    )
+    return d.select(
+        id_col,
+        shard_col,
+        "n_tokens",
+        F.expr(f"cb DIV {seq_len}").alias("seq_id"),
+        (F.col("cb") % seq_len).cast("bigint").alias("offset_in_seq"),
+        (
+            F.expr(f"(cb + n_tokens - 1) DIV {seq_len}")
+            - F.expr(f"cb DIV {seq_len}")
+        )
+        .cast("bigint")
+        .alias("n_spans"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking (chk1's layout as a reusable pass):
+    each document splits into ``chunk_tokens``-token chunks every
+    ``stride`` tokens (ragged tails kept), emitting the chunk TEXT for
+    downstream embedding/indexing. Pure Catalyst sequence+slice transform
+    + one explode — no shuffle."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(toks), F.lit(stride)),
+        lambda s: F.struct(
+            s.alias("s"),
+            F.concat_ws(" ", F.slice(toks, s, chunk_tokens)).alias("chunk_text"),
+            F.size(F.slice(toks, s, chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.explode(chunks).alias("c"),
+    ).select(
+        id_col,
+        F.col("c.s").cast("bigint").alias("start_pos"),
+        F.col("c.n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+def semantic_dedup_keepers(
+    docs_with_vectors: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup keeper resolution over an embedding column: quantized
+    k-means blocks (dd8's assignment), within-cluster cosine pairs ≥
+    ``threshold``, connected components over the near-dup graph, then
+    min-id keeper per component. The quadratic term is per-cluster-bounded
+    (raise ``n_clusters`` at scale); everything else is the cc2 shape."""
+    from ..queries import _kmeans_assign_one_round
+    from .graph import connected_components
+    from .similarity import cosine_pairs_within
+
+    emb = docs_with_vectors.select(
+        F.col(id_col).cast("bigint").alias("vec_id"), F.col(vec_col)
+    )
+    assign = _kmeans_assign_one_round(emb, k=n_clusters).select(
+        "vec_id", F.col("c").alias("cluster")
+    )
+    tagged = emb.join(assign, "vec_id")
+    pairs = cosine_pairs_within(
+        tagged, block_col="cluster", threshold=threshold, vec_col=vec_col
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    base = docs_with_vectors.select(F.col(id_col).cast("bigint").alias(id_col))
+    lab = base.join(comp, base[id_col] == comp.id, "left").select(
+        base[id_col],
+        F.coalesce(comp.component, base[id_col]).cast("bigint").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    return lab.select(
+        id_col,
+        "cluster_id",
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
+    )

@@ -462,3 +462,40 @@ def test_cli_corpus_score_and_minhash_dedup(spark, tmp_path):
     keepers = spark.read.parquet(dout)
     assert keepers.filter("keep").count() <= keepers.count()
     assert keepers.count() == spark.read.parquet(src).count()
+
+
+def test_cli_corpus_pack_chunk_semantic(spark, tmp_path):
+    src = "/root/testdata/sf0.001/documents.parquet"
+    pout = str(tmp_path / "packed")
+    main(["corpus", "pack", "-i", src, "-o", pout, "--seq-len", "64"], spark=spark)
+    packed = spark.read.parquet(pout)
+    assert {"seq_id", "offset_in_seq", "n_spans"} <= set(packed.columns)
+    assert packed.count() == spark.read.parquet(src).count()
+    # offsets live inside the sequence budget
+    assert packed.filter("offset_in_seq >= 64 or offset_in_seq < 0").count() == 0
+
+    cout = str(tmp_path / "chunks")
+    main(
+        ["corpus", "chunk", "-i", src, "-o", cout,
+         "--chunk-tokens", "16", "--stride", "4"],
+        spark=spark,
+    )
+    chunks = spark.read.parquet(cout)
+    assert chunks.count() > spark.read.parquet(src).count()
+    assert chunks.filter("n_tokens > 16 or n_tokens <= 0").count() == 0
+
+    sout = str(tmp_path / "sem")
+    main(
+        ["corpus", "dedup", "-i", "/root/testdata/sf0.001/embeddings.parquet",
+         "-o", sout, "--method", "semantic", "--id-col", "vec_id",
+         "--n-clusters", "8", "--threshold", "0.95"],
+        spark=spark,
+    )
+    keepers = spark.read.parquet(sout)
+    emb_n = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert keepers.count() == emb_n
+    # exactly one keeper per cluster
+    assert (
+        keepers.filter("keep").count()
+        == keepers.select("cluster_id").distinct().count()
+    )
