@@ -5035,6 +5035,93 @@ def smp6_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "smp7_bottomk_sample",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           md5(CAST(doc_id AS VARCHAR) || ':bk') AS h
+    FROM documents
+    ORDER BY h, doc_id LIMIT 100
+    """,
+)
+def smp7_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k uniform sampling — the deterministic distributed
+    alternative to reservoir sampling: the k smallest salted hashes form an
+    exact uniform k-sample of ANY corpus size, are mergeable across
+    partitions (each partition's local bottom-k suffices — which is
+    precisely Spark's TakeOrderedAndProject: no global sort, no full
+    shuffle), and the same k ids come back no matter how the data is
+    partitioned or scanned. Contrast with smp1's rate-based bucket filter:
+    bottom-k fixes the sample SIZE, bucket filtering fixes the RATE."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":bk")))
+    return (
+        docs.select(F.col("doc_id").cast("bigint").alias("doc_id"), h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "ml1_ols_regression",
+    """
+    WITH q AS (
+      SELECT CAST(event_id AS BIGINT) AS x,
+             CAST(ROUND(value * 1000) AS BIGINT) AS v
+      FROM events),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(v) AS HUGEINT) AS sv,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(x * v) AS HUGEINT) AS sxy
+      FROM q)
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n * sxy - sx * sv AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope_mil,
+           ROUND((CAST(sv AS DOUBLE)
+                  - (CAST(n * sxy - sx * sv AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept_mil
+    FROM s
+    """,
+)
+def ml1_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine ML: closed-form ordinary least squares (value ~ event_id)
+    as ONE aggregation — the normal-equations layout that scales to any
+    row count because the fact only contributes five map-side-combined
+    sums. All moments are computed in exact integer arithmetic (value
+    quantized at 10³; the cross moments fit int64, the n·Sxy combination
+    is widened to DECIMAL(38)/HUGEINT), so both engines see identical
+    integers and the two final divisions are single IEEE ops — unlike the
+    built-in regr_slope/REGR_SLOPE, whose float accumulation order is
+    engine- and partition-dependent. The same five-moment pattern extends
+    to multi-feature OLS via X'X moment matrices."""
+    ev = load(spark, sf_dir, "events", spread=True)
+    q = ev.select(
+        F.col("event_id").cast("bigint").alias("x"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    s = q.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("v").cast("decimal(38,0)").alias("sv"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("v")).cast("decimal(38,0)").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sv")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sv").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 9).alias("slope_mil"),
+        F.round(intercept, 6).alias("intercept_mil"),
+    )
+
+
+@query(
     "apx3_freq_items",
     """
     WITH toks AS (
@@ -5274,6 +5361,8 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "smp6_temperature_sampling",
     "v1_token_zipf",
     "apx3_freq_items",
+    "smp7_bottomk_sample",
+    "ml1_ols_regression",
 ]
 
 
