@@ -5035,6 +5035,79 @@ def smp6_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g5_sssp_bf3",
+    """
+    WITH e AS (
+      SELECT CAST(l_suppkey AS BIGINT) AS s,
+             CAST(l_partkey AS BIGINT) + 10000000 AS d,
+             CAST(MIN(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2),
+    sym AS (SELECT s, d, w FROM e UNION ALL SELECT d AS s, s AS d, w FROM e),
+    d0 AS (SELECT CAST(1 AS BIGINT) AS v, CAST(0 AS BIGINT) AS dist),
+    d1 AS (SELECT v, MIN(dist) AS dist FROM (
+        SELECT v, dist FROM d0 UNION ALL
+        SELECT sym.d, d0.dist + sym.w FROM sym JOIN d0 ON sym.s = d0.v) GROUP BY v),
+    d2 AS (SELECT v, MIN(dist) AS dist FROM (
+        SELECT v, dist FROM d1 UNION ALL
+        SELECT sym.d, d1.dist + sym.w FROM sym JOIN d1 ON sym.s = d1.v) GROUP BY v),
+    d3 AS (SELECT v, MIN(dist) AS dist FROM (
+        SELECT v, dist FROM d2 UNION ALL
+        SELECT sym.d, d2.dist + sym.w FROM sym JOIN d2 ON sym.s = d2.v) GROUP BY v)
+    SELECT CAST(v AS BIGINT) AS vertex, CAST(dist AS BIGINT) AS dist FROM d3
+    """,
+)
+def g5_sssp_bf3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths, 3 Bellman-Ford relaxation rounds over
+    the supplier⇄part bipartite graph (edge weight = min shipped quantity;
+    part ids offset by 10^7 into a shared vertex space) — the bounded-hop
+    SSSP kernel, completing the iterative-graph family (g4 PageRank, cc1
+    components, km1 Lloyd). Integer weights make every relaxation exact and
+    order-independent, so the unrolled oracle hash-matches.
+
+    Scale shape per round: frontier ⋈ edges on the source vertex (edges
+    hash-partitioned once, rounds reuse the exchange under AQE), then a
+    map-side-combined min per vertex — the textbook Pregel relaxation as
+    relational ops. Unbounded-hop SSSP = the same round in a loop with a
+    convergence probe (cc1's fused-signature pattern); 3 unrolled rounds
+    keep the demo oracle-expressible."""
+    OFF = 10_000_000
+    li = load(spark, sf_dir, "lineitem")
+    e = (
+        li.groupBy(
+            F.col("l_suppkey").cast("bigint").alias("s"),
+            (F.col("l_partkey").cast("bigint") + OFF).alias("d"),
+        )
+        .agg(
+            F.min(F.round(F.col("l_quantity")).cast("bigint"))
+            .cast("bigint")
+            .alias("w")
+        )
+    )
+    # materialize the edge set once (cc1's lineage-truncation pattern) —
+    # without it every unrolled round re-runs the lineitem aggregation
+    sym = e.unionByName(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"), "w")
+    ).localCheckpoint(eager=False)
+    dist = spark.createDataFrame([(1, 0)], "v long, dist long")
+    for _ in range(3):
+        # no broadcast hint: AQE broadcasts the frontier while it is small
+        # and falls back to a shuffle join when it grows — the correct
+        # behavior at both demo and cluster scale
+        relaxed = sym.join(dist, sym["s"] == dist["v"]).select(
+            sym["d"].alias("v"), (dist["dist"] + sym["w"]).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("v")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return dist.select(
+        F.col("v").cast("bigint").alias("vertex"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+
+
+@query(
     "smp7_bottomk_sample",
     """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -5363,6 +5436,7 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "apx3_freq_items",
     "smp7_bottomk_sample",
     "ml1_ols_regression",
+    "g5_sssp_bf3",
 ]
 
 
