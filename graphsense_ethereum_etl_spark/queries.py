@@ -5035,6 +5035,100 @@ def smp6_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fun1_conversion_funnel",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_signup,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM firsts
+    """,
+)
+def fun1_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event conversion funnel (product-analytics staple): per
+    user, first signup → first later click → first later purchase...
+    approximated by the standard first-touch ordering (first click AFTER
+    first signup, first purchase after that click). One groupBy(user) with
+    conditional MIN aggregates — the whole funnel is a single fact shuffle
+    with map-side combine; step predicates are pure timestamp comparisons
+    (NULL-safe: a missing step fails the > comparison in both engines)."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    step1 = F.col("t_signup").isNotNull()
+    step2 = step1 & (F.col("t_click") > F.col("t_signup"))
+    step3 = step2 & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(step1.cast("int")).cast("bigint").alias("n_signup"),
+        F.sum(step2.cast("int")).cast("bigint").alias("n_signup_click"),
+        F.sum(step3.cast("int")).cast("bigint").alias("n_full_funnel"),
+    )
+
+
+@query(
+    "coh1_weekly_retention",
+    """
+    WITH weeks AS (
+      SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+             CAST(epoch_us(ts) // CAST(604800000000 AS BIGINT) AS BIGINT) AS week
+      FROM events),
+    cohorts AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id)
+    SELECT c.cohort_week,
+           CAST(w.week - c.cohort_week AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+    GROUP BY c.cohort_week, week_offset
+    """,
+)
+def coh1_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (the other product-analytics staple):
+    users are cohorted by first-active epoch week; each cell counts how
+    many of a cohort were active `week_offset` weeks later. Weeks are
+    integer epoch-microsecond floor-divisions (engine-exact, sub-second
+    proof — the w5/win2 lesson). Shape: one distinct on (user, week) —
+    map-side-deduped — then the per-user MIN rides a broadcast-joinable
+    per-user dim back over the small (user, week) relation; the fact is
+    never shuffled twice."""
+    ev = load(spark, sf_dir, "events")
+    weeks = ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.expr("unix_micros(ts) DIV 604800000000").cast("bigint").alias("week"),
+    ).distinct()
+    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("bigint").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+    )
+
+
+@query(
     "g5_sssp_bf3",
     """
     WITH e AS (
@@ -5437,6 +5531,8 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "smp7_bottomk_sample",
     "ml1_ols_regression",
     "g5_sssp_bf3",
+    "fun1_conversion_funnel",
+    "coh1_weekly_retention",
 ]
 
 
