@@ -2696,6 +2696,102 @@ def k5_versioned_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "k6_merge_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pri,
+             CAST(FLOOR(o_orderkey / 1000) AS BIGINT) AS bucket
+      FROM orders WHERE o_orderkey < 20000 AND o_orderkey % 3 <> 0),
+    cdc AS (
+      SELECT o_orderkey AS k,
+             CAST(FLOOR(o_orderkey / 1000) AS BIGINT) AS bucket,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'INSERTED'
+                  ELSE 'UPDATED' END AS pri,
+             (o_orderkey % 3 = 2 AND o_orderkey % 5 = 0) AS is_delete
+      FROM orders WHERE o_orderkey < 10000),
+    merged AS (
+      SELECT k, bucket, pri FROM base
+      WHERE k NOT IN (SELECT k FROM cdc)
+      UNION ALL
+      SELECT k, bucket, pri FROM cdc WHERE NOT is_delete)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CASE WHEN pri = 'UPDATED' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_updated,
+           CAST(SUM(CASE WHEN pri = 'INSERTED' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inserted,
+           CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM merged GROUP BY bucket
+    """,
+)
+def k6_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (CDC upsert/delete) end-to-end on the versioned table
+    (``versioned.py::merge_into`` — the reference's Cassandra
+    INSERT-is-upsert write model, reference eth_cassandra_streaming.py's
+    per-row INSERT loop, recreated as Delta-style copy-on-write MERGE on a
+    snapshot table): commit a base table of orders (keys % 3 != 0,
+    bucketed by o_orderkey // 1000), then apply ONE CDC batch over keys
+    < 10000 that simultaneously updates existing keys (% 3 ∈ {1,2} →
+    priority 'UPDATED'), inserts new ones (% 3 == 0 → 'INSERTED'), and
+    deletes (% 3 == 2 and % 5 == 0). Buckets 10-19 are never touched —
+    merge_into rewrites only the CDC-covered partitions (manifest-pruned
+    copy-on-write; the update-key anti-join broadcasts the CDC keys so the
+    base side never shuffles). The oracle reconstructs the post-merge
+    state with NOT IN + UNION ALL; a lost update, ghost delete, double
+    insert, or an over/under-rewritten partition all change the per-bucket
+    counts / key_sum hash. Working table lives in a mkdtemp removed before
+    return (k5's eager-collect pattern, same rationale)."""
+    import shutil
+    import tempfile
+
+    from .versioned import VersionedTable
+
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 20_000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("pri"),
+            block_bucket("o_orderkey").alias("bucket"),
+        )
+    )
+    base = orders.filter(F.col("k") % 3 != 0)
+    cdc = (
+        orders.filter(F.col("k") < 10_000)
+        .select(
+            "k",
+            "bucket",
+            F.when(F.col("k") % 3 == 0, F.lit("INSERTED"))
+            .otherwise(F.lit("UPDATED"))
+            .alias("pri"),
+            ((F.col("k") % 3 == 2) & (F.col("k") % 5 == 0)).alias("is_delete"),
+        )
+    )
+    workdir = tempfile.mkdtemp(prefix="vt_merge_")
+    try:
+        t = VersionedTable(spark, workdir, partition_col="bucket")
+        t.write_partitions(base)
+        t.merge_into(cdc, key_cols=["k"], delete_col="is_delete")
+        agg = (
+            t.read()
+            .groupBy("bucket")
+            .agg(
+                F.count("*").cast("bigint").alias("cnt"),
+                F.sum(F.when(F.col("pri") == "UPDATED", 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_updated"),
+                F.sum(F.when(F.col("pri") == "INSERTED", 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_inserted"),
+                F.sum("k").cast("bigint").alias("key_sum"),
+            )
+        )
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
     "q3_shipping_priority",
     """
     WITH agg AS (

@@ -123,3 +123,76 @@ def test_vacuum_refuses_to_drop_published_snapshot(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="keep_manifests"):
         t.vacuum(keep_manifests=-1)
     assert t.read().count() == 10  # table untouched
+
+
+def test_merge_into_upsert_insert_delete(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    t.write_partitions(_frame(spark, 0, 30, "base"))  # buckets 0,1,2
+    # CDC batch: update ids 5,6 (exist), insert id 35 (new bucket 3),
+    # delete id 7 — bucket 2 untouched.
+    cdc = spark.createDataFrame(
+        [
+            (5, 0, "upd", False),
+            (6, 0, "upd", False),
+            (35, 3, "ins", False),
+            (7, 0, None, True),
+        ],
+        "block_id bigint, block_id_group bigint, tag string, is_delete boolean",
+    )
+    written = t.merge_into(cdc, ["block_id"], delete_col="is_delete")
+    assert set(written) == {"0", "3"}
+    rows = {r["block_id"]: r["tag"] for r in t.read().collect()}
+    assert len(rows) == 30  # 30 - 1 delete + 1 insert
+    assert rows[5] == "upd" and rows[6] == "upd" and rows[35] == "ins"
+    assert 7 not in rows
+    assert rows[8] == "base" and rows[25] == "base"
+
+
+def test_merge_into_prunes_to_touched_partitions(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    t.write_partitions(_frame(spark, 0, 30, "base"))
+    dirs_before = dict(t.snapshot())
+    cdc = spark.createDataFrame(
+        [(12, 1, "upd", False)],
+        "block_id bigint, block_id_group bigint, tag string, is_delete boolean",
+    )
+    t.merge_into(cdc, ["block_id"], delete_col="is_delete")
+    snap = t.snapshot()
+    # untouched partitions keep their ORIGINAL immutable dirs (no rewrite)
+    assert snap["0"] == dirs_before["0"]
+    assert snap["2"] == dirs_before["2"]
+    assert snap["1"] != dirs_before["1"]
+
+
+def test_merge_into_drops_fully_deleted_partition_atomically(
+    spark, tmp_path_factory
+):
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    t.write_partitions(_frame(spark, 0, 20, "base"))  # buckets 0,1
+    cdc = spark.createDataFrame(
+        [(i, 0, None, True) for i in range(0, 10)],
+        "block_id bigint, block_id_group bigint, tag string, is_delete boolean",
+    )
+    t.merge_into(cdc, ["block_id"], delete_col="is_delete")
+    snap = t.snapshot()
+    assert "0" not in snap  # emptied partition left the manifest
+    assert t.read().count() == 10
+    # exactly one manifest swap for the whole merge (atomicity of the drop)
+    manifests = sorted(os.listdir(f"{root}/_manifests"))
+    assert len(manifests) == 2
+
+
+def test_merge_into_all_new_partitions(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    t.write_partitions(_frame(spark, 0, 10, "base"))  # bucket 0
+    cdc = spark.createDataFrame(
+        [(55, 5, "ins", False)],
+        "block_id bigint, block_id_group bigint, tag string, is_delete boolean",
+    )
+    t.merge_into(cdc, ["block_id"], delete_col="is_delete")
+    rows = {r["block_id"]: r["tag"] for r in t.read().collect()}
+    assert len(rows) == 11 and rows[55] == "ins"
