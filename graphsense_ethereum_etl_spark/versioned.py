@@ -59,10 +59,15 @@ class VersionedTable:
         spark: SparkSession,
         root: str,
         partition_col: str = "block_id_group",
+        stats_cols: list[str] | None = None,
     ) -> None:
         self.spark = spark
         self.root = root.rstrip("/")
         self.partition_col = partition_col
+        # columns whose per-partition min/max are recorded in the manifest
+        # at commit time (harvested from parquet FOOTERS — no data scan) and
+        # used by read(between=...) for Iceberg-style data skipping.
+        self.stats_cols = list(stats_cols or [])
         os.makedirs(f"{self.root}/{_MANIFEST_DIR}", exist_ok=True)
         os.makedirs(f"{self.root}/{_DATA_DIR}", exist_ok=True)
 
@@ -79,35 +84,75 @@ class VersionedTable:
         """{partition_value(str): data dir(abs path)} for the current
         version. This is the read-side anchor: resolve once, then every
         subsequent read of those dirs is immutable."""
+        return {
+            k: f"{self.root}/{_DATA_DIR}/{v}"
+            for k, v in self._manifest_doc()["partitions"].items()
+        }
+
+    def _manifest_doc(self) -> dict:
         name = self._current_manifest_name()
         if name is None:
-            return {}
+            return {"partitions": {}, "stats": {}}
         with open(f"{self.root}/{_MANIFEST_DIR}/{name}") as fh:
-            rel = json.load(fh)["partitions"]
-        return {k: f"{self.root}/{_DATA_DIR}/{v}" for k, v in rel.items()}
+            doc = json.load(fh)
+        doc.setdefault("stats", {})  # pre-stats manifests stay readable
+        return doc
 
-    def read(self, partitions: list[int] | None = None) -> DataFrame:
+    def stats(self) -> dict[str, dict[str, list]]:
+        """{partition_value: {column: [min, max]}} recorded at commit."""
+        return self._manifest_doc()["stats"]
+
+    def read(
+        self,
+        partitions: list[int] | None = None,
+        between: tuple[str, object, object] | None = None,
+    ) -> DataFrame:
         """Snapshot read; ``partitions`` prunes at the MANIFEST level (only
-        matching dirs are handed to the scan)."""
+        matching dirs are handed to the scan). ``between=(col, lo, hi)``
+        additionally skips every partition whose recorded [min, max] for
+        ``col`` cannot overlap the inclusive range — footer-derived
+        data skipping on NON-partition columns, the manifest-level
+        equivalent of Iceberg's column-bounds pruning. Partitions with no
+        recorded stats are conservatively kept."""
         snap = self.snapshot()
         if partitions is not None:
             wanted = {str(p) for p in partitions}
             snap = {k: v for k, v in snap.items() if k in wanted}
+        if between is not None:
+            col, lo, hi = between
+            st = self.stats()
+            def _overlaps(pv: str) -> bool:
+                bounds = st.get(pv, {}).get(col)
+                if bounds is None:
+                    return True
+                mn, mx = bounds
+                return not (mx < lo or mn > hi)
+            snap = {k: v for k, v in snap.items() if _overlaps(k)}
         if not snap:
             return self.spark.createDataFrame([], f"{self.partition_col} bigint")
         return self.spark.read.parquet(*sorted(snap.values()))
 
     # -- commits ------------------------------------------------------------
 
-    def _swap(self, partitions_rel: dict[str, str]) -> None:
+    def _swap(
+        self,
+        partitions_rel: dict[str, str],
+        stats: dict[str, dict[str, list]] | None = None,
+    ) -> None:
         """Write the next manifest, then atomically swap the pointer
         (tmp-file + rename: a crash before the rename leaves the old
         version current; after it, the new one — no in-between)."""
         current = self._current_manifest_name()
         seq = int(current.split("-")[1].split(".")[0]) + 1 if current else 1
         name = f"m-{seq:08d}.json"
+        doc = {
+            "partitions": partitions_rel,
+            "stats": {
+                k: v for k, v in (stats or {}).items() if k in partitions_rel
+            },
+        }
         with open(f"{self.root}/{_MANIFEST_DIR}/{name}", "w") as fh:
-            json.dump({"partitions": partitions_rel}, fh, sort_keys=True)
+            json.dump(doc, fh, sort_keys=True)
         tmp = f"{self.root}/{_POINTER}.tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             fh.write(name)
@@ -118,6 +163,40 @@ class VersionedTable:
             k: v[len(f"{self.root}/{_DATA_DIR}/") :]
             for k, v in self.snapshot().items()
         }
+
+    def _dir_stats(self, abs_dir: str) -> dict[str, list]:
+        """Per-column [min, max] for ``stats_cols`` harvested from the
+        parquet FOOTERS of every file in ``abs_dir`` — row-group statistics
+        only, no data pages are read. Values must be JSON-representable
+        (ints/floats/strings); columns whose footers carry no usable
+        min/max are simply omitted (read() treats missing as
+        cannot-prune)."""
+        import pyarrow.parquet as pq
+
+        acc: dict[str, list] = {}
+        for fname in os.listdir(abs_dir):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(f"{abs_dir}/{fname}").metadata
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    name = col.path_in_schema
+                    if name not in self.stats_cols:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    mn, mx = st.min, st.max
+                    if not isinstance(mn, (int, float, str)):
+                        continue
+                    cur = acc.get(name)
+                    if cur is None:
+                        acc[name] = [mn, mx]
+                    else:
+                        acc[name] = [min(cur[0], mn), max(cur[1], mx)]
+        return acc
 
     def write_partitions(
         self,
@@ -150,6 +229,7 @@ class VersionedTable:
             .parquet(staging)
         )
         rel = self._manifest_rel()
+        stats = self.stats()
         written: list[str] = []
         for entry in sorted(os.listdir(staging)):
             if not entry.startswith("_pv="):
@@ -159,11 +239,15 @@ class VersionedTable:
             os.replace(f"{staging}/{entry}", f"{self.root}/{_DATA_DIR}/{dirname}")
             rel[val] = dirname
             written.append(val)
+            if self.stats_cols:
+                stats[val] = self._dir_stats(
+                    f"{self.root}/{_DATA_DIR}/{dirname}"
+                )
         for val in drop_partitions or ():
             if val not in written:
                 rel.pop(val, None)
         _rm(staging)
-        self._swap(rel)
+        self._swap(rel, stats)
         return written
 
     def merge_into(
@@ -242,7 +326,7 @@ class VersionedTable:
         dropped = [k for k in rel if int(k) >= first_partition]
         for k in dropped:
             del rel[k]
-        self._swap(rel)
+        self._swap(rel, self.stats())  # swap drops stats of removed keys
         return sorted(dropped)
 
     def compact(
@@ -270,6 +354,7 @@ class VersionedTable:
             .parquet(staging)
         )
         rel: dict[str, str] = {}
+        stats: dict[str, dict[str, list]] = {}
         for entry in sorted(os.listdir(staging)):
             if not entry.startswith("_pv="):
                 continue
@@ -277,8 +362,12 @@ class VersionedTable:
             dirname = f"{uuid.uuid4().hex}"
             os.replace(f"{staging}/{entry}", f"{self.root}/{_DATA_DIR}/{dirname}")
             rel[val] = dirname
+            if self.stats_cols:
+                stats[val] = self._dir_stats(
+                    f"{self.root}/{_DATA_DIR}/{dirname}"
+                )
         _rm(staging)
-        self._swap(rel)
+        self._swap(rel, stats)
         return len(rel)
 
     def vacuum(self, keep_manifests: int = 2) -> list[str]:

@@ -82,7 +82,7 @@ def test_crash_before_swap_leaves_old_version(spark, tmp_path_factory):
     # inject a crash between data-dir landing and the pointer swap
     real_swap = t._swap
 
-    def boom(rel):
+    def boom(rel, stats=None):
         raise RuntimeError("crash before pointer swap")
 
     t._swap = boom
@@ -196,3 +196,48 @@ def test_merge_into_all_new_partitions(spark, tmp_path_factory):
     t.merge_into(cdc, ["block_id"], delete_col="is_delete")
     rows = {r["block_id"]: r["tag"] for r in t.read().collect()}
     assert len(rows) == 11 and rows[55] == "ins"
+
+
+def test_manifest_column_stats_skip(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root, stats_cols=["block_id"])
+    t.write_partitions(_frame(spark, 0, 30, "x"))  # buckets 0,1,2
+    st = t.stats()
+    assert st["0"]["block_id"] == [0, 9]
+    assert st["2"]["block_id"] == [20, 29]
+    # between-range covering only bucket 1: exactly one dir reaches the scan
+    pruned = t.read(between=("block_id", 12, 17))
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.count() == 10
+    # range straddling two buckets keeps both, still skips the third
+    two = t.read(between=("block_id", 8, 12))
+    assert len(two.inputFiles()) == 2
+    # no-stats column: conservatively keeps everything
+    assert t.read(between=("tag", "a", "z")).count() == 30
+
+
+def test_column_stats_follow_overwrite_and_reorg(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root, stats_cols=["block_id"])
+    t.write_partitions(_frame(spark, 0, 30, "x"))
+    # overwrite bucket 1 with a NARROWER id range
+    t.write_partitions(
+        spark.createDataFrame(
+            [(15, 1, "y")], "block_id bigint, block_id_group bigint, tag string"
+        )
+    )
+    assert t.stats()["1"]["block_id"] == [15, 15]
+    t.invalidate_from(2)
+    assert "2" not in t.stats()  # reorg drops the stats entry with the dir
+    # compaction recomputes stats for the rewritten dirs
+    t.compact()
+    assert t.stats()["0"]["block_id"] == [0, 9]
+    assert t.stats()["1"]["block_id"] == [15, 15]
+
+
+def test_stats_free_table_and_old_manifests_still_read(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)  # no stats_cols
+    t.write_partitions(_frame(spark, 0, 20, "x"))
+    assert t.stats() == {}
+    assert t.read(between=("block_id", 0, 1)).count() == 20  # cannot prune
