@@ -4574,14 +4574,16 @@ def lm1_bigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
-    # The exploded pair stream is consumed three times (pair counts, prefix
-    # counts, per-doc probe) — deliberately re-exploded rather than
-    # pre-aggregated on (doc_id, w1, w2): every consumer map-side-combines
-    # to a vocabulary- or doc-count-bounded stream before its exchange, so
-    # re-scanning the corpus (cheap columnar reads) is the right trade
-    # against shuffling a corpus-sized (doc_id, bigram) relation.
+    # The exploded pair stream is consumed twice (bigram counts, per-doc
+    # probe) — deliberately re-exploded rather than pre-aggregated on
+    # (doc_id, w1, w2): both consumers map-side-combine to a vocabulary- or
+    # doc-count-bounded stream before their exchange, so re-scanning the
+    # corpus (cheap columnar reads) beats shuffling a corpus-sized
+    # (doc_id, bigram) relation. Prefix counts need NO corpus pass at all:
+    # count(w1) = Σ_w2 count(w1, w2), a rollup of the vocabulary-sized
+    # bigram relation (this was a third corpus explode until r5).
     bc = pairs.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("pc"))
-    uc = pairs.groupBy("w1").agg(F.count("*").cast("bigint").alias("upc"))
+    uc = bc.groupBy("w1").agg(F.sum("pc").cast("bigint").alias("upc"))
     # fold the prefix counts INTO the bigram dim (both vocabulary-sized) so
     # the exploded fact pays ONE broadcast probe instead of two
     lm = bc.join(uc, "w1")

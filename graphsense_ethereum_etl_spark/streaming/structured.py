@@ -56,6 +56,35 @@ def windowed_event_counts(
     )
 
 
+def sessionized_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "10 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation (`F.session_window` — dynamic
+    windows that grow with activity and close after ``gap`` of silence, the
+    streaming-native form of win3/sess1). Unlike tumbling/sliding windows,
+    session state MERGES: a new event can fuse two open sessions, so the
+    engine keeps per-key open-session state and only the watermark passing
+    a session's end (last event + gap) finalizes and emits it — append
+    mode's contract. Works identically on a batch DataFrame (session_window
+    is a plain grouping expression there), which is how the equivalence
+    test and win3's oracle check it."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -219,3 +219,55 @@ def test_sliding_window_stream_matches_batch(spark, sf_dir, tmp_path):
         (r["window_start"], r["event_type"]): r["cnt"] for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
+    """SESSION windows through a real stream (append mode — the only mode
+    that can finalize merging session state): events replayed as a file
+    stream in two micro-batches, followed by a far-future sentinel event
+    that drives the watermark past every real session so the no-data flush
+    batch emits them all. The emitted set must EQUAL the batch
+    session_window aggregation (= win3's oracle shape)."""
+    from graphsense_ethereum_etl_spark.queries import load
+    from graphsense_ethereum_etl_spark.streaming.structured import (
+        sessionized_event_counts,
+    )
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    src = str(tmp_path / "events_src")
+    ev.coalesce(1).write.parquet(src)
+    # sentinel: one event a day past the stream's max ts; watermark(0s)
+    # lands beyond every real session's end (last event + 10 min)
+    sentinel = ev.agg(F.max("ts").alias("m")).select(
+        F.lit(-1).cast("bigint").alias("user_id"),
+        (F.col("m") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = sessionized_event_counts(stream, gap="10 minutes")
+    sink = str(tmp_path / "sessions_out")
+    q = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.read.parquet(sink).filter("user_id >= 0").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in sessionized_event_counts(ev, gap="10 minutes").collect()
+    }
+    assert len(got) > 0
+    assert got == want
