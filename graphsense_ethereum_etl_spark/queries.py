@@ -5871,6 +5871,133 @@ def prof1_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "smp8_negative_pairs",
+    """
+    WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+                 FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM ids),
+    cand AS (
+      SELECT i.doc_id, CAST(t.s AS BIGINT) AS slot, i.source,
+             (i.doc_id * 1103515245 + 12345 + t.s * 2654435761) % n.n_docs
+               AS neg_id
+      FROM ids i, n, unnest([0, 1, 2]) t(s))
+    SELECT c.doc_id, c.slot, c.neg_id,
+           (c.source = j.source) AS same_source
+    FROM cand c JOIN ids j ON j.doc_id = c.neg_id
+    WHERE c.neg_id <> c.doc_id
+    """,
+)
+def smp8_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative sampling: k=3 pseudo-random negative
+    partners per document, reproducible across runs and engines — partner
+    ids come from an integer LCG over (doc_id, slot), not rand(), so the
+    pair set is a pure function of the corpus (the smp1 determinism rule;
+    an md5-based variant works identically, the LCG keeps the oracle free
+    of hex→int conversion quirks). The candidate relation joins back to
+    the id table to (a) guarantee the partner exists and (b) tag hard
+    negatives (same_source — in-domain negatives are the valuable ones for
+    contrastive objectives). Self-pairs are dropped, so a document yields
+    up to k negatives. Scale shape: both join sides are corpus-sized but
+    NARROW (id + source only — text/embeddings never move); the join
+    co-partitions on the id, the standard id-to-id shuffle; the 1-row
+    corpus-count dim is a broadcast."""
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
+    n = ids.agg(F.count("*").cast("bigint").alias("n_docs"))
+    cand = (
+        ids.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "source",
+            "n_docs",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s").cast("bigint").alias("slot"),
+            "source",
+            (
+                (
+                    F.col("doc_id") * F.lit(1103515245)
+                    + F.lit(12345)
+                    + F.col("s") * F.lit(2654435761)
+                )
+                % F.col("n_docs")
+            ).alias("neg_id"),
+        )
+    )
+    neg = ids.select(
+        F.col("doc_id").alias("j_id"), F.col("source").alias("j_source")
+    )
+    return (
+        cand.join(neg, cand.neg_id == neg.j_id)
+        .filter(F.col("neg_id") != F.col("doc_id"))
+        .select(
+            "doc_id", "slot", "neg_id",
+            (F.col("source") == F.col("j_source")).alias("same_source"),
+        )
+    )
+
+
+@query(
+    "h2_equidepth_deciles",
+    """
+    WITH c AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    q AS (SELECT quantile_cont(cents, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                       0.6, 0.7, 0.8, 0.9]) AS b FROM c),
+    assigned AS (
+      SELECT cents,
+             CAST(1 + len(list_filter(q.b, x -> cents > x)) AS BIGINT)
+               AS decile
+      FROM c, q)
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM assigned GROUP BY decile
+    """,
+)
+def h2_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram the scale-safe way: decile
+    BOUNDARIES come from one exact `percentile` aggregation (a 1-row
+    relation, broadcast back over the fact — t8's pattern, swap in
+    approx_percentile at 100 TB), and each row's decile is 1 + the number
+    of boundaries strictly below it (an array filter, pure Catalyst) — NO
+    global ntile window, whose single-partition sort is exactly what dies
+    at scale. Boundary values are interpolated doubles computed by the
+    same formula in both engines (proven exact by t8/a6); prices are
+    integer cents so comparisons carry no float ambiguity. The fact is
+    never shuffled until the final ≤10-row aggregate."""
+    cents = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    q = cents.agg(
+        F.expr(
+            "percentile(cents, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, "
+            "0.6D, 0.7D, 0.8D, 0.9D))"
+        ).alias("b")
+    )
+    return (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cents",
+            (
+                F.size(F.filter(F.col("b"), lambda x: F.col("cents") > x)) + 1
+            )
+            .cast("bigint")
+            .alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry certification ordering
 # ---------------------------------------------------------------------------
@@ -5885,6 +6012,8 @@ def prof1_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CERTIFICATION_PRIORITY: list[str] = [
     # new in r5 — never driver-certified
+    "smp8_negative_pairs",
+    "h2_equidepth_deciles",
     "k6_merge_upsert",
     "scd1_type2_history",
     "t11_line_dedup",
@@ -5904,9 +6033,9 @@ _CERTIFICATION_PRIORITY: list[str] = [
     # r4-round certification is stale against regenerated testdata, so they
     # take the rest of this round's window (the r4-certified set keeps full
     # local-parity coverage via tests/test_oracle_parity.py meanwhile).
-    # The last 7 of this tier (str1, map1, asof2, pct1, w4, apx2, gs1) fall
-    # past position 50 now that 7 more r5 queries joined the front — they
-    # lead the r6 rotation.
+    # The last 9 of this tier (g2, s5, str1, map1, asof2, pct1, w4, apx2,
+    # gs1) fall past position 50 now that 9 more r5 queries joined the
+    # front — they lead the r6 rotation.
     "j3_anti_join",
     "j4_asof_day_max",
     "a1_resume_max",
