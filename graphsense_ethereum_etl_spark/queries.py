@@ -5872,6 +5872,90 @@ def prof1_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g6_kcore_peel2",
+    """
+    WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    dp0 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM e0 GROUP BY p),
+    ds0 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM e0 GROUP BY s),
+    e1 AS (SELECT e0.s, e0.p FROM e0
+           JOIN dp0 ON dp0.p = e0.p JOIN ds0 ON ds0.s = e0.s
+           WHERE dp0.d >= 26 AND ds0.d >= 280),
+    dp1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM e1 GROUP BY p),
+    ds1 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM e1 GROUP BY s),
+    e2 AS (SELECT e1.s, e1.p FROM e1
+           JOIN dp1 ON dp1.p = e1.p JOIN ds1 ON ds1.s = e1.s
+           WHERE dp1.d >= 26 AND ds1.d >= 280),
+    dp2 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM e2 GROUP BY p),
+    ds2 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM e2 GROUP BY s)
+    SELECT 'part' AS side, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(MIN(d) AS BIGINT) AS min_deg,
+           CAST(MAX(d) AS BIGINT) AS max_deg
+    FROM dp2
+    UNION ALL
+    SELECT 'supplier' AS side, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(MIN(d) AS BIGINT) AS min_deg,
+           CAST(MAX(d) AS BIGINT) AS max_deg
+    FROM ds2
+    """,
+)
+def g6_kcore_peel2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite core decomposition, two unrolled peeling rounds (the
+    g4/g5 fixed-round pattern — exact SQL oracle instead of an opaque
+    fixpoint): drop parts with < 26 suppliers and suppliers with < 280
+    distinct parts, recompute degrees on the induced subgraph, peel again.
+    The thresholds are chosen so round 2 actually CASCADES at the sf0.01
+    correctness scale: round 1 removes only low-degree parts, which drags
+    one supplier below 280, and its round-2 removal lowers surviving part
+    degrees below the round-1 floor — the behavior that distinguishes
+    k-core from a one-shot degree filter (verified in the oracle output:
+    part min_deg 25 < threshold 26 after round 2). Per round: two
+    map-side-combined degree aggregations (vertex-sized relations) joined
+    back onto the edge set — AQE broadcasts them when small, co-partitions
+    otherwise; the edge set is checkpointed once so round lineage stays
+    flat. The full iterate-to-fixpoint variant is
+    connected_components-style driver looping with the same per-round
+    plan."""
+    e0 = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").cast("bigint").alias("s"),
+            F.col("l_partkey").cast("bigint").alias("p"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def degrees(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+        dp = e.groupBy("p").agg(F.count("*").cast("bigint").alias("d"))
+        ds = e.groupBy("s").agg(F.count("*").cast("bigint").alias("d"))
+        return dp, ds
+
+    def peel(e: DataFrame, dp: DataFrame, ds: DataFrame) -> DataFrame:
+        keep_p = dp.filter(F.col("d") >= 26).select("p")
+        keep_s = ds.filter(F.col("d") >= 280).select("s")
+        return e.join(keep_p, "p").join(keep_s, "s").select("s", "p")
+
+    dp0, ds0 = degrees(e0)
+    e1 = peel(e0, dp0, ds0)
+    dp1, ds1 = degrees(e1)
+    e2 = peel(e1, dp1, ds1)
+    dp2, ds2 = degrees(e2)
+    part_row = dp2.agg(
+        F.count("*").cast("bigint").alias("n_vertices"),
+        F.min("d").cast("bigint").alias("min_deg"),
+        F.max("d").cast("bigint").alias("max_deg"),
+    ).select(F.lit("part").alias("side"), "n_vertices", "min_deg", "max_deg")
+    supp_row = ds2.agg(
+        F.count("*").cast("bigint").alias("n_vertices"),
+        F.min("d").cast("bigint").alias("min_deg"),
+        F.max("d").cast("bigint").alias("max_deg"),
+    ).select(
+        F.lit("supplier").alias("side"), "n_vertices", "min_deg", "max_deg"
+    )
+    return part_row.unionByName(supp_row)
+
+
+@query(
     "smp8_negative_pairs",
     """
     WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source
@@ -6012,6 +6096,7 @@ def h2_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CERTIFICATION_PRIORITY: list[str] = [
     # new in r5 — never driver-certified
+    "g6_kcore_peel2",
     "smp8_negative_pairs",
     "h2_equidepth_deciles",
     "k6_merge_upsert",
@@ -6033,9 +6118,9 @@ _CERTIFICATION_PRIORITY: list[str] = [
     # r4-round certification is stale against regenerated testdata, so they
     # take the rest of this round's window (the r4-certified set keeps full
     # local-parity coverage via tests/test_oracle_parity.py meanwhile).
-    # The last 9 of this tier (g2, s5, str1, map1, asof2, pct1, w4, apx2,
-    # gs1) fall past position 50 now that 9 more r5 queries joined the
-    # front — they lead the r6 rotation.
+    # The last 10 of this tier (g1, g2, s5, str1, map1, asof2, pct1, w4,
+    # apx2, gs1) fall past position 50 now that 10 more r5 queries joined
+    # the front — they lead the r6 rotation.
     "j3_anti_join",
     "j4_asof_day_max",
     "a1_resume_max",
