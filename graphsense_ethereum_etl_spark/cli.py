@@ -232,7 +232,10 @@ def build_parser() -> ArgumentParser:
     )
     corpus.add_argument(
         "operation",
-        choices=["dedup", "decontaminate", "score", "sample", "pack", "chunk"],
+        choices=[
+            "dedup", "decontaminate", "score", "sample", "pack", "chunk",
+            "dedup-lines",
+        ],
         help="which curation pass to run over the input documents table",
     )
     corpus.add_argument(
@@ -286,6 +289,15 @@ def build_parser() -> ArgumentParser:
     )
     corpus.add_argument(
         "--stride", type=int, default=8, help="chunk: chunk stride in tokens"
+    )
+    corpus.add_argument(
+        "--min-count", dest="min_count", type=int, default=3,
+        help="dedup-lines: corpus frequency at which a line is boilerplate",
+    )
+    corpus.add_argument(
+        "--line-tokens", dest="line_tokens", type=int, default=None,
+        help="dedup-lines: treat k-token segments as lines "
+        "(default: split on real newlines)",
     )
 
     return parser
@@ -524,6 +536,16 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
             docs,
             chunk_tokens=args.chunk_tokens,
             stride=args.stride,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+    elif args.operation == "dedup-lines":
+        from .operators.corpus import dedup_lines
+
+        out = dedup_lines(
+            docs,
+            min_count=args.min_count,
+            line_tokens=args.line_tokens,
             text_col=args.text_col,
             id_col=args.id_col,
         )

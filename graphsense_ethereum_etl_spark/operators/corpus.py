@@ -202,6 +202,75 @@ def chunk_documents(
     )
 
 
+def dedup_lines(
+    docs: DataFrame,
+    min_count: int = 3,
+    line_tokens: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequent line removal (RefinedWeb/CCNet boilerplate dedup):
+    lines occurring >= ``min_count`` times ACROSS the corpus are dropped
+    from every document, and each document's text is reassembled from its
+    kept lines in order. ``line_tokens=None`` splits on real newlines
+    (web-page boilerplate: nav bars, cookie banners); ``line_tokens=k``
+    uses k-token segments instead, for corpora without newlines (t11's
+    registry configuration).
+
+    Scale shape: one map-side-combined shuffle builds the line-frequency
+    relation, but only its >= min_count tail survives — boilerplate is by
+    definition a SMALL distinct set (Heaps-bounded), so it broadcasts back
+    over the exploded lines; the corpus then shuffles exactly once, on the
+    doc id, to reassemble. Reassembly is order-exact: collect_list of
+    (pos, line) structs, array_sort on the unique position, join."""
+    if line_tokens is None:
+        parts = F.split(F.col(text_col), "\n")
+        sep = "\n"
+        line_expr = F.transform(
+            F.sequence(F.lit(1), F.size(parts)),
+            lambda s: F.struct(
+                s.alias("s"), F.element_at(parts, s).alias("line")
+            ),
+        )
+    else:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        sep = " "
+        line_expr = F.transform(
+            F.sequence(F.lit(1), F.size(toks), F.lit(line_tokens)),
+            lambda s: F.struct(
+                s.alias("s"),
+                F.array_join(F.slice(toks, s, line_tokens), " ").alias("line"),
+            ),
+        )
+    lines = docs.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.explode(line_expr).alias("c"),
+    ).select(id_col, F.col("c.s").alias("s"), F.col("c.line").alias("line"))
+    common = (
+        lines.groupBy("line")
+        .count()
+        .filter(F.col("count") >= min_count)
+        .select("line", F.lit(True).alias("is_common"))
+    )
+    marked = lines.join(F.broadcast(common), "line", "left")
+    kept = F.when(
+        F.col("is_common").isNull(), F.struct(F.col("s"), F.col("line"))
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("is_common").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept)),
+                lambda x: x.getField("line"),
+            ),
+            sep,
+        ).alias(text_col),
+    )
+
+
 def semantic_dedup_keepers(
     docs_with_vectors: DataFrame,
     n_clusters: int = 16,

@@ -5632,43 +5632,12 @@ def t11_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-exact: collect_list of (pos, line) structs, array_sort (pos is
     unique per doc), join — hash-checked against DuckDB's ordered
     string_agg."""
+    from .operators.corpus import dedup_lines
+
     docs = load(spark, sf_dir, "documents", spread=True)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    line_expr = F.transform(
-        F.sequence(F.lit(1), F.size(toks), F.lit(3)),
-        lambda s: F.struct(
-            s.alias("s"),
-            F.array_join(F.slice(toks, s, 3), " ").alias("line"),
-        ),
-    )
-    lines = docs.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.explode(line_expr).alias("c"),
-    ).select("doc_id", F.col("c.s").alias("s"), F.col("c.line").alias("line"))
-    common = (
-        lines.groupBy("line")
-        .count()
-        .filter(F.col("count") >= 3)
-        .select("line", F.lit(True).alias("is_common"))
-    )
-    marked = lines.join(F.broadcast(common), "line", "left")
-    kept_struct = F.when(
-        F.col("is_common").isNull(), F.struct(F.col("s"), F.col("line"))
-    )
-    return marked.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_lines"),
-        F.sum(F.when(F.col("is_common").isNotNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_dropped"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)),
-                    lambda x: x.getField("line"),
-                ),
-                " ",
-            )
-        ).alias("kept_md5"),
+    out = dedup_lines(docs, min_count=3, line_tokens=3)
+    return out.select(
+        "doc_id", "n_lines", "n_dropped", F.md5("text").alias("kept_md5")
     )
 
 

@@ -499,3 +499,31 @@ def test_cli_corpus_pack_chunk_semantic(spark, tmp_path):
         keepers.filter("keep").count()
         == keepers.select("cluster_id").distinct().count()
     )
+
+
+def test_cli_corpus_dedup_lines_newline_mode(spark, tmp_path):
+    """Real newline-mode line dedup through the CLI: boilerplate lines
+    planted in >= min_count docs are removed from every document;
+    rare lines survive; reassembly preserves order."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "docs_src")
+    boiler = "accept cookies to continue"
+    rows = [
+        (0, f"{boiler}\nunique zero text\nfooter common"),
+        (1, f"{boiler}\nunique one text\nfooter common"),
+        (2, f"{boiler}\nunique two text\nfooter common"),
+        (3, "only rare lines here\nnothing shared"),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(src)
+    out = str(tmp_path / "deduped")
+    main(
+        ["corpus", "dedup-lines", "-i", src, "-o", out, "--min-count", "3"],
+        spark=spark,
+    )
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[0]["n_lines"] == 3 and got[0]["n_dropped"] == 2
+    assert got[0]["text"] == "unique zero text"
+    assert got[1]["text"] == "unique one text"
+    assert got[3]["n_dropped"] == 0
+    assert got[3]["text"] == "only rare lines here\nnothing shared"
