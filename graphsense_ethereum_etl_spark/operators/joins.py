@@ -37,11 +37,16 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str],
     inclusive: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, attach ``right_cols`` from
-    the right row with the greatest ``right_ts`` <= (or < when
-    ``inclusive=False``) the left row's ``left_ts``, matching on ``by``.
-    Left rows with no prior right row keep nulls (left-join semantics).
+    """As-of join. ``direction="backward"`` (default): for every left row,
+    attach ``right_cols`` from the right row with the greatest
+    ``right_ts`` <= (or < when ``inclusive=False``) the left row's
+    ``left_ts``, matching on ``by``. ``direction="forward"``: the right
+    row with the SMALLEST ``right_ts`` >= (or >) the left ts — the
+    next-event lookup (next block after a timestamp, next maintenance
+    window). Left rows with no matching right row keep nulls (left-join
+    semantics).
 
     Implementation: tag and union both sides, then ONE window fill —
     ``last(struct(right_cols), ignorenulls=True)`` over
@@ -62,8 +67,17 @@ def asof_join(
     """
     from pyspark.sql import types as T
 
-    rtag = 0 if inclusive else 1
-    ltag = 1 if inclusive else 0
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward: {direction!r}")
+    # Tie handling is pure tag ordering: the right row lands inside the
+    # left row's frame at equal timestamps iff the join is inclusive.
+    # backward looks over (unboundedPreceding, current) with last();
+    # forward mirrors it over (current, unboundedFollowing) with first() —
+    # which also flips which tag order means "included at a tie".
+    if direction == "backward":
+        rtag, ltag = (0, 1) if inclusive else (1, 0)
+    else:
+        rtag, ltag = (1, 0) if inclusive else (0, 1)
     r_struct_type = T.StructType([right.schema[c] for c in right_cols])
     lhs = left.select(
         F.col(by).alias("_by"),
@@ -79,15 +93,17 @@ def asof_join(
         F.lit(None).cast(lhs.schema["_l"].dataType).alias("_l"),
         F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
     )
-    w = (
-        W.partitionBy("_by")
-        .orderBy("_ts", "_tag")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    w = W.partitionBy("_by").orderBy("_ts", "_tag")
+    if direction == "backward":
+        w = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        fill = F.last("_r", ignorenulls=True)
+    else:
+        w = w.rowsBetween(W.currentRow, W.unboundedFollowing)
+        fill = F.first("_r", ignorenulls=True)
     filled = lhs.unionByName(rhs).select(
         "_l",
         "_tag",
-        F.last("_r", ignorenulls=True).over(w).alias("_r"),
+        fill.over(w).alias("_r"),
     )
     # Only left rows survive; right rows were carriers for the window state.
     out = filled.filter(F.col("_tag") == ltag).select(

@@ -106,3 +106,96 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_lineitem")
         spark.sql("DROP TABLE IF EXISTS bt_orders")
+
+
+def test_asof_join_forward_directions(spark):
+    """Forward as-of: each left row picks the EARLIEST right row at-or-after
+    (inclusive) / strictly-after (exclusive) its timestamp."""
+    from graphsense_ethereum_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 30), (2, 5)], "k bigint, ts bigint"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c")],
+        "k bigint, ts bigint, v string",
+    )
+    inc = {
+        (r["k"], r["ts"]): r["asof_v"]
+        for r in asof_join(
+            left, right, by="k", left_ts="ts", right_ts="ts",
+            right_cols=["v"], direction="forward",
+        ).collect()
+    }
+    assert inc == {(1, 10): "a", (1, 25): "c", (1, 30): "c", (2, 5): None}
+    exc = {
+        (r["k"], r["ts"]): r["asof_v"]
+        for r in asof_join(
+            left, right, by="k", left_ts="ts", right_ts="ts",
+            right_cols=["v"], direction="forward", inclusive=False,
+        ).collect()
+    }
+    assert exc == {(1, 10): "b", (1, 25): "c", (1, 30): None, (2, 5): None}
+
+
+def test_asof_join_forward_matches_duckdb_oracle(spark, sf_dir):
+    """Forward as-of over real data vs DuckDB's native ASOF JOIN with the
+    >= comparison flipped (next event at-or-after each order date)."""
+    import duckdb
+
+    from graphsense_ethereum_etl_spark.operators.joins import asof_join
+    from graphsense_ethereum_etl_spark.queries import load
+
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select(
+            F.col("o_orderkey"),
+            (F.col("o_orderkey") % 50).alias("k"),
+            F.col("o_totalprice").cast("double").alias("ts_val"),
+        )
+    )
+    # right side: per-key price checkpoints
+    right = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 7) == 0)
+        .select(
+            (F.col("o_orderkey") % 50).alias("k"),
+            F.col("o_totalprice").cast("double").alias("ts_val"),
+            F.col("o_orderkey").alias("ref_key"),
+        )
+        .groupBy("k", "ts_val")
+        .agg(F.min("ref_key").alias("ref_key"))
+    )
+    got = {
+        (r["o_orderkey"],): (r["asof_ref_key"],)
+        for r in asof_join(
+            orders, right, by="k", left_ts="ts_val", right_ts="ts_val",
+            right_cols=["ref_key"], direction="forward",
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    want = {
+        (r[0],): (r[1],)
+        for r in con.execute(
+            """
+            WITH l AS (SELECT o_orderkey, o_orderkey % 50 AS k,
+                              CAST(o_totalprice AS DOUBLE) AS ts_val
+                       FROM orders WHERE o_orderkey < 500),
+            r AS (SELECT k, ts_val, MIN(ref_key) AS ref_key FROM (
+                    SELECT o_orderkey % 50 AS k,
+                           CAST(o_totalprice AS DOUBLE) AS ts_val,
+                           o_orderkey AS ref_key
+                    FROM orders WHERE o_orderkey % 7 = 0)
+                  GROUP BY k, ts_val)
+            SELECT l.o_orderkey, r.ref_key
+            FROM l ASOF LEFT JOIN r
+              ON l.k = r.k AND l.ts_val <= r.ts_val
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
