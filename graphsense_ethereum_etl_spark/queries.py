@@ -5841,6 +5841,52 @@ def prof1_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s4_multiset_ops",
+    """
+    WITH a AS (SELECT o_orderpriority AS pri, o_orderstatus AS st
+               FROM orders WHERE o_orderkey % 2 = 0),
+    b AS (SELECT o_orderpriority AS pri, o_orderstatus AS st
+          FROM orders WHERE o_orderkey % 3 = 0),
+    i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+    x AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    SELECT 'intersect_all' AS op, pri, st,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM i GROUP BY pri, st
+    UNION ALL
+    SELECT 'except_all' AS op, pri, st, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM x GROUP BY pri, st
+    """,
+)
+def s4_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL keep
+    DUPLICATE multiplicities (min(a,b) copies / a-b copies per value),
+    which the s1-s3 distinct set ops erase. Spark plans both as a single
+    count-aggregate-per-side + generate (replicate_rows) — one shuffle per
+    input, no join; the query folds each result bag to (value, count)
+    rows so the oracle hash is order-free."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select("pri", "st")
+    b = orders.filter(F.col("o_orderkey") % 3 == 0).select("pri", "st")
+    i = (
+        a.intersectAll(b)
+        .groupBy("pri", "st")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(F.lit("intersect_all").alias("op"), "pri", "st", "cnt")
+    )
+    x = (
+        a.exceptAll(b)
+        .groupBy("pri", "st")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(F.lit("except_all").alias("op"), "pri", "st", "cnt")
+    )
+    return i.unionByName(x)
+
+
+@query(
     "g6_kcore_peel2",
     """
     WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
@@ -6065,6 +6111,7 @@ def h2_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CERTIFICATION_PRIORITY: list[str] = [
     # new in r5 — never driver-certified
+    "s4_multiset_ops",
     "g6_kcore_peel2",
     "smp8_negative_pairs",
     "h2_equidepth_deciles",
@@ -6087,9 +6134,9 @@ _CERTIFICATION_PRIORITY: list[str] = [
     # r4-round certification is stale against regenerated testdata, so they
     # take the rest of this round's window (the r4-certified set keeps full
     # local-parity coverage via tests/test_oracle_parity.py meanwhile).
-    # The last 10 of this tier (g1, g2, s5, str1, map1, asof2, pct1, w4,
-    # apx2, gs1) fall past position 50 now that 10 more r5 queries joined
-    # the front — they lead the r6 rotation.
+    # The last 11 of this tier (sess1, g1, g2, s5, str1, map1, asof2,
+    # pct1, w4, apx2, gs1) fall past position 50 now that 11 more r5
+    # queries joined the front — they lead the r6 rotation.
     "j3_anti_join",
     "j4_asof_day_max",
     "a1_resume_max",
