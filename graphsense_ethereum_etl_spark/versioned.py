@@ -102,6 +102,30 @@ class VersionedTable:
         """{partition_value: {column: [min, max]}} recorded at commit."""
         return self._manifest_doc()["stats"]
 
+    def history(self) -> list[int]:
+        """Committed version numbers, oldest first (every manifest still
+        on disk — vacuum trims this list from the front)."""
+        return sorted(
+            int(n.split("-")[1].split(".")[0])
+            for n in os.listdir(f"{self.root}/{_MANIFEST_DIR}")
+        )
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: snapshot read of a PRIOR committed version.
+        Immutable data dirs make this free — the old manifest still names
+        dirs that exist until ``vacuum`` drops them, so historic reads are
+        valid exactly as long as the vacuum grace window (the Delta
+        time-travel contract). Raises FileNotFoundError for a vacuumed or
+        never-committed version."""
+        path = f"{self.root}/{_MANIFEST_DIR}/m-{version:08d}.json"
+        with open(path) as fh:
+            rel = json.load(fh)["partitions"]
+        if not rel:
+            return self.spark.createDataFrame([], f"{self.partition_col} bigint")
+        return self.spark.read.parquet(
+            *sorted(f"{self.root}/{_DATA_DIR}/{v}" for v in rel.values())
+        )
+
     def read(
         self,
         partitions: list[int] | None = None,

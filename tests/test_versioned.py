@@ -289,3 +289,19 @@ def test_streaming_cdc_merge(spark, tmp_path_factory):
     assert 7 not in rows
     assert len(rows) == 20
     assert rows[12] == "base"
+
+
+def test_time_travel_read_version(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    t.write_partitions(_frame(spark, 0, 10, "v1"))
+    t.write_partitions(_frame(spark, 0, 10, "v2"))
+    t.invalidate_from(0)  # current = empty
+    assert t.history() == [1, 2, 3]
+    assert t.read().count() == 0
+    assert {r["tag"] for r in t.read_version(1).collect()} == {"v1"}
+    assert {r["tag"] for r in t.read_version(2).collect()} == {"v2"}
+    # vacuum to the newest 1 manifest drops historic versions
+    t.vacuum(keep_manifests=1)
+    with pytest.raises(FileNotFoundError):
+        t.read_version(1)
