@@ -216,6 +216,29 @@ def transform_and_write_batch(
         written += 1
 
 
+def update_bucket_rollup(rollup, batch_df, agg_fn) -> list[str]:
+    """Incremental materialized-aggregate maintenance (the hypertable
+    continuous-rollup pattern) over bucket-aligned micro-batches.
+
+    Contract: ``batch_df`` covers WHOLE buckets — exactly what
+    run_incremental / run_streaming_ingest guarantee (partial leading and
+    trailing buckets are re-covered before any write). Under that
+    contract, each bucket's aggregate depends only on that bucket's rows,
+    so the maintenance step is a partition OVERWRITE of the aggregated
+    batch into the rollup's versioned table: per-batch cost is
+    O(batch buckets), replay is idempotent (same buckets, same aggregate,
+    same overwrite), a crash between raw write and rollup update is
+    healed by the re-ingest of the same buckets, and a chain reorg keeps
+    raw and rollup consistent by calling ``invalidate_from`` on BOTH with
+    the same boundary. ``agg_fn`` must group by the rollup's partition
+    column (the bucket); the invariant rollup == agg_fn(full raw table)
+    holds after any batch/replay/reorg sequence — see
+    tests/test_incremental.py.
+    """
+    agg = agg_fn(batch_df)
+    return rollup.write_partitions(agg)
+
+
 def run_streaming_ingest(
     spark: SparkSession,
     provider_uri: str,

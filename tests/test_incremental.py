@@ -141,3 +141,56 @@ def test_generator_edge_shapes(spark):
     # logs include null and empty topics shapes
     logs = chain["logs"]
     assert logs.filter("topics IS NULL").count() > 0 or logs.count() >= 0
+
+
+def test_bucket_rollup_maintenance(spark, tmp_path_factory):
+    """Incremental rollup == full recompute after batches, a replay, and a
+    reorg applied to both tables."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.streaming.incremental import (
+        update_bucket_rollup,
+    )
+    from graphsense_ethereum_etl_spark.versioned import VersionedTable
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [(i, i // 10, i * 3 % 7) for i in range(lo, hi)],
+            "block_id bigint, block_id_group bigint, v bigint",
+        )
+
+    def agg(df):
+        return df.groupBy("block_id_group").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("sum_v"),
+        )
+
+    root = str(tmp_path_factory.mktemp("rollup"))
+    raw = VersionedTable(spark, str(tmp_path_factory.mktemp("raw")))
+    roll = VersionedTable(spark, root)
+
+    for lo, hi in [(0, 20), (20, 40), (40, 50)]:
+        b = batch(lo, hi)
+        raw.write_partitions(b)
+        update_bucket_rollup(roll, b, agg)
+    # replay the middle batch (crash-recovery path): idempotent
+    b = batch(20, 40)
+    raw.write_partitions(b)
+    update_bucket_rollup(roll, b, agg)
+
+    got = {r["block_id_group"]: (r["n"], r["sum_v"]) for r in roll.read().collect()}
+    want = {
+        r["block_id_group"]: (r["n"], r["sum_v"])
+        for r in agg(raw.read()).collect()
+    }
+    assert got == want and len(got) == 5
+
+    # reorg: same boundary on both tables keeps them consistent
+    raw.invalidate_from(3)
+    roll.invalidate_from(3)
+    got = {r["block_id_group"]: (r["n"], r["sum_v"]) for r in roll.read().collect()}
+    want = {
+        r["block_id_group"]: (r["n"], r["sum_v"])
+        for r in agg(raw.read()).collect()
+    }
+    assert got == want and len(got) == 3
