@@ -5841,6 +5841,87 @@ def prof1_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rc1_recursive_bfs",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT o_orderkey AS parent, o_orderkey * 2 AS child
+      FROM orders WHERE o_orderkey * 2 < 2000
+      UNION ALL
+      SELECT o_orderkey, o_orderkey * 2 + 1
+      FROM orders WHERE o_orderkey * 2 + 1 < 2000),
+    r(n, lvl) AS (
+      SELECT CAST(1 AS BIGINT), 0
+      UNION ALL
+      SELECT e.child, r.lvl + 1 FROM r JOIN edges e ON e.parent = r.n)
+    SELECT CAST(lvl AS BIGINT) AS lvl, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(n) AS BIGINT) AS sum_keys
+    FROM r GROUP BY lvl
+    """,
+)
+def rc1_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE — the engine-native
+    fixpoint, complementing the hand-unrolled g4/g5/g6 loops): BFS from
+    node 1 over the implicit binary tree k → {2k, 2k+1} restricted to
+    existing order keys < 2000 — a DAG, so UNION ALL recursion terminates
+    without cycle bookkeeping and visits each node exactly once. The
+    recursive step is a real JOIN against a data-derived edge relation
+    (not a generator), so each iteration is planned as
+    frontier ⋈ edges — the same per-round shape the unrolled graph
+    queries pin, here driven by the engine's own recursion operator.
+    Per-level node counts + key sums make the oracle order-free."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("rc1_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+          SELECT o_orderkey AS parent, o_orderkey * 2 AS child
+          FROM rc1_orders WHERE o_orderkey * 2 < 2000
+          UNION ALL
+          SELECT o_orderkey, o_orderkey * 2 + 1
+          FROM rc1_orders WHERE o_orderkey * 2 + 1 < 2000),
+        r(n, lvl) AS (
+          SELECT CAST(1 AS BIGINT), 0
+          UNION ALL
+          SELECT e.child, r.lvl + 1 FROM r JOIN edges e ON e.parent = r.n)
+        SELECT CAST(lvl AS BIGINT) AS lvl,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(n) AS BIGINT) AS sum_keys
+        FROM r GROUP BY lvl
+        """
+    )
+
+
+@query(
+    "map2_variant_props",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def map2_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4's parse_json + variant_get —
+    the engine-native successor to map1's from_json-into-a-typed-map):
+    shred the events.props JSON into a variant, extract $.k as a typed
+    int, aggregate per event type. At 100 TB variant beats string-JSON
+    re-parsing because the binary-encoded value parses ONCE at scan time
+    and path extraction is a byte-offset lookup, not a text scan — same
+    Catalyst pipeline otherwise (map-side combined single shuffle)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )
+
+
+@query(
     "s4_multiset_ops",
     """
     WITH a AS (SELECT o_orderpriority AS pri, o_orderstatus AS st
@@ -6111,6 +6192,8 @@ def h2_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CERTIFICATION_PRIORITY: list[str] = [
     # new in r5 — never driver-certified
+    "rc1_recursive_bfs",
+    "map2_variant_props",
     "s4_multiset_ops",
     "g6_kcore_peel2",
     "smp8_negative_pairs",
@@ -6134,9 +6217,9 @@ _CERTIFICATION_PRIORITY: list[str] = [
     # r4-round certification is stale against regenerated testdata, so they
     # take the rest of this round's window (the r4-certified set keeps full
     # local-parity coverage via tests/test_oracle_parity.py meanwhile).
-    # The last 11 of this tier (sess1, g1, g2, s5, str1, map1, asof2,
-    # pct1, w4, apx2, gs1) fall past position 50 now that 11 more r5
-    # queries joined the front — they lead the r6 rotation.
+    # The last 13 of this tier (win1, sess1, g1, g2, s5, str1, map1,
+    # asof2, pct1, w4, apx2, gs1, mm1) fall past position 50 now that 13
+    # more r5 queries joined the front — they lead the r6 rotation.
     "j3_anti_join",
     "j4_asof_day_max",
     "a1_resume_max",
