@@ -288,3 +288,52 @@ def test_dd8_pairs_shuffle_on_cluster_only(spark, sf_dir):
         if "Exchange hashpartitioning" in ln and "blk" in ln
     ]
     assert blk_exchanges, "expected the pair join keyed on blk"
+
+
+def test_scd1_shares_one_window_exchange(spark, sf_dir):
+    """Both scd1 windows use the same (user_id | ts, event_id) spec, so the
+    change-point filter between them must NOT introduce a second
+    exchange."""
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    df = REGISTRY["scd1_type2_history"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_t11_frequent_lines_broadcast_back(spark, sf_dir):
+    """The >= min_count boilerplate set is Heaps-bounded and must come back
+    as a BROADCAST join over the exploded lines — the corpus' only hash
+    exchanges are the line-frequency build and the doc_id reassembly."""
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    df = REGISTRY["t11_line_dedup"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+
+
+def test_h2_has_no_global_sort(spark, sf_dir):
+    """Equi-depth assignment must use the broadcast-boundaries shape, not a
+    global ntile: no range-partitioned exchange anywhere in the plan."""
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    df = REGISTRY["h2_equidepth_deciles"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_smp8_join_sides_stay_narrow(spark, sf_dir):
+    """Negative sampling must never move text/embeddings: every scan reads
+    only doc_id + source."""
+    import re
+
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    df = REGISTRY["smp8_negative_pairs"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(
+        "text" not in s and "embedding" not in s for s in schemas
+    ), schemas
