@@ -271,3 +271,54 @@ def test_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_drop_duplicates_within_watermark_stream(spark, tmp_path):
+    """Native bounded-state streaming dedup: duplicates planted across two
+    micro-batches inside the watermark window are dropped; the first
+    occurrence of each key survives."""
+    from graphsense_ethereum_etl_spark.streaming.structured import (
+        dedup_stream_within_watermark,
+    )
+
+    src = str(tmp_path / "dup_src")
+    schema = "k bigint, ts string, payload string"
+
+    def frame(rows):
+        return spark.createDataFrame(rows, schema).selectExpr(
+            "k", "CAST(ts AS TIMESTAMP) AS ts", "payload"
+        )
+
+    b1 = frame(
+        [
+            (1, "2024-01-01 00:00:00", "first-1"),
+            (2, "2024-01-01 00:00:10", "first-2"),
+            (1, "2024-01-01 00:00:20", "dup-1-same-batch"),
+        ]
+    )
+    b1.coalesce(1).write.parquet(src)
+    b2 = frame(
+        [
+            (2, "2024-01-01 00:05:00", "dup-2-next-batch"),
+            (3, "2024-01-01 00:05:10", "first-3"),
+        ]
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    deduped = dedup_stream_within_watermark(stream, ["k"], watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("wm_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["k"]: r["payload"] for r in spark.sql("select * from wm_dedup").collect()}
+    assert rows == {1: "first-1", 2: "first-2", 3: "first-3"}
