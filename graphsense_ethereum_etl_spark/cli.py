@@ -234,7 +234,7 @@ def build_parser() -> ArgumentParser:
         "operation",
         choices=[
             "dedup", "decontaminate", "score", "sample", "pack", "chunk",
-            "dedup-lines",
+            "dedup-lines", "negatives",
         ],
         help="which curation pass to run over the input documents table",
     )
@@ -293,6 +293,10 @@ def build_parser() -> ArgumentParser:
     corpus.add_argument(
         "--min-count", dest="min_count", type=int, default=3,
         help="dedup-lines: corpus frequency at which a line is boilerplate",
+    )
+    corpus.add_argument(
+        "--negatives-per-doc", dest="negatives_per_doc", type=int, default=3,
+        help="negatives: pseudo-random partners per document",
     )
     corpus.add_argument(
         "--line-tokens", dest="line_tokens", type=int, default=None,
@@ -548,6 +552,12 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
             line_tokens=args.line_tokens,
             text_col=args.text_col,
             id_col=args.id_col,
+        )
+    elif args.operation == "negatives":
+        from .operators.corpus import negative_pairs
+
+        out = negative_pairs(
+            docs, k=args.negatives_per_doc, id_col=args.id_col
         )
     else:
         out = hash_sample(docs, rate=args.rate, id_col=args.id_col, salt=args.salt)

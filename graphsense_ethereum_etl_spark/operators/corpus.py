@@ -202,6 +202,60 @@ def chunk_documents(
     )
 
 
+def negative_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Contrastive-training negative sampling (smp8's logic as a reusable
+    pass): ``k`` pseudo-random partners per document from an integer LCG
+    over (id, slot) — reproducible across runs/engines, no rand(). The
+    candidate relation joins back to the id table so partners exist, and
+    same-source partners are tagged as hard negatives. Self-pairs drop,
+    so each doc yields up to k rows. Join sides are corpus-sized but
+    narrow (id + source only)."""
+    ids = docs.select(
+        F.col(id_col).cast("bigint").alias(id_col), F.col(source_col)
+    )
+    n = ids.agg(F.count("*").cast("bigint").alias("_n_docs"))
+    cand = (
+        ids.crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            source_col,
+            "_n_docs",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_s"),
+        )
+        .select(
+            id_col,
+            F.col("_s").cast("bigint").alias("slot"),
+            F.col(source_col),
+            (
+                (
+                    F.col(id_col) * F.lit(1103515245)
+                    + F.lit(12345)
+                    + F.col("_s") * F.lit(2654435761)
+                )
+                % F.col("_n_docs")
+            ).alias("neg_id"),
+        )
+    )
+    neg = ids.select(
+        F.col(id_col).alias("_j_id"), F.col(source_col).alias("_j_source")
+    )
+    return (
+        cand.join(neg, cand.neg_id == neg._j_id)
+        .filter(F.col("neg_id") != F.col(id_col))
+        .select(
+            id_col,
+            "slot",
+            "neg_id",
+            (F.col(source_col) == F.col("_j_source")).alias("same_source"),
+        )
+    )
+
+
 def dedup_lines(
     docs: DataFrame,
     min_count: int = 3,

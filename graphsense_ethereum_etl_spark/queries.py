@@ -6082,43 +6082,9 @@ def smp8_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     NARROW (id + source only — text/embeddings never move); the join
     co-partitions on the id, the standard id-to-id shuffle; the 1-row
     corpus-count dim is a broadcast."""
-    ids = load(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
-    )
-    n = ids.agg(F.count("*").cast("bigint").alias("n_docs"))
-    cand = (
-        ids.crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "source",
-            "n_docs",
-            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("s"),
-        )
-        .select(
-            "doc_id",
-            F.col("s").cast("bigint").alias("slot"),
-            "source",
-            (
-                (
-                    F.col("doc_id") * F.lit(1103515245)
-                    + F.lit(12345)
-                    + F.col("s") * F.lit(2654435761)
-                )
-                % F.col("n_docs")
-            ).alias("neg_id"),
-        )
-    )
-    neg = ids.select(
-        F.col("doc_id").alias("j_id"), F.col("source").alias("j_source")
-    )
-    return (
-        cand.join(neg, cand.neg_id == neg.j_id)
-        .filter(F.col("neg_id") != F.col("doc_id"))
-        .select(
-            "doc_id", "slot", "neg_id",
-            (F.col("source") == F.col("j_source")).alias("same_source"),
-        )
-    )
+    from .operators.corpus import negative_pairs
+
+    return negative_pairs(load(spark, sf_dir, "documents"), k=3)
 
 
 @query(

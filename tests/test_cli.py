@@ -527,3 +527,20 @@ def test_cli_corpus_dedup_lines_newline_mode(spark, tmp_path):
     assert got[1]["text"] == "unique one text"
     assert got[3]["n_dropped"] == 0
     assert got[3]["text"] == "only rare lines here\nnothing shared"
+
+
+def test_cli_corpus_negatives_deterministic(spark, tmp_path):
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out1 = str(tmp_path / "neg1")
+    out2 = str(tmp_path / "neg2")
+    for out in (out1, out2):
+        main(
+            ["corpus", "negatives", "-i", src, "-o", out,
+             "--negatives-per-doc", "2"],
+            spark=spark,
+        )
+    a = sorted(tuple(r) for r in spark.read.parquet(out1).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(out2).collect())
+    assert a == b and len(a) > 0  # reproducible across runs
+    for doc_id, slot, neg_id, _ in a:
+        assert neg_id != doc_id and slot in (0, 1)
