@@ -5841,6 +5841,124 @@ def prof1_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vq1_constraint_report",
+    """
+    WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS v0,
+      CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d1,
+      CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                      OR o_totalprice > 600000 THEN 1 ELSE 0 END) AS BIGINT)
+        AS v2,
+      CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                      OR o_orderstatus NOT IN ('O','F','P')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+      CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                      OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS v4
+      FROM orders)
+    SELECT 'not_null' AS rule, 'o_custkey' AS col, n AS n_rows,
+           v0 AS n_violations, v0 = 0 AS passed FROM s
+    UNION ALL SELECT 'unique', 'o_orderkey', n, n - d1, n - d1 = 0 FROM s
+    UNION ALL SELECT 'in_range', 'o_totalprice', n, v2, v2 = 0 FROM s
+    UNION ALL SELECT 'in_set', 'o_orderstatus', n, v3, v3 = 0 FROM s
+    UNION ALL SELECT 'matches', 'o_orderpriority', n, v4, v4 = 0 FROM s
+    """,
+)
+def vq1_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (`operators/quality.py` — the
+    Deequ/dbt-test role): five constraint rules over orders — not-null,
+    key uniqueness, numeric range, categorical domain, format regex —
+    compiled into ONE aggregation pass: every rule is a conditional-count
+    column, so N rules cost one map-side-combined scan; the report is a
+    rules-sized relation. `unique` violations = n − count_distinct
+    (duplicate occurrences beyond the first, plus null rows)."""
+    from .operators.quality import check_constraints
+
+    orders = load(spark, sf_dir, "orders")
+    return check_constraints(
+        orders,
+        [
+            {"rule": "not_null", "col": "o_custkey"},
+            {"rule": "unique", "col": "o_orderkey"},
+            {"rule": "in_range", "col": "o_totalprice", "lo": 0, "hi": 600000},
+            {"rule": "in_set", "col": "o_orderstatus",
+             "values": ["O", "F", "P"]},
+            {"rule": "matches", "col": "o_orderpriority",
+             "pattern": "^[1-5]-"},
+        ],
+    )
+
+
+@query(
+    "vq2_outlier_flags",
+    """
+    WITH c AS (
+      SELECT o_orderpriority AS pri,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 SUM(CAST(x AS HUGEINT) * x) AS qx
+          FROM c),
+    flagged AS (
+      SELECT pri, x,
+             4 * (CAST(n*x - sx AS HUGEINT) * (n*x - sx))
+               > 9 * (n*qx - CAST(sx AS HUGEINT)*sx) AS is_outlier
+      FROM c, s)
+    SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(SUM(CASE WHEN is_outlier THEN x ELSE 0 END) AS BIGINT)
+             AS outlier_cents_sum
+    FROM flagged GROUP BY pri
+    """,
+)
+def vq2_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-arithmetic z-score outlier detection (the anomaly gate of a
+    validation pipeline, made hash-oracle-safe): flag prices more than
+    1.5σ from the global mean WITHOUT ever computing a float mean or
+    stddev — the condition (x − S/n)² > (1.5σ)² multiplies through to
+    4·(n·x − S)² > 9·(n·Q − S²) over integer cents (S = Σx, Q = Σx²,
+    widened to DECIMAL(38)/HUGEINT), so both engines evaluate the SAME
+    integer comparison; no libm, no rounding-order ambiguity (ml1's
+    moment trick applied to detection). Shape: one global moments row
+    (map-side combined) broadcast back over the fact, per-priority
+    conditional aggregation — the fact shuffles once, at the end, to
+    ≤5 rows."""
+    c = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    s = c.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(xd * xd).alias("qx"),
+    )
+    diff = (F.col("n") * F.col("x") - F.col("sx")).cast("decimal(19,0)")
+    left = F.lit(4).cast("decimal(19,0)") * diff * diff
+    right = F.lit(9).cast("decimal(19,0)") * (
+        F.col("n").cast("decimal(19,0)") * F.col("qx")
+        - F.col("sx").cast("decimal(19,0)") * F.col("sx").cast("decimal(19,0)")
+    )
+    return (
+        c.crossJoin(F.broadcast(s))
+        .withColumn("is_outlier", left > right)
+        .groupBy("pri")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.sum(F.when(F.col("is_outlier"), F.col("x")).otherwise(0))
+            .cast("bigint")
+            .alias("outlier_cents_sum"),
+        )
+    )
+
+
+@query(
     "rc1_recursive_bfs",
     """
     WITH RECURSIVE edges AS (
@@ -6158,6 +6276,8 @@ def h2_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CERTIFICATION_PRIORITY: list[str] = [
     # new in r5 — never driver-certified
+    "vq1_constraint_report",
+    "vq2_outlier_flags",
     "rc1_recursive_bfs",
     "map2_variant_props",
     "s4_multiset_ops",
@@ -6183,9 +6303,10 @@ _CERTIFICATION_PRIORITY: list[str] = [
     # r4-round certification is stale against regenerated testdata, so they
     # take the rest of this round's window (the r4-certified set keeps full
     # local-parity coverage via tests/test_oracle_parity.py meanwhile).
-    # The last 13 of this tier (win1, sess1, g1, g2, s5, str1, map1,
-    # asof2, pct1, w4, apx2, gs1, mm1) fall past position 50 now that 13
-    # more r5 queries joined the front — they lead the r6 rotation.
+    # The last 15 of this tier (sim3, sim5, mm1, win1, sess1, g1, g2, s5,
+    # str1, map1, asof2, pct1, w4, apx2, gs1) fall past position 50 now
+    # that 15 more r5 queries joined the front — they lead the r6
+    # rotation.
     "j3_anti_join",
     "j4_asof_day_max",
     "a1_resume_max",

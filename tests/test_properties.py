@@ -176,3 +176,53 @@ def test_dup_shingle_ratio_bounds_and_values(spark):
     for i, (_, want) in cases.items():
         assert got[i] == want, (i, got[i], want)
         assert 0.0 <= got[i] <= 1.0
+
+
+def test_check_constraints_counts_planted_violations(spark):
+    """Every rule kind counts its planted violations exactly; the whole
+    report comes from one aggregation pass."""
+    from graphsense_ethereum_etl_spark.operators.quality import (
+        check_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "ok", 10, "A", "1-GOOD"),
+            (2, None, 500, "B", "9-BAD"),   # null col, range, set, regex
+            (2, "dup", 20, "A", "2-FINE"),  # duplicate key
+            (None, "x", -5, "C", "3-OK"),   # null key, range, set
+        ],
+        "k bigint, s string, v bigint, cat string, fmt string",
+    )
+    rep = {
+        (r["rule"], r["col"]): (r["n_violations"], r["passed"])
+        for r in check_constraints(
+            df,
+            [
+                {"rule": "not_null", "col": "s"},
+                {"rule": "unique", "col": "k"},
+                {"rule": "in_range", "col": "v", "lo": 0, "hi": 100},
+                {"rule": "in_set", "col": "cat", "values": ["A", "B"]},
+                {"rule": "matches", "col": "fmt", "pattern": "^[1-5]-"},
+            ],
+        ).collect()
+    }
+    assert rep[("not_null", "s")] == (1, False)
+    # k: values 1,2,2,NULL -> n=4, distinct=2 -> 2 violations (dup + null)
+    assert rep[("unique", "k")] == (2, False)
+    assert rep[("in_range", "v")] == (2, False)
+    assert rep[("in_set", "cat")] == (1, False)
+    assert rep[("matches", "fmt")] == (1, False)
+
+
+def test_check_constraints_clean_table_passes(spark):
+    from graphsense_ethereum_etl_spark.operators.quality import (
+        check_constraints,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, s string")
+    rep = check_constraints(
+        df,
+        [{"rule": "unique", "col": "k"}, {"rule": "not_null", "col": "s"}],
+    ).collect()
+    assert all(r["passed"] and r["n_violations"] == 0 for r in rep)
