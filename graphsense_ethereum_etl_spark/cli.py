@@ -234,7 +234,7 @@ def build_parser() -> ArgumentParser:
         "operation",
         choices=[
             "dedup", "decontaminate", "score", "sample", "pack", "chunk",
-            "dedup-lines", "negatives",
+            "dedup-lines", "negatives", "validate",
         ],
         help="which curation pass to run over the input documents table",
     )
@@ -293,6 +293,17 @@ def build_parser() -> ArgumentParser:
     corpus.add_argument(
         "--min-count", dest="min_count", type=int, default=3,
         help="dedup-lines: corpus frequency at which a line is boilerplate",
+    )
+    corpus.add_argument(
+        "--rules",
+        help="validate: JSON file with a list of constraint rules "
+        "(operators/quality.py rule forms)",
+    )
+    corpus.add_argument(
+        "--fail-on-violation",
+        dest="fail_on_violation",
+        action="store_true",
+        help="validate: exit non-zero if any rule fails (CI-gate mode)",
     )
     corpus.add_argument(
         "--negatives-per-doc", dest="negatives_per_doc", type=int, default=3,
@@ -559,6 +570,29 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
         out = negative_pairs(
             docs, k=args.negatives_per_doc, id_col=args.id_col
         )
+    elif args.operation == "validate":
+        import json as _json
+
+        from .operators.quality import check_constraints
+
+        if not args.rules:
+            raise SystemExit("corpus validate requires --rules rules.json")
+        with open(args.rules) as fh:
+            rules = _json.load(fh)
+        out = check_constraints(docs, rules)
+        report = out.collect()
+        for r in report:
+            status = "PASS" if r["passed"] else "FAIL"
+            print(
+                f"{status} {r['rule']}({r['col']}): "
+                f"{r['n_violations']}/{r['n_rows']} violations"
+            )
+        out.write.mode("overwrite").parquet(args.output)
+        if args.fail_on_violation and any(not r["passed"] for r in report):
+            raise SystemExit(2)
+        n = len(report)
+        print(f"corpus validate: wrote {n} rule rows to {args.output}")
+        return IngestStats()
     else:
         out = hash_sample(docs, rate=args.rate, id_col=args.id_col, salt=args.salt)
     out.write.mode("overwrite").parquet(args.output)

@@ -544,3 +544,34 @@ def test_cli_corpus_negatives_deterministic(spark, tmp_path):
     assert a == b and len(a) > 0  # reproducible across runs
     for doc_id, slot, neg_id, _ in a:
         assert neg_id != doc_id and slot in (0, 1)
+
+
+def test_cli_corpus_validate_gate(spark, tmp_path, capsys):
+    src = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "c")], "k bigint, s string"
+    ).write.parquet(src)
+    rules = tmp_path / "rules.json"
+    rules.write_text(
+        '[{"rule": "unique", "col": "k"}, {"rule": "not_null", "col": "s"}]'
+    )
+    out = str(tmp_path / "report")
+    # reporting mode: exits cleanly, report persisted
+    main(
+        ["corpus", "validate", "-i", src, "-o", out, "--rules", str(rules)],
+        spark=spark,
+    )
+    rep = {r["rule"]: r for r in spark.read.parquet(out).collect()}
+    assert rep["unique"]["n_violations"] == 1 and not rep["unique"]["passed"]
+    assert rep["not_null"]["n_violations"] == 1
+    assert "FAIL unique(k)" in capsys.readouterr().out
+    # CI-gate mode: non-zero exit on violation
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit) as ei:
+        main(
+            ["corpus", "validate", "-i", src, "-o", out, "--rules",
+             str(rules), "--fail-on-violation"],
+            spark=spark,
+        )
+    assert ei.value.code == 2
