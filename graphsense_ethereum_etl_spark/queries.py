@@ -6150,9 +6150,11 @@ def g6_kcore_peel2(spark: SparkSession, sf_dir: str) -> DataFrame:
         return e.join(keep_p, "p").join(keep_s, "s").select("s", "p")
 
     dp0, ds0 = degrees(e0)
-    e1 = peel(e0, dp0, ds0)
+    # each round's edge set feeds THREE consumers (both degree aggs + the
+    # next peel's join); checkpoint so round-1's joins run once, not 3×
+    e1 = peel(e0, dp0, ds0).localCheckpoint(eager=False)
     dp1, ds1 = degrees(e1)
-    e2 = peel(e1, dp1, ds1)
+    e2 = peel(e1, dp1, ds1).localCheckpoint(eager=False)
     dp2, ds2 = degrees(e2)
     part_row = dp2.agg(
         F.count("*").cast("bigint").alias("n_vertices"),
