@@ -246,6 +246,51 @@ def wav_info(payload: bytes) -> tuple[int, int, int, int]:
         return w.getnchannels(), w.getframerate(), w.getnframes(), w.getsampwidth()
 
 
+def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """((n_samples, n_channels) int array, sample_rate) from a PCM WAV —
+    stdlib ``wave`` only. 8-bit PCM is unsigned per the RIFF spec and is
+    re-biased to signed on the way out (the encoder's inverse)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        ch, n, width = w.getnchannels(), w.getnframes(), w.getsampwidth()
+        rate = w.getframerate()
+        raw = w.readframes(n)
+    if width == 1:
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
+    elif width == 2:
+        arr = np.frombuffer(raw, dtype="<i2")
+    elif width == 4:
+        arr = np.frombuffer(raw, dtype="<i4")
+    else:
+        raise NotImplementedError(f"PCM width {width} not supported")
+    return arr.reshape(-1, ch), rate
+
+
+def audio_fingerprint(samples: np.ndarray, n_bits: int = 60) -> int:
+    """Energy-delta audio fingerprint — the audio analog of ``dhash``
+    (the Haitsma/Kalker "robust audio hashing" family reduced to its
+    band-free time-domain core): mono-mix, split into ``n_bits + 1``
+    equal-span frames, and set bit f iff frame f's mean |amplitude|
+    exceeds frame f+1's. Like dHash it encodes only the SIGN of adjacent
+    deltas, so uniform gain changes and re-encoding leave the fingerprint
+    intact while different material lands ~n_bits/2 away. Returns an
+    unsigned ``n_bits``-bit int (bit 0 = first frame pair)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    x = np.abs(samples.astype(np.float64)).mean(axis=1)
+    n = len(x)
+    frames = n_bits + 1
+    bounds = (np.arange(frames + 1) * n) // frames
+    e = np.empty(frames, dtype=np.float64)
+    for i in range(frames):
+        lo, hi = bounds[i], bounds[i + 1]
+        e[i] = x[lo:hi].mean() if hi > lo else 0.0
+    fp = 0
+    for b in range(n_bits):
+        if e[b] > e[b + 1]:
+            fp |= 1 << b
+    return fp
+
+
 def wav_encode(
     samples: np.ndarray, sample_rate: int = 8000, sample_width: int = 2
 ) -> bytes:

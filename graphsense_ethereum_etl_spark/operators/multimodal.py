@@ -257,6 +257,48 @@ PHASH_SCHEMA = T.StructType(
 )
 
 
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def audio_hash(media: DataFrame, n_bits: int = 60) -> DataFrame:
+    """Audio perceptual fingerprints: real-decode each PCM WAV payload
+    (codecs.wav_decode) and emit its energy-delta fingerprint
+    (codecs.audio_fingerprint) packed into a signed BIGINT — the audio
+    counterpart of ``perceptual_hash``, sharing the SimHash column
+    convention so ``dedup.fingerprint_hamming_pairs`` works unchanged for
+    audio NEAR-duplicate detection (re-encoded / gain-shifted clips land
+    within a few bit flips). Corrupt payloads degrade to null per row."""
+    if n_bits > 64:
+        raise ValueError(f"audio hash width {n_bits} exceeds 64 bits")
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import audio_fingerprint, wav_decode
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                fp: int | None
+                try:
+                    samples, _ = wav_decode(
+                        bytes(content) if content is not None else b""
+                    )
+                    raw = audio_fingerprint(samples, n_bits)
+                    fp = raw - (1 << 64) if raw >= (1 << 63) else raw
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    fp = None
+                rows.append({"media_id": mid, "ahash": fp})
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(hash_batches, schema=AHASH_SCHEMA)
+
+
 def perceptual_hash(
     media: DataFrame, hash_w: int = 8, hash_h: int = 8
 ) -> DataFrame:

@@ -1407,6 +1407,114 @@ def mm3_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm5_audio_neardup",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             xor(
+               xor(CAST('0x' || substring(md5(CAST(doc_id % 16 AS VARCHAR) || ':a'),
+                                          1, 15)
+                        AS BIGINT),
+                   CASE WHEN doc_id % 3 > 0
+                        THEN (CAST(1 AS BIGINT) << CAST((doc_id * 11) % 60 AS INTEGER))
+                        ELSE 0 END),
+               CASE WHEN doc_id % 3 > 1
+                    THEN (CAST(1 AS BIGINT) << CAST((doc_id * 11 + 17) % 60 AS INTEGER))
+                    ELSE 0 END) AS f
+      FROM documents WHERE doc_id < 200)
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+           CAST(b.doc_id AS BIGINT) AS id_b,
+           CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 4
+    """,
+)
+def mm5_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate detection — completes the multimodal dedup
+    triangle next to text SimHash (dd5) and image dHash (mm3): encode a
+    real PCM WAV per document, run the REAL decode path
+    (codecs.wav_decode, stdlib wave), fingerprint with the energy-delta
+    hash (codecs.audio_fingerprint — sign of adjacent frame-energy
+    deltas, gain-invariant), and band the 60-bit fingerprints through the
+    SAME piece-banding Hamming join as every other modality
+    (dedup.fingerprint_hamming_pairs; no all-pairs).
+
+    Oracle strategy (mm3's pattern, audio-shaped): each document's
+    waveform ENCODES an arithmetically-known fingerprint — 61 frames of 8
+    constant samples whose amplitude steps DOWN one level where the
+    target bit is set and UP where it is not, so decode → frame energies
+    → delta signs must reproduce it exactly; any decode, framing, or
+    packing defect flips the hash. Planted structure: docs sharing
+    ``doc_id % 16`` share a salted md5 base fingerprint with ≤2
+    deterministic bit flips each (pairwise ≤4 — within budget), while
+    cross-group bases sit ~30 bits apart. DuckDB recomputes the
+    fingerprints arithmetically and joins all pairs (200 docs at oracle
+    scale only)."""
+    import pandas as pd
+
+    from .operators.dedup import fingerprint_hamming_pairs
+    from .operators.multimodal import MEDIA_SCHEMA, audio_hash
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def encode_batches(batches):
+        import hashlib
+
+        import numpy as np
+
+        from .operators.codecs import wav_encode
+
+        def fp_of(doc_id: int) -> int:
+            base = int(
+                hashlib.md5(f"{doc_id % 16}:a".encode()).hexdigest()[:15], 16
+            )
+            f = base
+            if doc_id % 3 > 0:
+                f ^= 1 << ((doc_id * 11) % 60)
+            if doc_id % 3 > 1:
+                f ^= 1 << ((doc_id * 11 + 17) % 60)
+            return f
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                f = fp_of(int(doc_id))
+                # 61 frames × 8 samples; bit b set iff E[b] > E[b+1]
+                amps = np.empty(61, dtype=np.int16)
+                amps[0] = 100
+                for b in range(60):
+                    bit = (f >> b) & 1
+                    amps[b + 1] = amps[b] - 1 if bit else amps[b] + 1
+                samples = np.repeat(amps, 8)
+                payload = wav_encode(samples, sample_rate=8000, sample_width=2)
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "content": payload,
+                        "meta": {"mime": "audio/wav", "n_bytes": len(payload)},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+    fps = audio_hash(media, n_bits=60).select(
+        "media_id", F.col("ahash").alias("fingerprint")
+    )
+    return fingerprint_hamming_pairs(
+        fps,
+        id_col="media_id",
+        fp_col="fingerprint",
+        bits=60,
+        max_hamming=4,
+        n_pieces=5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.10 streaming surface (batch-checkable event-time operators)
 # ---------------------------------------------------------------------------
@@ -6278,6 +6386,7 @@ def h2_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CERTIFICATION_PRIORITY: list[str] = [
     # new in r5 — never driver-certified
+    "mm5_audio_neardup",
     "vq1_constraint_report",
     "vq2_outlier_flags",
     "rc1_recursive_bfs",
@@ -6305,9 +6414,9 @@ _CERTIFICATION_PRIORITY: list[str] = [
     # r4-round certification is stale against regenerated testdata, so they
     # take the rest of this round's window (the r4-certified set keeps full
     # local-parity coverage via tests/test_oracle_parity.py meanwhile).
-    # The last 15 of this tier (sim3, sim5, mm1, win1, sess1, g1, g2, s5,
-    # str1, map1, asof2, pct1, w4, apx2, gs1) fall past position 50 now
-    # that 15 more r5 queries joined the front — they lead the r6
+    # The last 16 of this tier (sim2, sim3, sim5, mm1, win1, sess1, g1,
+    # g2, s5, str1, map1, asof2, pct1, w4, apx2, gs1) fall past position
+    # 50 now that 16 more r5 queries joined the front — they lead the r6
     # rotation.
     "j3_anti_join",
     "j4_asof_day_max",

@@ -319,3 +319,39 @@ def test_dhash_near_duplicate_small_distance():
     d_far = bin(dhash(img) ^ dhash(far)).count("1")
     assert d_near <= 6
     assert d_far > 15
+
+
+def test_wav_decode_roundtrip_all_widths():
+    import numpy as np
+
+    from graphsense_ethereum_etl_spark.operators.codecs import (
+        wav_decode,
+        wav_encode,
+    )
+
+    ramp = np.arange(-100, 100, dtype=np.int64)
+    for width in (1, 2, 4):
+        payload = wav_encode(ramp, sample_rate=16000, sample_width=width)
+        out, rate = wav_decode(payload)
+        assert rate == 16000
+        assert out.shape == (200, 1)
+        # 8-bit is stored biased-unsigned per RIFF; decode re-biases
+        assert list(out[:, 0]) == list(ramp)
+
+
+def test_audio_fingerprint_gain_invariant_and_sensitive():
+    import numpy as np
+
+    from graphsense_ethereum_etl_spark.operators.codecs import (
+        audio_fingerprint,
+    )
+
+    rng_amps = ((np.arange(61) * 37) % 50 + 20).astype(np.int64)
+    x = np.repeat(rng_amps, 8)
+    fp = audio_fingerprint(x, n_bits=60)
+    # uniform gain change preserves every delta sign
+    assert audio_fingerprint(x * 3, n_bits=60) == fp
+    # flipping one frame's relative level flips bits
+    y = x.copy()
+    y[8 * 30 : 8 * 31] = 1000
+    assert audio_fingerprint(y, n_bits=60) != fp
