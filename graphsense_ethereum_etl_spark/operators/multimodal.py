@@ -299,6 +299,60 @@ def audio_hash(media: DataFrame, n_bits: int = 60) -> DataFrame:
     return media.mapInPandas(hash_batches, schema=AHASH_SCHEMA)
 
 
+FHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("fhash", T.LongType()),
+    ]
+)
+
+
+def video_frame_hashes(
+    media: DataFrame, hash_w: int = 8, hash_h: int = 8
+) -> DataFrame:
+    """Per-frame perceptual hashes for video payloads (concatenated
+    P5/P6 netpbm streams — the dependency-free ffmpeg image2pipe
+    container codecs.py already speaks): real-decode the stream, dHash
+    every frame, emit one (media_id, frame_idx, fhash) row per frame —
+    a 1-in-N-out Arrow expansion. Downstream, video NEAR-duplicate
+    detection is an inverted index on the frame hash: exact-match join
+    on fhash, count shared frames per video pair — no all-pairs over
+    videos, and re-encoded / partially-edited clips still meet on their
+    unchanged frames. Corrupt payloads degrade to zero rows."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import dhash, pnm_stream_frames
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    frames = pnm_stream_frames(
+                        bytes(content) if content is not None else b""
+                    )
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    continue
+                for i, frame in enumerate(frames):
+                    raw = dhash(frame, hash_w, hash_h)
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": i,
+                            "fhash": raw - (1 << 64)
+                            if raw >= (1 << 63)
+                            else raw,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "fhash"]
+            )
+
+    return media.mapInPandas(hash_batches, schema=FHASH_SCHEMA)
+
+
 def perceptual_hash(
     media: DataFrame, hash_w: int = 8, hash_h: int = 8
 ) -> DataFrame:

@@ -1408,6 +1408,128 @@ def mm3_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm6_video_neardup",
+    """
+    WITH vids AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+    frames AS (
+      SELECT doc_id, f,
+             CASE WHEN f IN (SELECT (doc_id * 5 + j) % 6
+                             FROM unnest([0, 1]) t(j)
+                             WHERE j < doc_id % 3)
+                  THEN CAST('0x' || substring(
+                         md5(CAST(doc_id AS VARCHAR) || ':' ||
+                             CAST(f AS VARCHAR) || ':u'), 1, 15) AS BIGINT)
+                  ELSE CAST('0x' || substring(
+                         md5(CAST(doc_id % 8 AS VARCHAR) || ':' ||
+                             CAST(f AS VARCHAR) || ':v'), 1, 15) AS BIGINT)
+             END AS fhash
+      FROM vids, unnest([0, 1, 2, 3, 4, 5]) s(f)),
+    d AS (SELECT DISTINCT doc_id, fhash FROM frames)
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+           CAST(b.doc_id AS BIGINT) AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM d a JOIN d b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def mm6_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-duplicate detection — the fourth dedup modality (text
+    SimHash, image dHash, audio energy-hash, now video): encode a real
+    6-frame concatenated-netpbm video per document, real-decode the
+    stream (codecs.pnm_stream_frames), dHash EVERY frame
+    (multimodal.video_frame_hashes), and match videos through an
+    INVERTED INDEX on the frame hash — exact-match join on fhash, count
+    shared frames per pair, keep pairs sharing >= 3 of 6. No all-pairs
+    over videos at any scale; partially re-edited clips still meet on
+    their unchanged frames (the YouTube/content-ID shape).
+
+    Oracle strategy (mm3's grid trick per frame): every frame's pixel
+    grid arithmetically ENCODES a known 60-bit dHash — videos in the
+    same ``doc_id % 8`` group share base frames, and each video replaces
+    ``doc_id % 3`` (≤2) of its 6 frames with unique salted hashes, so
+    same-group pairs share ≥ 2 frames (those sharing ≥ 3 survive the
+    HAVING) and cross-group pairs share none. DuckDB recomputes the
+    planted frame hashes and joins; any stream-split, per-frame decode,
+    dhash, or packing defect changes the shared counts."""
+    import pandas as pd
+
+    from .operators.multimodal import MEDIA_SCHEMA, video_frame_hashes
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+    )
+
+    def encode_batches(batches):
+        import hashlib
+
+        import numpy as np
+
+        from .operators.codecs import pnm_encode
+
+        def grid_for(h: int) -> "np.ndarray":
+            g = np.zeros((8, 9), dtype=np.uint8)
+            for r in range(8):
+                g[r, 0] = 128
+                for c in range(8):
+                    bit = (h >> (r * 8 + c)) & 1 if r * 8 + c < 60 else 0
+                    g[r, c + 1] = g[r, c] - 1 if bit else g[r, c] + 1
+            return np.repeat(np.repeat(g, 2, axis=0), 2, axis=1)
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                replaced = {
+                    (did * 5 + j) % 6 for j in range(did % 3)
+                }
+                payload = b""
+                for f in range(6):
+                    if f in replaced:
+                        key = f"{did}:{f}:u"
+                    else:
+                        key = f"{did % 8}:{f}:v"
+                    h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+                    payload += pnm_encode(grid_for(h))
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": payload,
+                        "meta": {
+                            "mime": "video/x-portable-anymap-stream",
+                            "n_bytes": len(payload),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+    frames = video_frame_hashes(media).select(
+        F.col("media_id"), "fhash"
+    ).distinct()
+    a = frames.select(
+        F.col("media_id").alias("id_a"), F.col("fhash")
+    )
+    b = frames.select(
+        F.col("media_id").alias("id_b"), F.col("fhash")
+    )
+    return (
+        a.join(b, "fhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            "n_shared",
+        )
+    )
+
+
+@query(
     "mm5_audio_neardup",
     """
     WITH fp AS (
@@ -6386,6 +6508,7 @@ def h2_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CERTIFICATION_PRIORITY: list[str] = [
     # new in r5 — never driver-certified
+    "mm6_video_neardup",
     "mm5_audio_neardup",
     "vq1_constraint_report",
     "vq2_outlier_flags",
@@ -6414,10 +6537,10 @@ _CERTIFICATION_PRIORITY: list[str] = [
     # r4-round certification is stale against regenerated testdata, so they
     # take the rest of this round's window (the r4-certified set keeps full
     # local-parity coverage via tests/test_oracle_parity.py meanwhile).
-    # The last 16 of this tier (sim2, sim3, sim5, mm1, win1, sess1, g1,
-    # g2, s5, str1, map1, asof2, pct1, w4, apx2, gs1) fall past position
-    # 50 now that 16 more r5 queries joined the front — they lead the r6
-    # rotation.
+    # The last 17 of this tier (sim1, sim2, sim3, sim5, mm1, win1, sess1,
+    # g1, g2, s5, str1, map1, asof2, pct1, w4, apx2, gs1) fall past
+    # position 50 now that 17 more r5 queries joined the front — they
+    # lead the r6 rotation.
     "j3_anti_join",
     "j4_asof_day_max",
     "a1_resume_max",
