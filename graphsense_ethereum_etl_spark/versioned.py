@@ -130,6 +130,7 @@ class VersionedTable:
         self,
         partitions: list[int] | None = None,
         between: tuple[str, object, object] | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Snapshot read; ``partitions`` prunes at the MANIFEST level (only
         matching dirs are handed to the scan). ``between=(col, lo, hi)``
@@ -137,7 +138,11 @@ class VersionedTable:
         ``col`` cannot overlap the inclusive range — footer-derived
         data skipping on NON-partition columns, the manifest-level
         equivalent of Iceberg's column-bounds pruning. Partitions with no
-        recorded stats are conservatively kept."""
+        recorded stats are conservatively kept. ``merge_schema=True``
+        unions the column sets of every live dir (added columns read as
+        NULL in partitions committed before them — additive schema
+        evolution, the Delta mergeSchema contract); leave it off for
+        single-footer scan planning when the schema is known uniform."""
         snap = self.snapshot()
         if partitions is not None:
             wanted = {str(p) for p in partitions}
@@ -154,7 +159,10 @@ class VersionedTable:
             snap = {k: v for k, v in snap.items() if _overlaps(k)}
         if not snap:
             return self.spark.createDataFrame([], f"{self.partition_col} bigint")
-        return self.spark.read.parquet(*sorted(snap.values()))
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*sorted(snap.values()))
 
     # -- commits ------------------------------------------------------------
 

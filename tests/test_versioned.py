@@ -305,3 +305,24 @@ def test_time_travel_read_version(spark, tmp_path_factory):
     t.vacuum(keep_manifests=1)
     with pytest.raises(FileNotFoundError):
         t.read_version(1)
+
+
+def test_additive_schema_evolution(spark, tmp_path_factory):
+    """A later commit may add columns; merge_schema reads old partitions
+    with NULLs in the new column, and merge_into can upsert evolved rows
+    into an evolved snapshot."""
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    t.write_partitions(_frame(spark, 0, 10, "v1"))  # bucket 0, 3 cols
+    evolved = spark.createDataFrame(
+        [(10, 1, "v2", 99)],
+        "block_id bigint, block_id_group bigint, tag string, score bigint",
+    )
+    t.write_partitions(evolved)  # bucket 1, 4 cols
+    df = t.read(merge_schema=True)
+    assert set(df.columns) == {"block_id", "block_id_group", "tag", "score"}
+    rows = {r["block_id"]: r["score"] for r in df.collect()}
+    assert rows[10] == 99
+    assert rows[0] is None  # pre-evolution partition: new column is NULL
+    # un-merged read keeps working for uniform-schema consumers
+    assert t.read(partitions=[1]).count() == 1
