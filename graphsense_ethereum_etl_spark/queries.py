@@ -1408,6 +1408,63 @@ def mm3_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w7_trailing_aggregate",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id < 30)
+    SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT)
+             AS event_id,
+           CAST(SUM(cents) OVER w AS BIGINT) AS trail_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,
+           ROUND(CAST(SUM(cents) OVER w AS DOUBLE)
+                 / CAST(COUNT(*) OVER w AS DOUBLE), 6) AS trail_avg,
+           CAST(MIN(cents) OVER w AS BIGINT) AS trail_min
+    FROM v
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w7_trailing_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing ROWS-frame moving aggregates (the time-series smoothing
+    primitive — w5 is the value-distance RANGE twin): per user, the
+    7-event trailing sum/count/mean/min over integer cents. Sums and
+    counts stay exact BIGINT; the mean is ONE double division + round-
+    half-even, identical in both engines (the t8 rule: push all
+    accumulation into integers, spend IEEE ops only on the final
+    scalar). One exchange + sort per user; bounded frames stream in O(1)
+    memory per row, so skewed users cost time, not state."""
+    v = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "ts",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, W.currentRow)
+    )
+    return v.select(
+        "user_id",
+        "event_id",
+        F.sum("cents").over(w).cast("bigint").alias("trail_sum"),
+        F.count("*").over(w).cast("bigint").alias("trail_n"),
+        F.round(
+            F.sum("cents").over(w).cast("double")
+            / F.count("*").over(w).cast("double"),
+            6,
+        ).alias("trail_avg"),
+        F.min("cents").over(w).cast("bigint").alias("trail_min"),
+    )
+
+
+@query(
     "mm6_video_neardup",
     """
     WITH vids AS (SELECT doc_id FROM documents WHERE doc_id < 120),
@@ -6508,6 +6565,7 @@ def h2_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CERTIFICATION_PRIORITY: list[str] = [
     # new in r5 — never driver-certified
+    "w7_trailing_aggregate",
     "mm6_video_neardup",
     "mm5_audio_neardup",
     "vq1_constraint_report",
@@ -6537,10 +6595,10 @@ _CERTIFICATION_PRIORITY: list[str] = [
     # r4-round certification is stale against regenerated testdata, so they
     # take the rest of this round's window (the r4-certified set keeps full
     # local-parity coverage via tests/test_oracle_parity.py meanwhile).
-    # The last 17 of this tier (sim1, sim2, sim3, sim5, mm1, win1, sess1,
-    # g1, g2, s5, str1, map1, asof2, pct1, w4, apx2, gs1) fall past
-    # position 50 now that 17 more r5 queries joined the front — they
-    # lead the r6 rotation.
+    # The last 18 of this tier (dd5, sim1, sim2, sim3, sim5, mm1, win1,
+    # sess1, g1, g2, s5, str1, map1, asof2, pct1, w4, apx2, gs1) fall
+    # past position 50 now that 18 more r5 queries joined the front —
+    # they lead the r6 rotation.
     "j3_anti_join",
     "j4_asof_day_max",
     "a1_resume_max",
