@@ -199,3 +199,52 @@ def test_asof_join_forward_matches_duckdb_oracle(spark, sf_dir):
         ).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+def test_asof_join_property_vs_bruteforce(spark):
+    """Both directions × both tie modes against a per-row brute force, on a
+    deterministic grid of adversarial cases: duplicate left timestamps,
+    left==right ties, keys with no right rows, empty prefix/suffix."""
+    left_rows = [
+        (k, ts) for k in (1, 2, 3) for ts in (0, 5, 5, 10, 17, 23)
+    ]
+    right_rows = [(1, 5, "a"), (1, 10, "b"), (1, 20, "c"), (2, 23, "z")]
+    # key 3 has NO right rows at all
+    left = spark.createDataFrame(left_rows, "k bigint, ts bigint")
+    right = spark.createDataFrame(right_rows, "k bigint, ts bigint, v string")
+
+    def brute(direction, inclusive):
+        out = {}
+        for i, (k, ts) in enumerate(left_rows):
+            cands = [
+                (rts, v)
+                for rk, rts, v in right_rows
+                if rk == k
+                and (
+                    (direction == "backward" and (rts <= ts if inclusive else rts < ts))
+                    or (direction == "forward" and (rts >= ts if inclusive else rts > ts))
+                )
+            ]
+            if not cands:
+                out[i] = None
+            elif direction == "backward":
+                out[i] = max(cands)[1]
+            else:
+                out[i] = min(cands)[1]
+        return out
+
+    from graphsense_ethereum_etl_spark.operators.joins import asof_join
+
+    for direction in ("backward", "forward"):
+        for inclusive in (True, False):
+            got_rows = asof_join(
+                left, right, by="k", left_ts="ts", right_ts="ts",
+                right_cols=["v"], inclusive=inclusive, direction=direction,
+            ).collect()
+            # left has duplicate (k, ts) rows; compare as multisets per key
+            got = sorted((r["k"], r["ts"], r["asof_v"]) for r in got_rows)
+            want_map = brute(direction, inclusive)
+            want = sorted(
+                (k, ts, want_map[i]) for i, (k, ts) in enumerate(left_rows)
+            )
+            assert got == want, (direction, inclusive, got, want)
