@@ -1408,6 +1408,60 @@ def mm3_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof4_next_event",
+    """
+    WITH errors AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    clicks AS (
+      SELECT user_id, ts, MIN(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT CAST(e.event_id AS BIGINT) AS error_id,
+           CAST(e.user_id AS BIGINT) AS user_id,
+           e.ts AS error_ts,
+           CAST(c.click_id AS BIGINT) AS next_click_id,
+           c.ts AS next_click_ts
+    FROM errors e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts <= c.ts
+    """,
+)
+def asof4_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join through the generic operator
+    (operators/joins.py::asof_join(direction='forward') — first() over a
+    (current, unboundedFollowing) frame, same single shuffle as the
+    backward form): for every error event, the user's next click
+    at-or-after it — the did-the-user-recover lookup. Oracle is DuckDB's
+    native forward ASOF LEFT JOIN (`e.ts <= c.ts`); right side
+    pre-aggregated to distinct (user, ts) for deterministic ties."""
+    from .operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        errors,
+        clicks,
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id", "ts"],
+        direction="forward",
+    )
+    return joined.select(
+        F.col("event_id").cast("bigint").alias("error_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("ts").alias("error_ts"),
+        F.col("asof_click_id").cast("bigint").alias("next_click_id"),
+        F.col("asof_ts").alias("next_click_ts"),
+    )
+
+
+@query(
     "w7_trailing_aggregate",
     """
     WITH v AS (
@@ -6565,6 +6619,7 @@ def h2_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CERTIFICATION_PRIORITY: list[str] = [
     # new in r5 — never driver-certified
+    "asof4_next_event",
     "w7_trailing_aggregate",
     "mm6_video_neardup",
     "mm5_audio_neardup",
@@ -6595,10 +6650,10 @@ _CERTIFICATION_PRIORITY: list[str] = [
     # r4-round certification is stale against regenerated testdata, so they
     # take the rest of this round's window (the r4-certified set keeps full
     # local-parity coverage via tests/test_oracle_parity.py meanwhile).
-    # The last 18 of this tier (dd5, sim1, sim2, sim3, sim5, mm1, win1,
-    # sess1, g1, g2, s5, str1, map1, asof2, pct1, w4, apx2, gs1) fall
-    # past position 50 now that 18 more r5 queries joined the front —
-    # they lead the r6 rotation.
+    # The last 19 of this tier (dd4, dd5, sim1, sim2, sim3, sim5, mm1,
+    # win1, sess1, g1, g2, s5, str1, map1, asof2, pct1, w4, apx2, gs1)
+    # fall past position 50 now that 19 more r5 queries joined the front
+    # — they lead the r6 rotation.
     "j3_anti_join",
     "j4_asof_day_max",
     "a1_resume_max",
