@@ -6696,10 +6696,10 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "w4_rank_family",
     "apx2_approx_quantiles",
     "gs1_grouping_sets",
-    # new in r5 but past the 50-query window (which is exactly filled by
-    # the 8 windowed new queries + the 42 stale recertifications above):
-    # covered by the full local parity replica now, first in line for the
-    # r6 certification rotation.
+    # new earlier in r5 but past the 50-query window (filled by the 26
+    # never-certified queries + w5 + the 23 stalest recertifications
+    # above): covered by the full local parity replica now, queued with
+    # the displaced stale tier for the r6 certification rotation.
     "km1_kmeans",
     "ctm1_decontamination",
     "lm1_bigram_commonness",
