@@ -254,7 +254,12 @@ class VersionedTable:
             F.col(self.partition_col)
         )
         if sort_cols:
-            out = out.sortWithinPartitions(*sort_cols)
+            # _pv must LEAD the sort: FileFormatWriter requires dynamic
+            # partition columns sorted first and will otherwise inject its
+            # own (non-stable) sort by _pv alone, destroying the clustering
+            # this sort just established. Leading with _pv satisfies the
+            # writer's required ordering, so it skips its sort entirely.
+            out = out.sortWithinPartitions("_pv", *sort_cols)
         (
             out.write.mode("overwrite")
             .partitionBy("_pv")
@@ -365,22 +370,51 @@ class VersionedTable:
         self,
         target_records_per_file: int = 1_000_000,
         sort_cols: list[str] | None = None,
+        zorder_cols: list[str] | None = None,
     ) -> int:
         """Rewrite the current snapshot into one file-set per partition
         (restoring clustering via ``sort_cols``), publish via manifest swap.
         Readers holding the old snapshot are untouched until ``vacuum``.
-        Returns the number of live partitions."""
+        ``zorder_cols`` clusters each partition along a Morton curve
+        instead (Delta's OPTIMIZE ZORDER BY): within-partition sort on the
+        interleaved-bit key computed by ``sinks.zorder_value``, min/max
+        taken over the current snapshot — multi-column file/row-group
+        skipping where a linear sort only helps its leading column; pairs
+        with ``stats_cols`` so the manifest bounds tighten on every listed
+        dimension at once. Mutually exclusive with ``sort_cols``. Returns
+        the number of live partitions."""
+        if sort_cols and zorder_cols:
+            raise ValueError("pass either sort_cols or zorder_cols, not both")
         snap = self.snapshot()
         if not snap:
             return 0
         df = self.spark.read.parquet(*sorted(snap.values()))
-        compacted = df.repartition(F.col(self.partition_col))
-        if sort_cols:
-            compacted = compacted.sortWithinPartitions(*sort_cols)
+        compacted = df.withColumn("_pv", F.col(self.partition_col)).repartition(
+            F.col(self.partition_col)
+        )
+        # _pv leads every clustering sort — see write_partitions: otherwise
+        # the dynamic-partition writer re-sorts by _pv alone (non-stable)
+        # and silently undoes the clustering.
+        if zorder_cols:
+            from .sinks import zorder_value
+
+            bounds = df.agg(
+                *[F.min(c).cast("double").alias(f"_lo{i}")
+                  for i, c in enumerate(zorder_cols)],
+                *[F.max(c).cast("double").alias(f"_hi{i}")
+                  for i, c in enumerate(zorder_cols)],
+            ).first()
+            z = zorder_value(
+                list(zorder_cols),
+                [bounds[f"_lo{i}"] for i in range(len(zorder_cols))],
+                [bounds[f"_hi{i}"] for i in range(len(zorder_cols))],
+            )
+            compacted = compacted.sortWithinPartitions("_pv", z)
+        elif sort_cols:
+            compacted = compacted.sortWithinPartitions("_pv", *sort_cols)
         staging = f"{self.root}/{_DATA_DIR}/stage-{uuid.uuid4().hex}"
         (
-            compacted.withColumn("_pv", F.col(self.partition_col))
-            .write.mode("overwrite")
+            compacted.write.mode("overwrite")
             .option("maxRecordsPerFile", str(target_records_per_file))
             .partitionBy("_pv")
             .parquet(staging)

@@ -326,3 +326,66 @@ def test_additive_schema_evolution(spark, tmp_path_factory):
     assert rows[0] is None  # pre-evolution partition: new column is NULL
     # un-merged read keeps working for uniform-schema consumers
     assert t.read(partitions=[1]).count() == 1
+
+
+def test_compact_zorder_tightens_both_dimensions(spark, tmp_path_factory):
+    """OPTIMIZE ZORDER on the versioned table: after z-ordered compaction,
+    per-file min/max spans are bounded in BOTH listed dimensions, unlike a
+    linear sort which only clusters its leading column."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    # one partition, two anti-correlated dims over a 32x32 grid
+    rows = [(i, 0, i % 32, (i * 7) % 32) for i in range(1024)]
+    df = spark.createDataFrame(
+        rows, "block_id bigint, block_id_group bigint, x bigint, y bigint"
+    ).repartition(1)
+    t.write_partitions(df)
+    t.compact(target_records_per_file=128, zorder_cols=["x", "y"])
+
+    spans = []
+    for path in sorted(t.snapshot().values()):
+        for fname in os.listdir(path):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(f"{path}/{fname}").metadata
+            lo = {"x": 1 << 60, "y": 1 << 60}
+            hi = {"x": -1, "y": -1}
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    name = col.path_in_schema
+                    if name in ("x", "y") and col.statistics is not None:
+                        lo[name] = min(lo[name], col.statistics.min)
+                        hi[name] = max(hi[name], col.statistics.max)
+            spans.append((hi["x"] - lo["x"], hi["y"] - lo["y"]))
+    assert len(spans) >= 4  # compaction actually split files
+    # every file's span is bounded in BOTH dims (full range is 31)
+    assert all(sx <= 24 and sy <= 24 for sx, sy in spans), spans
+    # data intact
+    assert t.read().count() == 1024
+
+
+def test_write_partitions_sort_cols_survive_dynamic_writer(
+    spark, tmp_path_factory
+):
+    """Regression: the dynamic-partition writer injects its own non-stable
+    sort by _pv unless the clustering sort LEADS with it — rows inside
+    each written file must actually be in sort_cols order."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    rows = [((i * 37) % 100, ((i * 37) % 100) // 100, "x") for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "block_id bigint, block_id_group bigint, tag string"
+    ).repartition(1)
+    t.write_partitions(df, sort_cols=["block_id"])
+    for path in t.snapshot().values():
+        for fname in os.listdir(path):
+            if not fname.endswith(".parquet"):
+                continue
+            got = pq.read_table(f"{path}/{fname}")["block_id"].to_pylist()
+            assert got == sorted(got), "clustering lost inside file"
