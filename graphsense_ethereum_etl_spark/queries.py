@@ -1408,6 +1408,134 @@ def mm3_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "seq1_event_transitions",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM o WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def seq1_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event streams —
+    the next-event-prediction / funnel-discovery primitive: order each
+    user's events by (ts, event_id), pair each with its successor via
+    lead(), aggregate the global from→to matrix. One exchange on user_id
+    for the window, then a map-side-combined rollup to the (|types|²)-row
+    matrix — the transition relation never exceeds the type-vocabulary
+    square regardless of corpus size."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+@query(
+    "seq2_time_in_state",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS next_us
+      FROM events)
+    SELECT event_type AS state,
+           CAST(COUNT(*) AS BIGINT) AS n_entries,
+           CAST(SUM(next_us - us) AS BIGINT) AS total_us,
+           CAST(MAX(next_us - us) AS BIGINT) AS max_us
+    FROM o WHERE next_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def seq2_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state accounting (the dwell-time half of the seq1 pair):
+    each event opens a state that closes at the user's next event; sum
+    and max the dwell per state in exact integer microseconds (epoch_us
+    on both sides — sub-second-proof, the w5/win2 rule). Same single
+    user-keyed window exchange as seq1; open trailing states (no next
+    event) are excluded, matching the oracle's NULL filter."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        ev.withColumn("next_us", F.lead("us").over(w))
+        .filter(F.col("next_us").isNotNull())
+        .groupBy(F.col("event_type").alias("state"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_entries"),
+            F.sum(F.col("next_us") - F.col("us"))
+            .cast("bigint")
+            .alias("total_us"),
+            F.max(F.col("next_us") - F.col("us"))
+            .cast("bigint")
+            .alias("max_us"),
+        )
+    )
+
+
+@query(
+    "d3_hour_dow_histogram",
+    """
+    WITH b AS (
+      SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             (epoch_us(ts) % 86400000000) // 3600000000 AS hour
+      FROM events)
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY dow, hour
+    """,
+)
+def d3_hour_dow_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar activity histogram (day-of-week × hour-of-day) computed
+    from PURE integer epoch arithmetic — dow = (epoch_days + 4) % 7
+    (1970-01-01 was a Thursday; 0 = Sunday) — because the engines'
+    calendar builtins disagree on indexing (Spark dayofweek is 1-based
+    Sunday, DuckDB dayofweek is 0-based), and integer arithmetic is the
+    convention-proof common ground. Map-side combine straight to ≤168
+    rows; no shuffle carries event rows."""
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+        )
+        # integer `div`, never `/`: float division of ~1e18 epoch-µs
+        # values rounds (>2^53) and can flip the truncation at day/hour
+        # boundaries — the bug class this query exists to avoid
+        .select(
+            (F.expr("us div 86400000000") + 4) % 7,
+            F.expr("(us % 86400000000) div 3600000000"),
+        )
+        .toDF("dow", "hour")
+        .groupBy("dow", "hour")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.col("dow").cast("bigint"),
+            F.col("hour").cast("bigint"),
+            "n",
+        )
+    )
+
+
+@query(
     "asof4_next_event",
     """
     WITH errors AS (
@@ -6619,6 +6747,9 @@ def h2_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CERTIFICATION_PRIORITY: list[str] = [
     # new in r5 — never driver-certified
+    "seq1_event_transitions",
+    "seq2_time_in_state",
+    "d3_hour_dow_histogram",
     "asof4_next_event",
     "w7_trailing_aggregate",
     "mm6_video_neardup",
@@ -6650,10 +6781,10 @@ _CERTIFICATION_PRIORITY: list[str] = [
     # r4-round certification is stale against regenerated testdata, so they
     # take the rest of this round's window (the r4-certified set keeps full
     # local-parity coverage via tests/test_oracle_parity.py meanwhile).
-    # The last 19 of this tier (dd4, dd5, sim1, sim2, sim3, sim5, mm1,
-    # win1, sess1, g1, g2, s5, str1, map1, asof2, pct1, w4, apx2, gs1)
-    # fall past position 50 now that 19 more r5 queries joined the front
-    # — they lead the r6 rotation.
+    # The last 22 of this tier (t4, dd2, dd3, dd4, dd5, sim1, sim2, sim3,
+    # sim5, mm1, win1, sess1, g1, g2, s5, str1, map1, asof2, pct1, w4,
+    # apx2, gs1) fall past position 50 now that 22 more r5 queries joined
+    # the front — they lead the r6 rotation.
     "j3_anti_join",
     "j4_asof_day_max",
     "a1_resume_max",
