@@ -226,6 +226,25 @@ def build_parser() -> ArgumentParser:
         default="parquet",
     )
 
+    explain = sub.add_parser(
+        "explain",
+        help="print the physical plan of a registry query (plan review "
+        "tooling: check pushdown, broadcasts, exchange counts)",
+    )
+    explain.add_argument(
+        "query",
+        help="registry query name (see `explain list`), or 'list'",
+    )
+    explain.add_argument(
+        "--sf-dir", dest="sf_dir", default="/root/testdata/sf0.01",
+        help="testdata directory the plan is resolved against",
+    )
+    explain.add_argument(
+        "--mode",
+        choices=["simple", "extended", "formatted", "cost"],
+        default="formatted",
+    )
+
     corpus = sub.add_parser(
         "corpus",
         help="training-corpus curation: dedup / decontaminate / score / sample",
@@ -601,6 +620,28 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
     return IngestStats()
 
 
+def cmd_explain(args: Namespace, spark: SparkSession) -> IngestStats:
+    """Plan-review tooling: resolve a registry query against real testdata
+    and print its plan — the CLI form of the pushdown/broadcast checks
+    tests/test_plans.py pins mechanically."""
+    from .queries import REGISTRY
+
+    if args.query == "list":
+        for name in REGISTRY:
+            print(name)
+        return IngestStats()
+    if args.query not in REGISTRY:
+        raise SystemExit(
+            f"unknown query {args.query!r} — `explain list` shows all "
+            f"{len(REGISTRY)} registered names"
+        )
+    df = REGISTRY[args.query].fn(spark, args.sf_dir)
+    print(df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+        df._jdf.queryExecution(), args.mode
+    ))
+    return IngestStats()
+
+
 def main(
     argv: list[str] | None = None,
     spark: SparkSession | None = None,
@@ -620,6 +661,8 @@ def main(
         return cmd_info(args, spark, rpc_post=rpc_post)
     if args.command == "ingest-rates":
         return cmd_ingest_rates(args, spark)
+    if args.command == "explain":
+        return cmd_explain(args, spark)
     if args.command == "corpus":
         return cmd_corpus(args, spark)
     return cmd_invalidate(args, spark)

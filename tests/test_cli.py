@@ -575,3 +575,18 @@ def test_cli_corpus_validate_gate(spark, tmp_path, capsys):
             spark=spark,
         )
     assert ei.value.code == 2
+
+
+def test_cli_explain(spark, capsys):
+    main(
+        ["explain", "j1_enrich_orders", "--sf-dir", "/root/testdata/sf0.001"],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert "BroadcastHashJoin" in out and "Physical Plan" in out
+    main(["explain", "list"], spark=spark)
+    assert "q1_pricing_summary" in capsys.readouterr().out
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="unknown query"):
+        main(["explain", "nope"], spark=spark)
