@@ -185,6 +185,16 @@ def transform_and_write_batch(
     for table, df in writes:
         if fail_after_tables is not None and written >= fail_after_tables:
             raise RuntimeError(f"injected crash before writing '{table}'")
+        obs = None
+        if collect_stats and stats is not None:
+            # Spark-native observability: the count rides the WRITE action
+            # itself (Observation metrics are collected by the same job),
+            # so stats cost zero extra pipeline runs — this replaced a
+            # post-hoc df.count() that re-ran the whole transform.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         sort_cols = SORT_COLUMNS.get(table, [])
         if sink_format == "versioned":
             from ..versioned import VersionedTable
@@ -208,11 +218,8 @@ def transform_and_write_batch(
                     "partitionOverwriteMode", "dynamic"
                 )
             writer.parquet(f"{sink_root}/{table}")
-        if collect_stats and stats is not None:
-            # Recomputes the frame — test/inspection convenience only
-            # (default OFF; at scale read the sink's Parquet metadata or
-            # write-task metrics instead of paying a second pipeline run).
-            stats.rows[table] = stats.rows.get(table, 0) + df.count()
+        if obs is not None and stats is not None:
+            stats.rows[table] = stats.rows.get(table, 0) + obs.get["rows"]
         written += 1
 
 
