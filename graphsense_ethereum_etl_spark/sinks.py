@@ -45,12 +45,18 @@ def write_partitioned_parquet(
     columns (row-group skipping on block_id / topic0)."""
     sort_cols = SORT_COLUMNS.get(table, [])
     writer_df = df
-    if partition_col in df.columns:
+    partitioned = partition_col in df.columns
+    if partitioned:
         writer_df = df.repartition(F.col(partition_col))
     if sort_cols:
-        writer_df = writer_df.sortWithinPartitions(*sort_cols)
+        # the partition column must LEAD the clustering sort: the dynamic-
+        # partition writer requires its columns sorted first and otherwise
+        # injects its own non-stable sort, silently undoing the clustering
+        # (regression-tested in tests/test_sources_sinks.py)
+        lead = [partition_col] if partitioned else []
+        writer_df = writer_df.sortWithinPartitions(*lead, *sort_cols)
     writer = writer_df.write.mode(mode)
-    if partition_col in df.columns:
+    if partitioned:
         writer = writer.partitionBy(partition_col)
     writer.parquet(path)
 
@@ -239,7 +245,8 @@ def compact_partitions(
     df = spark.read.parquet(path)
     compacted = df.repartition(F.col(partition_col))
     if sort_cols:
-        compacted = compacted.sortWithinPartitions(*sort_cols)
+        # partition column leads — see write_partitioned_parquet
+        compacted = compacted.sortWithinPartitions(partition_col, *sort_cols)
     tmp = path.rstrip("/") + "__compact_tmp"
     (
         compacted.write.mode("overwrite")
@@ -247,8 +254,13 @@ def compact_partitions(
         .partitionBy(partition_col)
         .parquet(tmp)
     )
-    # Swap: overwrite the original location from the compacted copy.
-    spark.read.parquet(tmp).write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    # Swap: overwrite the original location from the compacted copy,
+    # re-establishing the clustering (a bare copy would re-sort by the
+    # partition column alone and shuffle the clustered order away).
+    swap = spark.read.parquet(tmp).repartition(F.col(partition_col))
+    if sort_cols:
+        swap = swap.sortWithinPartitions(partition_col, *sort_cols)
+    swap.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     # Best-effort cleanup of the staging copy via Hadoop FS (works for any
     # supported scheme, not just local paths).
     jvm = spark.sparkContext._jvm

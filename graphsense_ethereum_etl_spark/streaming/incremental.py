@@ -204,10 +204,14 @@ def transform_and_write_batch(
             )
         else:
             out = df
-            if "block_id_group" in out.columns:
+            grouped = "block_id_group" in out.columns
+            if grouped:
                 out = out.repartition(F.col("block_id_group"))
             if sort_cols:
-                out = out.sortWithinPartitions(*sort_cols)
+                # partition column leads the sort or the dynamic-partition
+                # writer's own non-stable sort undoes the clustering
+                lead = ["block_id_group"] if grouped else []
+                out = out.sortWithinPartitions(*lead, *sort_cols)
             writer = out.write.mode("overwrite")
             if "block_id_group" in df.columns:
                 # Idempotent re-runs: only replace the partitions this batch

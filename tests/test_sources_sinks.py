@@ -549,3 +549,31 @@ def test_rpc_chain_source_synthetic_genesis_and_daofork_traces(spark, tmp_path):
     assert frames2["traces"].filter(
         "trace_type IN ('genesis', 'daofork')"
     ).count() == 0
+
+
+def test_partitioned_parquet_clustering_survives_writer(spark, tmp_path):
+    """Regression (same class as the versioned-table fix): sort_cols
+    clustering must survive the dynamic-partition writer's required
+    ordering — rows inside each written file stay in clustering order."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.sinks import write_partitioned_parquet
+
+    df = spark.createDataFrame(
+        [((i * 37) % 200, ((i * 37) % 200) // 100) for i in range(200)],
+        "block_id bigint, block_id_group bigint",
+    ).repartition(1)
+    path = str(tmp_path / "blocks")
+    write_partitioned_parquet(df, path, "block")
+    checked = 0
+    for root, _dirs, files in os.walk(path):
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            got = pq.read_table(f"{root}/{fname}")["block_id"].to_pylist()
+            assert got == sorted(got), f"clustering lost in {root}/{fname}"
+            checked += 1
+    assert checked >= 2  # one file per partition dir
