@@ -1408,6 +1408,90 @@ def mm3_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vq3_winsorize",
+    """
+    WITH c AS (
+      SELECT o_orderpriority AS pri,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    q AS (SELECT quantile_cont(cents, [0.05, 0.95]) AS b FROM c),
+    w AS (
+      SELECT pri, cents,
+             CAST(cents AS DOUBLE) < q.b[1] AS lo_clip,
+             CAST(cents AS DOUBLE) > q.b[2] AS hi_clip,
+             q.b[1] AS b1, q.b[2] AS b2
+      FROM c, q)
+    SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN lo_clip THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lo,
+           CAST(SUM(CASE WHEN hi_clip THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hi,
+           ROUND(CAST(SUM(CASE WHEN lo_clip OR hi_clip THEN 0
+                               ELSE cents END) AS DOUBLE)
+                 + SUM(CASE WHEN lo_clip THEN 1 ELSE 0 END) * ANY_VALUE(b1)
+                 + SUM(CASE WHEN hi_clip THEN 1 ELSE 0 END) * ANY_VALUE(b2),
+                 4) AS win_sum
+    FROM w GROUP BY pri
+    """,
+)
+def vq3_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clipping to exact P5/P95 — vq2's detection
+    turned into the standard robust-statistics REPAIR): the two boundary
+    values come from one exact `percentile` aggregation (1-row broadcast,
+    the h2/t8 shape — swap approx_percentile at 100 TB), every price
+    clips into [p5, p95], and per-priority clipped counts + winsorized
+    sums report the repair. The sum is ASSEMBLED exactly, never
+    accumulated in floats: unclipped cents sum as BIGINT, and the clipped
+    mass is n_lo·p5 + n_hi·p95 — exactly three IEEE ops total (two
+    multiplies, two adds) in a fixed order, so the hash oracle holds at
+    any row order (a naive SUM over clipped doubles would be
+    order-dependent in the last ulps)."""
+    cents = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    q = cents.agg(
+        F.expr("percentile(cents, array(0.05D, 0.95D))").alias("b")
+    )
+    lo = F.element_at(F.col("b"), 1)
+    hi = F.element_at(F.col("b"), 2)
+    cd = F.col("cents").cast("double")
+    return (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "pri",
+            "cents",
+            (cd < lo).alias("lo_clip"),
+            (cd > hi).alias("hi_clip"),
+            lo.alias("b1"),
+            hi.alias("b2"),
+        )
+        .groupBy("pri")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("lo_clip"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_lo"),
+            F.sum(F.when(F.col("hi_clip"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hi"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("lo_clip") | F.col("hi_clip"), 0
+                    ).otherwise(F.col("cents"))
+                ).cast("double")
+                + F.sum(F.when(F.col("lo_clip"), 1).otherwise(0))
+                * F.any_value("b1")
+                + F.sum(F.when(F.col("hi_clip"), 1).otherwise(0))
+                * F.any_value("b2"),
+                4,
+            ).alias("win_sum"),
+        )
+    )
+
+
+@query(
     "seq1_event_transitions",
     """
     WITH o AS (
