@@ -1408,6 +1408,122 @@ def mm3_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g8_bipartite_projection",
+    """
+    WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    proj AS (
+      SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared
+      FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s)
+    SELECT CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2, shared
+    FROM proj ORDER BY shared DESC, s1, s2 LIMIT 20
+    """,
+)
+def g8_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection (supplier co-sourcing graph): connect two
+    suppliers by shared-part count (top-20, deterministic tie-break —
+    a fixed absolute threshold would not transfer across scale factors
+    since co-occurrence density falls as the part catalog grows) — the
+    standard
+    one-mode projection that turns supplier⋈part into a supplier
+    similarity graph (co-purchase graphs, author-collaboration networks).
+    The self-join key is the PART, so the pair blow-up is Σ deg(p)² over
+    parts — bounded by the part-side degree cap, the same reason dedup
+    banding joins on the bucket: at 100 TB a hot part is the skew unit,
+    handled by AQE split or a degree cap filter (mm-style); suppliers are
+    never all-paired directly. Map-side combine collapses pairs before
+    the exchange."""
+    e = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").cast("bigint").alias("s"),
+            F.col("l_partkey").cast("bigint").alias("p"),
+        )
+        .distinct()
+    )
+    a = e.select(F.col("s").alias("s1"), "p")
+    b = e.select(F.col("s").alias("s2"), "p")
+    return (
+        a.join(b, "p")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").cast("bigint").alias("shared"))
+        .orderBy(F.col("shared").desc(), "s1", "s2")
+        .limit(20)
+    )
+
+
+@query(
+    "seq3_session_paths",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 600000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    g AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+    r AS (
+      SELECT user_id, sid, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                ORDER BY us, event_id) AS rk
+      FROM g),
+    paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY rk) AS path
+      FROM r WHERE rk <= 3 GROUP BY user_id, sid)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path ORDER BY n_sessions DESC, path LIMIT 15
+    """,
+)
+def seq3_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session entry paths (the product-analytics "how do sessions
+    start" report): sessionize each user's stream with a 10-minute gap
+    (sess1's islands), keep each session's first 3 events in order, fold
+    them into a '>'-joined path string, count sessions per path, top-15.
+    Three windows share the (user_id | us, event_id) partitioning — one
+    exchange for all of them — then the path relation collapses to at
+    most |types|³ rows before the final TakeOrderedAndProject."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    brk = (
+        F.lag("us").over(w).isNull()
+        | (F.col("us") - F.lag("us").over(w) > 600_000_000)
+    ).cast("int")
+    g = ev.withColumn("brk", brk).withColumn(
+        "sid",
+        F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    ws = W.partitionBy("user_id", "sid").orderBy("us", "event_id")
+    r = g.withColumn("rk", F.row_number().over(ws)).filter(F.col("rk") <= 3)
+    paths = r.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rk"), F.col("event_type")))
+                ),
+                lambda x: x.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )
+
+
+@query(
     "vq3_winsorize",
     """
     WITH c AS (
