@@ -1408,6 +1408,54 @@ def mm3_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "z1_morton_key",
+    """
+    WITH src AS (
+      SELECT l_orderkey, l_partkey % 1000 AS x, l_suppkey % 1000 AS y
+      FROM lineitem WHERE l_orderkey < 500),
+    r AS (
+      SELECT l_orderkey, x, y,
+             LEAST(255, GREATEST(0,
+               CAST(TRUNC(x * (255.0 / 999.0)) AS BIGINT))) AS rx,
+             LEAST(255, GREATEST(0,
+               CAST(TRUNC(y * (255.0 / 999.0)) AS BIGINT))) AS ry
+      FROM src)
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           CAST((((rx >> 0) & 1) << 0) + (((ry >> 0) & 1) << 1) + (((rx >> 1) & 1) << 2) + (((ry >> 1) & 1) << 3) + (((rx >> 2) & 1) << 4) + (((ry >> 2) & 1) << 5) + (((rx >> 3) & 1) << 6) + (((ry >> 3) & 1) << 7) + (((rx >> 4) & 1) << 8) + (((ry >> 4) & 1) << 9) + (((rx >> 5) & 1) << 10) + (((ry >> 5) & 1) << 11) + (((rx >> 6) & 1) << 12) + (((ry >> 6) & 1) << 13) + (((rx >> 7) & 1) << 14) + (((ry >> 7) & 1) << 15)
+                AS BIGINT) AS z
+    FROM r
+    """,
+)
+def z1_morton_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order clustering KERNEL itself under the hash oracle
+    (sinks.py::zorder_value — until now only its file-span EFFECT was
+    tested): per-row Morton keys over two derived dimensions, checked
+    bit-for-bit against an explicit shift-and-interleave SQL expansion.
+    Every piece of the kernel is pinned — the min/max normalization
+    factor (an IEEE double both engines compute identically), the
+    TRUNCATING double→bigint cast (DuckDB's bare CAST rounds, hence
+    TRUNC in the oracle — exactly the cross-engine trap this query
+    exists to catch), the clamp, and all 16 bit-interleave terms. A
+    defect here silently degrades every z-ordered write's clustering."""
+    from .sinks import zorder_value
+
+    src = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 500)
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+            (F.col("l_partkey") % 1000).cast("bigint").alias("x"),
+            (F.col("l_suppkey") % 1000).cast("bigint").alias("y"),
+        )
+    )
+    z = zorder_value(
+        [F.col("x"), F.col("y")], mins=[0.0, 0.0], maxs=[999.0, 999.0]
+    )
+    return src.select("l_orderkey", "x", "y", z.cast("bigint").alias("z"))
+
+
+@query(
     "g8_bipartite_projection",
     """
     WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
