@@ -276,9 +276,16 @@ def dedup_lines(
     definition a SMALL distinct set (Heaps-bounded), so it broadcasts back
     over the exploded lines; the corpus then shuffles exactly once, on the
     doc id, to reassemble. Reassembly is order-exact: collect_list of
-    (pos, line) structs, array_sort on the unique position, join."""
+    (pos, line) structs, array_sort on the unique position, join.
+
+    NULL ``text_col`` is treated as '' (the doc passes through as a single
+    empty line rather than vanishing — split/explode of NULL would
+    otherwise emit zero rows and silently drop the document). Output
+    PROJECTS to (id_col, n_lines, n_dropped, text_col): other input
+    columns are not carried — join back on ``id_col`` to reattach them."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     if line_tokens is None:
-        parts = F.split(F.col(text_col), "\n")
+        parts = F.split(text, "\n")
         sep = "\n"
         line_expr = F.transform(
             F.sequence(F.lit(1), F.size(parts)),
@@ -287,7 +294,7 @@ def dedup_lines(
             ),
         )
     else:
-        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        toks = F.split(F.trim(text), r"\s+")
         sep = " "
         line_expr = F.transform(
             F.sequence(F.lit(1), F.size(toks), F.lit(line_tokens)),

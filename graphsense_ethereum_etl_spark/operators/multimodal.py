@@ -294,7 +294,10 @@ def audio_hash(media: DataFrame, n_bits: int = 60) -> DataFrame:
                 except Exception:
                     fp = None
                 rows.append({"media_id": mid, "ahash": fp})
-            yield pd.DataFrame(rows)
+            # explicit columns= so an EMPTY batch still yields a frame with
+            # the AHASH_SCHEMA columns (a column-less frame fails Arrow
+            # serialization) — same defense as video_frame_hashes.
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
 
     return media.mapInPandas(hash_batches, schema=AHASH_SCHEMA)
 

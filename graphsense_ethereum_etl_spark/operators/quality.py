@@ -45,6 +45,15 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
     n_distinct − n_nulls... uniqueness here counts NULLs as violations,
     matching SQL UNIQUE + NOT NULL expectations for key columns).
     """
+    if not rules:
+        # An empty rule set is a valid (vacuously passing) gate: return an
+        # empty report with the full schema rather than IndexError-ing —
+        # the CLI validate path hits this with an empty rules.json.
+        return df.sparkSession.createDataFrame(
+            [],
+            "rule string, col string, n_rows bigint, "
+            "n_violations bigint, passed boolean",
+        )
     aggs = [F.count("*").cast("bigint").alias("_n")]
     names: list[tuple[str, str]] = []
     for i, rule in enumerate(rules):

@@ -92,11 +92,21 @@ class VersionedTable:
     def _manifest_doc(self) -> dict:
         name = self._current_manifest_name()
         if name is None:
-            return {"partitions": {}, "stats": {}}
+            return {"partitions": {}, "stats": {}, "stats_cols": []}
         with open(f"{self.root}/{_MANIFEST_DIR}/{name}") as fh:
             doc = json.load(fh)
         doc.setdefault("stats", {})  # pre-stats manifests stay readable
+        doc.setdefault("stats_cols", [])
         return doc
+
+    def _effective_stats_cols(self) -> list[str]:
+        """Stats columns in force for the NEXT commit: this instance's, or
+        (for stats-free instances, e.g. transform_and_write_batch's bare
+        ``VersionedTable(spark, root)``) the ones persisted in the current
+        manifest — so a partition overwrite through any writer recomputes
+        the bounds instead of silently carrying the previous manifest's
+        stale [min,max] forward into pruning decisions."""
+        return self.stats_cols or self._manifest_doc()["stats_cols"]
 
     def stats(self) -> dict[str, dict[str, list]]:
         """{partition_value: {column: [min, max]}} recorded at commit."""
@@ -182,6 +192,9 @@ class VersionedTable:
             "stats": {
                 k: v for k, v in (stats or {}).items() if k in partitions_rel
             },
+            # persisted so later stats-free writer instances keep the
+            # skipping bounds fresh (see _effective_stats_cols).
+            "stats_cols": self._effective_stats_cols(),
         }
         with open(f"{self.root}/{_MANIFEST_DIR}/{name}", "w") as fh:
             json.dump(doc, fh, sort_keys=True)
@@ -196,7 +209,9 @@ class VersionedTable:
             for k, v in self.snapshot().items()
         }
 
-    def _dir_stats(self, abs_dir: str) -> dict[str, list]:
+    def _dir_stats(
+        self, abs_dir: str, cols: list[str] | None = None
+    ) -> dict[str, list]:
         """Per-column [min, max] for ``stats_cols`` harvested from the
         parquet FOOTERS of every file in ``abs_dir`` — row-group statistics
         only, no data pages are read. Values must be JSON-representable
@@ -205,6 +220,7 @@ class VersionedTable:
         cannot-prune)."""
         import pyarrow.parquet as pq
 
+        wanted = self.stats_cols if cols is None else cols
         acc: dict[str, list] = {}
         for fname in os.listdir(abs_dir):
             if not fname.endswith(".parquet"):
@@ -215,7 +231,7 @@ class VersionedTable:
                 for ci in range(row.num_columns):
                     col = row.column(ci)
                     name = col.path_in_schema
-                    if name not in self.stats_cols:
+                    if name not in wanted:
                         continue
                     st = col.statistics
                     if st is None or not st.has_min_max:
@@ -267,6 +283,7 @@ class VersionedTable:
         )
         rel = self._manifest_rel()
         stats = self.stats()
+        stat_cols = self._effective_stats_cols()
         written: list[str] = []
         for entry in sorted(os.listdir(staging)):
             if not entry.startswith("_pv="):
@@ -276,10 +293,16 @@ class VersionedTable:
             os.replace(f"{staging}/{entry}", f"{self.root}/{_DATA_DIR}/{dirname}")
             rel[val] = dirname
             written.append(val)
-            if self.stats_cols:
+            if stat_cols:
                 stats[val] = self._dir_stats(
-                    f"{self.root}/{_DATA_DIR}/{dirname}"
+                    f"{self.root}/{_DATA_DIR}/{dirname}", stat_cols
                 )
+            else:
+                # No stats columns resolvable for this writer: drop the
+                # rewritten partition's stale [min,max] so read(between=...)
+                # conservatively keeps it instead of pruning on bounds that
+                # no longer describe the data.
+                stats.pop(val, None)
         for val in drop_partitions or ():
             if val not in written:
                 rel.pop(val, None)
@@ -339,12 +362,21 @@ class VersionedTable:
         snap = self.snapshot()
         live = [snap[k] for k in touched if k in snap]
         if live:
-            existing = self.spark.read.parquet(*sorted(live))
+            # mergeSchema: touched partitions may straddle an additive
+            # schema evolution (old 3-col + evolved 4-col dirs); inferring
+            # from one footer could drop the added column from the
+            # copy-on-write rewrite. allowMissingColumns on BOTH union
+            # sides keeps rows whichever side lacks a column (missing →
+            # null), matching read(merge_schema=True) semantics.
+            existing = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*sorted(live))
+            )
             upd_keys = updates.select(*key_cols).distinct()
             kept = existing.join(
                 F.broadcast(upd_keys), on=key_cols, how="left_anti"
             )
-            merged = kept.unionByName(inserts.select(*kept.columns))
+            merged = kept.unionByName(inserts, allowMissingColumns=True)
         else:
             merged = inserts
         written = self.write_partitions(
@@ -421,6 +453,7 @@ class VersionedTable:
         )
         rel: dict[str, str] = {}
         stats: dict[str, dict[str, list]] = {}
+        stat_cols = self._effective_stats_cols()
         for entry in sorted(os.listdir(staging)):
             if not entry.startswith("_pv="):
                 continue
@@ -428,9 +461,9 @@ class VersionedTable:
             dirname = f"{uuid.uuid4().hex}"
             os.replace(f"{staging}/{entry}", f"{self.root}/{_DATA_DIR}/{dirname}")
             rel[val] = dirname
-            if self.stats_cols:
+            if stat_cols:
                 stats[val] = self._dir_stats(
-                    f"{self.root}/{_DATA_DIR}/{dirname}"
+                    f"{self.root}/{_DATA_DIR}/{dirname}", stat_cols
                 )
         _rm(staging)
         self._swap(rel, stats)

@@ -590,3 +590,19 @@ def test_cli_explain(spark, capsys):
 
     with _pytest.raises(SystemExit, match="unknown query"):
         main(["explain", "nope"], spark=spark)
+
+
+def test_dedup_lines_null_text_passes_through(spark):
+    """ADVICE r5: a NULL-text document must NOT vanish from dedup_lines
+    output (split/explode of NULL emits zero rows) — it passes through as
+    a single empty line."""
+    from graphsense_ethereum_etl_spark.operators.corpus import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(0, "a\nb"), (1, None), (2, "")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_lines(docs, min_count=3).collect()}
+    assert set(got) == {0, 1, 2}  # nobody dropped
+    assert got[1]["text"] == "" and got[1]["n_dropped"] == 0
+    assert got[0]["text"] == "a\nb"

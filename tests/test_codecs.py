@@ -355,3 +355,17 @@ def test_audio_fingerprint_gain_invariant_and_sensitive():
     y = x.copy()
     y[8 * 30 : 8 * 31] = 1000
     assert audio_fingerprint(y, n_bits=60) != fp
+
+
+def test_audio_hash_empty_input_keeps_schema(spark):
+    """ADVICE r5: a zero-row batch must yield a frame that still carries
+    the AHASH_SCHEMA columns (a column-less pd.DataFrame fails Arrow
+    serialization)."""
+    from graphsense_ethereum_etl_spark.operators.multimodal import audio_hash
+
+    empty = spark.createDataFrame(
+        [], "media_id bigint, content binary"
+    ).repartition(2)
+    out = audio_hash(empty)
+    assert out.columns == ["media_id", "ahash"]
+    assert out.count() == 0

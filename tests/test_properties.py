@@ -226,3 +226,17 @@ def test_check_constraints_clean_table_passes(spark):
         [{"rule": "unique", "col": "k"}, {"rule": "not_null", "col": "s"}],
     ).collect()
     assert all(r["passed"] and r["n_violations"] == 0 for r in rep)
+
+
+def test_check_constraints_empty_rules_is_empty_report(spark):
+    """ADVICE r5: an empty rule set returns an empty report with the full
+    report schema instead of IndexError (the CLI validate path with an
+    empty rules.json)."""
+    from graphsense_ethereum_etl_spark.operators.quality import (
+        check_constraints,
+    )
+
+    df = spark.createDataFrame([(1,)], "k bigint")
+    rep = check_constraints(df, [])
+    assert rep.columns == ["rule", "col", "n_rows", "n_violations", "passed"]
+    assert rep.count() == 0

@@ -389,3 +389,92 @@ def test_write_partitions_sort_cols_survive_dynamic_writer(
                 continue
             got = pq.read_table(f"{path}/{fname}")["block_id"].to_pylist()
             assert got == sorted(got), "clustering lost inside file"
+
+
+def test_stats_survive_stats_free_writer_overwrite(spark, tmp_path_factory):
+    """ADVICE r5: stats_cols is persisted in the manifest, so a partition
+    overwrite through a bare VersionedTable(spark, root) (the
+    transform_and_write_batch construction) RECOMPUTES the rewritten
+    partition's [min,max] instead of carrying the stale bounds forward —
+    which would let read(between=...) prune a partition that now holds
+    in-range rows."""
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root, stats_cols=["block_id"])
+    t.write_partitions(_frame(spark, 0, 30, "x"))  # buckets 0,1,2
+    assert t.stats()["1"]["block_id"] == [10, 19]
+    # stats-FREE instance overwrites bucket 1 with ids 110..119
+    bare = VersionedTable(spark, root)
+    bare.write_partitions(
+        spark.createDataFrame(
+            [(i, 1, "y") for i in range(110, 120)],
+            "block_id bigint, block_id_group bigint, tag string",
+        )
+    )
+    assert t.stats()["1"]["block_id"] == [110, 119]  # recomputed, not stale
+    # skipping is partition-granular: bucket 1 survives pruning (stale
+    # bounds [10,19] would have skipped it), buckets 0/2 are pruned out
+    hit = t.read(between=("block_id", 112, 115))
+    assert hit.count() == 10
+    assert len(hit.inputFiles()) == len(t.read(partitions=[1]).inputFiles())
+
+
+def test_legacy_manifest_stats_free_writer_drops_stale_entry(
+    spark, tmp_path_factory
+):
+    """Pre-r6 manifests carry stats but no stats_cols: a stats-free writer
+    then has nothing to recompute with, so the rewritten partition's stale
+    entry must be DROPPED (reads conservatively keep the partition) rather
+    than carried forward."""
+    import json
+
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root, stats_cols=["block_id"])
+    t.write_partitions(_frame(spark, 0, 30, "x"))
+    # simulate a legacy manifest: strip the persisted stats_cols key
+    mname = t._current_manifest_name()
+    mpath = f"{root}/_manifests/{mname}"
+    doc = json.load(open(mpath))
+    del doc["stats_cols"]
+    json.dump(doc, open(mpath, "w"))
+    bare = VersionedTable(spark, root)
+    bare.write_partitions(
+        spark.createDataFrame(
+            [(i, 1, "y") for i in range(110, 120)],
+            "block_id bigint, block_id_group bigint, tag string",
+        )
+    )
+    assert "1" not in t.stats()  # stale bounds gone, not carried
+    # untouched partitions keep theirs; rewritten one is conservatively kept
+    hit = t.read(between=("block_id", 112, 115))
+    assert hit.count() == 10
+
+
+def test_merge_into_preserves_evolved_schema(spark, tmp_path_factory):
+    """ADVICE r5: merge_into reads touched partitions with mergeSchema so
+    a CDC batch touching heterogeneous partitions (old 3-col + evolved
+    4-col) cannot silently drop the added column from the rewrite; the
+    union aligns by name with missing columns null-filled."""
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    t.write_partitions(_frame(spark, 0, 10, "old"))  # bucket 0: 3 cols
+    t.write_partitions(
+        spark.createDataFrame(
+            [(i, 1, "new", f"e{i}") for i in range(10, 20)],
+            "block_id bigint, block_id_group bigint, tag string, extra string",
+        )
+    )  # bucket 1: evolved 4-col schema
+    cdc = spark.createDataFrame(
+        [(5, 0, "upd", None), (15, 1, "upd", "e15-upd")],
+        "block_id bigint, block_id_group bigint, tag string, extra string",
+    )
+    t.merge_into(cdc, ["block_id"])  # touches BOTH buckets
+    rows = {
+        r["block_id"]: r for r in t.read(merge_schema=True).collect()
+    }
+    assert len(rows) == 20
+    # evolved column survives the copy-on-write rewrite of bucket 1
+    assert rows[12]["extra"] == "e12"
+    assert rows[15]["extra"] == "e15-upd"
+    # old-schema rows pass through with null extra
+    assert rows[3]["extra"] is None and rows[3]["tag"] == "old"
+    assert rows[5]["tag"] == "upd"
