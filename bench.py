@@ -92,19 +92,32 @@ def main() -> None:
         }
     blocks_per_s = round(stats.blocks / ingest_sec, 1)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "ingest_blocks_per_s": blocks_per_s,
-                "ingest_rows_per_s": entity_rows_per_s,
-            }
-        )
+    doc = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "ingest_blocks_per_s": blocks_per_s,
+        "ingest_rows_per_s": entity_rows_per_s,
+    }
+    print(json.dumps(doc))
+    # The driver stores only a truncated tail of stdout ("parsed": null in
+    # BENCH_r*.json), which hides every query alphabetically before ~q2 from
+    # round-over-round comparison. Persist the FULL artifact so each round
+    # can diff all per-query timings (SPARK_GRAFT_BENCH_OUT overrides the
+    # destination; writing is best-effort — a read-only cwd must not fail
+    # the bench).
+    out = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        str(Path(__file__).resolve().parent / "BENCH_full_latest.json"),
     )
+    try:
+        with open(out, "w") as fh:
+            json.dump(doc, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass
     spark.stop()
 
 

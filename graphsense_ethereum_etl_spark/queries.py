@@ -1459,9 +1459,11 @@ def z1_morton_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g8_bipartite_projection",
     """
     WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    ok AS (SELECT p FROM e GROUP BY p HAVING COUNT(*) <= 30),
+    f AS (SELECT e.s, e.p FROM e JOIN ok ON e.p = ok.p),
     proj AS (
       SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared
-      FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+      FROM f a JOIN f b ON a.p = b.p AND a.s < b.s
       GROUP BY a.s, b.s)
     SELECT CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2, shared
     FROM proj ORDER BY shared DESC, s1, s2 LIMIT 20
@@ -1472,30 +1474,23 @@ def g8_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers by shared-part count (top-20, deterministic tie-break —
     a fixed absolute threshold would not transfer across scale factors
     since co-occurrence density falls as the part catalog grows) — the
-    standard
-    one-mode projection that turns supplier⋈part into a supplier
-    similarity graph (co-purchase graphs, author-collaboration networks).
-    The self-join key is the PART, so the pair blow-up is Σ deg(p)² over
-    parts — bounded by the part-side degree cap, the same reason dedup
-    banding joins on the bucket: at 100 TB a hot part is the skew unit,
-    handled by AQE split or a degree cap filter (mm-style); suppliers are
-    never all-paired directly. Map-side combine collapses pairs before
-    the exchange."""
-    e = (
-        load(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_suppkey").cast("bigint").alias("s"),
-            F.col("l_partkey").cast("bigint").alias("p"),
-        )
-        .distinct()
+    standard one-mode projection that turns supplier⋈part into a
+    supplier similarity graph (co-purchase graphs, author-collaboration
+    networks), via operators.graph.bipartite_project. The self-join key
+    is the PART, so the pair blow-up is Σ deg(p)² over parts; the
+    degree_cap=30 hub suppression (binding at this sf: part degrees run
+    13-41) bounds the worst key at cap² pairs — the 100-TB skew unit is
+    eliminated structurally, not rescued by AQE. The cap is part of the
+    oracle (HAVING COUNT(*) <= 30), so exclusion semantics are
+    hash-verified, not just plan-shaped. Map-side combine collapses
+    pairs before the exchange."""
+    from .operators.graph import bipartite_project
+
+    e = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
     )
-    a = e.select(F.col("s").alias("s1"), "p")
-    b = e.select(F.col("s").alias("s2"), "p")
     return (
-        a.join(b, "p")
-        .filter(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.count("*").cast("bigint").alias("shared"))
+        bipartite_project(e, left="s", right="p", degree_cap=30)
         .orderBy(F.col("shared").desc(), "s1", "s2")
         .limit(20)
     )
@@ -6994,65 +6989,37 @@ def h2_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # original declaration order is preserved.
 
 _CERTIFICATION_PRIORITY: list[str] = [
-    # new in r5 — never driver-certified
-    "seq1_event_transitions",
-    "seq2_time_in_state",
-    "d3_hour_dow_histogram",
-    "asof4_next_event",
-    "w7_trailing_aggregate",
-    "mm6_video_neardup",
-    "mm5_audio_neardup",
-    "vq1_constraint_report",
-    "vq2_outlier_flags",
-    "rc1_recursive_bfs",
-    "map2_variant_props",
-    "s4_multiset_ops",
-    "g6_kcore_peel2",
-    "smp8_negative_pairs",
-    "h2_equidepth_deciles",
-    "k6_merge_upsert",
-    "scd1_type2_history",
-    "t11_line_dedup",
-    "win3_session_window",
-    "v2_bpe_pair_counts",
-    "h1_price_histogram",
-    "prof1_key_skew",
-    "mm3_image_neardup",
-    "cc2_keep_canonical",
-    "dd7_passjoin_pairs",
-    "t8_quality_quantile_filter",
-    "g4_pagerank_2iter",
-    "smp4_sequence_packing",
-    "t9_bm25_scoring",
-    "w5_range_frame",  # oracle changed r5 (epoch_us integer frame) → re-certify
-    # certified r1-r3 only; rotated OUT of the r4 first-50 window — their
-    # r4-round certification is stale against regenerated testdata, so they
-    # take the rest of this round's window (the r4-certified set keeps full
-    # local-parity coverage via tests/test_oracle_parity.py meanwhile).
-    # The last 22 of this tier (t4, dd2, dd3, dd4, dd5, sim1, sim2, sim3,
-    # sim5, mm1, win1, sess1, g1, g2, s5, str1, map1, asof2, pct1, w4,
-    # apx2, gs1) fall past position 50 now that 22 more r5 queries joined
-    # the front — they lead the r6 rotation.
-    "j3_anti_join",
-    "j4_asof_day_max",
-    "a1_resume_max",
-    "a2_global_stats",
-    "q1_pricing_summary",
-    "a3_rollup",
-    "a4_cube",
-    "a5_conditional_pivot",
-    "w1_running_balance",
-    "w2_topk_per_group",
-    "w3_lag_gap",
-    "o1_global_topk",
-    "s1_union_distinct",
-    "s2_intersect",
-    "s3_except",
-    "d1_monthly_activity",
-    "d2_format_strings",
-    "t1_token_stats",
-    "t2_quality_score",
-    "t3_lang_id",
+    # --- r6 window: the full certification debt fits in one 50-slot
+    # window (VERDICT r5 item 1). Tier 1: the 25 never-driver-certified
+    # queries (added mid/late r5, past that round's frozen prefix).
+    "km1_kmeans",
+    "ctm1_decontamination",
+    "lm1_bigram_commonness",
+    "chk1_token_chunks",
+    "smp5_domain_cap",
+    "a6_ordered_set",
+    "lat1_lateral_topn",
+    "str2_listagg",
+    "dd8_semdedup",
+    "mm4_wav_roundtrip",
+    "w6_ignore_nulls_ffill",
+    "t10_filter_funnel",
+    "win2_sliding_counts",
+    "smp6_temperature_sampling",
+    "v1_token_zipf",
+    "apx3_freq_items",
+    "smp7_bottomk_sample",
+    "ml1_ols_regression",
+    "g5_sssp_bf3",
+    "fun1_conversion_funnel",
+    "coh1_weekly_retention",
+    "z1_morton_key",
+    "g8_bipartite_projection",
+    "seq3_session_paths",
+    "vq3_winsorize",
+    # Tier 2: new in r6 (inserted here so they certify immediately).
+    # Tier 3: certified r2/r3 only and stale ever since — the 22 entries
+    # the r5 window displaced.
     "t4_fingerprint",
     "dd2_ngram_jaccard",
     "dd3_minhash_lsh",
@@ -7075,31 +7042,12 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "w4_rank_family",
     "apx2_approx_quantiles",
     "gs1_grouping_sets",
-    # new earlier in r5 but past the 50-query window (filled by the 26
-    # never-certified queries + w5 + the 23 stalest recertifications
-    # above): covered by the full local parity replica now, queued with
-    # the displaced stale tier for the r6 certification rotation.
-    "km1_kmeans",
-    "ctm1_decontamination",
-    "lm1_bigram_commonness",
-    "chk1_token_chunks",
-    "smp5_domain_cap",
-    "a6_ordered_set",
-    "lat1_lateral_topn",
-    "str2_listagg",
-    "dd8_semdedup",
-    "mm4_wav_roundtrip",
-    "w6_ignore_nulls_ffill",
-    "t10_filter_funnel",
-    "win2_sliding_counts",
-    "smp6_temperature_sampling",
-    "v1_token_zipf",
-    "apx3_freq_items",
-    "smp7_bottomk_sample",
-    "ml1_ols_regression",
-    "g5_sssp_bf3",
-    "fun1_conversion_funnel",
-    "coh1_weekly_retention",
+    # Tier 4: r4-certified refreshers filling the remaining slots —
+    # infra-heavy queries whose certification is the oldest still-green
+    # external signal for their subsystems.
+    "k5_versioned_reorg",
+    "fx1_fiat_conversion",
+    "j5_salted_join",
 ]
 
 

@@ -65,3 +65,39 @@ def test_star_converges_logarithmically_on_chain(spark):
     assert out == {i: 0 for i in range(n)}
     # generous constant over ceil(log2(200)) ≈ 7.6 — far below diameter 199
     assert rounds <= 3 * math.ceil(math.log2(n))
+
+
+def test_bipartite_project_degree_cap_bounds_planted_hub(spark):
+    """VERDICT r5 item 4: a planted high-degree right vertex must be
+    EXCLUDED by degree_cap, bounding the pair count — without the cap a
+    degree-d hub emits d(d-1)/2 pairs."""
+    from graphsense_ethereum_etl_spark.operators.graph import (
+        bipartite_project,
+    )
+
+    hub_degree = 200
+    rows = [(s, 0) for s in range(hub_degree)]       # hub part 0
+    rows += [(1, 1), (2, 1), (1, 2), (2, 2), (3, 2)]  # normal parts
+    edges = spark.createDataFrame(rows, "s bigint, p bigint")
+
+    capped = bipartite_project(edges, degree_cap=10)
+    got = {(r["s1"], r["s2"]): r["shared"] for r in capped.collect()}
+    # only the normal parts contribute: (1,2) share parts 1 and 2;
+    # (1,3) and (2,3) share part 2
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+    uncapped = bipartite_project(edges, degree_cap=None)
+    assert uncapped.count() == hub_degree * (hub_degree - 1) // 2
+
+
+def test_bipartite_project_dedups_multi_edges(spark):
+    from graphsense_ethereum_etl_spark.operators.graph import (
+        bipartite_project,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 7), (1, 7), (2, 7), (2, 7)], "s bigint, p bigint"
+    )
+    got = bipartite_project(edges).collect()
+    assert len(got) == 1
+    assert got[0]["shared"] == 1  # multi-edge never inflates the weight
