@@ -229,13 +229,19 @@ def bipartite_project(
         .distinct()
     )
     if degree_cap is not None:
-        ok = (
-            e.groupBy("_r")
-            .agg(F.count("*").alias("_deg"))
+        # degree as a WINDOW over the right key, not a groupBy+join-back:
+        # the window shuffles e onto hashpartitioning(_r) — exactly the
+        # partitioning the self-join below needs — so Catalyst reuses one
+        # exchange for cap filter and join instead of paying a separate
+        # degree-relation shuffle plus a join.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_r")
+        e = (
+            e.withColumn("_deg", F.count("*").over(w))
             .filter(F.col("_deg") <= degree_cap)
-            .select("_r")
+            .drop("_deg")
         )
-        e = e.join(ok, "_r")
     a = e.select(F.col("_l").alias(f"{left}1"), "_r")
     b = e.select(F.col("_l").alias(f"{left}2"), "_r")
     return (

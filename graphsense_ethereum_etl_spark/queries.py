@@ -5255,67 +5255,18 @@ def ctm1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lm1_bigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style corpus LM quality signal, integer-exact: train a token
-    bigram model ON the corpus (pair + prefix occurrence counts), then score
-    each document by how common its bigrams are — sum of corpus-wide pair
-    counts over sum of prefix counts. Low commonness ≈ rare/garbled word
-    sequences (the role perplexity plays in CCNet, without ln(), whose
-    last-ulp libm differences would break hash-exact oracles; both sums are
-    BIGINT so the single final division is the only IEEE op).
+    """CCNet-style corpus LM quality signal via
+    operators.corpus.bigram_commonness — integer-exact bigram model
+    trained on the corpus, each doc scored by Σ pair-count / Σ
+    prefix-count (perplexity's role without ln(); see the operator
+    docstring for the single-explode pre-aggregated scale shape and the
+    broadcast-overflow fallback parameter). The r5 plan exploded the
+    corpus twice; the pre-aggregation variant won the measured
+    comparison and is now the only path."""
+    from .operators.corpus import bigram_commonness
 
-    Scale shape: one explode to (doc_id, w1, w2); the count tables shuffle
-    only (gram, count) pairs — vocabulary-bounded (Heaps' law), tiny
-    relative to the corpus — and come back as BROADCAST joins, so the
-    per-doc aggregation is the fact's only shuffle. At web scale the
-    bigram table may exceed broadcast reach; the fallback is the same plan
-    with a hash join co-partitioned on w1."""
     docs = load(spark, sf_dir, "documents", spread=True)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    pairs = docs.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.struct(
-                        F.element_at(toks, i).alias("w1"),
-                        F.element_at(toks, i + 1).alias("w2"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
-    # The exploded pair stream is consumed twice (bigram counts, per-doc
-    # probe) — deliberately re-exploded rather than pre-aggregated on
-    # (doc_id, w1, w2): both consumers map-side-combine to a vocabulary- or
-    # doc-count-bounded stream before their exchange, so re-scanning the
-    # corpus (cheap columnar reads) beats shuffling a corpus-sized
-    # (doc_id, bigram) relation. Prefix counts need NO corpus pass at all:
-    # count(w1) = Σ_w2 count(w1, w2), a rollup of the vocabulary-sized
-    # bigram relation (this was a third corpus explode until r5).
-    bc = pairs.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("pc"))
-    uc = bc.groupBy("w1").agg(F.sum("pc").cast("bigint").alias("upc"))
-    # fold the prefix counts INTO the bigram dim (both vocabulary-sized) so
-    # the exploded fact pays ONE broadcast probe instead of two
-    lm = bc.join(uc, "w1")
-    return (
-        pairs.join(F.broadcast(lm), ["w1", "w2"])
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum("pc").cast("bigint").alias("sum_pair_cnt"),
-            F.sum("upc").cast("bigint").alias("sum_prefix_cnt"),
-        )
-        .withColumn(
-            "commonness",
-            F.round(
-                F.col("sum_pair_cnt").cast("double")
-                / F.col("sum_prefix_cnt").cast("double"),
-                9,
-            ),
-        )
-    )
+    return bigram_commonness(docs)
 
 
 @query(

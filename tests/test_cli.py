@@ -606,3 +606,31 @@ def test_dedup_lines_null_text_passes_through(spark):
     assert set(got) == {0, 1, 2}  # nobody dropped
     assert got[1]["text"] == "" and got[1]["n_dropped"] == 0
     assert got[0]["text"] == "a\nb"
+
+
+def test_bigram_commonness_fallback_join_matches_broadcast(spark):
+    """VERDICT r5 item 2: the broadcast-overflow fallback (co-partitioned
+    shuffle hash join on the bigram key) is a real code path and produces
+    identical scores."""
+    from graphsense_ethereum_etl_spark.operators.corpus import (
+        bigram_commonness,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the cat ran"),
+            (2, "a dog sat on the mat"),
+            (3, "one-token"),
+            (4, "the cat sat on the mat"),
+        ],
+        "doc_id bigint, text string",
+    )
+    a = sorted(map(tuple, bigram_commonness(docs).collect()))
+    b = sorted(
+        map(tuple, bigram_commonness(docs, broadcast_model=False).collect())
+    )
+    assert a == b
+    got = {r[0]: r for r in a}
+    assert 3 not in got  # single-token doc has no bigrams
+    assert got[0][1:] == got[4][1:]  # identical docs score identically

@@ -220,28 +220,30 @@ def test_ctm1_eval_grams_broadcast_corpus_never_shuffled(spark, sf_dir):
     assert plan.count("BroadcastExchange") == 2, plan.count("BroadcastExchange")
 
 
-def test_lm1_fact_never_shuffles_raw_pairs(spark, sf_dir):
-    """lm1's exploded fact pays ONE broadcast probe (pair+prefix counts
-    pre-merged into one vocab-sized dim) and every exchange in the plan is
-    map-side-combined to a bounded stream: the count dims shuffle
-    vocabulary-sized aggregates, the final agg shuffles per-doc partials —
-    no exchange ever carries the raw (doc_id, bigram) relation. The corpus
-    is deliberately re-exploded per consumer (cheap columnar scans) instead
-    of materializing that corpus-sized shuffle."""
-    from graphsense_ethereum_etl_spark.plans import executed_plan
-
+def test_lm1_single_corpus_explode_via_exchange_reuse(spark, sf_dir):
+    """lm1 (r6 pre-aggregated variant): the corpus pays exactly ONE
+    explode + one map-side-combined (doc_id, w1, w2) exchange at runtime;
+    the bigram-count and prefix-rollup branches land on ReusedExchange
+    nodes instead of re-reading the corpus (this is what the explicit
+    null-normalization filter in bigram_commonness buys — without it the
+    branches' canonical subtrees differ and reuse is defeated). The model
+    probe on the fact stays a broadcast join."""
     df = REGISTRY["lm1_bigram_commonness"].fn(spark, sf_dir)
-    plan = executed_plan(df)
-    # one probe on the fact + one inside the vocab-sized dim build (bc⋈uc)
-    assert plan.count("BroadcastHashJoin") == 2, plan.count("BroadcastHashJoin")
-    # every hash exchange sits above a partial HashAggregate (map-side
-    # combine) — a raw (doc_id, w1, w2) exchange would have none
-    bad = [
+    df.collect()  # a noop-sink write finalizes a SEPARATE QueryExecution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # inspect only AQE's FINAL plan, not the appended Initial Plan section
+    final = plan.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    corpus_exchanges = [
         ln
-        for ln in plan.splitlines()
-        if "Exchange hashpartitioning(doc_id" in ln and "w1" in ln
+        for ln in final.splitlines()
+        if "Exchange hashpartitioning(doc_id" in ln
+        and "w1" in ln
+        and "ReusedExchange" not in ln
     ]
-    assert not bad, bad
+    assert len(corpus_exchanges) == 1, corpus_exchanges
+    assert final.count("ReusedExchange") >= 2  # bc + uc branches
+    assert "BroadcastHashJoin" in final  # the fact-side model probe
 
 
 def test_smp5_single_exchange_on_source(spark, sf_dir):
