@@ -4984,6 +4984,62 @@ def t8_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t8b_approx_quantile_filter",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+               / CAST(length(lower(text)) AS DOUBLE) AS score
+      FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS kept_within_tol
+    FROM s GROUP BY lang
+    """,
+)
+def t8b_approx_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB swap t8's docstring names, as a first-class query:
+    per-language bottom-decile filtering with ``approx_percentile``
+    thresholds (accuracy=10000) instead of the exact percentile. The
+    kept SET near the boundary is sketch-specific, so the oracle checks
+    CALIBRATION per language (tolerance-boolean pattern): the kept
+    fraction must land within 5% of the 90% target (rank error 1e-4
+    plus score-tie mass at the threshold value — the sketch returns an
+    actual data value, so ties make the kept fraction step); the exact
+    per-language doc count is the hash-checked fact. Same plan shape as
+    t8: tiny threshold aggregate broadcast back, fact never shuffled
+    until the per-lang rollup."""
+    s = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        (
+            F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).cast(
+                "double"
+            )
+            / F.length(F.lower(F.col("text"))).cast("double")
+        ).alias("score"),
+    )
+    thr = s.groupBy("lang").agg(
+        F.approx_percentile("score", F.lit(0.1), F.lit(10000)).alias("t")
+    )
+    return (
+        s.join(F.broadcast(thr), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            (
+                F.abs(
+                    F.sum(
+                        F.when(F.col("score") >= F.col("t"), 1).otherwise(0)
+                    ).cast("double")
+                    / F.count("*").cast("double")
+                    - 0.9
+                )
+                <= 0.05
+            ).alias("kept_within_tol"),
+        )
+    )
+
+
+@query(
     "smp3_mix_rebalance",
     """
     WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY 1)
@@ -6927,6 +6983,81 @@ def h2_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "h2b_approx_deciles",
+    """
+    SELECT CAST(i AS BIGINT) AS idx,
+           ROUND(i / 10.0, 4) AS frac,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+           TRUE AS within_tol
+    FROM unnest(range(1, 10)) t(i)
+    """,
+)
+def h2b_approx_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB swap h2's docstring names, as a first-class query:
+    decile boundaries from the Greenwald-Khanna sketch
+    (``approx_percentile``, accuracy=10000 → rank error ≤ 1e-4) instead
+    of the exact percentile whose aggregation buffer holds every group
+    value. Sketch values are engine-specific, so the oracle checks
+    RANK CALIBRATION (the apx1/apx2 tolerance-boolean pattern): for each
+    boundary i the fraction of rows ≤ boundary must be within 1% of
+    i/10; the exact row count rides along as the hash-checked fact.
+    Plan: one sketch aggregation + one conditional-sum scan against the
+    broadcast 1-row boundary array — the fact is never shuffled and
+    never replicated (no explode-by-9)."""
+    cents = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    q = cents.agg(
+        F.expr(
+            "approx_percentile(cents, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, "
+            "0.6D, 0.7D, 0.8D, 0.9D), 10000)"
+        ).alias("b")
+    )
+    row = (
+        cents.crossJoin(F.broadcast(q))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            *[
+                F.sum(
+                    F.when(
+                        F.col("cents") <= F.element_at(F.col("b"), i), 1
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"le{i}")
+                for i in range(1, 10)
+            ],
+        )
+    )
+    per_idx = row.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("bigint").alias("idx"),
+                        F.col(f"le{i}").alias("n_le"),
+                    )
+                    for i in range(1, 10)
+                ]
+            )
+        ).alias("s"),
+    )
+    return per_idx.select(
+        F.col("s.idx").alias("idx"),
+        F.round(F.col("s.idx") / 10.0, 4).alias("frac"),
+        F.col("n").alias("n_rows"),
+        (
+            F.abs(
+                F.col("s.n_le").cast("double") / F.col("n").cast("double")
+                - F.col("s.idx").cast("double") / 10.0
+            )
+            <= 0.01
+        ).alias("within_tol"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry certification ordering
 # ---------------------------------------------------------------------------
@@ -6969,6 +7100,8 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "seq3_session_paths",
     "vq3_winsorize",
     # Tier 2: new in r6 (inserted here so they certify immediately).
+    "h2b_approx_deciles",
+    "t8b_approx_quantile_filter",
     # Tier 3: certified r2/r3 only and stale ever since — the 22 entries
     # the r5 window displaced.
     "t4_fingerprint",
