@@ -253,7 +253,7 @@ def build_parser() -> ArgumentParser:
         "operation",
         choices=[
             "dedup", "decontaminate", "score", "sample", "pack", "chunk",
-            "dedup-lines", "negatives", "validate",
+            "dedup-lines", "negatives", "validate", "lm-score",
         ],
         help="which curation pass to run over the input documents table",
     )
@@ -332,6 +332,14 @@ def build_parser() -> ArgumentParser:
         "--line-tokens", dest="line_tokens", type=int, default=None,
         help="dedup-lines: treat k-token segments as lines "
         "(default: split on real newlines)",
+    )
+    corpus.add_argument(
+        "--no-broadcast-model",
+        dest="broadcast_model",
+        action="store_false",
+        help="lm-score: probe the bigram model with a co-partitioned hash "
+        "join instead of a broadcast (for vocabularies beyond broadcast "
+        "reach)",
     )
 
     return parser
@@ -588,6 +596,15 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
 
         out = negative_pairs(
             docs, k=args.negatives_per_doc, id_col=args.id_col
+        )
+    elif args.operation == "lm-score":
+        from .operators.corpus import bigram_commonness
+
+        out = bigram_commonness(
+            docs,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            broadcast_model=args.broadcast_model,
         )
     elif args.operation == "validate":
         import json as _json

@@ -634,3 +634,27 @@ def test_bigram_commonness_fallback_join_matches_broadcast(spark):
     got = {r[0]: r for r in a}
     assert 3 not in got  # single-token doc has no bigrams
     assert got[0][1:] == got[4][1:]  # identical docs score identically
+
+
+def test_cli_corpus_lm_score(spark, tmp_path):
+    """corpus lm-score through the CLI, both probe paths (broadcast and
+    the --no-broadcast-model co-partitioned fallback) — identical output."""
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the cat ran"), (2, "a dog sat")],
+        "doc_id bigint, text string",
+    ).write.parquet(src)
+    out_b = str(tmp_path / "lm_b")
+    out_f = str(tmp_path / "lm_f")
+    main(["corpus", "lm-score", "-i", src, "-o", out_b], spark=spark)
+    main(
+        ["corpus", "lm-score", "-i", src, "-o", out_f, "--no-broadcast-model"],
+        spark=spark,
+    )
+    rb = sorted(map(tuple, spark.read.parquet(out_b).collect()))
+    rf = sorted(map(tuple, spark.read.parquet(out_f).collect()))
+    assert rb == rf and len(rb) == 3
+    cols = set(spark.read.parquet(out_b).columns)
+    assert cols == {
+        "doc_id", "n_bigrams", "sum_pair_cnt", "sum_prefix_cnt", "commonness"
+    }
