@@ -242,7 +242,11 @@ def compact_partitions(
     format with real transactions (Delta/Iceberg OPTIMIZE); the operator
     keeps the same shape.
     """
-    df = spark.read.parquet(path)
+    # mergeSchema: a whole-dataset rewrite must carry the union schema
+    # across partitions straddling an additive evolution, or the evolved
+    # column is silently dropped from every rewritten file (r6 bug class,
+    # see VersionedTable.compact / merge_into).
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     compacted = df.repartition(F.col(partition_col))
     if sort_cols:
         # partition column leads — see write_partitioned_parquet

@@ -420,7 +420,14 @@ class VersionedTable:
         snap = self.snapshot()
         if not snap:
             return 0
-        df = self.spark.read.parquet(*sorted(snap.values()))
+        # mergeSchema unconditionally: compaction is a whole-table rewrite,
+        # so inferring the schema from one footer across partitions that
+        # straddle an additive evolution would silently DROP the evolved
+        # column from every rewritten file (the merge_into bug class, r6).
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*sorted(snap.values()))
+        )
         compacted = df.withColumn("_pv", F.col(self.partition_col)).repartition(
             F.col(self.partition_col)
         )

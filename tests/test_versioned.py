@@ -478,3 +478,24 @@ def test_merge_into_preserves_evolved_schema(spark, tmp_path_factory):
     # old-schema rows pass through with null extra
     assert rows[3]["extra"] is None and rows[3]["tag"] == "old"
     assert rows[5]["tag"] == "upd"
+
+
+def test_compact_preserves_evolved_schema(spark, tmp_path_factory):
+    """Compaction is a whole-table rewrite: across partitions straddling
+    an additive schema evolution it must carry the union schema (the
+    merge_into bug class) — without mergeSchema the evolved column is
+    silently dropped from every rewritten file."""
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    t.write_partitions(_frame(spark, 0, 10, "old"))  # bucket 0: 3 cols
+    t.write_partitions(
+        spark.createDataFrame(
+            [(i, 1, "new", f"e{i}") for i in range(10, 20)],
+            "block_id bigint, block_id_group bigint, tag string, extra string",
+        )
+    )  # bucket 1: evolved 4-col schema
+    t.compact()
+    rows = {r["block_id"]: r for r in t.read(merge_schema=True).collect()}
+    assert len(rows) == 20
+    assert rows[12]["extra"] == "e12"  # evolved column survived the rewrite
+    assert rows[3]["extra"] is None
