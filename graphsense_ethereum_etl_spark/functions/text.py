@@ -134,11 +134,15 @@ def dup_shingle_ratio(text: Column | str, k: int = 3) -> Column:
 
 
 def alpha_ratio(text: Column | str) -> Column:
-    """Share of [a-z] characters after lowercasing — quality signal."""
+    """Share of [a-z] characters after lowercasing — quality signal.
+    NULL for empty (or NULL) text: there is no signal in zero characters,
+    and the unguarded division is a DIVIDE_BY_ZERO crash under ANSI mode
+    (found via score_documents on an empty-string document, r6)."""
     c = F.lower(F.col(text) if isinstance(text, str) else text)
-    return (
+    return F.when(
+        F.length(c) > 0,
         F.length(F.regexp_replace(c, "[^a-z]", "")).cast("double")
-        / F.length(c).cast("double")
+        / F.length(c).cast("double"),
     )
 
 

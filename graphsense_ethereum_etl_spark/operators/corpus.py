@@ -140,10 +140,13 @@ def pack_sequences(
     starting sequence id, offset inside it, and boundary-span count — what
     a dataloader needs to map packed sequences back to provenance. One
     window shuffle on the shard key; pure integer arithmetic."""
+    # NULL text counts as empty (one zero-length token, the same as ''):
+    # an unguarded split(NULL) yields NULL n_tokens, which poisons every
+    # downstream cumulative sum and seq assignment for that document.
     d = docs.select(
         F.col(id_col).cast("bigint").alias(id_col),
         F.col(shard_col),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        F.size(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
         .cast("bigint")
         .alias("n_tokens"),
     )
@@ -181,8 +184,10 @@ def chunk_documents(
     each document splits into ``chunk_tokens``-token chunks every
     ``stride`` tokens (ragged tails kept), emitting the chunk TEXT for
     downstream embedding/indexing. Pure Catalyst sequence+slice transform
-    + one explode — no shuffle."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    + one explode — no shuffle. NULL text is treated as '' (one empty
+    chunk) rather than silently dropping the document (explode of a NULL
+    sequence emits zero rows)."""
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     chunks = F.transform(
         F.sequence(F.lit(1), F.size(toks), F.lit(stride)),
         lambda s: F.struct(

@@ -658,3 +658,29 @@ def test_cli_corpus_lm_score(spark, tmp_path):
     assert cols == {
         "doc_id", "n_bigrams", "sum_pair_cnt", "sum_prefix_cnt", "commonness"
     }
+
+
+def test_corpus_ops_handle_null_and_empty_text(spark):
+    """r6 bug-class sweep (after the dedup_lines ADVICE fix): no corpus
+    operator may silently drop or crash on NULL/empty text documents."""
+    from graphsense_ethereum_etl_spark.operators.corpus import (
+        chunk_documents,
+        pack_sequences,
+        score_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "s1"), (1, None, "s1"), (2, "", "s2")],
+        "doc_id bigint, text string, source string",
+    )
+    # chunk: NULL-text doc must appear (was silently dropped)
+    assert sorted(
+        r["doc_id"] for r in chunk_documents(docs).collect()
+    ) == [0, 1, 2]
+    # pack: NULL text behaves like '' — no NULL bookkeeping poisoning
+    packed = {r["doc_id"]: r for r in pack_sequences(docs, seq_len=4).collect()}
+    assert packed[1]["n_tokens"] == 1 and packed[1]["seq_id"] is not None
+    # score: empty text must not DIVIDE_BY_ZERO under ANSI mode
+    scored = {r["doc_id"]: r for r in score_documents(docs).collect()}
+    assert scored[2]["alpha_ratio"] is None  # no signal, not a crash
+    assert scored[0]["alpha_ratio"] is not None
