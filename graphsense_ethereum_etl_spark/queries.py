@@ -791,6 +791,74 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t12_gopher_rules",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS mean_token_len,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS alpha_word_ratio,
+             CAST(len(list_filter(list_distinct(w),
+                    x -> list_contains(['the','a','of','and','to'], x)))
+                  AS BIGINT) AS n_stop
+      FROM s)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+           mean_token_len, alpha_word_ratio, n_stop,
+           (n_tokens BETWEEN 10 AND 1000)
+             AND (mean_token_len BETWEEN 2.0 AND 12.0)
+             AND (alpha_word_ratio >= 0.7)
+             AND (n_stop >= 1) AS keep
+    FROM m
+    """,
+)
+def t12_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule bundle (Rae et al. 2021 §A1.1, the
+    standard pretraining heuristic gate) as ONE scan: token-count bounds,
+    mean-token-length band, fraction-of-words-with-an-alphabetic-char
+    floor, and a minimum stopword-hit count — every signal a pure
+    Catalyst expression over one tokenization (Catalyst's common
+    subexpression elimination shares the split), emitted per document
+    with the combined ``keep`` verdict. Thresholds are scaled to the
+    synthetic corpus (the published ones: 50..100k tokens, 3..10 chars,
+    0.8, 2 stopwords). Ratios are single IEEE divisions of
+    integer-exact counts, so the boolean cutoffs are
+    oracle-deterministic. No shuffle at all — the gate is map-only, the
+    100-TB cost is exactly one corpus read."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    en_stop = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "to"]])
+    m = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("mean_token_len"),
+        (
+            F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("alpha_word_ratio"),
+        F.size(F.array_intersect(F.array_distinct(toks), en_stop))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    return m.withColumn(
+        "keep",
+        F.col("n_tokens").between(10, 1000)
+        & F.col("mean_token_len").between(2.0, 12.0)
+        & (F.col("alpha_word_ratio") >= 0.7)
+        & (F.col("n_stop") >= 1),
+    )
+
+
 def _duck_lang_score(lang: str) -> str:
     from .functions.text import LANG_STOPWORDS
 
@@ -7102,6 +7170,7 @@ _CERTIFICATION_PRIORITY: list[str] = [
     # Tier 2: new in r6 (inserted here so they certify immediately).
     "h2b_approx_deciles",
     "t8b_approx_quantile_filter",
+    "t12_gopher_rules",
     # Tier 3: certified r2/r3 only and stale ever since — the 22 entries
     # the r5 window displaced.
     "t4_fingerprint",
