@@ -131,8 +131,14 @@ def blocked_cosine_pairs(
         ids_r = r["id"].to_numpy(dtype=np.int64)
         m_l = np.array(l["v"].tolist(), dtype=np.float64)
         m_r = np.array(r["v"].tolist(), dtype=np.float64)
-        m_l /= np.linalg.norm(m_l, axis=1, keepdims=True)
-        m_r /= np.linalg.norm(m_r, axis=1, keepdims=True)
+        # zero-norm guard: an all-zero embedding has no direction — its
+        # similarity to anything is undefined; dividing by 1 leaves the
+        # zero row, whose dot products are 0 and fail any threshold > 0
+        # (deterministic exclusion instead of NaN + RuntimeWarning noise).
+        n_l = np.linalg.norm(m_l, axis=1, keepdims=True)
+        n_r = np.linalg.norm(m_r, axis=1, keepdims=True)
+        m_l /= np.where(n_l == 0.0, 1.0, n_l)
+        m_r /= np.where(n_r == 0.0, 1.0, n_r)
         out_a, out_b, out_s = [], [], []
         for a0 in range(0, len(ids_l), gemm_chunk):
             tile_l = m_l[a0 : a0 + gemm_chunk]
@@ -361,9 +367,10 @@ def lsh_ann_pairs(
         # avoids the Python-float boxing a tolist() round-trip would pay
         ma = np.stack(va.to_numpy()).astype(np.float64)
         mb = np.stack(vb.to_numpy()).astype(np.float64)
-        s = np.einsum("ij,ij->i", ma, mb) / (
-            np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-        )
+        d = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        # zero-norm guard: 0-vector pairs score 0.0 (fails any threshold
+        # > 0) instead of NaN — see blocked_cosine_pairs
+        s = np.einsum("ij,ij->i", ma, mb) / np.where(d == 0.0, 1.0, d)
         return pd.Series(np.round(s, 6))
 
     e_a = embeddings.select(
@@ -406,9 +413,10 @@ def cosine_pairs_within(
     def batch_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
         ma = np.stack(va.to_numpy()).astype(np.float64)
         mb = np.stack(vb.to_numpy()).astype(np.float64)
-        s = np.einsum("ij,ij->i", ma, mb) / (
-            np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-        )
+        d = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        # zero-norm guard: 0-vector pairs score 0.0 (fails any threshold
+        # > 0) instead of NaN — see blocked_cosine_pairs
+        s = np.einsum("ij,ij->i", ma, mb) / np.where(d == 0.0, 1.0, d)
         return pd.Series(np.round(s, 6))
 
     a = tagged.select(

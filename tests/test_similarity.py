@@ -110,3 +110,27 @@ def test_blocked_gemm_tiling_invariant(spark, sf_dir):
 
     # n_blocks=1: ONE 500-row group, forced through 7-row score tiles
     assert pairs(n_blocks=1, gemm_chunk=7) == pairs(n_blocks=8, gemm_chunk=1024)
+
+
+def test_zero_norm_embeddings_excluded_deterministically(spark):
+    """r6: an all-zero embedding has no direction — it must be excluded
+    from threshold results by scoring 0.0, not propagate NaN (NaN fails
+    comparisons too, but nondeterministically poisons downstream math and
+    spams RuntimeWarnings)."""
+    from graphsense_ethereum_etl_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        cosine_pairs_within,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in blocked_cosine_pairs(df, threshold=0.5).collect()
+    )
+    assert pairs == [(0, 2)]  # the zero vector pairs with nothing
+    tagged = df.withColumn("blk", F.lit(0))
+    within = cosine_pairs_within(tagged, block_col="blk", threshold=0.5)
+    got = sorted((r["id_a"], r["id_b"]) for r in within.collect())
+    assert got == [(0, 2)]
