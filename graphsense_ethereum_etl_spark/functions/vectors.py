@@ -26,5 +26,9 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity in double precision."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity in double precision. Zero-norm inputs score 0.0
+    (no direction → similar to nothing; the unguarded division is an ANSI
+    DIVIDE_BY_ZERO crash) — the same convention as the numpy GEMM kernels
+    in operators/similarity.py."""
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom).otherwise(F.lit(0.0))

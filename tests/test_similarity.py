@@ -134,3 +134,20 @@ def test_zero_norm_embeddings_excluded_deterministically(spark):
     within = cosine_pairs_within(tagged, block_col="blk", threshold=0.5)
     got = sorted((r["id_a"], r["id_b"]) for r in within.collect())
     assert got == [(0, 2)]
+
+
+def test_catalyst_cosine_zero_norm_no_ansi_crash(spark):
+    """r6: the Catalyst cosine fold crashed with DIVIDE_BY_ZERO under ANSI
+    mode on any zero embedding (brute_force_topk / IVF paths); zero-norm
+    now scores 0.0, matching the GEMM-kernel convention."""
+    from graphsense_ethereum_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = brute_force_topk(df, df, k=2).collect()
+    assert out  # no crash
+    # the zero vector scores 0.0 against everything, itself included
+    zeros = [r for r in out if r[0] == 1 or r[1] == 1]
+    assert zeros and all(r["score"] == 0.0 for r in zeros)
