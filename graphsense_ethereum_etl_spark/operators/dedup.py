@@ -230,6 +230,10 @@ def ngram_jaccard_pairs(
 def _jaccard_candidate_join(prefix: DataFrame, threshold: float) -> DataFrame:
     """Prefix-index self-join → deduped candidate pairs. The length filter is
     also lossless: Jaccard ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t."""
+    if not 0.0 < threshold <= 1.0:
+        # t = 0 would divide by zero in the length filter (ANSI crash) and
+        # degenerate the prefix filter to all-pairs anyway.
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     return (
         prefix.alias("a")
         .join(
