@@ -240,3 +240,94 @@ def test_check_constraints_empty_rules_is_empty_report(spark):
     rep = check_constraints(df, [])
     assert rep.columns == ["rule", "col", "n_rows", "n_violations", "passed"]
     assert rep.count() == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),   # left vertex
+            st.integers(min_value=0, max_value=5),   # right vertex
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=6),           # degree cap
+)
+def test_bipartite_project_matches_bruteforce(spark, edges, cap):
+    """bipartite_project == the brute-force one-mode projection computed in
+    plain Python (dedup edges, drop right vertices with degree > cap, count
+    shared neighbors per left pair)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from graphsense_ethereum_etl_spark.operators.graph import (
+        bipartite_project,
+    )
+
+    dedup = sorted(set(edges))
+    deg = defaultdict(set)
+    for s, p in dedup:
+        deg[p].add(s)
+    expected = defaultdict(int)
+    for p, members in deg.items():
+        if len(members) > cap:
+            continue
+        for s1, s2 in combinations(sorted(members), 2):
+            expected[(s1, s2)] += 1
+    df = spark.createDataFrame(dedup, "s bigint, p bigint")
+    got = {
+        (r["s1"], r["s2"]): r["shared"]
+        for r in bipartite_project(df, degree_cap=cap).collect()
+    }
+    assert got == dict(expected)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bigram_commonness_matches_python_reference(spark, texts):
+    """bigram_commonness == a plain-Python bigram model on the same corpus
+    (pair counts, prefix counts, per-doc integer sums)."""
+    from collections import Counter
+
+    from graphsense_ethereum_etl_spark.operators.corpus import (
+        bigram_commonness,
+    )
+
+    def toks(t):
+        t = t.strip()
+        return t.split() if t else [""]  # split('') yields [''] in Spark
+
+    corpus_pairs = Counter()
+    doc_pairs = {}
+    for i, t in enumerate(texts):
+        w = toks(t)
+        ps = list(zip(w, w[1:]))
+        doc_pairs[i] = ps
+        corpus_pairs.update(ps)
+    prefix = Counter()
+    for (w1, _), c in corpus_pairs.items():
+        prefix[w1] += c
+    expected = {}
+    for i, ps in doc_pairs.items():
+        if not ps:
+            continue
+        expected[i] = (
+            len(ps),
+            sum(corpus_pairs[p] for p in ps),
+            sum(prefix[p[0]] for p in ps),
+        )
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_pair_cnt"], r["sum_prefix_cnt"])
+        for r in bigram_commonness(df).collect()
+    }
+    assert got == expected
