@@ -2581,6 +2581,56 @@ def gs1_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "apx4_mergeable_hll",
+    """
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+           TRUE AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def apx4_mergeable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the algebra behind
+    streaming.incremental.update_sketch_rollup, demonstrated end-to-end:
+    the fact is split into 4 disjoint synthetic "batches" (hash on the
+    order key), each batch contributes an independent per-group HLL
+    sketch (``hll_sketch_agg``), and the per-group answer comes from
+    ``hll_union_agg`` over the batch sketches — never from re-scanning
+    the union of raw rows. That union-mergeability is what makes
+    incremental distinct-count rollups O(batch) instead of O(history) at
+    100 TB. Sketch estimates are engine-specific, so the oracle checks
+    CALIBRATION (apx1's tolerance-boolean pattern): the merged estimate
+    must land within 5% of the exact per-group distinct count (lg_k=12 →
+    ~1.6% relative standard error), with the exact count as the
+    hash-checked fact."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_orderkey") % 4).alias("b"),
+        "l_suppkey",
+    )
+    per_batch = li.groupBy("flag", "b").agg(
+        F.hll_sketch_agg(F.col("l_suppkey"), F.lit(12)).alias("sk")
+    )
+    merged = per_batch.groupBy("flag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = li.groupBy("flag").agg(
+        F.count_distinct("l_suppkey").cast("bigint").alias("exact_suppliers")
+    )
+    return exact.join(merged, "flag").select(
+        "flag",
+        "exact_suppliers",
+        (
+            F.abs(
+                F.col("est").cast("double")
+                - F.col("exact_suppliers").cast("double")
+            )
+            <= 0.05 * F.col("exact_suppliers").cast("double")
+        ).alias("within_tol"),
+    )
+
+
+@query(
     "apx1_approx_distinct",
     """
     SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
@@ -7195,9 +7245,12 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "w4_rank_family",
     "apx2_approx_quantiles",
     "gs1_grouping_sets",
-    # Tier 4: r4-certified refreshers filling the remaining slots —
+    # Tier 3b: new in r6 but past the 50-slot window — the full 47-query
+    # certification debt takes precedence; this leads the r7 rotation.
+    "apx4_mergeable_hll",
+    # Tier 4: r4-certified refreshers —
     # infra-heavy queries whose certification is the oldest still-green
-    # external signal for their subsystems.
+    # external signal for their subsystems (r7 rotation after tier 3b).
     "k5_versioned_reorg",
     "fx1_fiat_conversion",
     "j5_salted_join",

@@ -250,6 +250,62 @@ def update_bucket_rollup(rollup, batch_df, agg_fn) -> list[str]:
     return rollup.write_partitions(agg)
 
 
+def update_sketch_rollup(
+    rollup,
+    batch_df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lg_k: int = 12,
+) -> list[str]:
+    """Incremental DISTINCT-count rollup via mergeable HLL sketches — the
+    case ``update_bucket_rollup`` cannot cover: a distinct count whose
+    group spans MANY batches (unique active addresses per day while
+    micro-batches are block-bucket-sized) is not a pure function of any
+    one batch, so whole-bucket recompute doesn't apply and exact
+    maintenance would rescan history. Datasketches HLL makes the
+    aggregate MERGEABLE: the rollup stores one sketch BINARY per
+    (partition, *group_cols) row, and each batch does sketch-of-batch →
+    hll_union with the touched partitions' existing sketches →
+    partition overwrite. Per-batch cost is O(batch + touched groups),
+    never O(history).
+
+    Replay-safe by the algebra, not by bookkeeping: HLL registers are
+    maxima over value hashes, so unioning the same batch twice (crash
+    between rollup write and marker/checkpoint commit) leaves every
+    register unchanged — idempotence falls out of distinct-ness.
+
+    Estimates read back via ``F.hll_sketch_estimate(sketch)``; sketches
+    for coarser groups union with ``F.hll_union_agg`` (e.g. daily →
+    monthly without touching raw data). ``rollup.partition_col`` must be
+    functionally dependent on the group key (same contract as
+    merge_into) so a group's sketch always lives in the partition its
+    updates touch."""
+    part = rollup.partition_col
+    group_cols = list(group_cols or [])
+    new = batch_df.groupBy(part, *group_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch")
+    )
+    touched = [
+        str(r[0]) for r in new.select(part).distinct().collect()
+    ]  # bounded by the batch's partition span
+    snap = rollup.snapshot()
+    live = [snap[t] for t in touched if t in snap]
+    if live:
+        existing = (
+            rollup.spark.read.option("mergeSchema", "true")
+            .parquet(*sorted(live))
+            .select(part, *group_cols, "sketch")
+        )
+        merged = (
+            existing.unionByName(new)
+            .groupBy(part, *group_cols)
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
+        )
+    else:
+        merged = new
+    return rollup.write_partitions(merged)
+
+
 def run_streaming_ingest(
     spark: SparkSession,
     provider_uri: str,

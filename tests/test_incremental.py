@@ -194,3 +194,61 @@ def test_bucket_rollup_maintenance(spark, tmp_path_factory):
         for r in agg(raw.read()).collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_sketch_rollup_merges_across_batches_and_replays(spark, tmp_path):
+    """update_sketch_rollup (r6): a distinct-count group spanning many
+    batches converges to the whole-history sketch estimate; replaying a
+    batch leaves estimates unchanged (HLL union idempotence); and the
+    incremental result equals the one-shot sketch over all raw rows."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.streaming.incremental import (
+        update_sketch_rollup,
+    )
+    from graphsense_ethereum_etl_spark.versioned import VersionedTable
+
+    rollup = VersionedTable(spark, str(tmp_path / "ru"), partition_col="day")
+    # 3 batches; "day" groups span batches; addresses overlap across batches
+    batches = [
+        [(0, a) for a in range(0, 60)] + [(1, a) for a in range(0, 30)],
+        [(0, a) for a in range(30, 90)] + [(1, a) for a in range(10, 40)],
+        [(1, a) for a in range(35, 50)] + [(2, a) for a in range(0, 5)],
+    ]
+    frames = [
+        spark.createDataFrame(rows, "day bigint, addr bigint")
+        for rows in batches
+    ]
+    for f in frames:
+        update_sketch_rollup(rollup, f, value_col="addr")
+
+    def estimates():
+        return {
+            r["day"]: r["est"]
+            for r in rollup.read()
+            .select("day", F.hll_sketch_estimate("sketch").alias("est"))
+            .collect()
+        }
+
+    got = estimates()
+    # exact distincts: day 0 -> 90, day 1 -> 50, day 2 -> 5; lg_k=12 HLL
+    # is exact-ish at these cardinalities (rel err ~1.6%)
+    exact = {0: 90, 1: 50, 2: 5}
+    for d, n in exact.items():
+        assert abs(got[d] - n) <= max(2, 0.05 * n), (d, got[d], n)
+    # replay the middle batch: estimates must not move (idempotent union)
+    update_sketch_rollup(rollup, frames[1], value_col="addr")
+    assert estimates() == got
+    # incremental == one-shot over the concatenated raw rows
+    allrows = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    oneshot = {
+        r["day"]: r["est"]
+        for r in allrows.groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("addr"), F.lit(12))
+            ).alias("est")
+        )
+        .collect()
+    }
+    assert estimates() == oneshot
