@@ -99,10 +99,21 @@ def run_incremental(
     fail_after_tables: int | None = None,
     collect_stats: bool = False,
     sink_format: str = "parquet",
+    on_batch: Callable[[SparkSession, dict[str, DataFrame], int, int], None]
+    | None = None,
 ) -> IngestStats:
     """The micro-batch loop. ``fail_after_tables`` injects a crash after N
     child-table writes within the final batch (test hook for the
     children-before-marker recovery semantics).
+
+    ``on_batch(spark, raw, lo, hi)`` runs AFTER each batch's tables commit
+    (children-before-marker complete) — the side-table maintenance hook:
+    wire ``update_bucket_rollup`` / ``update_sketch_rollup`` here so
+    derived aggregates advance in lockstep with ingest. Ordering makes a
+    crash inside the hook safe: the marker is already published, so the
+    resume path skips re-ingesting and the operator's own idempotence
+    (partition overwrite / sketch-union) absorbs the replayed hook call
+    when the caller re-runs maintenance.
 
     ``sink_format="versioned"`` routes every table through the
     manifest-pointer ``VersionedTable`` (versioned.py): each table's batch
@@ -145,6 +156,8 @@ def run_incremental(
             collect_stats=collect_stats,
             stats=stats,
         )
+        if on_batch is not None:
+            on_batch(spark, raw, lo, hi)
         stats.batches += 1
         stats.blocks += hi - lo + 1
     return stats

@@ -252,3 +252,74 @@ def test_sketch_rollup_merges_across_batches_and_replays(spark, tmp_path):
         .collect()
     }
     assert estimates() == oneshot
+
+
+def test_on_batch_hook_maintains_address_sketch_rollup(spark, tmp_path):
+    """r6: the on_batch hook wires side-table maintenance into the ingest
+    loop — here a unique-sender HLL rollup per block bucket, advancing in
+    lockstep with ingest; after a resume the rollup matches the one-shot
+    sketch over the full transaction table."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.sources.generator import gen_chain
+    from graphsense_ethereum_etl_spark.streaming.incremental import (
+        run_incremental,
+        update_sketch_rollup,
+    )
+    from graphsense_ethereum_etl_spark.versioned import VersionedTable
+
+    sink = str(tmp_path / "eth")
+    rollup = VersionedTable(
+        spark, str(tmp_path / "ru"), partition_col="block_id_group"
+    )
+
+    def maintain(s, raw, lo, hi):
+        batch = raw["transactions"].select(
+            (F.col("block_number") / 10).cast("bigint").alias("block_id_group"),
+            F.col("from_address"),
+        )
+        update_sketch_rollup(rollup, batch, value_col="from_address")
+
+    run_incremental(
+        spark,
+        lambda s, lo, hi: gen_chain(s, lo, hi),
+        sink,
+        head=19,
+        batch_size=10,
+        bucket_size=10,
+        on_batch=maintain,
+    )
+    # resume continues both raw ingest and rollup maintenance
+    run_incremental(
+        spark,
+        lambda s, lo, hi: gen_chain(s, lo, hi),
+        sink,
+        head=29,
+        batch_size=10,
+        bucket_size=10,
+        on_batch=maintain,
+    )
+    got = {
+        r["block_id_group"]: r["est"]
+        for r in rollup.read()
+        .select(
+            "block_id_group", F.hll_sketch_estimate("sketch").alias("est")
+        )
+        .collect()
+    }
+    oneshot = {
+        r["g"]: r["est"]
+        for r in spark.read.parquet(f"{sink}/transaction")
+        .select(
+            (F.col("block_id") / 10).cast("bigint").alias("g"),
+            "from_address",
+        )
+        .groupBy("g")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("from_address"), F.lit(12))
+            ).alias("est")
+        )
+        .collect()
+    }
+    assert got == oneshot and len(got) == 3
