@@ -75,13 +75,22 @@ def densify_rates(
     w = W.orderBy(F.col(date_col).cast("date"))
     iv = rates.select(
         F.col(date_col).cast("date").alias("_start"),
-        F.coalesce(
-            F.date_sub(F.lead(F.col(date_col).cast("date")).over(w), 1),
+        # Intersect every interval with (-inf, end_date]: when end_date
+        # falls BEFORE the last rate's date (rates table updated past the
+        # caller's ingest head), the unclamped last interval would have
+        # _start > _end — and date sequence() silently generates a
+        # DESCENDING range there, emitting duplicate day rows that
+        # double-join (and mis-convert) every fact row on those days.
+        F.least(
+            F.coalesce(
+                F.date_sub(F.lead(F.col(date_col).cast("date")).over(w), 1),
+                F.lit(end_date).cast("date"),
+            ),
             F.lit(end_date).cast("date"),
         ).alias("_end"),
         F.col("fiat_values").getItem(currency).alias("rate"),
     )
-    return iv.select(
+    return iv.filter(F.col("_start") <= F.col("_end")).select(
         F.explode(F.sequence("_start", "_end")).alias("day"), "rate"
     )
 

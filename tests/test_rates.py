@@ -85,3 +85,37 @@ def test_convert_matches_generic_asof_join(spark):
 
 def test_latest_rate_date_guard(spark):
     assert str(latest_rate_date(_rates(spark))) == "2020-01-10"
+
+
+def test_densify_clamps_to_end_date_no_duplicate_days(spark):
+    """r6: with end_date BEFORE the last rate's date (rates table updated
+    past the caller's ingest head), date sequence() on the inverted last
+    interval generated a DESCENDING range — duplicate day rows that
+    double-joined every fact row on those days. Intervals must intersect
+    with (-inf, end_date]."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.operators.rates import (
+        convert_to_fiat,
+        densify_rates,
+        rates_long_to_map,
+    )
+
+    long = spark.createDataFrame(
+        [
+            ("2024-01-01", "USD", 100.0),
+            ("2024-01-05", "USD", 200.0),
+            ("2024-01-20", "USD", 300.0),
+        ],
+        "date string, currency string, rate double",
+    )
+    rates = rates_long_to_map(long)
+    dense = densify_rates(rates, "2024-01-10", "USD")
+    rows = {r["day"].isoformat(): r["rate"] for r in dense.collect()}
+    assert dense.count() == dense.select("day").distinct().count() == 10
+    assert min(rows) == "2024-01-01" and max(rows) == "2024-01-10"
+    assert rows["2024-01-07"] == 200.0
+    # a fact row inside the formerly-duplicated range converts exactly once
+    vals = spark.createDataFrame([("2024-01-09", 10.0)], "d string, v double")
+    out = convert_to_fiat(vals, rates, "v", "d", "USD", "2024-01-10").collect()
+    assert len(out) == 1 and out[0]["fiat_value"] == 2000.0
