@@ -2631,6 +2631,46 @@ def apx4_mergeable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "apx5_mergeable_topk",
+    """
+    SELECT l_returnflag AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def apx5_mergeable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE heavy-hitters sketches (the frequent-items counterpart
+    of apx4's HLL): the fact splits into 4 disjoint synthetic batches,
+    each contributes a per-batch ``approx_top_k_accumulate`` sketch
+    state, and the answer combines batch states with
+    ``approx_top_k_combine`` + ``approx_top_k_estimate`` — incremental
+    top-k maintenance without rescanning history. Unlike HLL, frequency
+    sketches are NOT replay-idempotent (re-adding a batch double-counts)
+    — which is why the maintenance pattern stores them PER block bucket
+    through update_bucket_rollup's idempotent partition overwrite
+    (bucket sketches are batch-pure under bucket alignment) and combines
+    at read time. Oracle is HASH-EXACT, no tolerance boolean: with
+    tracked capacity ≥ the domain cardinality (3 return flags ≪ the
+    sketch's item budget) frequent-items counts are exact by the
+    Misra-Gries error bound (error ≤ n/capacity, = 0 when nothing is
+    evicted)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 4).alias("b"), "l_returnflag"
+    )
+    per_batch = li.groupBy("b").agg(
+        F.expr("approx_top_k_accumulate(l_returnflag, 16)").alias("sk")
+    )
+    est = per_batch.agg(
+        F.expr(
+            "approx_top_k_estimate(approx_top_k_combine(sk), 16)"
+        ).alias("e")
+    )
+    return est.select(F.explode("e").alias("r")).select(
+        F.col("r.item").alias("item"),
+        F.col("r.count").cast("bigint").alias("cnt"),
+    )
+
+
+@query(
     "apx1_approx_distinct",
     """
     SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
@@ -7246,8 +7286,9 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "apx2_approx_quantiles",
     "gs1_grouping_sets",
     # Tier 3b: new in r6 but past the 50-slot window — the full 47-query
-    # certification debt takes precedence; this leads the r7 rotation.
+    # certification debt takes precedence; these lead the r7 rotation.
     "apx4_mergeable_hll",
+    "apx5_mergeable_topk",
     # Tier 4: r4-certified refreshers —
     # infra-heavy queries whose certification is the oldest still-green
     # external signal for their subsystems (r7 rotation after tier 3b).

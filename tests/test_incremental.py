@@ -323,3 +323,53 @@ def test_on_batch_hook_maintains_address_sketch_rollup(spark, tmp_path):
         .collect()
     }
     assert got == oneshot and len(got) == 3
+
+
+def test_topk_sketch_rollup_per_bucket_replay_safe(spark, tmp_path):
+    """r6: frequency sketches are NOT union-idempotent (re-adding a batch
+    double-counts), so heavy-hitters maintenance stores them PER bucket
+    through update_bucket_rollup's idempotent partition overwrite and
+    combines at read time — replaying a batch leaves the combined top-k
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.streaming.incremental import (
+        update_bucket_rollup,
+    )
+    from graphsense_ethereum_etl_spark.versioned import VersionedTable
+
+    rollup = VersionedTable(
+        spark, str(tmp_path / "ru"), partition_col="block_id_group"
+    )
+
+    def agg_fn(batch):
+        return batch.groupBy("block_id_group").agg(
+            F.expr("approx_top_k_accumulate(addr, 16)").alias("sk")
+        )
+
+    b1 = spark.createDataFrame(
+        [(0, f"a{i % 3}") for i in range(30)], "block_id_group bigint, addr string"
+    )
+    b2 = spark.createDataFrame(
+        [(1, f"a{i % 5}") for i in range(50)], "block_id_group bigint, addr string"
+    )
+    update_bucket_rollup(rollup, b1, agg_fn)
+    update_bucket_rollup(rollup, b2, agg_fn)
+
+    def combined():
+        return sorted(
+            (r["r"]["item"], r["r"]["count"])
+            for r in rollup.read()
+            .agg(
+                F.expr(
+                    "approx_top_k_estimate(approx_top_k_combine(sk), 16)"
+                ).alias("e")
+            )
+            .select(F.explode("e").alias("r"))
+            .collect()
+        )
+    got = combined()
+    # exact: a0/a1/a2 get 10 each from b1; a0..a4 get 10 each from b2
+    assert got == [("a0", 20), ("a1", 20), ("a2", 20), ("a3", 10), ("a4", 10)]
+    update_bucket_rollup(rollup, b2, agg_fn)  # replay: overwrite, no double count
+    assert combined() == got
