@@ -20,6 +20,32 @@ from graphsense_ethereum_etl_spark.queries import REGISTRY
 SMOKE_SF = "/root/testdata/sf0.001"
 
 
+# Queries whose plans legitimately contain BroadcastNestedLoopJoin: every
+# one is the broadcast-of-a-SCALAR-AGGREGATE pattern (a 1-row stats/
+# threshold/boundary relation crossJoined back over the fact — rj1's
+# audited shape). A BNLJ whose build side can grow with the data is a
+# scale bug; adding a query here is a conscious review decision, not a
+# default.
+BNLJ_WHITELIST = {
+    "apx1_approx_distinct",
+    "apx3_freq_items",
+    "h2_equidepth_deciles",
+    "h2b_approx_deciles",
+    "prof1_key_skew",
+    "q11_important_parts",
+    "q22_global_sales_opportunity",
+    "rj1_range_join",
+    "sim1_topk_cosine",
+    "sim4_ivf_ann",
+    "sim5_lsh_recall",
+    "smp6_temperature_sampling",
+    "smp8_negative_pairs",
+    "t9_bm25_scoring",
+    "vq2_outlier_flags",
+    "vq3_winsorize",
+}
+
+
 def test_no_cartesian_no_row_python_udfs(spark):
     offenders: dict[str, list[str]] = {}
     for name, q in REGISTRY.items():
@@ -30,6 +56,11 @@ def test_no_cartesian_no_row_python_udfs(spark):
             flags.append("CartesianProduct")
         if "BatchEvalPython" in plan:
             flags.append("BatchEvalPython (row-at-a-time UDF)")
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in BNLJ_WHITELIST
+        ):
+            flags.append("BroadcastNestedLoopJoin (not whitelisted)")
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
