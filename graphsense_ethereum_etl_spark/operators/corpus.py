@@ -406,6 +406,13 @@ def bigram_commonness(
     web-scale vocabularies where the bigram dim outgrows driver/executor
     broadcast reach: the probe becomes a co-partitioned shuffle hash join
     on (w1, w2) — same results, one extra model-sized exchange.
+
+    Row conservation (r7, ADVICE): one output row per input id — documents
+    with <2 tokens or NULL text produce no bigrams, so their scores are
+    left-joined back as (n_bigrams=0, sums=0, commonness=NULL) instead of
+    silently vanishing from the output (the same no-silent-drop rule r6
+    applied to chunk/pack/dedup_lines). The join-back exchanges only
+    id-width relations, never text.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     pairs = docs.select(
@@ -420,12 +427,19 @@ def bigram_commonness(
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("p"),
     ).select(id_col, "p.w1", "p.w2")
-    # The explicit null filter is a semantic no-op (split() never yields
-    # null tokens) but it NORMALIZES the plan: the probe join pushes
-    # isnotnull(w1) AND isnotnull(w2) into its branch while the prefix
-    # rollup would push only isnotnull(w1) — unequal canonical subtrees
-    # defeat exchange reuse and the corpus would be exploded twice.
-    pairs = pairs.filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+    # The explicit null filter is a near-no-op (split() never yields null
+    # tokens; NULL ids are malformed input whose bigrams carry no signal)
+    # but it NORMALIZES the plan: the probe join pushes isnotnull(w1) AND
+    # isnotnull(w2) into its branch while the prefix rollup would push
+    # only isnotnull(w1), and the r7 row-conservation left join infers
+    # isnotnull(doc_id) into the probe branch alone — unequal canonical
+    # subtrees defeat exchange reuse and the corpus would be exploded
+    # twice (regression-asserted in tests/test_plans.py).
+    pairs = pairs.filter(
+        F.col(id_col).isNotNull()
+        & F.col("w1").isNotNull()
+        & F.col("w2").isNotNull()
+    )
     # single corpus-keyed shuffle; every downstream consumer hangs off this
     # one exchange (reuse asserted in tests/test_plans.py)
     dp = pairs.groupBy(id_col, "w1", "w2").agg(
@@ -438,7 +452,7 @@ def bigram_commonness(
     probe = dp.join(
         F.broadcast(lm) if broadcast_model else lm, ["w1", "w2"]
     )
-    return (
+    scored = (
         probe.groupBy(id_col)
         .agg(
             F.sum("k").cast("bigint").alias("n_bigrams"),
@@ -455,4 +469,16 @@ def bigram_commonness(
                 9,
             ),
         )
+    )
+    base = docs.select(F.col(id_col).cast("bigint").alias(id_col))
+    return base.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+        F.coalesce("sum_pair_cnt", F.lit(0).cast("bigint")).alias(
+            "sum_pair_cnt"
+        ),
+        F.coalesce("sum_prefix_cnt", F.lit(0).cast("bigint")).alias(
+            "sum_prefix_cnt"
+        ),
+        "commonness",
     )

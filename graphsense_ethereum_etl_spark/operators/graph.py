@@ -220,12 +220,17 @@ def bipartite_project(
     the filter adds no extra exchange of the (large) edge relation
     beyond the one the projection already pays. Pairs collapse map-side
     before the final (s1,s2) exchange.
+
+    Vertex ids keep their INPUT types — the self-join, the ``<`` pair
+    ordering, and the groupBy all work on any comparable type, and this
+    repo's core vertex domain is hex address STRINGS: an unconditional
+    bigint cast (the pre-r7 behavior) turned those into NULL join keys and
+    silently dropped every edge. NULL vertices are dropped explicitly (a
+    NULL never equi-joins, so they could never contribute a pair anyway).
     """
     e = (
-        edges.select(
-            F.col(left).cast("bigint").alias("_l"),
-            F.col(right).cast("bigint").alias("_r"),
-        )
+        edges.select(F.col(left).alias("_l"), F.col(right).alias("_r"))
+        .filter(F.col(left).isNotNull() & F.col(right).isNotNull())
         .distinct()
     )
     if degree_cap is not None:

@@ -772,7 +772,7 @@ def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-             / CAST(length(lower(text)) AS DOUBLE) AS alpha_ratio,
+             / CAST(NULLIF(length(lower(text)), 0) AS DOUBLE) AS alpha_ratio,
            CAST(list_sum(list_transform({_DUCK_TOKENS}, x -> length(x))) AS DOUBLE)
              / CAST(len({_DUCK_TOKENS}) AS DOUBLE) AS mean_token_len
     FROM documents
@@ -1555,7 +1555,8 @@ def g8_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import bipartite_project
 
     e = load(spark, sf_dir, "lineitem").select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        F.col("l_suppkey").cast("bigint").alias("s"),
+        F.col("l_partkey").cast("bigint").alias("p"),
     )
     return (
         bipartite_project(e, left="s", right="p", degree_cap=30)
@@ -5097,7 +5098,7 @@ def t7_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT doc_id, lang,
              CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-               / CAST(length(lower(text)) AS DOUBLE) AS score
+               / CAST(NULLIF(length(lower(text)), 0) AS DOUBLE) AS score
       FROM documents),
     thr AS (SELECT lang, quantile_cont(score, 0.1) AS t FROM s GROUP BY lang)
     SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.lang AS lang, s.score AS score
@@ -5122,16 +5123,19 @@ def t8_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back onto the fact; the fact is scanned twice but never
     shuffled. Exact percentile holds all group values in the aggregation
     buffer — at 100 TB swap in approx_percentile (apx2 pattern) with a
-    tolerance band instead."""
+    tolerance band instead.
+
+    Score = functions.text.alpha_ratio (NULL on empty text, matching the
+    oracle's NULLIF guard) — r7 (ADVICE): the previous inline division
+    was an ANSI DIVIDE_BY_ZERO crash the moment the corpus gained an
+    empty-text document; NULL scores drop out of both the percentile and
+    the >= filter in both engines."""
+    from .functions.text import alpha_ratio
+
     s = load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "lang",
-        (
-            F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).cast(
-                "double"
-            )
-            / F.length(F.lower(F.col("text"))).cast("double")
-        ).alias("score"),
+        alpha_ratio("text").alias("score"),
     )
     thr = s.groupBy("lang").agg(F.percentile("score", 0.1).alias("t"))
     return (
@@ -5147,7 +5151,7 @@ def t8_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT doc_id, lang,
              CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-               / CAST(length(lower(text)) AS DOUBLE) AS score
+               / CAST(NULLIF(length(lower(text)), 0) AS DOUBLE) AS score
       FROM documents)
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS kept_within_tol
     FROM s GROUP BY lang
@@ -5164,16 +5168,14 @@ def t8b_approx_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual data value, so ties make the kept fraction step); the exact
     per-language doc count is the hash-checked fact. Same plan shape as
     t8: tiny threshold aggregate broadcast back, fact never shuffled
-    until the per-lang rollup."""
+    until the per-lang rollup. Score reuses functions.text.alpha_ratio
+    (NULL on empty text — see t8; r7 ADVICE fix)."""
+    from .functions.text import alpha_ratio
+
     s = load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "lang",
-        (
-            F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).cast(
-                "double"
-            )
-            / F.length(F.lower(F.col("text"))).cast("double")
-        ).alias("score"),
+        alpha_ratio("text").alias("score"),
     )
     thr = s.groupBy("lang").agg(
         F.approx_percentile("score", F.lit(0.1), F.lit(10000)).alias("t")
@@ -5453,19 +5455,27 @@ def ctm1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
     pairs AS (
       SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-      FROM toks, unnest(range(1, len(w))) t(i)),
+      FROM toks, unnest(range(1, len(w))) t(i)
+      WHERE doc_id IS NOT NULL),
     bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pc FROM pairs GROUP BY w1, w2),
-    uc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS upc FROM pairs GROUP BY w1)
-    SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           CAST(SUM(bc.pc) AS BIGINT) AS sum_pair_cnt,
-           CAST(SUM(uc.upc) AS BIGINT) AS sum_prefix_cnt,
-           ROUND(CAST(SUM(bc.pc) AS DOUBLE) / CAST(SUM(uc.upc) AS DOUBLE), 9)
-             AS commonness
-    FROM pairs p
-    JOIN bc ON p.w1 = bc.w1 AND p.w2 = bc.w2
-    JOIN uc ON p.w1 = uc.w1
-    GROUP BY p.doc_id
+    uc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS upc FROM pairs GROUP BY w1),
+    sc AS (
+      SELECT p.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(bc.pc) AS BIGINT) AS sum_pair_cnt,
+             CAST(SUM(uc.upc) AS BIGINT) AS sum_prefix_cnt,
+             ROUND(CAST(SUM(bc.pc) AS DOUBLE) / CAST(SUM(uc.upc) AS DOUBLE), 9)
+               AS commonness
+      FROM pairs p
+      JOIN bc ON p.w1 = bc.w1 AND p.w2 = bc.w2
+      JOIN uc ON p.w1 = uc.w1
+      GROUP BY p.doc_id)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(sc.sum_pair_cnt, 0) AS BIGINT) AS sum_pair_cnt,
+           CAST(COALESCE(sc.sum_prefix_cnt, 0) AS BIGINT) AS sum_prefix_cnt,
+           sc.commonness AS commonness
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
     """,
 )
 def lm1_bigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -106,14 +106,17 @@ def run_incremental(
     child-table writes within the final batch (test hook for the
     children-before-marker recovery semantics).
 
-    ``on_batch(spark, raw, lo, hi)`` runs AFTER each batch's tables commit
-    (children-before-marker complete) — the side-table maintenance hook:
-    wire ``update_bucket_rollup`` / ``update_sketch_rollup`` here so
-    derived aggregates advance in lockstep with ingest. Ordering makes a
-    crash inside the hook safe: the marker is already published, so the
-    resume path skips re-ingesting and the operator's own idempotence
-    (partition overwrite / sketch-union) absorbs the replayed hook call
-    when the caller re-runs maintenance.
+    ``on_batch(spark, raw, lo, hi)`` runs after each batch's CHILD tables
+    commit but BEFORE the block-marker commit — the side-table maintenance
+    hook: wire ``update_bucket_rollup`` / ``update_sketch_rollup`` here so
+    derived aggregates advance in lockstep with ingest. Hook-before-marker
+    makes a crash inside the hook self-healing: the marker is not yet
+    published, so resume re-ingests the batch and replays the hook, and
+    the operators' replay-idempotence (partition overwrite / sketch-union)
+    absorbs the duplicate — no bookkeeping of per-batch hook completion is
+    needed. (Hook-after-marker, the pre-r7 ordering, permanently skipped a
+    crashed batch's maintenance: resume saw the marker and nothing
+    recorded which hooks ran.)
 
     ``sink_format="versioned"`` routes every table through the
     manifest-pointer ``VersionedTable`` (versioned.py): each table's batch
@@ -155,9 +158,9 @@ def run_incremental(
             ),
             collect_stats=collect_stats,
             stats=stats,
+            on_batch=on_batch,
+            batch_range=(lo, hi),
         )
-        if on_batch is not None:
-            on_batch(spark, raw, lo, hi)
         stats.batches += 1
         stats.blocks += hi - lo + 1
     return stats
@@ -173,12 +176,20 @@ def transform_and_write_batch(
     fail_after_tables: int | None = None,
     collect_stats: bool = False,
     stats: IngestStats | None = None,
+    on_batch: Callable[[SparkSession, dict[str, DataFrame], int, int], None]
+    | None = None,
+    batch_range: tuple[int, int] | None = None,
 ) -> None:
     """One micro-batch's transform → children-before-marker write sequence —
     shared by the driver loop (``run_incremental``) and the Structured
     Streaming sink (``run_streaming_ingest``). The caller guarantees the
     batch covers whole ``block_id_group`` buckets (a partial leading bucket
-    would be wiped by the dynamic partition overwrite)."""
+    would be wiped by the dynamic partition overwrite).
+
+    ``on_batch`` (with ``batch_range=(lo, hi)``) fires after the last CHILD
+    table commits and before the block-marker write, so a hook crash leaves
+    the marker unpublished and resume replays ingest + hook (see
+    ``run_incremental``)."""
     txs = enrich_transactions(raw["transactions"], raw["receipts"])
     # The at-rest transaction layout adds block_id_group (not in the CQL
     # schema, schema.cql:29-53) so every table overwrites exactly its own
@@ -196,6 +207,13 @@ def transform_and_write_batch(
     ]
     written = 0
     for table, df in writes:
+        if table == "block" and on_batch is not None:
+            # Maintenance hook between children and marker: a crash here
+            # leaves the marker unpublished → resume re-ingests the batch →
+            # the hook replays, and the rollup operators' idempotence
+            # (partition overwrite / HLL union) absorbs the duplicate.
+            lo, hi = batch_range if batch_range is not None else (-1, -1)
+            on_batch(spark, raw, lo, hi)
         if fail_after_tables is not None and written >= fail_after_tables:
             raise RuntimeError(f"injected crash before writing '{table}'")
         obs = None

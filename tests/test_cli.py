@@ -632,7 +632,9 @@ def test_bigram_commonness_fallback_join_matches_broadcast(spark):
     )
     assert a == b
     got = {r[0]: r for r in a}
-    assert 3 not in got  # single-token doc has no bigrams
+    # r7 (ADVICE): the single-token doc is RETAINED — zero bigrams, NULL
+    # commonness — instead of silently vanishing from the scores.
+    assert got[3][1:] == (0, 0, 0, None)
     assert got[0][1:] == got[4][1:]  # identical docs score identically
 
 

@@ -101,3 +101,34 @@ def test_bipartite_project_dedups_multi_edges(spark):
     got = bipartite_project(edges).collect()
     assert len(got) == 1
     assert got[0]["shared"] == 1  # multi-edge never inflates the weight
+
+
+def test_bipartite_project_preserves_string_vertex_ids(spark):
+    """r7 (ADVICE): hex-address string ids — this repo's core vertex
+    domain — must survive the projection. The pre-r7 unconditional bigint
+    cast turned them into NULL join keys and silently dropped every edge;
+    NULL vertices are now dropped explicitly, non-NULL types preserved."""
+    from graphsense_ethereum_etl_spark.operators.graph import (
+        bipartite_project,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("0xaa", "0x01"),
+            ("0xbb", "0x01"),
+            ("0xaa", "0x02"),
+            ("0xbb", "0x02"),
+            ("0xcc", "0x02"),
+            (None, "0x02"),   # NULL vertex: dropped, never a pair
+            ("0xdd", None),
+        ],
+        "s string, p string",
+    )
+    out = bipartite_project(edges)
+    assert dict(out.dtypes) == {"s1": "string", "s2": "string", "shared": "bigint"}
+    got = {(r["s1"], r["s2"]): r["shared"] for r in out.collect()}
+    assert got == {
+        ("0xaa", "0xbb"): 2,
+        ("0xaa", "0xcc"): 1,
+        ("0xbb", "0xcc"): 1,
+    }

@@ -325,6 +325,87 @@ def test_on_batch_hook_maintains_address_sketch_rollup(spark, tmp_path):
     assert got == oneshot and len(got) == 3
 
 
+def test_on_batch_crash_before_marker_self_heals(spark, tmp_path):
+    """r7 (ADVICE): on_batch fires BEFORE the block-marker commit, so a
+    crash inside the hook leaves the marker unpublished; resume re-ingests
+    the batch and replays the hook, and the rollup's union-idempotence
+    absorbs the duplicate — the rollup can never silently diverge from
+    ingest. (Pre-r7 the hook ran after the marker: a hook crash skipped
+    that batch's maintenance forever.)"""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.sources.generator import gen_chain
+    from graphsense_ethereum_etl_spark.streaming.incremental import (
+        run_incremental,
+        update_sketch_rollup,
+    )
+    from graphsense_ethereum_etl_spark.versioned import VersionedTable
+
+    sink = str(tmp_path / "eth")
+    rollup = VersionedTable(
+        spark, str(tmp_path / "ru"), partition_col="block_id_group"
+    )
+    calls = {"n": 0}
+
+    def maintain(s, raw, lo, hi):
+        batch = raw["transactions"].select(
+            (F.col("block_number") / 10).cast("bigint").alias("block_id_group"),
+            F.col("from_address"),
+        )
+        update_sketch_rollup(rollup, batch, value_col="from_address")
+        calls["n"] += 1
+        if calls["n"] == 2:  # crash AFTER the rollup write, BEFORE the marker
+            raise RuntimeError("injected hook crash")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected hook crash"):
+        run_incremental(
+            spark,
+            lambda s, lo, hi: gen_chain(s, lo, hi),
+            sink,
+            head=19,
+            batch_size=10,
+            bucket_size=10,
+            on_batch=maintain,
+        )
+    # Batch 2's marker never published: resume must replay it (and its hook).
+    resumed = run_incremental(
+        spark,
+        lambda s, lo, hi: gen_chain(s, lo, hi),
+        sink,
+        head=19,
+        batch_size=10,
+        bucket_size=10,
+        on_batch=maintain,
+    )
+    assert resumed.blocks == 10  # only the crashed batch re-ran
+    got = {
+        r["block_id_group"]: r["est"]
+        for r in rollup.read()
+        .select(
+            "block_id_group", F.hll_sketch_estimate("sketch").alias("est")
+        )
+        .collect()
+    }
+    oneshot = {
+        r["g"]: r["est"]
+        for r in spark.read.parquet(f"{sink}/transaction")
+        .select(
+            (F.col("block_id") / 10).cast("bigint").alias("g"),
+            "from_address",
+        )
+        .groupBy("g")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("from_address"), F.lit(12))
+            ).alias("est")
+        )
+        .collect()
+    }
+    assert got == oneshot and len(got) == 2
+
+
 def test_topk_sketch_rollup_per_bucket_replay_safe(spark, tmp_path):
     """r6: frequency sketches are NOT union-idempotent (re-adding a batch
     double-counts), so heavy-hitters maintenance stores them PER bucket

@@ -314,15 +314,15 @@ def test_bigram_commonness_matches_python_reference(spark, texts):
     prefix = Counter()
     for (w1, _), c in corpus_pairs.items():
         prefix[w1] += c
-    expected = {}
-    for i, ps in doc_pairs.items():
-        if not ps:
-            continue
-        expected[i] = (
+    # r7 row conservation: bigram-less docs appear with zeroed counts
+    expected = {
+        i: (
             len(ps),
             sum(corpus_pairs[p] for p in ps),
             sum(prefix[p[0]] for p in ps),
         )
+        for i, ps in doc_pairs.items()
+    }
     df = spark.createDataFrame(
         list(enumerate(texts)), "doc_id bigint, text string"
     )
