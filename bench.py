@@ -37,6 +37,20 @@ def main() -> None:
     # Warm the JVM/codegen paths so per-query times reflect steady state.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Contention sentinel (VERDICT r6): a fixed, data-independent, pure-CPU
+    # probe whose true cost never changes across rounds — so cross-round
+    # per-query ratios can be normalized for host co-tenant load without
+    # re-running (r5→r6 saw a uniform ~1.13-1.26× machine-wide slowdown).
+    # Best-of-3 like the queries; ~0.2 s of work on an idle 32-thread box.
+    sentinel = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(id * 3 % 7)", "count(distinct id % 1024)"
+        ).collect()
+        sentinel = min(sentinel, time.perf_counter() - t0)
+    sentinel = round(sentinel, 4)
+
     def _drop_persisted_blocks() -> None:
         # clearCache() frees df.persist() entries but NOT localCheckpoint RDD
         # blocks (cc1's iterative rounds) — unpersist those explicitly so no
@@ -100,24 +114,41 @@ def main() -> None:
         "sf": sf,
         "ingest_blocks_per_s": blocks_per_s,
         "ingest_rows_per_s": entity_rows_per_s,
+        "contention_sentinel_sec": sentinel,
     }
     print(json.dumps(doc))
     # The driver stores only a truncated tail of stdout ("parsed": null in
     # BENCH_r*.json), which hides every query alphabetically before ~q2 from
-    # round-over-round comparison. Persist the FULL artifact so each round
-    # can diff all per-query timings (SPARK_GRAFT_BENCH_OUT overrides the
-    # destination; writing is best-effort — a read-only cwd must not fail
-    # the bench).
-    out = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        str(Path(__file__).resolve().parent / "BENCH_full_latest.json"),
+    # round-over-round comparison. Persist the FULL artifact ROUND-STAMPED
+    # (BENCH_full_r{N}.json — one immutable file per round, so per-query
+    # history never depends on git archaeology of a mutable `latest`) plus a
+    # `latest` copy for tooling. The round number is inferred as
+    # max(CORRECTNESS_r*.json) + 1 — the snapshot for the round in progress
+    # doesn't exist while it runs; SPARK_GRAFT_BENCH_ROUND overrides.
+    # Writing is best-effort — a read-only cwd must not fail the bench.
+    repo = Path(__file__).resolve().parent
+    rnd = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if rnd is None:
+        done = [
+            int(m.group(1))
+            for p in repo.glob("CORRECTNESS_r*.json")
+            if (m := re.search(r"r(\d+)", p.name))
+        ]
+        rnd = str(max(done, default=0) + 1)
+    out = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    targets = (
+        [out]
+        if out
+        else [str(repo / f"BENCH_full_r{int(rnd):02d}.json"),
+              str(repo / "BENCH_full_latest.json")]
     )
-    try:
-        with open(out, "w") as fh:
-            json.dump(doc, fh, indent=1, sort_keys=True)
-            fh.write("\n")
-    except OSError:
-        pass
+    for t in targets:
+        try:
+            with open(t, "w") as fh:
+                json.dump(doc, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+        except OSError:
+            pass
     spark.stop()
 
 

@@ -7239,72 +7239,68 @@ def h2b_approx_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # original declaration order is preserved.
 
 _CERTIFICATION_PRIORITY: list[str] = [
-    # --- r6 window: the full certification debt fits in one 50-slot
-    # window (VERDICT r5 item 1). Tier 1: the 25 never-driver-certified
-    # queries (added mid/late r5, past that round's frozen prefix).
-    "km1_kmeans",
-    "ctm1_decontamination",
-    "lm1_bigram_commonness",
-    "chk1_token_chunks",
-    "smp5_domain_cap",
-    "a6_ordered_set",
-    "lat1_lateral_topn",
-    "str2_listagg",
-    "dd8_semdedup",
-    "mm4_wav_roundtrip",
-    "w6_ignore_nulls_ffill",
-    "t10_filter_funnel",
-    "win2_sliding_counts",
-    "smp6_temperature_sampling",
-    "v1_token_zipf",
-    "apx3_freq_items",
-    "smp7_bottomk_sample",
-    "ml1_ols_regression",
-    "g5_sssp_bf3",
-    "fun1_conversion_funnel",
-    "coh1_weekly_retention",
-    "z1_morton_key",
-    "g8_bipartite_projection",
-    "seq3_session_paths",
-    "vq3_winsorize",
-    # Tier 2: new in r6 (inserted here so they certify immediately).
-    "h2b_approx_deciles",
-    "t8b_approx_quantile_filter",
-    "t12_gopher_rules",
-    # Tier 3: certified r2/r3 only and stale ever since — the 22 entries
-    # the r5 window displaced.
-    "t4_fingerprint",
-    "dd2_ngram_jaccard",
-    "dd3_minhash_lsh",
-    "dd4_simhash",
-    "dd5_simhash_pairs",
-    "sim1_topk_cosine",
-    "sim2_neardup_pairs",
-    "sim3_lsh_ann",
-    "sim5_lsh_recall",
-    "mm1_media_features",
-    "win1_tumbling_counts",
-    "sess1_sessionization",
-    "g1_degree",
-    "g2_two_hop",
-    "s5_filename_resume",
-    "str1_string_funcs",
-    "map1_json_props",
-    "asof2_last_click_before_error",
-    "pct1_percentiles",
-    "w4_rank_family",
-    "apx2_approx_quantiles",
-    "gs1_grouping_sets",
-    # Tier 3b: new in r6 but past the 50-slot window — the full 47-query
-    # certification debt takes precedence; these lead the r7 rotation.
+    # --- r7 window. Tier 1: the only never-driver-certified queries
+    # (added r6 after that round's window froze).
     "apx4_mergeable_hll",
     "apx5_mergeable_topk",
-    # Tier 4: r4-certified refreshers —
-    # infra-heavy queries whose certification is the oldest still-green
-    # external signal for their subsystems (r7 rotation after tier 3b).
+    # Tier 2: implementation or oracle CHANGED in r7 (ADVICE fixes:
+    # bigram row-conservation left-join, alpha_ratio NULLIF guards,
+    # bipartite type preservation, domain_cap rank pre-filter) — a
+    # certification snapshot belongs to specific code, so changed queries
+    # re-certify before stale-but-unchanged ones.
+    "lm1_bigram_commonness",
+    "t2_quality_score",
+    "t8_quality_quantile_filter",
+    "t8b_approx_quantile_filter",
+    "g8_bipartite_projection",
+    "smp5_domain_cap",
+    # Tier 3: r4-certified refreshers (the stalest external snapshots) —
+    # infra-heavy subsystem anchors first (versioned reorg, fx rates,
+    # salted join), then the pipeline/join/agg families, then the
+    # TPC-H analog q-family. 42 of the 49 fit; q9/q20/dd6/q12/t6/t7/smp3
+    # lead the r8 rotation.
     "k5_versioned_reorg",
     "fx1_fiat_conversion",
     "j5_salted_join",
+    "p5_block_bucket",
+    "p6_hash_prefix",
+    "p7_hex_roundtrip",
+    "p8_trace_address_join",
+    "p9_topic0_default",
+    "p11_topics_json",
+    "j1_enrich_orders",
+    "j2_semi_join",
+    "mm2_png_roundtrip",
+    "apx1_approx_distinct",
+    "asof3_purchase_attribution",
+    "sim4_ivf_ann",
+    "sq1_scalar_subquery",
+    "sq2_correlated_exists",
+    "u1_unpivot",
+    "rj1_range_join",
+    "g3_triangle_count",
+    "smp1_hash_sample",
+    "smp2_stratified_sample",
+    "cc1_dup_clusters",
+    "q5_region_volume",
+    "q3_shipping_priority",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q18_large_volume_customer",
+    "q21_suppliers_kept_waiting",
+    "t5_bpe_token_counts",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q19_discounted_revenue",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q8_market_share",
 ]
 
 
