@@ -482,3 +482,60 @@ def bigram_commonness(
         ),
         "commonness",
     )
+
+
+def domain_cap(
+    docs: DataFrame,
+    k: int = 10,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Per-domain document cap (crawl-curation staple — bound any single
+    domain's share of the corpus): keep the first ``k`` documents per
+    ``domain_col`` in deterministic ``md5(id || ':cap')`` order, so the
+    kept set is stable across runs and independent of scan order. Returns
+    (domain, id, rk) with rk ∈ [1, k].
+
+    ``salt_buckets=S`` enables the rank PRE-FILTER for mega-domains
+    (smp5's scale path, promised since r5 and real as of r7): stage 1
+    ranks within (domain, salt) — salt a deterministic hash of the id —
+    and keeps only local rank ≤ k, so at most S·k candidates per domain
+    survive; stage 2 runs the exact ROW_NUMBER over the domain on that
+    bounded set. EXACT by a pigeonhole argument: any row in a domain's
+    true global top-k is necessarily in its own salt bucket's top-k
+    (fewer than k rows of the whole domain hash-order before it, so
+    fewer than k of its bucket do). The worst single-task sort drops
+    from |domain| to ~|domain|/S and the exact window touches ≤ S·k
+    rows per domain — a 10⁹-row mega-domain costs S bounded sorts plus
+    one k·S-row sort instead of one 10⁹-row sort. ``None`` keeps the
+    single-window plan (one exchange; right when domains are known
+    small).
+    """
+    hx = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":cap")))
+    e = docs.select(domain_col, id_col, hx.alias("_hx"))
+    if salt_buckets is not None:
+        e = _domain_cap_candidates(e, k, domain_col, id_col, salt_buckets)
+    w = Window.partitionBy(domain_col).orderBy("_hx", id_col)
+    return (
+        e.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select(domain_col, id_col, "rk")
+    )
+
+
+def _domain_cap_candidates(
+    e: DataFrame, k: int, domain_col: str, id_col: str, salt_buckets: int
+) -> DataFrame:
+    """Stage 1 of the salted domain cap: per-(domain, salt) local rank,
+    keep local rank ≤ k — ≤ ``salt_buckets``·k survivors per domain, and
+    the survivor set provably contains the domain's global top-k."""
+    salted = e.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col), F.lit("cap-salt")), F.lit(salt_buckets))
+    )
+    lw = Window.partitionBy(domain_col, "_salt").orderBy("_hx", id_col)
+    return (
+        salted.withColumn("_lrk", F.row_number().over(lw))
+        .filter(F.col("_lrk") <= k)
+        .drop("_salt", "_lrk")
+    )

@@ -246,10 +246,12 @@ def test_lm1_single_corpus_explode_via_exchange_reuse(spark, sf_dir):
     assert "BroadcastHashJoin" in final  # the fact-side model probe
 
 
-def test_smp5_single_exchange_on_source(spark, sf_dir):
-    """The domain cap is one hash shuffle on `source` (window rank) — no
-    second exchange, no text column crossing the wire (pruned to the rank
-    inputs before the exchange)."""
+def test_smp5_salted_prefilter_plan(spark, sf_dir):
+    """The salted domain cap (r7) is exactly TWO hash shuffles: the first
+    on (source, _salt) — the mega-domain skew splitter — and the second,
+    over the ≤ S·k-per-domain candidate set, on source alone for the
+    exact final rank. No text column ever crosses the wire (pruned to the
+    rank inputs before the first exchange)."""
     from graphsense_ethereum_etl_spark.plans import executed_plan
 
     df = REGISTRY["smp5_domain_cap"].fn(spark, sf_dir)
@@ -257,7 +259,13 @@ def test_smp5_single_exchange_on_source(spark, sf_dir):
     exchanges = [
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
-    assert len(exchanges) == 1 and "source" in exchanges[0], exchanges
+    assert len(exchanges) == 2, exchanges
+    # plan strings print outermost-first: sort so the salted (inner,
+    # stage-1) exchange is identified by content, not line position
+    salted = [ln for ln in exchanges if "_salt" in ln]
+    plain = [ln for ln in exchanges if "_salt" not in ln]
+    assert len(salted) == 1 and "source" in salted[0], exchanges
+    assert len(plain) == 1 and "source" in plain[0], exchanges
     import re
 
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
