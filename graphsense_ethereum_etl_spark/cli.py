@@ -187,6 +187,27 @@ def build_parser() -> ArgumentParser:
         help="--stream rate limit: cap blocks per micro-batch (catch-up "
         "after downtime drains in ceil(pending/cap) batches)",
     )
+    ingest.add_argument(
+        "--rollup",
+        dest="rollups",
+        action="append",
+        default=None,
+        metavar="TABLE.COLUMN",
+        help="maintain an HLL distinct-count rollup per block bucket for "
+        "this raw column (e.g. transactions.from_address = unique "
+        "senders), updated in lockstep with every ingest batch at "
+        "<sink-root>/rollup_<table>_<column>; repeatable. Crash-safe: "
+        "the hook runs before the batch's marker commit, so a failed "
+        "update is replayed on resume and the sketch union absorbs "
+        "duplicates",
+    )
+    ingest.add_argument(
+        "--rollup-lg-k",
+        dest="rollup_lg_k",
+        type=int,
+        default=12,
+        help="HLL sketch precision for --rollup (default: 12)",
+    )
 
     info = sub.add_parser("info", help="print head / resume state and exit")
     info.add_argument("-w", "--provider-uri", dest="provider_uri", required=True)
@@ -391,6 +412,17 @@ def print_block_info(last_synced: int, last_ingested: int | None) -> None:
 
 
 def cmd_ingest(args: Namespace, spark: SparkSession, rpc_post=None) -> IngestStats:
+    on_batch = None
+    if getattr(args, "rollups", None):
+        from .streaming.incremental import sketch_rollup_hook
+
+        on_batch = sketch_rollup_hook(
+            spark,
+            args.sink_root,
+            args.rollups,
+            bucket_size=args.bucket_size,
+            lg_k=args.rollup_lg_k,
+        )
     if args.stream:
         if args.provider_uri.startswith(SYNTHETIC_SCHEME):
             raise SystemExit(
@@ -413,6 +445,7 @@ def cmd_ingest(args: Namespace, spark: SparkSession, rpc_post=None) -> IngestSta
             sink_format=args.sink_format,
             rpc_batch_size=args.rpc_batch_size,
             rpc_post=rpc_post,
+            on_batch=on_batch,
         )
         print(
             f"Stream drained: {stats.batches} micro-batches, "
@@ -462,6 +495,7 @@ def cmd_ingest(args: Namespace, spark: SparkSession, rpc_post=None) -> IngestSta
         bucket_size=args.bucket_size,
         dialect=args.dialect,
         sink_format=args.sink_format,
+        on_batch=on_batch,
     )
     dt = time.perf_counter() - t0
     rate = stats.blocks / dt if dt > 0 else float("inf")

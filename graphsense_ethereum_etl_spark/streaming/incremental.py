@@ -337,6 +337,65 @@ def update_sketch_rollup(
     return rollup.write_partitions(merged)
 
 
+# Raw-frame block-number column per entity table (schemas.py): the rollup
+# hook buckets each batch on the same block_id_group the sink partitions by.
+_RAW_BLOCK_COL: dict[str, str] = {
+    "blocks": "number",
+    "transactions": "block_number",
+    "logs": "block_number",
+    "traces": "block_number",
+}
+
+
+def sketch_rollup_hook(
+    spark: SparkSession,
+    sink_root: str,
+    specs: list[str],
+    bucket_size: int = 1000,
+    lg_k: int = 12,
+) -> Callable[[SparkSession, dict[str, DataFrame], int, int], None]:
+    """Build the ``on_batch`` hook that maintains one HLL distinct-count
+    rollup per ``table.value_col`` spec (e.g. ``transactions.from_address``
+    = unique senders per block bucket) — the CLI wiring for
+    ``update_sketch_rollup``. Each rollup is a versioned table at
+    ``<sink_root>/rollup_<table>_<col>`` partitioned by ``block_id_group``,
+    advancing in lockstep with ingest (hook-before-marker: a crash inside
+    the hook is healed by the batch replay; sketch-union idempotence
+    absorbs the duplicate). Per-batch cost is O(batch + touched buckets),
+    never O(history); estimates read back via
+    ``F.hll_sketch_estimate(sketch)``."""
+    from ..versioned import VersionedTable
+
+    parsed: list[tuple[str, str, object]] = []
+    for spec in specs:
+        table, _, col = spec.partition(".")
+        if not col or table not in _RAW_BLOCK_COL:
+            raise ValueError(
+                f"rollup spec {spec!r} must be <table>.<value_col> with "
+                f"table one of {sorted(_RAW_BLOCK_COL)}"
+            )
+        vt = VersionedTable(
+            spark,
+            f"{sink_root}/rollup_{table}_{col}",
+            partition_col="block_id_group",
+        )
+        parsed.append((table, col, vt))
+
+    def hook(
+        s: SparkSession, raw: dict[str, DataFrame], lo: int, hi: int
+    ) -> None:
+        for table, col, vt in parsed:
+            batch = raw[table].select(
+                F.floor(F.col(_RAW_BLOCK_COL[table]) / F.lit(bucket_size))
+                .cast("bigint")
+                .alias("block_id_group"),
+                F.col(col),
+            )
+            update_sketch_rollup(vt, batch, value_col=col, lg_k=lg_k)
+
+    return hook
+
+
 def run_streaming_ingest(
     spark: SparkSession,
     provider_uri: str,
@@ -351,6 +410,8 @@ def run_streaming_ingest(
     rpc_batch_size: int = 50,
     rpc_post=None,
     timeout_s: float = 600.0,
+    on_batch: Callable[[SparkSession, dict[str, DataFrame], int, int], None]
+    | None = None,
 ) -> IngestStats:
     """Structured-Streaming ingest: the ``ethrpc`` stream source
     (sources/datasource.py — checkpointed offsets, eth_blockNumber head
@@ -409,6 +470,8 @@ def run_streaming_ingest(
             bucket_size=bucket_size,
             dialect=dialect,
             sink_format=sink_format,
+            on_batch=on_batch,
+            batch_range=(lo, hi),
         )
         stats.batches += 1
         # Count only newly streamed blocks, not bucket re-cover refetches.

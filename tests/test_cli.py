@@ -79,6 +79,91 @@ def test_cli_ingest_then_resume(spark, tmp_path):
     assert conf["block_bucket_size"] == 10
 
 
+def test_cli_ingest_rollup_crash_resume_equals_recompute(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r6 item 3: `ingest --rollup table.col` wires sketch-rollup
+    maintenance into the CLI ingest path end-to-end. Ingest two batches
+    with a crash injected INSIDE the second batch's rollup update (after
+    the sketch write, before the marker), resume, extend the chain — the
+    final rollup estimate equals a one-shot full recompute over the raw
+    transaction table (the invariant from streaming/incremental.py)."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.streaming import incremental as inc
+    from graphsense_ethereum_etl_spark.versioned import VersionedTable
+
+    sink = str(tmp_path / "eth")
+    base = [
+        "ingest", "-w", "synthetic://29", "-o", sink,
+        "-b", "10", "--bucket-size", "10",
+        "--rollup", "transactions.from_address",
+    ]
+
+    real_update = inc.update_sketch_rollup
+    calls = {"n": 0}
+
+    def crashing_update(rollup, batch_df, **kw):
+        out = real_update(rollup, batch_df, **kw)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected rollup crash")
+        return out
+
+    monkeypatch.setattr(inc, "update_sketch_rollup", crashing_update)
+    with pytest.raises(RuntimeError, match="injected rollup crash"):
+        main(base + ["-e", "19"], spark=spark)
+    # batch 2's marker never committed: only batch 1 is resumable state
+    assert (
+        spark.read.parquet(f"{sink}/block").agg(F.max("block_id")).collect()[0][0]
+        == 9
+    )
+    monkeypatch.setattr(inc, "update_sketch_rollup", real_update)
+
+    # resume replays the crashed batch (re-ingest + hook), then extends
+    s2 = main(base + ["-e", "29"], spark=spark)
+    assert s2.blocks == 20
+
+    rollup = VersionedTable(
+        spark, f"{sink}/rollup_transactions_from_address",
+        partition_col="block_id_group",
+    )
+    got = {
+        r["block_id_group"]: r["est"]
+        for r in rollup.read()
+        .select("block_id_group", F.hll_sketch_estimate("sketch").alias("est"))
+        .collect()
+    }
+    oneshot = {
+        r["g"]: r["est"]
+        for r in spark.read.parquet(f"{sink}/transaction")
+        .select(
+            (F.col("block_id") / 10).cast("bigint").alias("g"), "from_address"
+        )
+        .groupBy("g")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("from_address"), F.lit(12))
+            ).alias("est")
+        )
+        .collect()
+    }
+    assert got == oneshot and len(got) == 3
+
+
+def test_cli_rollup_spec_validation(spark, tmp_path):
+    """Malformed --rollup specs fail fast with the table whitelist."""
+    with pytest.raises(ValueError, match="rollup spec"):
+        main(
+            [
+                "ingest", "-w", "synthetic://9",
+                "-o", str(tmp_path / "eth"),
+                "--rollup", "receipts.gas_used",
+            ],
+            spark=spark,
+        )
+
+
 def test_cli_info_flag_skips_ingest(spark, tmp_path, capsys):
     sink = str(tmp_path / "eth")
     stats = main(
@@ -233,6 +318,74 @@ def test_cli_stream_ingest_rate_limited(spark, tmp_path):
     assert b2 == 10
     run(39)
     assert block_state() == (40, 40)
+
+
+def test_cli_stream_ingest_with_rollup(spark, tmp_path):
+    """--stream --rollup: the sketch-rollup hook runs inside foreachBatch
+    too (before the marker write; the stream checkpoint commits after the
+    whole batch, so a hook crash replays the batch and the sketch union
+    absorbs it). Across rate-limited micro-batches INCLUDING a mid-bucket
+    re-cover (whose widened refetch unions overlapping blocks twice), the
+    rollup equals a one-shot recompute."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_sources_sinks import _make_fixture_node_post
+
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.versioned import VersionedTable
+
+    post = _make_fixture_node_post()
+    sink = str(tmp_path / "eth")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(end):
+        return main(
+            [
+                "ingest", "--stream",
+                "-w", "http://node:8545",
+                "-o", sink,
+                "-e", str(end),
+                "--bucket-size", "10",
+                "--rpc-batch-size", "5",
+                "--max-blocks-per-batch", "15",  # forces a mid-bucket start
+                "--checkpoint", ckpt,
+                "--rollup", "transactions.from_address",
+            ],
+            spark=spark,
+            rpc_post=post,
+        )
+
+    run(29)  # micro-batch 1: 0..14 (next starts mid-bucket)
+    run(29)  # micro-batch 2: 15..29 re-covers bucket 1 (10..19)
+    run(29)  # caught up
+    rollup = VersionedTable(
+        spark, f"{sink}/rollup_transactions_from_address",
+        partition_col="block_id_group",
+    )
+    got = {
+        r["block_id_group"]: r["est"]
+        for r in rollup.read()
+        .select("block_id_group", F.hll_sketch_estimate("sketch").alias("est"))
+        .collect()
+    }
+    oneshot = {
+        r["g"]: r["est"]
+        for r in spark.read.parquet(f"{sink}/transaction")
+        .select(
+            (F.col("block_id") / 10).cast("bigint").alias("g"), "from_address"
+        )
+        .groupBy("g")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("from_address"), F.lit(12))
+            ).alias("est")
+        )
+        .collect()
+    }
+    assert got == oneshot and len(got) == 3
 
 
 def test_cli_stream_ingest_versioned_sink(spark, tmp_path):
