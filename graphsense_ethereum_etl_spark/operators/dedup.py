@@ -76,7 +76,13 @@ def minhash_signatures(
     of the 8 min expressions (8× shingle construction per row), whereas the
     explode evaluates it once and partial aggregation (map-side combine)
     reduces the shuffle to (doc_id, 8 longs) per document — which also lets
-    the self-join downstream reuse the exchange instead of recomputing."""
+    the self-join downstream reuse the exchange instead of recomputing.
+
+    Documented drop: documents with NO shingles (NULL text or text shorter
+    than ``shingle_k`` tokens) yield no signature row — a signature over
+    zero shingles is undefined, and such documents cannot be MinHash
+    near-dup candidates. Consumers needing row conservation left-join the
+    signatures back onto the corpus ids (``dedup_keepers`` does)."""
     sh = docs.select(
         F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
     )
@@ -654,9 +660,18 @@ def simhash(
     if bits % 16 != 0 or not 16 <= bits <= 64:
         raise ValueError(f"bits must be a multiple of 16 in [16, 64], got {bits}")
     chunks = bits // 16
+    # NULL text is treated as '' (one empty token): split(NULL) is a NULL
+    # array whose explode emits zero rows, which would silently drop the
+    # document from the signature relation — the no-silent-drop rule the
+    # adversarial harness (tests/test_adversarial_inputs.py) enforces on
+    # every per-document operator. All NULL/empty docs thus share the
+    # deterministic empty-string fingerprint and cluster together, which is
+    # correct: they ARE byte-identical content.
     toks = docs.select(
         F.col(id_col).cast("bigint").alias(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).alias("tok"),
     )
     # Per token: the first `chunks` 16-bit values of the md5 digest
     # (hex chars 1-4, 5-8, ... — one md5 call, shared by subexpression

@@ -47,7 +47,19 @@ def connected_components(
     ``algorithm``: "label" (min-label propagation, O(diameter) rounds — the
     right default for dedup near-cliques) or "star" (large-star/small-star
     alternation, O(log n) rounds — use when component diameters are unknown
-    or adversarial, e.g. chain-shaped link graphs)."""
+    or adversarial, e.g. chain-shaped link graphs).
+
+    Vertex ids must be integral (the label algebra is MIN over bigint);
+    edges with a NULL endpoint — including ids a bigint cast NULLs out —
+    are dropped explicitly here, BEFORE the algorithm: a NULL vertex
+    carries no identity, and without this filter it would propagate as a
+    phantom "minimum" node id through every join (the adversarial harness
+    pins the contract). Callers with string ids (hex addresses) map them
+    to dense ints upstream, as every dedup call site does."""
+    edges = edges.filter(
+        F.col(src).cast("bigint").isNotNull()
+        & F.col(dst).cast("bigint").isNotNull()
+    )
     if algorithm == "star":
         labels, _ = _star_components(edges, src, dst, max_iter)
         return labels

@@ -80,7 +80,11 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
             # UNIQUE + NOT NULL key expectations in one number.
             viol = F.col("_n") - F.col(f"_d{i}")
         else:
-            viol = F.col(f"_v{i}")
+            # SUM over zero rows is NULL, not 0 — without the coalesce an
+            # EMPTY table reports n_violations=NULL / passed=NULL, and a
+            # gate keyed on `passed` treats a vacuously-clean table as
+            # failing (or, worse, NULL-propagates the whole report).
+            viol = F.coalesce(F.col(f"_v{i}"), F.lit(0).cast("bigint"))
         reports.append(
             row.select(
                 F.lit(kind).alias("rule"),

@@ -742,7 +742,10 @@ def d2_format_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # North-star: text analysis (documents table)
 # ---------------------------------------------------------------------------
 
-_DUCK_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+# NULL text tokenizes as '' (one empty token) — the same no-silent-drop
+# guard the Spark operators apply (coalesce(text, '')); identity on corpora
+# without NULL texts, so certified hashes are unaffected.
+_DUCK_TOKENS = "regexp_split_to_array(trim(coalesce(text, '')), '\\s+')"
 
 
 @query(

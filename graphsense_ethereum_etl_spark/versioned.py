@@ -112,12 +112,27 @@ class VersionedTable:
         """{partition_value: {column: [min, max]}} recorded at commit."""
         return self._manifest_doc()["stats"]
 
+    def _published_seq(self) -> int | None:
+        name = self._current_manifest_name()
+        return None if name is None else int(name.split("-")[1].split(".")[0])
+
     def history(self) -> list[int]:
-        """Committed version numbers, oldest first (every manifest still
-        on disk — vacuum trims this list from the front)."""
+        """COMMITTED version numbers, oldest first (vacuum trims this list
+        from the front). A manifest file NEWER than the published pointer is
+        crash debris — a commit that died between its manifest write and the
+        pointer swap — not a committed version: it is excluded here, the
+        next successful commit overwrites its file name, and ``vacuum``
+        removes it."""
+        published = self._published_seq()
+        if published is None:
+            return []
         return sorted(
-            int(n.split("-")[1].split(".")[0])
-            for n in os.listdir(f"{self.root}/{_MANIFEST_DIR}")
+            seq
+            for seq in (
+                int(n.split("-")[1].split(".")[0])
+                for n in os.listdir(f"{self.root}/{_MANIFEST_DIR}")
+            )
+            if seq <= published
         )
 
     def read_version(self, version: int) -> DataFrame:
@@ -126,13 +141,21 @@ class VersionedTable:
         dirs that exist until ``vacuum`` drops them, so historic reads are
         valid exactly as long as the vacuum grace window (the Delta
         time-travel contract). Raises FileNotFoundError for a vacuumed or
-        never-committed version."""
+        never-committed version.
+
+        Reads with mergeSchema unconditionally (the r6 merge_into bug
+        class, found here by the r7 randomized soak): a historic snapshot
+        whose dirs straddle an additive schema evolution would otherwise
+        take its schema from whichever single footer Spark samples —
+        NONDETERMINISTICALLY dropping the evolved column from the time
+        travel. Time travel is an audit/recovery path; correctness beats
+        the single-footer planning shortcut here."""
         path = f"{self.root}/{_MANIFEST_DIR}/m-{version:08d}.json"
         with open(path) as fh:
             rel = json.load(fh)["partitions"]
         if not rel:
             return self.spark.createDataFrame([], f"{self.partition_col} bigint")
-        return self.spark.read.parquet(
+        return self.spark.read.option("mergeSchema", "true").parquet(
             *sorted(f"{self.root}/{_DATA_DIR}/{v}" for v in rel.values())
         )
 
@@ -478,20 +501,39 @@ class VersionedTable:
 
     def vacuum(self, keep_manifests: int = 2) -> list[str]:
         """Delete data dirs unreferenced by the ``keep_manifests`` newest
-        manifests (the reader-grace contract: a dir disappears only once no
-        retained snapshot can reference it). ``keep_manifests`` must be >= 1:
-        the newest manifest is the currently published snapshot, and
-        vacuuming its data dirs would silently truncate the live table while
-        _MANIFEST still points at it. Returns removed dir names."""
+        COMMITTED manifests (the reader-grace contract: a dir disappears
+        only once no retained snapshot can reference it). ``keep_manifests``
+        must be >= 1: the published snapshot can never be vacuumed away.
+
+        The retained window is anchored on the PUBLISHED pointer, not on
+        manifest file-name order: a commit that crashed between its
+        manifest write and the pointer swap leaves an ORPHAN manifest file
+        NEWER than the published one, and a name-ordered window would
+        retain the orphan while dropping the published manifest — deleting
+        data dirs the live table still references (found by the r7
+        randomized soak; regression-pinned in
+        tests/test_versioned.py::test_vacuum_ignores_orphan_manifest).
+        Orphan manifests and the dirs only they reference are crash debris
+        and are removed here (single-writer contract — don't vacuum
+        concurrently with an in-flight commit, same caveat as stage-*
+        cleanup). A table with manifest files but NO pointer (crash before
+        the very first publish) is left untouched.
+
+        Returns removed data dir names."""
         import shutil
 
         if keep_manifests < 1:
             raise ValueError(
-                "keep_manifests must be >= 1: the newest manifest is the "
-                "published snapshot and can never be vacuumed away"
+                "keep_manifests must be >= 1: the published manifest can "
+                "never be vacuumed away"
             )
+        published = self._current_manifest_name()
+        if published is None:
+            return []
         manifests = sorted(os.listdir(f"{self.root}/{_MANIFEST_DIR}"))
-        keep = manifests[-keep_manifests:]
+        pub_idx = manifests.index(published)
+        keep = manifests[max(0, pub_idx + 1 - keep_manifests) : pub_idx + 1]
+        drop = manifests[: pub_idx + 1 - len(keep)] + manifests[pub_idx + 1 :]
         live: set[str] = set()
         for name in keep:
             with open(f"{self.root}/{_MANIFEST_DIR}/{name}") as fh:
@@ -506,7 +548,7 @@ class VersionedTable:
                 continue
             shutil.rmtree(f"{data_root}/{entry}")
             removed.append(entry)
-        for name in manifests[: len(manifests) - keep_manifests]:
+        for name in drop:
             os.remove(f"{self.root}/{_MANIFEST_DIR}/{name}")
         return removed
 

@@ -499,3 +499,325 @@ def test_compact_preserves_evolved_schema(spark, tmp_path_factory):
     assert len(rows) == 20
     assert rows[12]["extra"] == "e12"  # evolved column survived the rewrite
     assert rows[3]["extra"] is None
+
+
+# --------------------------------------------------------------- soak (r7)
+#
+# Both r5 ADVICE mediums and an r6 sweep hit this file's subject (stale
+# skipping stats, mergeSchema-less rewrites): the manifest/copy-on-write
+# logic is where silent corruption hides. Single-shot tests only probe the
+# schedules someone thought of — the soak runs randomized multi-step
+# schedules (write / merge / schema-evolve / invalidate / compact / vacuum,
+# with crashes injected before the manifest write and between manifest
+# write and pointer swap) against a straight-line Python model of the
+# table, and asserts:
+#   - final contents == model (row-exact, including evolved columns)
+#   - a read(between=...) stats-pruned scan never loses a matching row
+#   - time travel to any retained version reproduces the model's snapshot
+#     as of that commit
+
+
+def _soak_rows_df(spark, rows, evolved):
+    schema = "key bigint, pc bigint, val bigint" + (
+        ", extra bigint" if evolved else ""
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _model_as_set(model):
+    return {
+        (k, v["pc"], v["val"], v.get("extra")) for k, v in model.items()
+    }
+
+
+def _table_as_set(vt):
+    df = vt.read(merge_schema=True)
+    if "key" not in df.columns:  # empty-table sentinel frame
+        return set()
+    has_extra = "extra" in df.columns
+    return {
+        (
+            r["key"],
+            r["pc"],
+            r["val"],
+            r["extra"] if has_extra else None,
+        )
+        for r in df.collect()
+    }
+
+
+def _crashing_swap(kind):
+    """Wrap VersionedTable._swap to die at one of its two crash points."""
+    real = VersionedTable._swap
+
+    def swap(self, partitions_rel, stats=None):
+        if kind == "before-manifest":
+            raise RuntimeError("injected crash before manifest write")
+        # before-pointer: write the manifest file, then die before the
+        # pointer rename — the published snapshot must stay the OLD one.
+        import json as _json
+        import uuid as _uuid  # noqa: F401  (parity with real impl)
+
+        current = self._current_manifest_name()
+        seq = int(current.split("-")[1].split(".")[0]) + 1 if current else 1
+        name = f"m-{seq:08d}.json"
+        doc = {
+            "partitions": partitions_rel,
+            "stats": {
+                k: v
+                for k, v in (stats or {}).items()
+                if k in partitions_rel
+            },
+            "stats_cols": self._effective_stats_cols(),
+        }
+        with open(f"{self.root}/_manifests/{name}", "w") as fh:
+            _json.dump(doc, fh, sort_keys=True)
+        raise RuntimeError("injected crash before pointer swap")
+
+    return real, swap
+
+
+@pytest.mark.parametrize("seed", list(range(50)))
+def test_versioned_randomized_soak(spark, tmp_path_factory, seed):
+    import random
+
+    rng = random.Random(1000 + seed)
+    root = str(tmp_path_factory.mktemp(f"soak{seed}"))
+    vt = VersionedTable(spark, root, partition_col="pc", stats_cols=["val"])
+    model: dict[int, dict] = {}
+    evolved = False
+    # (version, model snapshot) after every successful commit
+    commits: list[tuple[int, dict]] = []
+
+    def gen_rows(parts, with_extra):
+        rows = []
+        for pc in parts:
+            for i in rng.sample(range(10), rng.randint(1, 4)):
+                key = pc * 10 + i
+                row = (key, pc, rng.randint(0, 1000)) + (
+                    (rng.randint(0, 9),) if with_extra else ()
+                )
+                rows.append(row)
+        return rows
+
+    def apply_write(rows, with_extra, crash):
+        df = _soak_rows_df(spark, rows, with_extra)
+        if crash:
+            kind = rng.choice(["before-manifest", "before-pointer"])
+            real, swap = _crashing_swap(kind)
+            VersionedTable._swap = swap
+            try:
+                with pytest.raises(RuntimeError, match="injected crash"):
+                    vt.write_partitions(df)
+            finally:
+                VersionedTable._swap = real
+            return  # state (and model) unchanged
+        vt.write_partitions(df)
+        touched = {pc for _k, pc, *_rest in rows}
+        for k in [k for k, v in model.items() if v["pc"] in touched]:
+            del model[k]
+        for row in rows:
+            model[row[0]] = {
+                "pc": row[1],
+                "val": row[2],
+                "extra": row[3] if with_extra else None,
+            }
+        commits.append((vt.history()[-1], {k: dict(v) for k, v in model.items()}))
+
+    def apply_merge(crash):
+        parts = sorted(
+            rng.sample(range(4), rng.randint(1, 2))
+        )
+        ups = []
+        live = [k for k, v in model.items() if v["pc"] in parts]
+        for k in rng.sample(live, min(len(live), rng.randint(0, 2))):
+            ups.append((k, model[k]["pc"], 0, True))  # delete
+        for pc in parts:
+            i = rng.randrange(10)
+            ups.append((pc * 10 + i, pc, rng.randint(0, 1000), False))
+        schema = "key bigint, pc bigint, val bigint, is_del boolean"
+        updf = spark.createDataFrame(ups, schema)
+        if crash:
+            kind = rng.choice(["before-manifest", "before-pointer"])
+            real, swap = _crashing_swap(kind)
+            VersionedTable._swap = swap
+            try:
+                with pytest.raises(RuntimeError, match="injected crash"):
+                    vt.merge_into(updf, key_cols=["key"], delete_col="is_del")
+            finally:
+                VersionedTable._swap = real
+            return
+        vt.merge_into(updf, key_cols=["key"], delete_col="is_del")
+        for key, pc, val, is_del in ups:
+            if is_del:
+                model.pop(key, None)
+            else:
+                prev_extra = model.get(key, {}).get("extra")
+                # merge UPDATE ALL replaces the whole row; the update frame
+                # carries no extra column, so unionByName(allowMissing)
+                # nulls it out for upserted rows
+                model[key] = {"pc": pc, "val": val, "extra": None}
+                del prev_extra
+        commits.append((vt.history()[-1], {k: dict(v) for k, v in model.items()}))
+
+    def apply_invalidate(crash):
+        p = rng.randint(1, 3)
+        if crash:
+            real, swap = _crashing_swap(
+                rng.choice(["before-manifest", "before-pointer"])
+            )
+            VersionedTable._swap = swap
+            try:
+                with pytest.raises(RuntimeError, match="injected crash"):
+                    vt.invalidate_from(p)
+            finally:
+                VersionedTable._swap = real
+            return
+        vt.invalidate_from(p)
+        for k in [k for k, v in model.items() if v["pc"] >= p]:
+            del model[k]
+        commits.append((vt.history()[-1], {k: dict(v) for k, v in model.items()}))
+
+    def apply_compact(crash):
+        style = rng.choice(["plain", "sort", "zorder"])
+        kwargs = {}
+        if style == "sort":
+            kwargs["sort_cols"] = ["val"]
+        elif style == "zorder":
+            kwargs["zorder_cols"] = ["key", "val"]
+        if crash:
+            if not vt.snapshot():
+                return  # compact on empty table never reaches _swap
+            real, swap = _crashing_swap(
+                rng.choice(["before-manifest", "before-pointer"])
+            )
+            VersionedTable._swap = swap
+            try:
+                with pytest.raises(RuntimeError, match="injected crash"):
+                    vt.compact(**kwargs)
+            finally:
+                VersionedTable._swap = real
+            return
+        n = vt.compact(**kwargs)
+        assert n == len({v["pc"] for v in model.values()})
+        if n or vt.history():
+            commits.append(
+                (vt.history()[-1], {k: dict(v) for k, v in model.items()})
+            )
+
+    def apply_vacuum():
+        keep = rng.randint(1, 2)
+        if not vt.history():
+            return
+        vt.vacuum(keep_manifests=keep)
+        retained = set(vt.history())
+        commits[:] = [(v, m) for v, m in commits if v in retained]
+
+    # seed the table so early merges/invalidates have something to chew on
+    apply_write(gen_rows([0, 1], False), False, crash=False)
+
+    ops = ["write", "write", "merge", "merge", "invalidate", "compact", "vacuum"]
+    for _step in range(rng.randint(4, 7)):
+        op = rng.choice(ops)
+        crash = rng.random() < 0.25
+        if op == "write":
+            with_extra = evolved or rng.random() < 0.3
+            rows = gen_rows(sorted(rng.sample(range(4), rng.randint(1, 2))),
+                            with_extra)
+            apply_write(rows, with_extra, crash)
+            if with_extra and not crash:
+                evolved = True
+        elif op == "merge":
+            apply_merge(crash)
+        elif op == "invalidate":
+            apply_invalidate(crash)
+        elif op == "compact":
+            apply_compact(crash)
+        else:
+            apply_vacuum()
+
+    # ---- 1. final contents == straight-line model
+    assert _table_as_set(vt) == _model_as_set(model), (
+        f"seed {seed}: final table diverged from the straight-line model"
+    )
+
+    # ---- 2. stats-pruned read never loses a matching row
+    lo, hi = sorted((rng.randint(0, 1000), rng.randint(0, 1000)))
+    got = vt.read(between=("val", lo, hi), merge_schema=True)
+    got_keys = (
+        {r["key"] for r in got.collect()} if "key" in got.columns else set()
+    )
+    must_have = {k for k, v in model.items() if lo <= v["val"] <= hi}
+    all_keys = set(model)
+    assert must_have <= got_keys <= all_keys, (
+        f"seed {seed}: between-read pruned away live matching rows"
+    )
+
+    # ---- 3. time travel to retained versions reproduces history
+    retained = set(vt.history())
+    for version, snap_model in commits:
+        if version not in retained:
+            continue
+        df = vt.read_version(version)
+        if "key" not in df.columns:
+            assert not snap_model
+            continue
+        has_extra = "extra" in df.columns
+        got = {
+            (r["key"], r["pc"], r["val"], r["extra"] if has_extra else None)
+            for r in df.collect()
+        }
+        assert got == _model_as_set(snap_model), (
+            f"seed {seed}: time travel to v{version} diverged"
+        )
+
+
+def test_vacuum_ignores_orphan_manifest(spark, tmp_path_factory):
+    """r7 soak find: a commit crashing BETWEEN manifest write and pointer
+    swap leaves an orphan manifest file newer than the published one.
+    vacuum used to anchor its retention window on file-name order, so
+    keep_manifests=1 retained only the orphan and deleted BOTH the
+    published manifest file and the data dirs the live table still
+    references — the read after vacuum raised FileNotFoundError on the
+    published manifest. vacuum must anchor on the pointer, treat the
+    orphan as debris, and leave the published snapshot fully readable."""
+    import json
+
+    root = str(tmp_path_factory.mktemp("vt_orphan"))
+    t = VersionedTable(spark, root, partition_col="block_id_group")
+    t.write_partitions(_frame(spark, 0, 20, "live"))  # buckets 0,1
+    assert t.read().count() == 20
+
+    # simulate the crash: a compact that wrote its manifest but died
+    # before the pointer rename
+    real = VersionedTable._swap
+
+    def crash_before_pointer(self, rel, stats=None):
+        cur = self._current_manifest_name()
+        seq = int(cur.split("-")[1].split(".")[0]) + 1
+        with open(f"{self.root}/_manifests/m-{seq:08d}.json", "w") as fh:
+            json.dump(
+                {"partitions": rel, "stats": {}, "stats_cols": []}, fh
+            )
+        raise RuntimeError("injected crash before pointer swap")
+
+    VersionedTable._swap = crash_before_pointer
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            t.compact()
+    finally:
+        VersionedTable._swap = real
+
+    assert t._current_manifest_name() == "m-00000001.json"
+    assert t.history() == [1], "orphan manifest must not count as committed"
+
+    removed = t.vacuum(keep_manifests=1)
+    # published snapshot intact, orphan manifest + its dirs gone
+    assert t.read().count() == 20
+    assert sorted(os.listdir(f"{root}/_manifests")) == ["m-00000001.json"]
+    assert removed, "the orphan compact's data dirs are debris to remove"
+
+    # a later commit reuses the orphan's sequence number cleanly
+    t.write_partitions(_frame(spark, 20, 30, "new"))  # bucket 2
+    assert t.history() == [1, 2]
+    assert t.read().count() == 30
