@@ -393,53 +393,93 @@ def cosine_pairs_within(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pin_partitions: int | None = None,
 ) -> DataFrame:
     """Exact cosine pairs ≥ ``threshold`` restricted to rows sharing
     ``block_col`` — the within-block half of SemDeDup-style semantic dedup
     (block = a k-means cluster id) or any precomputed blocking key.
 
-    The self-join shuffles both sides on the block key only, so candidate
-    cardinality is Σ|block|² instead of n²; scoring uses the VECTORIZED
-    Arrow kernel (one numpy batch einsum per chunk — same sanctioned
-    UDF-at-the-GEMM-boundary path as ``lsh_ann_pairs``'s rescore, ~100×
-    cheaper per pair than an interpreted 64-element fold; differs from a
-    sequential-fold oracle only by float-summation order ≈1e-16, far below
-    the 6-dp comparison rounding). Callers control block granularity (more
-    clusters → smaller blocks) to bound the per-block quadratic term at
-    scale."""
-    from pyspark.sql.functions import pandas_udf
+    One hash shuffle of the n input rows on the block key lands each block
+    in a single ``applyInPandas`` task, which multiplies the block matrix
+    against itself in ``gemm_chunk``-row tiles and emits ONLY the
+    upper-triangle pairs ≥ ``threshold`` — candidate cardinality is
+    Σ|block|² of register-level flops, not of materialized rows.
 
-    @pandas_udf("double")
-    def batch_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
-        ma = np.stack(va.to_numpy()).astype(np.float64)
-        mb = np.stack(vb.to_numpy()).astype(np.float64)
-        d = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    This shape replaced the r2-r6 pair-row formulation (self-join on blk →
+    one scored row PER PAIR through a scalar pandas UDF) after the r7 sf~1
+    probe: that plan materialized Σ|block|² rows each carrying BOTH
+    vectors, and the post-scoring threshold filter made Catalyst evaluate
+    the scoring UDF TWICE (filter pushdown duplicates a project-level
+    Python UDF under the surviving Filter+Project pair) — ~13× more bytes
+    through Arrow than the block matrices themselves, twice. Score
+    semantics are unchanged: float64 dot / norms (matmul vs the old
+    einsum differs only in last-ulp summation order, far below the 6-dp
+    comparison rounding), zero-norm pairs score 0.0, pairs oriented
+    id_a < id_b.
+
+    ``pin_partitions``: fix the block-key partitioning at that width via a
+    user-specified repartition, which AQE will NOT coalesce — the task's
+    cost is |block|² COMPUTE per shuffled byte, violating AQE's
+    bytes-proportional coalescing model. Callers pin when blocks are many
+    and compute-heavy (dd8 pins iff its cluster count scaled past the
+    certified-scale floor)."""
+    gemm_chunk = 1024
+    out_schema = "cluster bigint, id_a long, id_b long, score double"
+
+    def block_pairs(key, pdf):
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"cluster": [], "id_a": [], "id_b": [], "score": []}
+            )
+        M = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        nrm = np.linalg.norm(M, axis=1)
         # zero-norm guard: 0-vector pairs score 0.0 (fails any threshold
         # > 0) instead of NaN — see blocked_cosine_pairs
-        s = np.einsum("ij,ij->i", ma, mb) / np.where(d == 0.0, 1.0, d)
-        return pd.Series(np.round(s, 6))
-
-    a = tagged.select(
-        F.col(block_col).alias("blk"),
-        F.col(id_col).cast("long").alias("id_a"),
-        F.col(vec_col).alias("va"),
-    )
-    b = tagged.select(
-        F.col(block_col).alias("blk"),
-        F.col(id_col).cast("long").alias("id_b"),
-        F.col(vec_col).alias("vb"),
-    )
-    return (
-        a.join(b, ["blk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            F.col("blk").cast("bigint").alias("cluster"),
-            "id_a",
-            "id_b",
-            batch_cosine("va", "vb").alias("score"),
+        safe = np.where(nrm == 0.0, 1.0, nrm)
+        blk_val = int(key[0])
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, n, gemm_chunk):
+            hi = min(lo + gemm_chunk, n)
+            S = np.round(
+                (M[lo:hi] @ M.T) / np.outer(safe[lo:hi], safe), 6
+            )
+            zero = np.outer(nrm[lo:hi] == 0.0, np.ones(n, bool)) | (
+                nrm == 0.0
+            )
+            S = np.where(zero, 0.0, S)
+            ii, jj = np.nonzero(S >= threshold)
+            upper = jj > (ii + lo)  # id_a < id_b via the sorted order
+            out_a.append(ids[ii[upper] + lo])
+            out_b.append(ids[jj[upper]])
+            out_s.append(S[ii[upper], jj[upper]])
+        if not out_a:
+            return pd.DataFrame(
+                {"cluster": [], "id_a": [], "id_b": [], "score": []}
+            )
+        a = np.concatenate(out_a)
+        return pd.DataFrame(
+            {
+                "cluster": np.full(len(a), blk_val, dtype=np.int64),
+                "id_a": a,
+                "id_b": np.concatenate(out_b),
+                "score": np.concatenate(out_s),
+            }
         )
-        .filter(F.col("score") >= threshold)
-    )
+
+    # NULL block keys never matched in the replaced join formulation
+    # (SQL equi-join semantics) — drop them explicitly for parity.
+    base = tagged.select(
+        F.col(block_col).cast("bigint").alias("blk"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("v"),
+    ).filter(F.col("blk").isNotNull())
+    if pin_partitions is not None:
+        base = base.repartition(pin_partitions, "blk")
+    return base.groupBy("blk").applyInPandas(block_pairs, out_schema)
 
 
 def ivf_centroids(

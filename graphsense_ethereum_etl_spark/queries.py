@@ -3192,11 +3192,122 @@ def km1_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_assign_one_round(emb: DataFrame, k: int) -> DataFrame:
+def _kmeans_assign_kernel(base: DataFrame, cents: dict) -> DataFrame:
+    """Integer-exact centroid assignment as an Arrow ``mapInPandas``
+    kernel: per batch, quantize each vector (floor((x+1.0)·2²⁰), the same
+    IEEE-double expression the SQL oracle evaluates) and take the
+    (dist, c)-min centroid with int64 arithmetic throughout (max
+    magnitude d·(2²¹)² = 2⁴⁸ — exact in int64 and in numpy matmul).
+
+    ``cents``: {c: (dims int64 asc, vals int64)} — dims are the 1-based
+    dimensions the centroid carries; dist(v, c) sums over dims(c) ∩
+    dims(v), matching the SQL formulation's join-on-i semantics for
+    ragged inputs. NULL/empty vectors emit no row (posexplode semantics).
+    Uniform case (every centroid dense 1..d) takes a GEMM fast path:
+    |x|² − 2x·c + |c|².
+
+    Why a kernel and not the broadcast join it replaces: the join on the
+    dimension column multiplies the exploded fact by k — O(n·d·k) ROWS
+    through codegen — so scaling k with the corpus (dd8) made assignment
+    the dominant term (sf~1 probe, r7). The kernel does the same
+    arithmetic in O(n·d·k) register-level int ops with zero row blow-up
+    and no shuffle; centroids ride the task closure (k·d values — the
+    same driver/executor reach the broadcast needed)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = base.sparkSession
+    out_schema = "vec_id bigint, c bigint, dist bigint"
+    if not cents:
+        return spark.createDataFrame([], out_schema)
+    c_ids = np.array(sorted(cents), dtype=np.int64)
+    dims_l = [cents[c][0] for c in c_ids]
+    vals_l = [cents[c][1] for c in c_ids]
+    d0 = len(dims_l[0])
+    uniform = all(
+        len(dm) == d0 and dm[0] == 1 and dm[-1] == d0 for dm in dims_l
+    )
+    cmat = np.stack(vals_l) if uniform else None
+    scale = float(1 << 20)
+
+    def assign_batches(batches):
+        for pdf in batches:
+            ids, vecs = [], []
+            for vid, v in zip(pdf["vec_id"], pdf["embedding"]):
+                if v is None or len(v) == 0:
+                    continue
+                ids.append(vid)
+                vecs.append(np.asarray(v, dtype=np.float64))
+            if not ids:
+                continue
+            lens = np.array([len(v) for v in vecs])
+            out_id, out_c, out_d = [], [], []
+            for m in np.unique(lens):
+                sel = np.nonzero(lens == m)[0]
+                X = np.floor(
+                    (np.stack([vecs[j] for j in sel]) + 1.0) * scale
+                ).astype(np.int64)
+                if uniform and m == d0:
+                    x2 = (X * X).sum(1)[:, None]
+                    c2 = (cmat * cmat).sum(1)[None, :]
+                    D = x2 - 2 * (X @ cmat.T) + c2
+                else:
+                    # general path: dist over dims(c) ∩ 1..m per centroid.
+                    # The intersection is never empty: every centroid
+                    # carries dim 1 (seed centroids are contiguous from 1;
+                    # updated centroids union their members' dims, and
+                    # every non-empty member has dim 1), and m >= 1 — so
+                    # the SQL join-on-i always has at least one row and
+                    # "centroid excluded for this vector" cannot occur.
+                    D = np.empty((len(sel), len(c_ids)), dtype=np.int64)
+                    for j in range(len(c_ids)):
+                        mask = dims_l[j] <= m
+                        dsel = dims_l[j][mask] - 1
+                        diff = X[:, dsel] - vals_l[j][mask]
+                        D[:, j] = (diff * diff).sum(1)
+                jmin = D.argmin(1)  # first min → smallest c (ids sorted)
+                out_id.extend(int(ids[j]) for j in sel)
+                out_c.extend(int(c) for c in c_ids[jmin])
+                out_d.extend(int(x) for x in D[np.arange(len(sel)), jmin])
+            if out_id:
+                yield pd.DataFrame(
+                    {"vec_id": out_id, "c": out_c, "dist": out_d}
+                )
+
+    return base.mapInPandas(assign_batches, out_schema)
+
+
+# Crossover between the two bit-identical Lloyd formulations below: the
+# JVM explode-join multiplies the exploded fact by k (O(n·d·k) ROWS through
+# codegen) but pays no Python/Arrow overhead — cheaper at demo-scale k;
+# the Arrow kernel does the same int64 arithmetic with zero row blow-up —
+# cheaper once k grows with the corpus (measured at the r7 sf~1 tier:
+# k=100 join 23.0 s vs kernel ~14 s; k=16 sf0.1 join 1.9 s vs kernel ~4 s).
+_KMEANS_KERNEL_MIN_K = 33
+
+
+def _kmeans_assign_one_round(
+    emb: DataFrame, k: int, use_kernel: bool | None = None
+) -> DataFrame:
     """Shared quantized-integer Lloyd round (see km1_kmeans for the full
     rationale): assign → integer-mean update → reassign, returning
     (vec_id, c, dist). Deterministic and engine-exact; parameterized on k
-    so SemDeDup (dd8) can run a finer clustering than km1's k=4 demo."""
+    so SemDeDup (dd8) can run a finer clustering than km1's k=4 demo.
+
+    Two PHYSICAL formulations of the same algebra, chosen by k (the
+    adaptive dispatch a planner would make; ``use_kernel`` forces one for
+    tests, which pin their bit-equality):
+
+    - k < ``_KMEANS_KERNEL_MIN_K``: the SQL explode-join (the oracle's
+      formulation) — whole-stage codegen, no Python anywhere, the exact
+      plan certified at the demo scales.
+    - larger k: the Arrow kernel (``_kmeans_assign_kernel``) — the join's
+      O(n·d·k) row blow-up becomes register-level int ops; seed/updated
+      centroids are collected to the driver (k·d values, the same reach
+      the join's broadcast needed). The integer-mean update keeps its
+      single slim (vec_id, i, val) shuffle in both formulations."""
+    if use_kernel is None:
+        use_kernel = k >= _KMEANS_KERNEL_MIN_K
     scale = 1 << 20
     q = emb.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
@@ -3208,37 +3319,82 @@ def _kmeans_assign_one_round(emb: DataFrame, k: int) -> DataFrame:
         .cast("bigint")
         .alias("val"),
     )
-    c0 = q.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("c"), "i", F.col("val").alias("cval")
-    )
+    if not use_kernel:
+        c0 = q.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("c"), "i", F.col("val").alias("cval")
+        )
 
-    def assign(centroids):
-        d = (
-            q.join(F.broadcast(centroids), "i")
-            .groupBy("vec_id", "c")
-            .agg(
-                F.sum(
-                    (F.col("val") - F.col("cval"))
-                    * (F.col("val") - F.col("cval"))
+        def assign(centroids):
+            d = (
+                q.join(F.broadcast(centroids), "i")
+                .groupBy("vec_id", "c")
+                .agg(
+                    F.sum(
+                        (F.col("val") - F.col("cval"))
+                        * (F.col("val") - F.col("cval"))
+                    )
+                    .cast("bigint")
+                    .alias("dist")
                 )
-                .cast("bigint")
-                .alias("dist")
             )
-        )
-        w = W.partitionBy("vec_id").orderBy("dist", "c")
-        return (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "c", "dist")
-        )
+            w = W.partitionBy("vec_id").orderBy("dist", "c")
+            return (
+                d.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "c", "dist")
+            )
 
-    a1 = assign(c0)
-    c1 = (
+        a1 = assign(c0)
+        c1 = (
+            q.join(a1.select("vec_id", "c"), "vec_id")
+            .groupBy("c", "i")
+            .agg(F.expr("CAST(sum(val) DIV count(*) AS BIGINT)").alias("cval"))
+        )
+        return assign(c1)
+
+    import numpy as np
+
+    # The kernel's parallelism is its INPUT partitioning (mapInPandas adds
+    # no exchange), and a parquet scan coalesces small files into few
+    # splits (~4 at the sf~1 tier) — serializing the O(n·d·k) compute.
+    # One explicit round-robin exchange buys full width; it only runs on
+    # the kernel branch, i.e. when k (and so the compute) scaled up.
+    nparts = int(
+        emb.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    base = emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    ).repartition(nparts)
+    cents0: dict = {}
+    for r in base.filter(F.col("vec_id") < k).collect():
+        v = r["embedding"]
+        if r["vec_id"] is None or v is None or len(v) == 0:
+            continue
+        vals = np.floor(
+            (np.asarray(v, dtype=np.float64) + 1.0) * scale
+        ).astype(np.int64)
+        cents0[int(r["vec_id"])] = (
+            np.arange(1, len(vals) + 1, dtype=np.int64),
+            vals,
+        )
+    a1 = _kmeans_assign_kernel(base, cents0)
+    c1_rows = (
         q.join(a1.select("vec_id", "c"), "vec_id")
         .groupBy("c", "i")
         .agg(F.expr("CAST(sum(val) DIV count(*) AS BIGINT)").alias("cval"))
+        .collect()
     )
-    return assign(c1)
+    by_c: dict = {}
+    for r in c1_rows:
+        by_c.setdefault(int(r["c"]), []).append((int(r["i"]), int(r["cval"])))
+    cents1 = {}
+    for c, pairs in by_c.items():
+        pairs.sort()
+        cents1[c] = (
+            np.array([i for i, _ in pairs], dtype=np.int64),
+            np.array([v for _, v in pairs], dtype=np.int64),
+        )
+    return _kmeans_assign_kernel(base, cents1)
 
 
 @query(
@@ -6411,22 +6567,41 @@ def dd8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then find cosine near-duplicates ONLY within each cluster — the
     clustering turns the quadratic all-pairs problem into per-cluster
     blocks. Reuses km1's integer-quantized one-round Lloyd assignment
-    (deterministic, oracle-identical) at k=16 — finer than km1's k=4 demo,
-    because the quadratic within-cluster term Σ|cluster|² is what the
-    operator must bound; within-cluster pairs join on the cluster id and
-    score through the vectorized Arrow kernel. At 100 TB, raise k so
-    clusters stay bounded (k ≈ n/10⁴ in the paper) — the plan shape is
-    unchanged; the pair join shuffles on cluster id only."""
+    (deterministic, oracle-identical); within-cluster pairs join on the
+    cluster id and score through the vectorized Arrow kernel.
+
+    k SCALES WITH THE CORPUS (r7 — the sf~1 probe measured the fixed-k=16
+    regime at 11.1× wall time for 10× data, exactly the predicted Σ|c|²
+    growth when cluster sizes grow with n): k = max(16, n // 6250) pins
+    per-cluster size at the sf0.1 value (~6250), so the pair count
+    Σ|c|² ≈ n·6250 is LINEAR in n. The count is a metadata-only parquet
+    probe (sanctioned scalar class). At every certified sf (n ≤ 100k) the
+    formula yields exactly the former k=16, so the r6-certified results —
+    and the oracle SQL, which pins k=16 — are bit-identical there; only
+    beyond sf0.1 does k grow. Plan shape is unchanged: the pair join
+    shuffles on cluster id only."""
     from .operators.similarity import cosine_pairs_within
 
-    assign = _kmeans_assign_one_round(
-        load(spark, sf_dir, "embeddings"), k=16
-    ).select("vec_id", F.col("c").alias("cluster"))
+    emb0 = load(spark, sf_dir, "embeddings")
+    k = max(16, emb0.count() // 6_250)
+    assign = _kmeans_assign_one_round(emb0, k=k).select(
+        "vec_id", F.col("c").alias("cluster")
+    )
     emb = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
     )
     tagged = emb.join(assign, "vec_id")
-    return cosine_pairs_within(tagged, block_col="cluster", threshold=0.3)
+    # pin the pair stage's parallelism exactly when k scaled past the
+    # certified-scale floor (AQE's byte-proportional coalescing serializes
+    # the compute-bound GEMM stage there — see cosine_pairs_within)
+    pin = (
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if k > 16
+        else None
+    )
+    return cosine_pairs_within(
+        tagged, block_col="cluster", threshold=0.3, pin_partitions=pin
+    )
 
 
 # ---------------------------------------------------------------------------

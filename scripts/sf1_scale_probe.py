@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""One-off sf~1 scale probe (r6 verdict stretch #8): the lm1 lesson was
+that constant factors invisible at sf0.1 only surface one tier up, so this
+script replicates the sf0.1 tables 10x — with deterministic DECORRELATING
+perturbations, see below — into a scratch dir OUTSIDE /root/testdata (it is
+a bench-only artifact, never an oracle input), then times the slowest
+registry queries there vs sf0.1 in the same session and prints a markdown
+table for SCALE.md.
+
+Replication must not change the workload's SHAPE, only its size:
+
+- ``documents``: doc_id shifted per replica; ~1/3 of tokens (chosen by
+  xxhash64(token, rep)) get a per-replica suffix. Within-replica duplicate
+  structure is preserved exactly (the same rewrite applies to byte-equal
+  texts), while cross-replica shingle Jaccard drops to ~0.2 — below every
+  pair threshold — so dedup pair counts scale ~10x, not ~45x as verbatim
+  copies would (every verbatim copy pairs with every other).
+- ``embeddings``: vec_id shifted; dimensions circularly rotated by a
+  per-replica offset — norms and the per-replica cluster structure are
+  untouched, while cross-replica cosine decorrelates, so ANN candidate
+  sets scale linearly instead of exploding on 10-deep exact-dup buckets.
+- ``orders`` / ``lineitem``: all join keys shifted by the same per-replica
+  offset, so each replica is a disjoint, internally-consistent sub-relation
+  (graph queries see 10x vertices with identical per-component structure;
+  iteration counts stay comparable — noted in SCALE.md).
+
+Usage: python scripts/sf1_scale_probe.py [n_queries] (default 15).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from graphsense_ethereum_etl_spark.queries import REGISTRY  # noqa: E402
+from graphsense_ethereum_etl_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = os.environ.get("SF1_PROBE_DIR", "/tmp/sf1_probe")
+REPS = 10
+SHIFT = 10_000_000
+EMB_DIM = 64
+
+# per-table bigint key columns to shift per replica (disjoint id spaces,
+# bucket distributions preserved)
+KEY_COLS = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+}
+
+
+def _perturb(df, table, rep):
+    out = df
+    for c in KEY_COLS[table]:
+        out = out.withColumn(c, F.col(c) + F.lit(rep * SHIFT))
+    if rep == 0:
+        return out
+    if table == "documents":
+        toks = F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+")
+        renamed = F.array_join(
+            F.transform(
+                toks,
+                lambda t: F.when(
+                    F.pmod(F.xxhash64(t, F.lit(rep)), F.lit(3)) == 0,
+                    F.concat(t, F.lit(f"_r{rep}")),
+                ).otherwise(t),
+            ),
+            " ",
+        )
+        out = out.withColumn("text", renamed).withColumn(
+            "n_chars", F.length("text").cast("bigint")
+        )
+    elif table == "embeddings":
+        off = (rep * 7) % EMB_DIM
+        out = out.withColumn(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
+                lambda i: F.element_at(
+                    "embedding", (F.pmod(i + F.lit(off), F.lit(EMB_DIM)) + 1).cast("int")
+                ),
+            ),
+        )
+    return out
+
+
+def build(spark):
+    os.makedirs(DST, exist_ok=True)
+    for table in KEY_COLS:
+        dst = f"{DST}/{table}.parquet"
+        if os.path.exists(dst):
+            continue
+        src = spark.read.parquet(f"{SRC}/{table}.parquet")
+        parts = [_perturb(src, table, rep) for rep in range(REPS)]
+        full = parts[0]
+        for p in parts[1:]:
+            full = full.unionByName(p)
+        full.repartition(32).write.mode("overwrite").parquet(dst + ".tmp")
+        os.replace(dst + ".tmp", dst)
+        print(f"built {table}: {spark.read.parquet(dst).count()} rows",
+              file=sys.stderr)
+    # remaining tables: symlink the sf0.1 originals so any query that loads
+    # a dimension (nation etc.) still resolves
+    for entry in os.listdir(SRC):
+        link = f"{DST}/{entry}"
+        if not os.path.exists(link):
+            os.symlink(f"{SRC}/{entry}", link)
+
+
+def time_query(spark, name, sf_dir):
+    def _drop_persisted():
+        spark.catalog.clearCache()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd_id in list(jmap.keySet().toArray()):
+            jmap.get(rdd_id).unpersist()
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+        _drop_persisted()
+    return round(best, 3)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 15
+    base = json.load(open(Path(__file__).resolve().parent.parent
+                          / "BENCH_full_latest.json"))
+    slow = [k for k, _ in sorted(base["queries"].items(),
+                                 key=lambda kv: -kv[1])[:n]]
+    spark = get_spark(app_name="sf1-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    build(spark)
+    rows = []
+    for name in slow:
+        t01 = time_query(spark, name, SRC)
+        t1 = time_query(spark, name, DST)
+        rows.append((name, t01, t1, round(t1 / t01, 1)))
+        print(f"{name:32s} sf0.1 {t01:7.2f}s   sf1 {t1:7.2f}s   x{t1/t01:5.1f}",
+              file=sys.stderr)
+    print("| query | sf0.1 s | sf~1 s | ratio |")
+    print("|---|---|---|---|")
+    for name, t01, t1, r in rows:
+        print(f"| {name} | {t01:.2f} | {t1:.2f} | {r:.1f}x |")
+    print(json.dumps({"rows": rows}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

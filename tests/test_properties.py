@@ -331,3 +331,40 @@ def test_bigram_commonness_matches_python_reference(spark, texts):
         for r in bigram_commonness(df).collect()
     }
     assert got == expected
+
+
+def test_kmeans_kernel_matches_sql_formulation(spark):
+    """r7: _kmeans_assign_one_round has two physical formulations — the
+    SQL explode-join (small k, the oracle's shape) and the Arrow kernel
+    (large k, no O(n·d·k) row blow-up). They must be BIT-identical:
+    same quantization double-math, same int64 distance algebra, same
+    (dist, c) tie-break — including on ragged vectors (dist sums over the
+    dim intersection), zero vectors, and NULL/empty embeddings (dropped
+    by both, the posexplode contract)."""
+    import random
+
+    from graphsense_ethereum_etl_spark.queries import _kmeans_assign_one_round
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(120):
+        if vid % 17 == 0:
+            rows.append((vid, None))            # NULL embedding: dropped
+        elif vid % 23 == 0:
+            rows.append((vid, []))              # empty: dropped
+        elif vid % 11 == 0:
+            rows.append((vid, [rng.uniform(-1, 1) for _ in range(3)]))  # ragged
+        else:
+            rows.append((vid, [rng.uniform(-1, 1) for _ in range(8)]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    for k in (4, 16, 40):
+        sql_rows = sorted(
+            tuple(r)
+            for r in _kmeans_assign_one_round(emb, k, use_kernel=False).collect()
+        )
+        kern_rows = sorted(
+            tuple(r)
+            for r in _kmeans_assign_one_round(emb, k, use_kernel=True).collect()
+        )
+        assert sql_rows == kern_rows, f"formulations diverged at k={k}"
+        assert len(sql_rows) > 0
