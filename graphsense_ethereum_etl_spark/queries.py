@@ -7424,20 +7424,25 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "apx5_mergeable_topk",
     # Tier 2: implementation or oracle CHANGED in r7 (ADVICE fixes:
     # bigram row-conservation left-join, alpha_ratio NULLIF guards,
-    # bipartite type preservation, domain_cap rank pre-filter) — a
-    # certification snapshot belongs to specific code, so changed queries
-    # re-certify before stale-but-unchanged ones.
+    # bipartite type preservation, domain_cap rank pre-filter; late-r7:
+    # dd8/km1 riding the per-block-GEMM cosine rewrite + the Lloyd
+    # kernel/SQL dispatch — results bit-identical by construction and by
+    # the pinned equality test, but a certification snapshot belongs to
+    # specific code, so changed queries re-certify before
+    # stale-but-unchanged ones).
     "lm1_bigram_commonness",
     "t2_quality_score",
     "t8_quality_quantile_filter",
     "t8b_approx_quantile_filter",
     "g8_bipartite_projection",
     "smp5_domain_cap",
+    "dd8_semdedup",
+    "km1_kmeans",
     # Tier 3: r4-certified refreshers (the stalest external snapshots) —
     # infra-heavy subsystem anchors first (versioned reorg, fx rates,
     # salted join), then the pipeline/join/agg families, then the
-    # TPC-H analog q-family. 42 of the 49 fit; q9/q20/dd6/q12/t6/t7/smp3
-    # lead the r8 rotation.
+    # TPC-H analog q-family. 40 of the 49 fit;
+    # q2/q8/q9/q20/dd6/q12/t6/t7/smp3 lead the r8 rotation.
     "k5_versioned_reorg",
     "fx1_fiat_conversion",
     "j5_salted_join",
@@ -7478,8 +7483,6 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
     "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q8_market_share",
 ]
 
 
