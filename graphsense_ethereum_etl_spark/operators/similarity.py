@@ -422,9 +422,27 @@ def cosine_pairs_within(
     cost is |block|² COMPUTE per shuffled byte, violating AQE's
     bytes-proportional coalescing model. Callers pin when blocks are many
     and compute-heavy (dd8 pins iff its cluster count scaled past the
-    certified-scale floor)."""
+    certified-scale floor).
+
+    The block key keeps its own type: integral keys are widened losslessly
+    to bigint (the historical ``cluster bigint`` output schema), while any
+    other type (string domains, decimals, …) groups on the RAW key and the
+    output ``cluster`` column carries that type — a non-integral key must
+    never be cast-to-NULL-and-dropped (that silently yielded zero pairs)."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
     gemm_chunk = 1024
-    out_schema = "cluster bigint, id_a long, id_b long, score double"
+    key_type = tagged.schema[block_col].dataType
+    integral = isinstance(
+        key_type, (ByteType, ShortType, IntegerType, LongType)
+    )
+    cluster_ddl = "bigint" if integral else key_type.simpleString()
+    out_schema = f"cluster {cluster_ddl}, id_a long, id_b long, score double"
 
     def block_pairs(key, pdf):
         ids = pdf["id"].to_numpy()
@@ -440,7 +458,7 @@ def cosine_pairs_within(
         # zero-norm guard: 0-vector pairs score 0.0 (fails any threshold
         # > 0) instead of NaN — see blocked_cosine_pairs
         safe = np.where(nrm == 0.0, 1.0, nrm)
-        blk_val = int(key[0])
+        blk_val = int(key[0]) if integral else key[0]
         out_a, out_b, out_s = [], [], []
         for lo in range(0, n, gemm_chunk):
             hi = min(lo + gemm_chunk, n)
@@ -452,7 +470,10 @@ def cosine_pairs_within(
             )
             S = np.where(zero, 0.0, S)
             ii, jj = np.nonzero(S >= threshold)
-            upper = jj > (ii + lo)  # id_a < id_b via the sorted order
+            # id_a < id_b by VALUE, not position — duplicate ids within a
+            # block must not emit self-pairs (id_a == id_b), matching the
+            # replaced join formulation's strict value-ordering filter.
+            upper = ids[jj] > ids[ii + lo]
             out_a.append(ids[ii[upper] + lo])
             out_b.append(ids[jj[upper]])
             out_s.append(S[ii[upper], jj[upper]])
@@ -463,7 +484,11 @@ def cosine_pairs_within(
         a = np.concatenate(out_a)
         return pd.DataFrame(
             {
-                "cluster": np.full(len(a), blk_val, dtype=np.int64),
+                "cluster": (
+                    np.full(len(a), blk_val, dtype=np.int64)
+                    if integral
+                    else [blk_val] * len(a)
+                ),
                 "id_a": a,
                 "id_b": np.concatenate(out_b),
                 "score": np.concatenate(out_s),
@@ -472,8 +497,11 @@ def cosine_pairs_within(
 
     # NULL block keys never matched in the replaced join formulation
     # (SQL equi-join semantics) — drop them explicitly for parity.
+    blk_expr = (
+        F.col(block_col).cast("bigint") if integral else F.col(block_col)
+    )
     base = tagged.select(
-        F.col(block_col).cast("bigint").alias("blk"),
+        blk_expr.alias("blk"),
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("v"),
     ).filter(F.col("blk").isNotNull())

@@ -3236,8 +3236,21 @@ def _kmeans_assign_kernel(base: DataFrame, cents: dict) -> DataFrame:
             for vid, v in zip(pdf["vec_id"], pdf["embedding"]):
                 if v is None or len(v) == 0:
                     continue
+                # NULL vec_id arrives as NaN through Arrow (the bigint
+                # column goes nullable-float in pandas) and NULL vector
+                # elements arrive as NaN inside the array — both are
+                # dropped here, mirroring the isNotNull/no-null-element
+                # pre-filter both Lloyd formulations share (a crash on
+                # int(NaN) is not a semantics).
+                if vid is None or (
+                    isinstance(vid, float) and np.isnan(vid)
+                ):
+                    continue
+                arr = np.asarray(v, dtype=np.float64)
+                if np.isnan(arr).any():
+                    continue
                 ids.append(vid)
-                vecs.append(np.asarray(v, dtype=np.float64))
+                vecs.append(arr)
             if not ids:
                 continue
             lens = np.array([len(v) for v in vecs])
@@ -3309,6 +3322,16 @@ def _kmeans_assign_one_round(
     if use_kernel is None:
         use_kernel = k >= _KMEANS_KERNEL_MIN_K
     scale = 1 << 20
+    # Shared input contract for BOTH formulations: rows with a NULL
+    # vec_id or a NULL element inside the embedding are dropped up front
+    # (a NULL id cannot label an assignment; a NULL element would make
+    # the join formulation silently skip that dimension's term while the
+    # kernel crashed on int(NaN) — r7 ADVICE). NULL/empty embeddings
+    # already emit no row in both (posexplode semantics).
+    emb = emb.filter(
+        F.col("vec_id").isNotNull()
+        & ~F.exists("embedding", lambda e: e.isNull())
+    )
     q = emb.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.posexplode("embedding").alias("p", "x"),

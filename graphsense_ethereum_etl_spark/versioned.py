@@ -531,6 +531,16 @@ class VersionedTable:
         if published is None:
             return []
         manifests = sorted(os.listdir(f"{self.root}/{_MANIFEST_DIR}"))
+        if published not in manifests:
+            # Externally deleted/corrupted manifest: the pointer names a
+            # file that no longer exists. Vacuuming here would anchor the
+            # retention window arbitrarily — refuse with a diagnosis
+            # instead of a bare ValueError out of list.index (r7 ADVICE).
+            raise RuntimeError(
+                f"corrupt versioned table at {self.root}: the published "
+                f"pointer references manifest {published!r} which is "
+                "missing from the manifest directory — refusing to vacuum"
+            )
         pub_idx = manifests.index(published)
         keep = manifests[max(0, pub_idx + 1 - keep_manifests) : pub_idx + 1]
         drop = manifests[: pub_idx + 1 - len(keep)] + manifests[pub_idx + 1 :]

@@ -145,3 +145,43 @@ def test_dedup_keepers_exact_invariants(spark):
     assert rows[1]["cluster_id"] == rows[2]["cluster_id"]
     assert rows[1]["keep"] and not rows[2]["keep"]
     assert rows[3]["keep"] and rows[3]["cluster_size"] == 1
+
+
+def test_cosine_pairs_within_string_block_key(spark):
+    """r8 (r7 ADVICE): a non-integral blocking key must group on the RAW
+    key and carry it through to the cluster column — the r7 GEMM rewrite
+    cast block_col to bigint, so a string key (which the docstring
+    advertises) cast to NULL and silently yielded ZERO pairs."""
+    df = spark.createDataFrame(
+        [
+            (1, "news", [1.0, 0.0]),
+            (2, "news", [1.0, 0.0]),
+            (3, "web", [1.0, 0.0]),  # other block: must not pair with 1/2
+        ],
+        "vec_id long, blk string, embedding array<double>",
+    )
+    out = cosine_pairs_within(df, block_col="blk", threshold=0.5)
+    assert dict(out.dtypes)["cluster"] == "string"
+    rows = out.collect()
+    assert [(r["id_a"], r["id_b"], r["cluster"]) for r in rows] == [
+        (1, 2, "news")
+    ]
+
+
+def test_cosine_pairs_within_duplicate_ids_no_self_pairs(spark):
+    """r8 (r7 ADVICE): upper-triangle selection was positional (jj > ii),
+    so duplicate ids within a block emitted id_a == id_b pairs; the
+    contract is strict VALUE ordering id_a < id_b, under which equal ids
+    never pair with each other but still pair with distinct ids."""
+    df = spark.createDataFrame(
+        [
+            (7, 0, [1.0, 0.0]),
+            (7, 0, [1.0, 0.0]),  # duplicate id, identical vector
+            (9, 0, [1.0, 0.0]),
+        ],
+        "vec_id long, blk int, embedding array<double>",
+    )
+    rows = cosine_pairs_within(df, block_col="blk", threshold=0.5).collect()
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    # each of the two id=7 rows pairs with id=9; no (7, 7) pair
+    assert sorted((r["id_a"], r["id_b"]) for r in rows) == [(7, 9), (7, 9)]

@@ -368,3 +368,41 @@ def test_kmeans_kernel_matches_sql_formulation(spark):
         )
         assert sql_rows == kern_rows, f"formulations diverged at k={k}"
         assert len(sql_rows) > 0
+
+
+def test_kmeans_formulations_agree_on_null_ids_and_elements(spark):
+    """r8 (r7 ADVICE): a NULL vec_id with a valid embedding crashed the
+    Arrow kernel (int(NaN)) while the SQL formulation emitted a NULL-id
+    row, and a NULL element INSIDE an embedding crashed np.asarray where
+    SQL SUM silently skipped the dimension. Both formulations now share
+    one input contract — such rows are dropped up front — and must stay
+    bit-identical on inputs that carry them."""
+    import random
+
+    from graphsense_ethereum_etl_spark.queries import _kmeans_assign_one_round
+
+    rng = random.Random(11)
+    rows = []
+    for vid in range(80):
+        vec = [rng.uniform(-1, 1) for _ in range(6)]
+        if vid % 13 == 5:
+            rows.append((None, vec))            # NULL id: dropped by both
+        elif vid % 13 == 7:
+            bad = list(vec)
+            bad[2] = None                       # NULL element: dropped
+            rows.append((vid, bad))
+        else:
+            rows.append((vid, vec))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    for k in (4, 40):
+        sql_rows = sorted(
+            tuple(r)
+            for r in _kmeans_assign_one_round(emb, k, use_kernel=False).collect()
+        )
+        kern_rows = sorted(
+            tuple(r)
+            for r in _kmeans_assign_one_round(emb, k, use_kernel=True).collect()
+        )
+        assert sql_rows == kern_rows, f"formulations diverged at k={k}"
+        assert len(sql_rows) > 0
+        assert all(r[0] is not None for r in sql_rows)

@@ -821,3 +821,19 @@ def test_vacuum_ignores_orphan_manifest(spark, tmp_path_factory):
     t.write_partitions(_frame(spark, 20, 30, "new"))  # bucket 2
     assert t.history() == [1, 2]
     assert t.read().count() == 30
+
+
+def test_vacuum_refuses_missing_published_manifest(spark, tmp_path_factory):
+    """r8 (r7 ADVICE): a pointer naming a manifest file that no longer
+    exists (external deletion/corruption) made vacuum raise a bare
+    ValueError out of list.index — it must refuse with a descriptive
+    corrupt-table error and touch NOTHING."""
+    root = str(tmp_path_factory.mktemp("vt_missing_manifest"))
+    t = VersionedTable(spark, root, partition_col="block_id_group")
+    t.write_partitions(_frame(spark, 0, 20, "live"))
+    os.remove(f"{root}/_manifests/m-00000001.json")
+    data_dirs = sorted(os.listdir(f"{root}/data"))
+    with pytest.raises(RuntimeError, match="corrupt versioned table"):
+        t.vacuum(keep_manifests=1)
+    # nothing removed by the refused vacuum
+    assert sorted(os.listdir(f"{root}/data")) == data_dirs
