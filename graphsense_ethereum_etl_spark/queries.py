@@ -7433,85 +7433,36 @@ def h2b_approx_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 #
 # The external correctness harness certifies a fixed-size prefix of the
-# registry in declaration order. Queries that have not yet earned a
-# certified run (the r1-r3 snapshots covered an identical 50-name prefix)
-# are promoted to the front so every query rotates through certification;
-# previously-certified queries keep full local-parity coverage in
-# tests/test_oracle_parity.py regardless of position. Within each tier the
-# original declaration order is preserved.
-
-_CERTIFICATION_PRIORITY: list[str] = [
-    # --- r7 window. Tier 1: the only never-driver-certified queries
-    # (added r6 after that round's window froze).
-    "apx4_mergeable_hll",
-    "apx5_mergeable_topk",
-    # Tier 2: implementation or oracle CHANGED in r7 (ADVICE fixes:
-    # bigram row-conservation left-join, alpha_ratio NULLIF guards,
-    # bipartite type preservation, domain_cap rank pre-filter; late-r7:
-    # dd8/km1 riding the per-block-GEMM cosine rewrite + the Lloyd
-    # kernel/SQL dispatch — results bit-identical by construction and by
-    # the pinned equality test, but a certification snapshot belongs to
-    # specific code, so changed queries re-certify before
-    # stale-but-unchanged ones).
-    "lm1_bigram_commonness",
-    "t2_quality_score",
-    "t8_quality_quantile_filter",
-    "t8b_approx_quantile_filter",
-    "g8_bipartite_projection",
-    "smp5_domain_cap",
-    "dd8_semdedup",
-    "km1_kmeans",
-    # Tier 3: r4-certified refreshers (the stalest external snapshots) —
-    # infra-heavy subsystem anchors first (versioned reorg, fx rates,
-    # salted join), then the pipeline/join/agg families, then the
-    # TPC-H analog q-family. 40 of the 49 fit;
-    # q2/q8/q9/q20/dd6/q12/t6/t7/smp3 lead the r8 rotation.
-    "k5_versioned_reorg",
-    "fx1_fiat_conversion",
-    "j5_salted_join",
-    "p5_block_bucket",
-    "p6_hash_prefix",
-    "p7_hex_roundtrip",
-    "p8_trace_address_join",
-    "p9_topic0_default",
-    "p11_topics_json",
-    "j1_enrich_orders",
-    "j2_semi_join",
-    "mm2_png_roundtrip",
-    "apx1_approx_distinct",
-    "asof3_purchase_attribution",
-    "sim4_ivf_ann",
-    "sq1_scalar_subquery",
-    "sq2_correlated_exists",
-    "u1_unpivot",
-    "rj1_range_join",
-    "g3_triangle_count",
-    "smp1_hash_sample",
-    "smp2_stratified_sample",
-    "cc1_dup_clusters",
-    "q5_region_volume",
-    "q3_shipping_priority",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q18_large_volume_customer",
-    "q21_suppliers_kept_waiting",
-    "t5_bpe_token_counts",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q19_discounted_revenue",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q22_global_sales_opportunity",
-]
+# registry in declaration order. Since r8 that prefix is MECHANIZED: the
+# rotation order lives in CERTIFICATION.json ("registry_order"), computed
+# by scripts/regen_certification.py as never-certified <
+# changed-since-last-certification (stalest first) < unchanged (stalest
+# first), where "changed" compares each query's content fingerprint
+# (builder source + oracle + transitive in-package dependency closure —
+# scripts/query_fingerprints.py) against the fingerprint recorded at its
+# last external certification. The hand-curated list this replaces missed
+# changed queries twice in r7 (judge findings 1-2); now
+# tests/test_certification.py fails the suite whenever the committed
+# ledger disagrees with a recomputation, so the order can't go stale.
+# Out-of-window queries keep full local-parity coverage in
+# tests/test_oracle_parity.py regardless of position.
 
 
 def _reorder_registry() -> None:
+    import json
+    import os
+
+    ledger = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "CERTIFICATION.json",
+    )
+    try:
+        with open(ledger) as fh:
+            order = json.load(fh)["registry_order"]
+    except (OSError, KeyError, ValueError):
+        return  # no ledger (fresh checkout mid-seed): declaration order
     ordered: dict[str, Query] = {}
-    for name in _CERTIFICATION_PRIORITY:
+    for name in order:
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
     for name, q in REGISTRY.items():
