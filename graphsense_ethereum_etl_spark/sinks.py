@@ -135,6 +135,19 @@ def write_bucketed(
     enrichment/join jobs skip both sort-merge exchanges — typically the
     single largest shuffle in the pipeline.
     """
+    spark = df.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(table):
+        # A managed-table LOCATION can outlive its catalog entry (the
+        # in-memory catalog dies with the session; the warehouse dir does
+        # not). saveAsTable refuses to adopt such an orphan location even
+        # in overwrite mode (LOCATION_ALREADY_EXISTS) — clear it first so
+        # an index rebuild in a fresh session is idempotent.
+        import shutil
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        if warehouse.startswith("file:"):
+            warehouse = warehouse[len("file:"):]
+        shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
     writer = (
         df.write.mode(mode)
         .format("parquet")

