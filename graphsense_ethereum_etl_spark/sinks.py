@@ -43,7 +43,10 @@ def write_partitioned_parquet(
     """Partition-pruned, clustered Parquet write. ``block_id_group`` pruning
     replaces CQL partition keys; in-file sort order replaces clustering
     columns (row-group skipping on block_id / topic0)."""
-    sort_cols = SORT_COLUMNS.get(table, [])
+    # clustering is an at-rest locality optimization, not a semantic
+    # requirement: sort only by the clustering columns actually present so a
+    # projected/partial frame writes instead of failing analysis
+    sort_cols = [c for c in SORT_COLUMNS.get(table, []) if c in df.columns]
     writer_df = df
     partitioned = partition_col in df.columns
     if partitioned:
@@ -59,6 +62,33 @@ def write_partitioned_parquet(
     if partitioned:
         writer = writer.partitionBy(partition_col)
     writer.parquet(path)
+    if partitioned and not _has_parquet_files(df.sparkSession, path):
+        # a dynamic-partition write of an EMPTY frame emits no files at all,
+        # leaving a directory that fails schema inference on read — an
+        # empty micro-batch would thus corrupt the dataset for every
+        # downstream reader. Driver-side file listing (no recompute) detects
+        # it; a schema-only footer keeps the location readable.
+        (
+            df.sparkSession.createDataFrame([], df.schema)
+            .repartition(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+
+
+def _has_parquet_files(spark: SparkSession, path: str) -> bool:
+    """True if any .parquet data file exists under ``path`` (recursive),
+    via the Hadoop FS API so it works on any supported filesystem."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False
 
 
 def write_partitioned_csv(
@@ -260,6 +290,11 @@ def compact_partitions(
     # column is silently dropped from every rewritten file (r6 bug class,
     # see VersionedTable.compact / merge_into).
     df = spark.read.option("mergeSchema", "true").parquet(path)
+    if df.isEmpty():
+        # nothing to compact; rewriting would round-trip an empty frame
+        # through a dynamic-partition write (which emits no files) and
+        # destroy the schema-only footer that keeps the location readable
+        return 0
     compacted = df.repartition(F.col(partition_col))
     if sort_cols:
         # partition column leads — see write_partitioned_parquet

@@ -38,7 +38,14 @@ def windowed_event_counts(
     overlapping window before the aggregation); the default is tumbling.
     Works identically on a batch DataFrame (F.window is a plain grouping
     expression), which is how the oracle checks it (win1 tumbling, win2
-    sliding)."""
+    sliding).
+
+    NULL event times are DROPPED, in batch and streaming alike: a row
+    without an event time belongs to no window (Spark's window generator
+    emits nothing for NULL, matching watermark semantics). Callers that
+    must surface such rows filter ``ts IS NULL`` into their own branch
+    BEFORE windowing — silently mixing them in here would make the batch
+    and streaming paths diverge."""
     win = (
         F.window(F.col(ts_col), window, slide)
         if slide
@@ -131,7 +138,14 @@ def dedup_stream_within_watermark(
     stateful.py, and plain `dropDuplicates` on a stream would grow state
     forever). A duplicate arriving AFTER eviction is re-emitted — the
     documented contract: at-least-once dedup with a bounded window,
-    exactly what ingest retries produce."""
+    exactly what ingest retries produce.
+
+    On a BATCH frame the engine rejects dropDuplicatesWithinWatermark, so
+    this degrades to plain ``dropDuplicates`` — the correct batch analog:
+    with the whole input present the watermark never evicts mid-run, so
+    "first per key within the window" collapses to "one per key"."""
+    if not events.isStreaming:
+        return events.dropDuplicates(key_cols)
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
