@@ -44,6 +44,41 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 WINDOW = 50
 LEDGER = os.path.join(REPO, "CERTIFICATION.json")
 
+# Externally-REQUESTED re-certification seats: {query: requesting round}.
+# A seat holds until the query is certified in a round >= the request, then
+# the entry is inert (kept for audit). This is the sanctioned channel for a
+# judge/reviewer to demand a refresh the fingerprint closure doesn't call
+# for — the alternative (hand-editing the ledger) is exactly the drift the
+# mechanization exists to prevent.
+REQUESTED_REFRESH: dict[str, int] = {
+    # r7 VERDICT finding #2 named both as oracle-text-changed-in-r7; the
+    # fingerprint closure disagrees (builders byte-identical between the
+    # r6 and r7 round commits, and the operators/functions they reach
+    # show no diff — ctm1's oracle has its own inline tokenizer, never
+    # the shared _DUCK_TOKENS). Seats granted anyway so the external
+    # harness, not an argument, settles it.
+    "ctm1_decontamination": 8,
+    "h2b_approx_deciles": 8,
+}
+
+
+def requested_refresh(name: str, rec: dict | None) -> bool:
+    req = REQUESTED_REFRESH.get(name)
+    if req is None:
+        return False
+    return not rec or rec.get("last_certified_round", 0) < req
+
+
+def sort_key(name: str, queries: dict, current_fp: dict[str, str]):
+    """never-certified < (changed-since-certification OR requested-refresh,
+    stalest first) < unchanged (stalest first); name tie-break."""
+    rec = queries.get(name)
+    if not rec or not rec.get("certified_rounds"):
+        return (0, 0, 0, name)
+    changed = rec.get("fingerprint") != current_fp.get(name)
+    pending = changed or requested_refresh(name, rec)
+    return (1, 0 if pending else 1, rec["last_certified_round"], name)
+
 
 def scan_correctness() -> dict[str, list[int]]:
     """{query: sorted rounds with a fully-green row} from CORRECTNESS_r*."""
@@ -78,14 +113,7 @@ def update_ledger(ledger: dict, cert: dict[str, list[int]], current_fp: dict[str
 
 
 def compute_order(names: list[str], queries: dict, current_fp: dict[str, str]) -> list[str]:
-    def key(n: str):
-        rec = queries.get(n)
-        if not rec or not rec.get("certified_rounds"):
-            return (0, 0, 0, n)
-        changed = rec.get("fingerprint") != current_fp.get(n)
-        return (1, 0 if changed else 1, rec["last_certified_round"], n)
-
-    return sorted(names, key=key)
+    return sorted(names, key=lambda n: sort_key(n, queries, current_fp))
 
 
 def render_md(order: list[str], queries: dict, current_fp: dict[str, str],
@@ -126,17 +154,28 @@ def render_md(order: list[str], queries: dict, current_fp: dict[str, str],
         certs = ", ".join(f"r{r}" for r in rounds) if rounds else "— (never)"
         changed = bool(rounds) and rec.get("fingerprint") != current_fp.get(n)
         n_changed += changed
+        flag = "yes" if changed else (
+            "requested" if requested_refresh(n, rec) else ""
+        )
         lines.append(
             f"| {n} | {certs} | {current_fp.get(n, '?')} |"
-            f" {'yes' if changed else ''} | {'yes' if i < WINDOW else ''} |"
+            f" {flag} | {'yes' if i < WINDOW else ''} |"
         )
     ever = sum(1 for n in order if queries.get(n, {}).get("certified_rounds"))
+    n_req = sum(
+        1 for n in order
+        if requested_refresh(n, queries.get(n))
+        and not (queries.get(n, {}).get("fingerprint") != current_fp.get(n)
+                 and queries.get(n, {}).get("certified_rounds"))
+    )
     lines += [
         "",
         f"Summary: {len(order)} registered queries; {ever} externally certified",
         f"at least once; {len(order) - ever} pending first certification;",
-        f"{n_changed} changed since their last certification (all in the",
-        f"r{new_round} window, which holds the {WINDOW} highest-priority seats).",
+        f"{n_changed} changed since their last certification and {n_req} with",
+        "an externally-requested refresh seat (scripts/regen_certification.py",
+        f"REQUESTED_REFRESH) — all in the r{new_round} window, which holds the",
+        f"{WINDOW} highest-priority seats.",
         "",
     ]
     return "\n".join(lines)

@@ -59,10 +59,11 @@ def test_live_registry_order_is_the_ledger_order():
 
 
 def test_window_front_loads_debt():
-    """Every never-certified and every changed-since-certification query
-    sits inside the certification window (while they fit in 50); within
-    buckets, stalest-certified first."""
+    """Every never-certified, changed-since-certification, and
+    requested-refresh query sits inside the certification window (while
+    they fit in 50); within buckets, stalest-certified first."""
     from query_fingerprints import fingerprints
+    from regen_certification import requested_refresh, sort_key
 
     ledger, _ = _fresh()
     order, queries = ledger["registry_order"], ledger["queries"]
@@ -75,21 +76,15 @@ def test_window_front_loads_debt():
         if queries.get(n, {}).get("certified_rounds")
         and queries[n].get("fingerprint") != fp[n]
     ]
-    debt = never + changed
+    requested = [
+        n for n in order
+        if n not in changed and requested_refresh(n, queries.get(n))
+    ]
+    debt = never + changed + requested
     if len(debt) <= ledger["window"]:
         assert set(debt) <= window, f"debt outside window: {set(debt) - window}"
     else:
         assert window <= set(debt)
-    # bucket monotonicity: never < changed < unchanged, stalest-first inside
-    def key(n):
-        rec = queries.get(n)
-        if not rec or not rec.get("certified_rounds"):
-            return (0, 0, 0, n)
-        return (
-            1,
-            0 if rec.get("fingerprint") != fp[n] else 1,
-            rec["last_certified_round"],
-            n,
-        )
-
-    assert order == sorted(order, key=key)
+    # bucket monotonicity: never < changed/requested < unchanged,
+    # stalest-first inside — the single sort key regen uses
+    assert order == sorted(order, key=lambda n: sort_key(n, queries, fp))
