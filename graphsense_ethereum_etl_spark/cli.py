@@ -192,14 +192,16 @@ def build_parser() -> ArgumentParser:
         dest="rollups",
         action="append",
         default=None,
-        metavar="TABLE.COLUMN",
-        help="maintain an HLL distinct-count rollup per block bucket for "
-        "this raw column (e.g. transactions.from_address = unique "
-        "senders), updated in lockstep with every ingest batch at "
-        "<sink-root>/rollup_<table>_<column>; repeatable. Crash-safe: "
-        "the hook runs before the batch's marker commit, so a failed "
-        "update is replayed on resume and the sketch union absorbs "
-        "duplicates",
+        metavar="TABLE.COLUMN[:hll|:topk]",
+        help="maintain a sketch rollup per block bucket for this raw "
+        "column, updated in lockstep with every ingest batch; repeatable. "
+        "Default/:hll = HLL distinct count (transactions.from_address = "
+        "unique senders) at <sink-root>/rollup_<table>_<column>; :topk = "
+        "heavy hitters (most frequent values) at "
+        "<sink-root>/rollup_<table>_<column>_topk. Crash-safe: the hook "
+        "runs before the batch's marker commit, so a failed update is "
+        "replayed on resume — HLL absorbs the duplicate by union "
+        "idempotence, topk by whole-bucket partition overwrite",
     )
     ingest.add_argument(
         "--rollup-lg-k",
@@ -207,6 +209,14 @@ def build_parser() -> ArgumentParser:
         type=int,
         default=12,
         help="HLL sketch precision for --rollup (default: 12)",
+    )
+    ingest.add_argument(
+        "--rollup-topk-capacity",
+        dest="rollup_topk_capacity",
+        type=int,
+        default=64,
+        help="tracked-item capacity for --rollup ...:topk sketches "
+        "(Misra-Gries error <= bucket_rows/capacity; default: 64)",
     )
 
     info = sub.add_parser("info", help="print head / resume state and exit")
@@ -422,6 +432,7 @@ def cmd_ingest(args: Namespace, spark: SparkSession, rpc_post=None) -> IngestSta
             args.rollups,
             bucket_size=args.bucket_size,
             lg_k=args.rollup_lg_k,
+            topk_capacity=getattr(args, "rollup_topk_capacity", 64),
         )
     if args.stream:
         if args.provider_uri.startswith(SYNTHETIC_SCHEME):

@@ -337,6 +337,39 @@ def update_sketch_rollup(
     return rollup.write_partitions(merged)
 
 
+def update_topk_rollup(
+    rollup,
+    batch_df: DataFrame,
+    value_col: str,
+    capacity: int = 64,
+) -> list[str]:
+    """Incremental heavy-hitters rollup via mergeable ``approx_top_k``
+    sketches (apx5's maintenance pattern, queries.py) — the frequency
+    counterpart of ``update_sketch_rollup``. The crash-safety story is
+    DIFFERENT from HLL's and that difference dictates the storage shape:
+    frequency-sketch union ADDS counts, so re-accumulating a replayed
+    batch into a unioned sketch would double-count (HLL registers are
+    maxima — replay-idempotent; Misra-Gries counters are sums — not).
+    The rollup therefore stores one sketch state PER block bucket and
+    maintains it with ``update_bucket_rollup``'s idempotent partition
+    OVERWRITE: under the bucket-alignment contract each bucket's sketch
+    is a pure function of that bucket's rows, so a replayed batch
+    rewrites the same states bit-for-bit. Cross-bucket answers combine
+    at READ time: ``approx_top_k_estimate(approx_top_k_combine(sketch),
+    k)`` — O(touched buckets) per batch, O(buckets) per query, never
+    O(history)."""
+    part = rollup.partition_col
+
+    def agg_fn(df: DataFrame) -> DataFrame:
+        return df.groupBy(part).agg(
+            F.expr(
+                f"approx_top_k_accumulate({value_col}, {int(capacity)})"
+            ).alias("sketch")
+        )
+
+    return update_bucket_rollup(rollup, batch_df, agg_fn)
+
+
 # Raw-frame block-number column per entity table (schemas.py): the rollup
 # hook buckets each batch on the same block_id_group the sink partitions by.
 _RAW_BLOCK_COL: dict[str, str] = {
@@ -353,45 +386,61 @@ def sketch_rollup_hook(
     specs: list[str],
     bucket_size: int = 1000,
     lg_k: int = 12,
+    topk_capacity: int = 64,
 ) -> Callable[[SparkSession, dict[str, DataFrame], int, int], None]:
-    """Build the ``on_batch`` hook that maintains one HLL distinct-count
-    rollup per ``table.value_col`` spec (e.g. ``transactions.from_address``
-    = unique senders per block bucket) — the CLI wiring for
-    ``update_sketch_rollup``. Each rollup is a versioned table at
-    ``<sink_root>/rollup_<table>_<col>`` partitioned by ``block_id_group``,
-    advancing in lockstep with ingest (hook-before-marker: a crash inside
-    the hook is healed by the batch replay; sketch-union idempotence
-    absorbs the duplicate). Per-batch cost is O(batch + touched buckets),
-    never O(history); estimates read back via
-    ``F.hll_sketch_estimate(sketch)``."""
+    """Build the ``on_batch`` hook that maintains one sketch rollup per
+    spec — the CLI wiring for ``update_sketch_rollup`` /
+    ``update_topk_rollup``. Spec forms:
+
+    - ``table.value_col`` (or ``:hll``): HLL distinct-count rollup (e.g.
+      ``transactions.from_address`` = unique senders per block bucket) at
+      ``<sink_root>/rollup_<table>_<col>``; replay absorbed by HLL union
+      idempotence. Read back via ``F.hll_sketch_estimate(sketch)``.
+    - ``table.value_col:topk``: heavy-hitters rollup (most frequent
+      values per block bucket) at ``<sink_root>/rollup_<table>_<col>_topk``;
+      replay absorbed by whole-bucket partition overwrite (frequency
+      sketches are NOT union-idempotent — see update_topk_rollup). Read
+      back via ``approx_top_k_estimate(approx_top_k_combine(sketch), k)``.
+
+    Both advance in lockstep with ingest (hook-before-marker: a crash
+    inside the hook is healed by the batch replay). Per-batch cost is
+    O(batch + touched buckets), never O(history)."""
     from ..versioned import VersionedTable
 
-    parsed: list[tuple[str, str, object]] = []
+    parsed: list[tuple[str, str, str, object]] = []
     for spec in specs:
-        table, _, col = spec.partition(".")
-        if not col or table not in _RAW_BLOCK_COL:
+        body, _, kind = spec.partition(":")
+        kind = kind or "hll"
+        table, _, col = body.partition(".")
+        if not col or table not in _RAW_BLOCK_COL or kind not in ("hll", "topk"):
             raise ValueError(
-                f"rollup spec {spec!r} must be <table>.<value_col> with "
-                f"table one of {sorted(_RAW_BLOCK_COL)}"
+                f"rollup spec {spec!r} must be <table>.<value_col>[:hll|:topk] "
+                f"with table one of {sorted(_RAW_BLOCK_COL)}"
             )
+        suffix = "" if kind == "hll" else f"_{kind}"
         vt = VersionedTable(
             spark,
-            f"{sink_root}/rollup_{table}_{col}",
+            f"{sink_root}/rollup_{table}_{col}{suffix}",
             partition_col="block_id_group",
         )
-        parsed.append((table, col, vt))
+        parsed.append((table, col, kind, vt))
 
     def hook(
         s: SparkSession, raw: dict[str, DataFrame], lo: int, hi: int
     ) -> None:
-        for table, col, vt in parsed:
+        for table, col, kind, vt in parsed:
             batch = raw[table].select(
                 F.floor(F.col(_RAW_BLOCK_COL[table]) / F.lit(bucket_size))
                 .cast("bigint")
                 .alias("block_id_group"),
                 F.col(col),
             )
-            update_sketch_rollup(vt, batch, value_col=col, lg_k=lg_k)
+            if kind == "topk":
+                update_topk_rollup(
+                    vt, batch, value_col=col, capacity=topk_capacity
+                )
+            else:
+                update_sketch_rollup(vt, batch, value_col=col, lg_k=lg_k)
 
     return hook
 
