@@ -134,12 +134,30 @@ def time_query(spark, name, sf_dir):
     return round(best, 3)
 
 
+# Probed every round regardless of bench rank: the two Jaccard
+# formulations ride together so the in-memory variant's candidate-growth
+# trajectory and its bucketed swap-in stay side by side in SCALE.md
+# (VERDICT r7 item 2).
+ALWAYS_PROBE = ["dd2_ngram_jaccard", "dd2b_ngram_jaccard_bucketed"]
+
+
 def main():
+    """Since r8 this is part of the per-round bench protocol, not a
+    one-off (VERDICT r7 item 3): the run writes a round-stamped
+    SCALE_r{N}.json next to BENCH_r{N}.json so superlinear constants are
+    caught the round they appear. N = latest CORRECTNESS round + 1 (the
+    round in progress)."""
+    import glob
+    import re
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 15
-    base = json.load(open(Path(__file__).resolve().parent.parent
-                          / "BENCH_full_latest.json"))
+    repo = Path(__file__).resolve().parent.parent
+    base = json.load(open(repo / "BENCH_full_latest.json"))
     slow = [k for k, _ in sorted(base["queries"].items(),
                                  key=lambda kv: -kv[1])[:n]]
+    for extra in ALWAYS_PROBE:
+        if extra not in slow and extra in REGISTRY:
+            slow.append(extra)
     spark = get_spark(app_name="sf1-probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     build(spark)
@@ -155,6 +173,26 @@ def main():
     for name, t01, t1, r in rows:
         print(f"| {name} | {t01:.2f} | {t1:.2f} | {r:.1f}x |")
     print(json.dumps({"rows": rows}))
+    rounds = [
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in glob.glob(str(repo / "CORRECTNESS_r*.json"))
+    ]
+    rnd = max(rounds, default=0) + 1
+    stamp = {
+        "round": rnd,
+        "base_sf": 0.1,
+        "replicas": REPS,
+        "n_slowest": n,
+        "always_probe": ALWAYS_PROBE,
+        "queries": {
+            name: {"sf0_1_sec": t01, "sf1_sec": t1, "ratio": r}
+            for name, t01, t1, r in rows
+        },
+    }
+    with open(repo / f"SCALE_r{rnd}.json", "w") as f:
+        json.dump(stamp, f, indent=1)
+        f.write("\n")
+    print(f"wrote SCALE_r{rnd}.json", file=sys.stderr)
     spark.stop()
 
 
