@@ -633,3 +633,288 @@ def ivf_topk(
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the ANN memory-compression tier
+# ---------------------------------------------------------------------------
+#
+# IVF-Flat (above) reduces the COMPUTE per query but still stores and
+# rescans full float vectors; at 100 TB the embedding matrix itself is the
+# bottleneck (64-dim float64 = 512 B/vector). PQ (Jégou, Douze, Schmid,
+# "Product Quantization for Nearest Neighbor Search", IEEE TPAMI 2011)
+# compresses each vector to m small codes: split the d dims into m
+# subspaces, train a tiny codebook per subspace, store each vector as its
+# m nearest-codeword ids (m bytes at n_codes<=256 — 64x smaller), and
+# answer queries with ADC (asymmetric distance computation): per query,
+# precompute a (m x n_codes) lookup table of exact subspace distances to
+# every codeword, then score a candidate with m table lookups instead of d
+# float multiplies — the candidate's floats are never touched again.
+#
+# Everything here is QUANTIZED INTEGER on km1's conventions (queries.py):
+# components fixed-pointed at floor((x + 1.0) * 2^20) (offset keeps them
+# non-negative, translation leaves distances unchanged), codeword means by
+# truncating integer division (Spark DIV == DuckDB //), squared distances
+# as exact BIGINT sums (max magnitude (2^21)^2 * d = 2^48 — no overflow,
+# no float-summation order) — so codes, ADC distances, and ranks are
+# bit-identical in any engine and the oracle hash-checks exactly.
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train per-subspace PQ codebooks: (sub, c, cent array<bigint>).
+
+    Seeding is deterministic (``vec_id % n_codes`` — ivf_centroids'
+    convention) and each codeword component is the truncating-integer-
+    division mean of its members' quantized components, so the codebook is
+    engine-identical. ``iters`` per-subspace Lloyd rounds refine it:
+    re-encode every vector against the current codebook (the same map-only
+    broadcast pass queries use — no join blow-up) and re-mean per
+    (sub, code, j). ``iters=0`` keeps every step ANSI-SQL-expressible (the
+    oracle path — ivf_centroids' contract); production indexes train with
+    iters>0, typically on a sample. A codeword that loses all members
+    simply vanishes — everything downstream matches codes BY ID, never by
+    array position.
+
+    One narrow shuffle of (sub, c, j, value) rows per round trains ALL m
+    codebooks at once; everything downstream treats the result as a
+    broadcast-sized dimension (m * n_codes * dim/m values total — the same
+    k x d reach as a centroid relation, paid once at index build)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+    xq = _pq_quantize(vec_col)
+    valid = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+
+    def mean_codebook(tagged: DataFrame) -> DataFrame:
+        """(c, pos, xv) rows -> (sub, c, cent) truncating-division means."""
+        comp = (
+            tagged.select(
+                "c",
+                (F.col("pos") / w).cast("int").alias("sub"),
+                (F.col("pos") % w).alias("j"),
+                "xv",
+            )
+            .groupBy("sub", "c", "j")
+            .agg(F.expr("sum(xv) DIV count(*)").alias("cent_j"))
+        )
+        return comp.groupBy("sub", "c").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("j", "cent_j"))),
+                lambda s: s["cent_j"],
+            ).alias("cent")
+        )
+
+    cb = mean_codebook(
+        embeddings.where(valid).select(
+            (F.col(id_col) % n_codes).cast("int").alias("c"),
+            F.posexplode(xq).alias("pos", "xv"),
+        )
+    )
+    for _ in range(iters):
+        cbs = _pq_prepared(cb, m)
+        encoded = (
+            embeddings.where(valid)
+            .crossJoin(F.broadcast(cbs))
+            .select(
+                F.array(
+                    *[
+                        F.array_min(_pq_sub_dists(xq, s, w))["c"]
+                        for s in range(m)
+                    ]
+                ).alias("codes"),
+                F.posexplode(xq).alias("pos", "xv"),
+            )
+        )
+        cb = mean_codebook(
+            encoded.select(
+                F.col("codes")[(F.col("pos") / w).cast("int")].alias("c"),
+                "pos",
+                "xv",
+            )
+        )
+    return cb
+
+
+def _pq_quantize(vec_col: str):
+    """km1's fixed-point quantization (queries.py): floor((x+1.0)*2^20),
+    the exact IEEE-double expression the SQL oracle evaluates."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            (x.cast("double") + F.lit(1.0)) * F.lit(float(1 << 20))
+        ).cast("long"),
+    )
+
+
+def _pq_prepared(codebooks: DataFrame, m: int):
+    """Collapse the codebook relation to ONE row ``cbs``:
+    array (by sub) of array of struct(c, cent) sorted by codeword id —
+    the broadcastable closed form both encode and LUT build consume."""
+    per_sub = codebooks.groupBy("sub").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("c").cast("int").alias("c"), "cent"))
+        ).alias("words")
+    )
+    return per_sub.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "words"))),
+            lambda s: s["words"],
+        ).alias("cbs")
+    )
+
+
+def _pq_sub_dists(xq_col, sub: int, w: int):
+    """array of struct(dist, c) for one subspace — exact BIGINT squared
+    distance from this row's quantized subvector to every codeword."""
+    sv = F.slice(xq_col, sub * w + 1, w)
+    return F.transform(
+        F.col("cbs")[sub],
+        lambda e: F.struct(
+            F.aggregate(
+                F.zip_with(sv, e["cent"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            e["c"].alias("c"),
+        ),
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 10,
+    iters: int = 0,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC approximate top-k: (query_id, cand_id, adc_dist, rank).
+
+    Scale shape: the codebook is ONE broadcast row; candidate encoding is
+    a map-only pass (per row: m argmins over n_codes codewords, all
+    whole-stage-codegen struct arithmetic — no explode, no shuffle, and at
+    rest you'd persist just (id, codes), m bytes per vector); the query
+    panel builds its (m x n_codes) integer LUTs in the same map-only way
+    and broadcasts; scoring is brute_force_topk's broadcast cross shape
+    but each pair costs m integer table lookups instead of d float
+    multiplies, and the only shuffle anywhere is the final per-query
+    top-k window. Codes are matched to LUT entries BY CODEWORD ID (a
+    filter over the n_codes-sized struct array), so nothing assumes the
+    seeding produced dense codeword ids.
+
+    ``rerank=R`` adds the FAISS refine stage (raw PQ recall is a
+    SHORTLIST quality, not an answer quality): take the top-R per query
+    by ADC, fetch full vectors for only those R·|queries| candidates (the
+    shortlist broadcasts into the embedding scan — map-only, no fact
+    shuffle), exact integer-L2 rescore, re-rank to top-k. Output
+    ``adc_dist`` then carries the EXACT quantized squared distance, and
+    recall approaches exact search as R grows while ADC still prunes
+    |corpus|-R of the float reads per query."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+    cbs = _pq_prepared(
+        pq_codebooks(embeddings, dim, m, n_codes, iters, id_col, vec_col), m
+    )
+    xq = _pq_quantize(vec_col)
+    valid = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+
+    cand = (
+        embeddings.where(valid)
+        .crossJoin(F.broadcast(cbs))
+        .select(
+            F.col(id_col).cast("long").alias("cand_id"),
+            F.array(
+                *[
+                    F.array_min(_pq_sub_dists(xq, s, w))["c"].alias(f"c{s}")
+                    for s in range(m)
+                ]
+            ).alias("codes"),
+        )
+    )
+    lut = (
+        queries.where(valid)
+        .crossJoin(F.broadcast(cbs))
+        .select(
+            F.col(id_col).cast("long").alias("query_id"),
+            F.array(
+                *[
+                    F.transform(
+                        _pq_sub_dists(xq, s, w),
+                        lambda e: F.struct(e["c"].alias("c"), e["dist"].alias("ld")),
+                    )
+                    for s in range(m)
+                ]
+            ).alias("luts"),
+        )
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(lut))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("luts"),
+                    lambda code, lt: F.element_at(
+                        F.filter(lt, lambda e: e["c"] == code), 1
+                    )["ld"],
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("cand_id"))
+    if rerank:
+        shortlist = (
+            scored.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= rerank)
+            .select("query_id", "cand_id")
+        )
+        cvec = embeddings.where(valid).select(
+            F.col(id_col).cast("long").alias("cand_id"), xq.alias("cxq")
+        )
+        qvec = queries.where(valid).select(
+            F.col(id_col).cast("long").alias("query_id"), xq.alias("qxq")
+        )
+        exact = (
+            cvec.join(F.broadcast(shortlist), "cand_id")
+            .join(F.broadcast(qvec), "query_id")
+            .select(
+                "query_id",
+                "cand_id",
+                F.aggregate(
+                    F.zip_with(
+                        F.col("cxq"), F.col("qxq"), lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("adc_dist"),
+            )
+        )
+        scored = exact
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("cand_id").cast("bigint"),
+            F.col("adc_dist").cast("bigint"),
+            "rank",
+        )
+    )

@@ -2901,6 +2901,70 @@ def sim4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim6_pq_adc",
+    """
+    WITH xq AS (
+      SELECT vec_id AS vid, i.i - 1 AS pos,
+             CAST(FLOOR((CAST(embedding[i.i] AS DOUBLE) + 1.0) * 1048576)
+                  AS BIGINT) AS xv
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) i(i)
+      WHERE embedding IS NOT NULL AND len(embedding) = 64),
+    subv AS (
+      SELECT vid, pos // 8 AS sub, pos % 8 AS j, xv, vid % 16 AS c0
+      FROM xq),
+    cb AS (
+      SELECT sub, c0 AS c, j, SUM(xv) // COUNT(*) AS cent
+      FROM subv GROUP BY sub, c0, j),
+    dists AS (
+      SELECT s.vid, s.sub, cb.c,
+             SUM((s.xv - cb.cent) * (s.xv - cb.cent)) AS dist
+      FROM subv s JOIN cb ON cb.sub = s.sub AND cb.j = s.j
+      GROUP BY s.vid, s.sub, cb.c),
+    codes AS (
+      SELECT vid, sub, c AS code FROM (
+        SELECT vid, sub, c,
+               ROW_NUMBER() OVER (PARTITION BY vid, sub ORDER BY dist, c) AS rn
+        FROM dists) WHERE rn = 1),
+    adc AS (
+      SELECT d.vid AS query_id, x.vid AS cand_id, SUM(d.dist) AS adc_dist
+      FROM codes x
+      JOIN dists d ON d.sub = x.sub AND d.c = x.code
+      WHERE d.vid < 5 AND d.vid != x.vid
+      GROUP BY d.vid, x.vid),
+    ranked AS (
+      SELECT query_id, cand_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, cand_id) AS rn
+      FROM adc)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(cand_id AS BIGINT) AS cand_id,
+           CAST(adc_dist AS BIGINT) AS adc_dist, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def sim6_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/similarity.py::pq_topk) —
+    the ANN MEMORY tier next to sim3's sign-LSH and sim4's IVF compute
+    tiers: 64 dims → 8 one-byte codes per candidate (64× smaller at
+    rest), queries precompute an 8×16 integer distance LUT and score each
+    candidate with 8 table lookups instead of 64 float multiplies.
+
+    All arithmetic rides km1's quantized-integer conventions
+    (fixed-point at 2^20 with the +1 offset, truncating-division codeword
+    means, exact BIGINT squared distances), so codes, ADC distances, and
+    ranks hash-check exactly against the oracle — no tolerance boolean.
+    Plan shape: codebook collapses to one broadcast row, encode and LUT
+    build are map-only whole-stage-codegen passes over the fact, and the
+    only shuffle is the final per-query top-k window."""
+    from .operators.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), dim=64, m=8, n_codes=16, k=10
+    )
+
+
+@query(
     "sq1_scalar_subquery",
     """
     SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,

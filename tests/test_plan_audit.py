@@ -38,6 +38,8 @@ BNLJ_WHITELIST = {
     "sim1_topk_cosine",
     "sim4_ivf_ann",
     "sim5_lsh_recall",
+    "sim6_pq_adc",  # bounded query-panel LUT broadcast (sim1's shape);
+    # the codebook cross is a 1-row build side by construction
     "smp6_temperature_sampling",
     "smp8_negative_pairs",
     "t9_bm25_scoring",
