@@ -189,10 +189,10 @@ def main():
             for name, t01, t1, r in rows
         },
     }
-    with open(repo / f"SCALE_r{rnd}.json", "w") as f:
+    with open(repo / f"SCALE_r{rnd:02d}.json", "w") as f:
         json.dump(stamp, f, indent=1)
         f.write("\n")
-    print(f"wrote SCALE_r{rnd}.json", file=sys.stderr)
+    print(f"wrote SCALE_r{rnd:02d}.json", file=sys.stderr)
     spark.stop()
 
 
