@@ -3947,6 +3947,100 @@ def k6_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "k7_change_feed",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pri,
+             CAST(FLOOR(o_orderkey / 1000) AS BIGINT) AS bucket
+      FROM orders WHERE o_orderkey < 20000 AND o_orderkey % 3 <> 0),
+    cdc AS (
+      SELECT o_orderkey AS k,
+             CAST(FLOOR(o_orderkey / 1000) AS BIGINT) AS bucket,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'INSERTED'
+                  ELSE 'UPDATED' END AS pri,
+             (o_orderkey % 3 = 2 AND o_orderkey % 5 = 0) AS is_delete
+      FROM orders WHERE o_orderkey < 10000),
+    merged AS (
+      SELECT k, bucket, pri FROM base
+      WHERE k NOT IN (SELECT k FROM cdc)
+      UNION ALL
+      SELECT k, bucket, pri FROM cdc WHERE NOT is_delete),
+    ins AS (
+      SELECT k, bucket, pri FROM merged WHERE bucket < 10
+      EXCEPT ALL
+      SELECT k, bucket, pri FROM base WHERE bucket < 10),
+    del AS (
+      SELECT k, bucket, pri FROM base WHERE bucket < 10
+      EXCEPT ALL
+      SELECT k, bucket, pri FROM merged WHERE bucket < 10),
+    feed AS (
+      SELECT bucket, 'insert' AS change_type, k FROM ins
+      UNION ALL
+      SELECT bucket, 'delete' AS change_type, k FROM del)
+    SELECT CAST(bucket AS BIGINT) AS bucket, change_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM feed GROUP BY bucket, change_type
+    """,
+)
+def k7_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed across a MERGE commit (r8:
+    ``versioned.py::read_changes`` — Delta CDF's row-level contract
+    derived from manifest dir identity, no per-commit change log): replay
+    k6's scenario (base commit → one CDC merge of updates + inserts +
+    deletes), then diff the two VERSIONS — an update surfaces as its
+    delete+insert pair, and the feed's cost is O(CDC-touched partitions)
+    because a partition whose immutable data dir kept its name provably
+    kept its rows (buckets 10-19 never reach the scan). The oracle
+    reconstructs both states and takes bag-semantics EXCEPT ALL both ways
+    over the touched buckets — the same s4 INTERSECT/EXCEPT ALL surface,
+    now as the incremental-reprocessing primitive a training-data
+    pipeline runs between corpus snapshots."""
+    import shutil
+    import tempfile
+
+    from .versioned import VersionedTable
+
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 20_000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("pri"),
+            block_bucket("o_orderkey").alias("bucket"),
+        )
+    )
+    base = orders.filter(F.col("k") % 3 != 0)
+    cdc = orders.filter(F.col("k") < 10_000).select(
+        "k",
+        "bucket",
+        F.when(F.col("k") % 3 == 0, F.lit("INSERTED"))
+        .otherwise(F.lit("UPDATED"))
+        .alias("pri"),
+        ((F.col("k") % 3 == 2) & (F.col("k") % 5 == 0)).alias("is_delete"),
+    )
+    workdir = tempfile.mkdtemp(prefix="vt_cdf_")
+    try:
+        t = VersionedTable(spark, workdir, partition_col="bucket")
+        t.write_partitions(base)
+        t.merge_into(cdc, key_cols=["k"], delete_col="is_delete")
+        v0, v1 = t.history()
+        agg = (
+            t.read_changes(v0, v1)
+            .groupBy(
+                F.col("bucket").cast("bigint").alias("bucket"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("cnt"),
+                F.sum("k").cast("bigint").alias("key_sum"),
+            )
+        )
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
     "q3_shipping_priority",
     """
     WITH agg AS (

@@ -837,3 +837,127 @@ def test_vacuum_refuses_missing_published_manifest(spark, tmp_path_factory):
         t.vacuum(keep_manifests=1)
     # nothing removed by the refused vacuum
     assert sorted(os.listdir(f"{root}/data")) == data_dirs
+
+
+def test_read_changes_basic_insert_delete_update(spark, tmp_path_factory):
+    """CDF between two versions: an update surfaces as its delete+insert
+    pair, pure inserts/deletes as single rows, untouched partitions are
+    PRUNED before IO (dir-identity pruning — inputFiles must only name
+    dirs of changed partitions)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    t.write_partitions(_frame(spark, 0, 30, "v1"))  # v0: buckets 0,1,2
+    # v1: rewrite bucket 1 — drop row 10, retag row 11, keep 12..19
+    changed = spark.createDataFrame(
+        [(11, 1, "v2")] + [(i, 1, "v1") for i in range(12, 20)],
+        "block_id bigint, block_id_group bigint, tag string",
+    )
+    t.write_partitions(changed)
+    v0, v1 = t.history()
+    feed = t.read_changes(v0, v1)
+    rows = {(r["block_id"], r["tag"], r["_change_type"]) for r in feed.collect()}
+    assert rows == {
+        (10, "v1", "delete"),          # pure delete
+        (11, "v1", "delete"), (11, "v2", "insert"),  # update pair
+    }
+    # dir-identity pruning: every scanned dir DIFFERS between the two
+    # manifests (untouched buckets 0 and 2 never reach the scan)
+    files = feed.inputFiles()
+    assert files and all("/data/" in f for f in files)
+    import json as _json
+    m0 = _json.load(open(f"{root}/_manifests/m-{v0:08d}.json"))["partitions"]
+    m1 = _json.load(open(f"{root}/_manifests/m-{v1:08d}.json"))["partitions"]
+    same_dirs = {d for p, d in m0.items() if m1.get(p) == d}
+    assert same_dirs  # buckets 0 and 2 kept their dirs
+    assert not any(any(f"/{d}/" in f for d in same_dirs) for f in files)
+
+
+def test_read_changes_duplicates_bag_semantics(spark, tmp_path_factory):
+    """Duplicate rows diff with multiplicity (exceptAll): going from 3
+    copies to 1 copy of the same row emits exactly 2 deletes."""
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    dup = spark.createDataFrame(
+        [(5, 0, "x")] * 3, "block_id bigint, block_id_group bigint, tag string"
+    )
+    t.write_partitions(dup)
+    t.write_partitions(dup.limit(1))
+    v0, v1 = t.history()
+    out = t.read_changes(v0, v1).collect()
+    assert len(out) == 2
+    assert all(r["_change_type"] == "delete" and r["block_id"] == 5 for r in out)
+
+
+def test_read_changes_compaction_emits_nothing(spark, tmp_path_factory):
+    """A compaction rewrite renames dirs without changing rows — the feed
+    scans those partitions but must emit zero rows."""
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    t.write_partitions(_frame(spark, 0, 20, "x"))
+    t.compact()
+    hist = t.history()
+    assert len(hist) >= 2
+    assert t.read_changes(hist[0], hist[-1]).count() == 0
+
+
+def test_read_changes_across_schema_evolution(spark, tmp_path_factory):
+    """Additive evolution inside the version range: old-side rows align
+    with NULL in the evolved column (read_version's mergeSchema
+    contract), and the diff is computed over the unioned column set."""
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    t.write_partitions(_frame(spark, 0, 10, "v1"))  # bucket 0, no 'extra'
+    evolved = spark.createDataFrame(
+        [(i, 0, "v1", i * 100) for i in range(0, 10)],
+        "block_id bigint, block_id_group bigint, tag string, extra bigint",
+    )
+    t.write_partitions(evolved)
+    v0, v1 = t.history()
+    feed = t.read_changes(v0, v1)
+    ins = [r for r in feed.collect() if r["_change_type"] == "insert"]
+    dels = [r for r in feed.collect() if r["_change_type"] == "delete"]
+    assert len(ins) == 10 and len(dels) == 10
+    assert all(r["extra"] == r["block_id"] * 100 for r in ins)
+    assert all(r["extra"] is None for r in dels)
+
+
+def test_read_changes_missing_version_raises(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    t.write_partitions(_frame(spark, 0, 10, "x"))
+    (v0,) = t.history()
+    with pytest.raises(FileNotFoundError):
+        t.read_changes(v0, v0 + 99)
+
+
+def test_read_changes_merge_into_tracks_cdc(spark, tmp_path_factory):
+    """The feed across a merge_into commit reproduces the CDC batch:
+    inserts for new keys, delete+insert pairs for updates, deletes for
+    deletes — and costs only the CDC-touched partitions."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("vt"))
+    t = VersionedTable(spark, root)
+    base = spark.createDataFrame(
+        [(i, i // 10, "base") for i in range(30)],
+        "k bigint, bucket bigint, tag string",
+    )
+    t = VersionedTable(spark, root, partition_col="bucket")
+    t.write_partitions(base)
+    cdc = spark.createDataFrame(
+        [(5, 0, "upd", False), (100, 0, "new", False), (7, 0, "x", True)],
+        "k bigint, bucket bigint, tag string, is_delete boolean",
+    )
+    t.merge_into(cdc, key_cols=["k"], delete_col="is_delete")
+    v0, v1 = t.history()
+    rows = {
+        (r["k"], r["tag"], r["_change_type"])
+        for r in t.read_changes(v0, v1).collect()
+    }
+    assert rows == {
+        (5, "base", "delete"), (5, "upd", "insert"),
+        (100, "new", "insert"),
+        (7, "base", "delete"),
+    }
