@@ -24,6 +24,12 @@ Subcommands:
     Chain-reorg handling: drop every bucket partition at/after a block
     across all entity tables (SURVEY.md §7.4.4; no reference equivalent —
     the reference must re-ingest into Cassandra and rely on upserts).
+``changes``
+    Change data feed of a versioned table between two committed versions
+    (``versioned.py::read_changes``): per-type summary, optional parquet
+    export of the row-level feed — the incremental-reprocessing handle
+    for downstream consumers (re-embed only changed docs, re-run dedup
+    only on touched buckets). No reference equivalent.
 ``corpus``
     Training-corpus curation over any documents parquet: ``dedup``
     (exact / minhash / simhash keeper resolution), ``decontaminate``
@@ -255,6 +261,39 @@ def build_parser() -> ArgumentParser:
         dest="sink_format",
         choices=["parquet", "versioned"],
         default="parquet",
+    )
+
+    chg = sub.add_parser(
+        "changes",
+        help="change data feed of a versioned table between two committed "
+        "versions (inserts/deletes; updates surface as delete+insert "
+        "pairs); costs only the partitions whose data dirs changed",
+    )
+    chg.add_argument(
+        "--table-root",
+        dest="table_root",
+        required=True,
+        help="versioned table root (e.g. <sink-root>/transaction)",
+    )
+    chg.add_argument(
+        "--from-version", dest="from_version", type=int, required=True
+    )
+    chg.add_argument(
+        "--to-version",
+        dest="to_version",
+        type=int,
+        default=None,
+        help="defaults to the latest committed version",
+    )
+    chg.add_argument(
+        "--partition-col", dest="partition_col", default="block_id_group"
+    )
+    chg.add_argument(
+        "--output",
+        dest="output",
+        default=None,
+        help="write the full feed as parquet here; without it only the "
+        "per-type summary prints",
     )
 
     explain = sub.add_parser(
@@ -569,6 +608,38 @@ def cmd_invalidate(args: Namespace, spark: SparkSession) -> IngestStats:
     return IngestStats()
 
 
+def cmd_changes(args: Namespace, spark: SparkSession) -> IngestStats:
+    """CDF read of a versioned table (versioned.py::read_changes)."""
+    from pyspark.sql import functions as F
+
+    from .versioned import VersionedTable
+
+    t = VersionedTable(spark, args.table_root, partition_col=args.partition_col)
+    to_version = args.to_version
+    if to_version is None:
+        hist = t.history()
+        if not hist:
+            raise SystemExit(f"no committed versions at {args.table_root}")
+        to_version = hist[-1]
+    feed = t.read_changes(args.from_version, to_version)
+    if args.output:
+        feed.write.mode("overwrite").parquet(args.output)
+        feed = spark.read.parquet(args.output)  # summarize what was written
+    counts = {
+        r["_change_type"]: r["cnt"]
+        for r in feed.groupBy("_change_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    print(
+        f"Changes v{args.from_version} -> v{to_version}: "
+        f"{counts.get('insert', 0):,} inserts, "
+        f"{counts.get('delete', 0):,} deletes"
+        + (f" (written to {args.output})" if args.output else "")
+    )
+    return IngestStats()
+
+
 def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
     """Corpus curation passes (operators/corpus.py compositions): reads the
     input documents parquet, writes the result parquet, prints a one-line
@@ -727,4 +798,6 @@ def main(
         return cmd_explain(args, spark)
     if args.command == "corpus":
         return cmd_corpus(args, spark)
+    if args.command == "changes":
+        return cmd_changes(args, spark)
     return cmd_invalidate(args, spark)

@@ -2965,6 +2965,114 @@ def sim6_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim7_ivfpq_adc",
+    """
+    WITH xq AS (
+      SELECT vec_id AS vid, i.i - 1 AS pos,
+             CAST(FLOOR((CAST(embedding[i.i] AS DOUBLE) + 1.0) * 1048576)
+                  AS BIGINT) AS xv
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) i(i)
+      WHERE embedding IS NOT NULL AND len(embedding) = 64),
+    coarse AS (
+      SELECT vid % 8 AS c, pos, SUM(xv) // COUNT(*) AS cent
+      FROM xq GROUP BY vid % 8, pos),
+    cdist AS (
+      SELECT x.vid, co.c, SUM((x.xv - co.cent) * (x.xv - co.cent)) AS dist
+      FROM xq x JOIN coarse co ON co.pos = x.pos
+      GROUP BY x.vid, co.c),
+    assign AS (
+      SELECT vid, c AS cluster FROM (
+        SELECT vid, c,
+               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, c) AS rn
+        FROM cdist) WHERE rn = 1),
+    probes AS (
+      SELECT vid AS qid, c AS cluster FROM (
+        SELECT vid, c,
+               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, c) AS rn
+        FROM cdist WHERE vid < 5) WHERE rn <= 2),
+    res AS (
+      SELECT x.vid, x.pos, x.xv - co.cent AS rv
+      FROM xq x
+      JOIN assign a ON a.vid = x.vid
+      JOIN coarse co ON co.c = a.cluster AND co.pos = x.pos),
+    subr AS (
+      SELECT vid, pos // 8 AS sub, pos % 8 AS j, rv, vid % 16 AS c0
+      FROM res),
+    cb AS (
+      SELECT sub, c0 AS c, j, SUM(rv) // COUNT(*) AS cent
+      FROM subr GROUP BY sub, c0, j),
+    pdists AS (
+      SELECT s.vid, s.sub, cb.c,
+             SUM((s.rv - cb.cent) * (s.rv - cb.cent)) AS dist
+      FROM subr s JOIN cb ON cb.sub = s.sub AND cb.j = s.j
+      GROUP BY s.vid, s.sub, cb.c),
+    codes AS (
+      SELECT vid, sub, c AS code FROM (
+        SELECT vid, sub, c,
+               ROW_NUMBER() OVER (PARTITION BY vid, sub ORDER BY dist, c) AS rn
+        FROM pdists) WHERE rn = 1),
+    qres AS (
+      SELECT p.qid, p.cluster, x.pos, x.xv - co.cent AS rv
+      FROM probes p
+      JOIN xq x ON x.vid = p.qid
+      JOIN coarse co ON co.c = p.cluster AND co.pos = x.pos),
+    qsub AS (
+      SELECT qid, cluster, pos // 8 AS sub, pos % 8 AS j, rv FROM qres),
+    lut AS (
+      SELECT q.qid, q.cluster, q.sub, cb.c,
+             SUM((q.rv - cb.cent) * (q.rv - cb.cent)) AS ld
+      FROM qsub q JOIN cb ON cb.sub = q.sub AND cb.j = q.j
+      GROUP BY q.qid, q.cluster, q.sub, cb.c),
+    adc AS (
+      SELECT l.qid AS query_id, k.vid AS cand_id, SUM(l.ld) AS adc_dist
+      FROM codes k
+      JOIN assign a ON a.vid = k.vid
+      JOIN lut l ON l.cluster = a.cluster AND l.sub = k.sub AND l.c = k.code
+      WHERE k.vid != l.qid
+      GROUP BY l.qid, k.vid),
+    ranked AS (
+      SELECT query_id, cand_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, cand_id) AS rn
+      FROM adc)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(cand_id AS BIGINT) AS cand_id,
+           CAST(adc_dist AS BIGINT) AS adc_dist, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def sim7_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (operators/similarity.py::ivfpq_topk) — the
+    composition production ANN ships (FAISS IndexIVFPQ): an integer-L2
+    coarse quantizer routes candidates to 8 inverted lists, PQ encodes
+    each candidate's RESIDUAL against its coarse centroid as 8 one-byte
+    codes, and each query probes its 2 nearest lists scoring by
+    residual-space ADC. IVF cuts candidates touched (nprobe/n_clusters),
+    PQ cuts bytes per candidate (m codes) — multiplicative, the
+    billion-scale default.
+
+    Every distance in the pipeline — coarse assignment, residual
+    codeword training, LUT build, ADC — is an exact BIGINT on km1's
+    quantization, so the oracle (the full index build in SQL: coarse
+    means → assignment → residuals → per-subspace codebooks → codes →
+    per-probe LUTs → ADC join) hash-checks exactly. A candidate lives in
+    exactly one list, so multi-probe never scores it twice."""
+    from .operators.similarity import ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        dim=64,
+        n_clusters=8,
+        nprobe=2,
+        m=8,
+        n_codes=16,
+        k=10,
+    )
+
+
+@query(
     "sq1_scalar_subquery",
     """
     SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,

@@ -308,6 +308,19 @@ OPS = {
     "similarity.ivf_topk": dict(
         input="emb", call=lambda sp, d: s_ops.ivf_topk(d, d, n_clusters=2, nprobe=2, k=3),
         contract="pairs", id_cols=("query_id", "cand_id")),
+    "similarity.pq_codebooks": dict(
+        input="emb",
+        call=lambda sp, d: s_ops.pq_codebooks(d, dim=8, m=4, n_codes=4),
+        contract="no_crash"),
+    "similarity.pq_topk": dict(
+        input="emb",
+        call=lambda sp, d: s_ops.pq_topk(d, d, dim=8, m=4, n_codes=4, k=3, rerank=2),
+        contract="pairs", id_cols=("query_id", "cand_id")),
+    "similarity.ivfpq_topk": dict(
+        input="emb",
+        call=lambda sp, d: s_ops.ivfpq_topk(
+            d, d, dim=8, n_clusters=2, nprobe=2, m=4, n_codes=4, k=3),
+        contract="pairs", id_cols=("query_id", "cand_id")),
 }
 
 # Public callables in operators/*.py that the generic harness does NOT

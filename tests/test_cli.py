@@ -982,3 +982,41 @@ def test_domain_cap_salted_prefilter_planted_mega_domain(spark):
         for rk, i in enumerate(brute(ids))
     )
     assert got_salted == expected
+
+
+def test_cli_changes_feed_after_versioned_ingest(spark, tmp_path, capsys):
+    """`changes` CDF subcommand end-to-end over a real versioned ingest:
+    two ingest invocations create two committed versions of each entity
+    table; the feed between them is exactly the second invocation's rows
+    (all inserts, nothing deleted), summarized on stdout and exported as
+    parquet with the _change_type column."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.versioned import VersionedTable
+
+    sink = str(tmp_path / "eth")
+    base = [
+        "ingest", "-w", "synthetic://29", "-o", sink,
+        "-b", "10", "--bucket-size", "10", "--sink-format", "versioned",
+    ]
+    main(base + ["-e", "9"], spark=spark)
+    main(base + ["-e", "29"], spark=spark)
+
+    t = VersionedTable(spark, f"{sink}/block")
+    hist = t.history()
+    assert len(hist) >= 2
+    out_path = str(tmp_path / "feed")
+    main(
+        [
+            "changes", "--table-root", f"{sink}/block",
+            "--from-version", str(hist[0]),
+            "--output", out_path,
+        ],
+        spark=spark,
+    )
+    printed = capsys.readouterr().out
+    assert "20 inserts, 0 deletes" in printed
+    feed = spark.read.parquet(out_path)
+    assert feed.filter(F.col("_change_type") == "insert").count() == 20
+    got_ids = {r["block_id"] for r in feed.select("block_id").collect()}
+    assert got_ids == set(range(10, 30))

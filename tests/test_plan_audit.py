@@ -40,6 +40,8 @@ BNLJ_WHITELIST = {
     "sim5_lsh_recall",
     "sim6_pq_adc",  # bounded query-panel LUT broadcast (sim1's shape);
     # the codebook cross is a 1-row build side by construction
+    "sim7_ivfpq_adc",  # coarse/codebook crosses are 1-row build sides;
+    # the candidate x probe join is an equi-join on cluster (sim4's shape)
     "smp6_temperature_sampling",
     "smp8_negative_pairs",
     "t9_bm25_scoring",

@@ -233,3 +233,62 @@ def test_pq_malformed_vectors_dropped(spark):
     out = pq_topk(df, df, dim=8, m=4, n_codes=4, k=10).collect()
     ids = {r["query_id"] for r in out} | {r["cand_id"] for r in out}
     assert ids == {0, 1, 2, 3}
+
+
+def test_ivfpq_recall_and_probe_coverage(spark, sf_dir):
+    """What nprobe guarantees is CANDIDATE COVERAGE, not top-k recall:
+    the set of (query, cand) pairs SCORED grows monotonically with nprobe
+    (observable with k >= corpus size), while top-10 ADC recall may
+    wobble as far-list residual approximations enter the ranking (true of
+    FAISS IVFPQ too — refine fixes ranking, nprobe fixes coverage). Both
+    probe levels must still land well above the 10/n random floor vs the
+    exact integer-L2 top-10."""
+    from graphsense_ethereum_etl_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    n = emb.count()
+    exact = {}
+    for r in pq_topk(emb, queries, dim=64, m=8, n_codes=16, k=10, rerank=n).collect():
+        exact.setdefault(r["query_id"], set()).add(r["cand_id"])
+
+    def run(nprobe, k):
+        got, pairs = {}, set()
+        out = ivfpq_topk(
+            emb, queries, dim=64, n_clusters=8, nprobe=nprobe,
+            m=8, n_codes=16, k=k,
+        )
+        for r in out.collect():
+            assert 1 <= r["rank"] <= k and r["adc_dist"] >= 0
+            got.setdefault(r["query_id"], set()).add(r["cand_id"])
+            pairs.add((r["query_id"], r["cand_id"]))
+        rec = sum(len(exact[q] & got.get(q, set())) / 10 for q in exact) / len(exact)
+        return rec, pairs
+
+    r2, _ = run(2, 10)
+    r8, _ = run(8, 10)
+    assert r2 >= 0.15 and r8 >= 0.15, (r2, r8)
+    _, cov2 = run(2, n)
+    _, cov8 = run(8, n)
+    assert cov2 < cov8 and cov2 <= cov8  # strict growth in scored pairs
+
+
+def test_ivfpq_candidate_in_one_list_only(spark):
+    """A candidate belongs to exactly one inverted list: scoring it via
+    several probed lists must not duplicate (query, cand) rows."""
+    from graphsense_ethereum_etl_spark.operators.similarity import ivfpq_topk
+
+    rows = [
+        (i, [float((i * 5 + j) % 7) / 7.0 for j in range(8)])
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = ivfpq_topk(
+        df, df.filter(F.col("vec_id") < 3), dim=8,
+        n_clusters=3, nprobe=3, m=4, n_codes=4, k=50,
+    ).collect()
+    pairs = [(r["query_id"], r["cand_id"]) for r in out]
+    assert len(pairs) == len(set(pairs))
