@@ -182,3 +182,58 @@ def lang_id(text: Column | str) -> Column:
         branch = F.when(cond, F.lit(lang))
         best = branch if best is None else best.when(cond, F.lit(lang))
     return F.coalesce(best, F.lit("und"))
+
+
+def hashed_embedding(text: Column | str, dim: int = 16) -> Column:
+    """Feature-hashing text embedding (the "hashing trick" — Weinberger,
+    Dasgupta, Langford, Smola, Attenberg, ICML 2009): each token hashes to
+    one of ``dim`` buckets with a ±1 sign, the vector is the signed bucket
+    counts — the classic fixed-width, vocabulary-free featurization, and
+    the document→embedding bridge for everything downstream that consumes
+    an embedding column (dedup sim2/dd8, ANN sim1-sim7, k-means km1).
+
+    Returns ``array<bigint>`` of length ``dim`` — exact INTEGERS, so the
+    column is hash-checkable across engines (no normalization; callers
+    that want unit vectors divide by the norm downstream where float
+    tolerance is theirs to own). Bucket and sign derive from md5 (smp1's
+    engine-independent convention: first 8 hex chars → bucket, 9th hex
+    char parity → sign), NOT xxhash64 — in a pure Spark deployment you'd
+    swap md5 for xxhash64, same contract, cheaper.
+
+    NULL and empty text produce the zero vector (tokens of '' filter
+    away) — documents never vanish from a featurization pass. Pure
+    Catalyst: two md5 per token, then dim×tokens integer ops per row; no
+    explode, no shuffle, embarrassingly parallel."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(c, F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    tagged = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.pmod(
+                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+                F.lit(dim),
+            ).alias("b"),
+            F.when(
+                F.conv(F.substring(F.md5(t), 9, 1), 16, 10).cast("bigint") % 2
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("s"),
+        ),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(
+            tagged,
+            F.lit(0).cast("long"),
+            lambda acc, e: acc
+            + F.when(e["b"] == i.cast("bigint"), e["s"]).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+    )

@@ -3073,6 +3073,57 @@ def sim7_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb1_hashed_embedding",
+    """
+    WITH toks AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS t
+        FROM documents)
+      WHERE t != ''),
+    hb AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % 16 AS pos,
+             CASE WHEN CAST('0x' || substring(md5(t), 9, 1) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM toks),
+    agg AS (
+      SELECT doc_id, pos, CAST(SUM(s) AS BIGINT) AS val
+      FROM hb GROUP BY doc_id, pos),
+    grid AS (
+      SELECT d.doc_id, i.i AS pos
+      FROM (SELECT DISTINCT doc_id FROM documents) d,
+           unnest(range(0, 16)) i(i))
+    SELECT CAST(g.doc_id AS BIGINT) AS doc_id, CAST(g.pos AS INT) AS pos,
+           CAST(COALESCE(a.val, 0) AS BIGINT) AS val
+    FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.pos = g.pos
+    """,
+)
+def emb1_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing embedding generation (functions/text.py::
+    hashed_embedding — Weinberger et al. ICML 2009): the document →
+    embedding BRIDGE in the pipeline (every downstream embedding consumer
+    — sim2/dd8 near-dup, sim1-sim7 ANN, km1 — starts from a featurization
+    pass like this; a model-based embedder swaps in behind the same
+    column contract). dim=16 signed bucket counts per document, md5
+    bucket/sign (smp1's engine-independent convention), exact BIGINT —
+    hash-checked, including the zero-vector rows NULL/empty documents
+    must produce (the adversarial-harness drop classes).
+
+    Emitted LONG-FORM (doc_id, pos, val — one row per vector slot) so the
+    oracle compares scalars; the operator itself returns the
+    array<bigint> column. Plan: map-only featurization (no explode, no
+    shuffle — the posexplode here is presentation), 100% codegen."""
+    from .functions.text import hashed_embedding
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode(hashed_embedding("text", dim=16)).alias("pos", "val"),
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "val")
+
+
+@query(
     "sq1_scalar_subquery",
     """
     SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,

@@ -81,6 +81,7 @@ TEXT_OPS = {
     "mean_token_length": (lambda: tx.mean_token_length("text"), "nonneg_or_null"),
     "stopword_score": (lambda: tx.stopword_score("text", "en"), "nonneg_or_null"),
     "lang_id": (lambda: tx.lang_id("text"), "string_or_null"),
+    "hashed_embedding": (lambda: tx.hashed_embedding("text", 8), "array_or_null"),
 }
 
 TEXT_SKIPS: dict[str, str] = {}
