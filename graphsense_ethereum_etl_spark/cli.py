@@ -324,6 +324,7 @@ def build_parser() -> ArgumentParser:
         choices=[
             "dedup", "decontaminate", "score", "sample", "pack", "chunk",
             "dedup-lines", "negatives", "validate", "lm-score", "ann",
+            "embed",
         ],
         help="which curation pass to run over the input documents table",
     )
@@ -449,6 +450,10 @@ def build_parser() -> ArgumentParser:
     corpus.add_argument(
         "--rerank", type=int, default=None,
         help="ann pq: exact-rescore the top-R ADC shortlist per query",
+    )
+    corpus.add_argument(
+        "--embed-dim", dest="embed_dim", type=int, default=16,
+        help="embed: feature-hash vector width",
     )
 
     return parser
@@ -784,6 +789,17 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
         n = len(report)
         print(f"corpus validate: wrote {n} rule rows to {args.output}")
         return IngestStats()
+    elif args.operation == "embed":
+        from pyspark.sql import functions as F
+
+        from .functions.text import hashed_embedding
+
+        out = docs.select(
+            F.col(args.id_col),
+            hashed_embedding(args.text_col, dim=args.embed_dim)
+            .cast("array<double>")
+            .alias(args.vec_col),
+        )
     elif args.operation == "ann":
         from .operators.similarity import (
             brute_force_topk,

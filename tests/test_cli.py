@@ -1065,3 +1065,45 @@ def test_cli_corpus_ann_methods(spark, tmp_path):
             got.setdefault(r["query_id"], set()).add(r["cand_id"])
         assert set(got) == {0, 1, 2} and all(len(v) == 5 for v in got.values())
         outs[method] = got
+
+
+def test_cli_corpus_embed_then_ann_pipeline(spark, tmp_path):
+    """The documents -> embeddings bridge through the CLI: `corpus embed`
+    feature-hashes a documents parquet into an embedding column that
+    `corpus ann` consumes directly — the two-step pipeline a user runs
+    today with an external embedder, fully in-engine. An exact duplicate
+    document must be its twin's nearest neighbor (identical text ->
+    identical vector -> integer-L2 distance 0)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "docs")
+    rows = [
+        (i, f"u{i}a u{i}b u{i}c u{i}d common", "en") for i in range(20)
+    ]
+    rows.append((100, rows[3][1], "en"))  # exact dup of doc 3
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    ).write.parquet(src)
+
+    emb = str(tmp_path / "emb")
+    main(
+        ["corpus", "embed", "-i", src, "-o", emb,
+         "--id-col", "doc_id", "--embed-dim", "16"],
+        spark=spark,
+    )
+    edf = spark.read.parquet(emb)
+    assert edf.columns == ["doc_id", "embedding"]
+    assert edf.count() == 21
+    assert edf.filter(F.size("embedding") != 16).count() == 0
+
+    out = str(tmp_path / "nbrs")
+    main(
+        ["corpus", "ann", "-i", emb, "-o", out,
+         "--id-col", "doc_id", "--ann-method", "brute", "--k", "1"],
+        spark=spark,
+    )
+    top = {
+        r["query_id"]: r["cand_id"]
+        for r in spark.read.parquet(out).filter(F.col("rank") == 1).collect()
+    }
+    assert top[100] == 3 and top[3] == 100  # exact dup pair found
