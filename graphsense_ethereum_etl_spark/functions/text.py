@@ -202,8 +202,10 @@ def hashed_embedding(text: Column | str, dim: int = 16) -> Column:
 
     NULL and empty text produce the zero vector (tokens of '' filter
     away) — documents never vanish from a featurization pass. Pure
-    Catalyst: two md5 per token, then dim×tokens integer ops per row; no
-    explode, no shuffle, embarrassingly parallel."""
+    Catalyst: two md5 per token, then one fold over the tagged tokens
+    with an array accumulator (a per-bucket outer loop would re-evaluate
+    the md5 tagging once PER BUCKET — dim× the hash work; the fold pays
+    it once); no explode, no shuffle, embarrassingly parallel."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.filter(
         F.split(F.trim(F.coalesce(c, F.lit(""))), r"\s+"),
@@ -226,13 +228,13 @@ def hashed_embedding(text: Column | str, dim: int = 16) -> Column:
             .alias("s"),
         ),
     )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.aggregate(
-            tagged,
-            F.lit(0).cast("long"),
-            lambda acc, e: acc
-            + F.when(e["b"] == i.cast("bigint"), e["s"]).otherwise(
+    return F.aggregate(
+        tagged,
+        F.array_repeat(F.lit(0).cast("long"), dim),
+        lambda acc, e: F.transform(
+            acc,
+            lambda v, i: v
+            + F.when(i.cast("bigint") == e["b"], e["s"]).otherwise(
                 F.lit(0).cast("long")
             ),
         ),
