@@ -25,11 +25,12 @@ Subcommands:
     across all entity tables (SURVEY.md §7.4.4; no reference equivalent —
     the reference must re-ingest into Cassandra and rely on upserts).
 ``changes``
-    Change data feed of a versioned table between two committed versions
-    (``versioned.py::read_changes``): per-type summary, optional parquet
-    export of the row-level feed — the incremental-reprocessing handle
-    for downstream consumers (re-embed only changed docs, re-run dedup
-    only on touched buckets). No reference equivalent.
+    Change data feed of a versioned table (``versioned.py::read_changes``):
+    one-shot diff between two committed versions, or ``--stream`` follow
+    mode (``streaming/cdf.py`` — checkpointed exactly-once version
+    accounting, per-version parquet export) — the incremental-reprocessing
+    handle for downstream consumers (re-embed only changed docs, re-run
+    dedup only on touched buckets). No reference equivalent.
 ``corpus``
     Training-corpus curation over any documents parquet: ``dedup``
     (exact / minhash / simhash keeper resolution), ``decontaminate``
@@ -276,7 +277,13 @@ def build_parser() -> ArgumentParser:
         help="versioned table root (e.g. <sink-root>/transaction)",
     )
     chg.add_argument(
-        "--from-version", dest="from_version", type=int, required=True
+        "--from-version",
+        dest="from_version",
+        type=int,
+        default=None,
+        help="batch: diff base version (required); --stream: first "
+        "version to emit on a fresh checkpoint (default: only versions "
+        "committed after the stream starts)",
     )
     chg.add_argument(
         "--to-version",
@@ -293,7 +300,24 @@ def build_parser() -> ArgumentParser:
         dest="output",
         default=None,
         help="write the full feed as parquet here; without it only the "
-        "per-type summary prints",
+        "per-type summary prints (--stream: one v=<version> subdir per "
+        "commit, overwrite-idempotent under replay)",
+    )
+    chg.add_argument(
+        "--stream",
+        dest="stream",
+        action="store_true",
+        help="follow mode (streaming/cdf.py): drain every version "
+        "committed since the checkpoint (or --from-version on first "
+        "run) through a Structured Streaming availableNow pass — "
+        "exactly-once version accounting across invocations",
+    )
+    chg.add_argument(
+        "--checkpoint",
+        dest="checkpoint",
+        default=None,
+        help="--stream: checkpoint dir (required) owning the version "
+        "cursor",
     )
 
     explain = sub.add_parser(
@@ -653,11 +677,51 @@ def cmd_invalidate(args: Namespace, spark: SparkSession) -> IngestStats:
 
 
 def cmd_changes(args: Namespace, spark: SparkSession) -> IngestStats:
-    """CDF read of a versioned table (versioned.py::read_changes)."""
+    """CDF read of a versioned table: one-shot diff
+    (versioned.py::read_changes) or --stream follow mode
+    (streaming/cdf.py::run_streaming_cdf)."""
     from pyspark.sql import functions as F
 
     from .versioned import VersionedTable
 
+    if getattr(args, "stream", False):
+        if not args.checkpoint:
+            raise SystemExit("changes --stream requires --checkpoint")
+        from .streaming.cdf import run_streaming_cdf
+
+        seen: list[int] = []
+
+        def handle(feed, version: int) -> None:
+            if args.output:
+                feed.write.mode("overwrite").parquet(
+                    f"{args.output}/v={version}"
+                )
+                feed = spark.read.parquet(f"{args.output}/v={version}")
+            counts = {
+                r["_change_type"]: r["cnt"]
+                for r in feed.groupBy("_change_type")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+            seen.append(version)
+            print(
+                f"v{version}: {counts.get('insert', 0):,} inserts, "
+                f"{counts.get('delete', 0):,} deletes"
+            )
+
+        run_streaming_cdf(
+            spark,
+            args.table_root,
+            handle,
+            checkpoint=args.checkpoint,
+            partition_col=args.partition_col,
+            start_version=args.from_version,
+        )
+        print(f"Drained {len(seen)} new version(s)")
+        return IngestStats()
+
+    if args.from_version is None:
+        raise SystemExit("changes requires --from-version (or --stream)")
     t = VersionedTable(spark, args.table_root, partition_col=args.partition_col)
     to_version = args.to_version
     if to_version is None:

@@ -1107,3 +1107,43 @@ def test_cli_corpus_embed_then_ann_pipeline(spark, tmp_path):
         for r in spark.read.parquet(out).filter(F.col("rank") == 1).collect()
     }
     assert top[100] == 3 and top[3] == 100  # exact dup pair found
+
+
+def test_cli_changes_stream_follow(spark, tmp_path, capsys):
+    """`changes --stream` follow mode: first invocation with a fresh
+    checkpoint + --from-version 0 drains all history into per-version
+    subdirs; a second invocation after one more commit drains exactly the
+    new version (checkpointed exactly-once accounting through the CLI)."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.versioned import VersionedTable
+
+    root = str(tmp_path / "vt")
+    t = VersionedTable(spark, root)
+    frame = lambda lo, hi, tag: spark.createDataFrame(
+        [(i, i // 10, tag) for i in range(lo, hi)],
+        "block_id bigint, block_id_group bigint, tag string",
+    )
+    t.write_partitions(frame(0, 10, "a"))
+    t.write_partitions(frame(0, 10, "b"))
+
+    out, ckpt = str(tmp_path / "feeds"), str(tmp_path / "ckpt")
+    base = [
+        "changes", "--table-root", root, "--stream",
+        "--checkpoint", ckpt, "--output", out, "--from-version", "0",
+    ]
+    main(base, spark=spark)
+    printed = capsys.readouterr().out
+    assert "Drained 2 new version(s)" in printed
+    v1, v2 = t.history()
+    assert spark.read.parquet(f"{out}/v={v1}").count() == 10  # snapshot
+    feed2 = spark.read.parquet(f"{out}/v={v2}")
+    assert feed2.filter(F.col("_change_type") == "delete").count() == 10
+    assert feed2.filter(F.col("_change_type") == "insert").count() == 10
+
+    t.write_partitions(frame(10, 20, "c"))  # new bucket
+    main(base, spark=spark)
+    printed = capsys.readouterr().out
+    assert "Drained 1 new version(s)" in printed
+    v3 = t.history()[-1]
+    assert spark.read.parquet(f"{out}/v={v3}").count() == 10
