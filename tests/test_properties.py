@@ -406,3 +406,55 @@ def test_kmeans_formulations_agree_on_null_ids_and_elements(spark):
         assert sql_rows == kern_rows, f"formulations diverged at k={k}"
         assert len(sql_rows) > 0
         assert all(r[0] is not None for r in sql_rows)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=["Lu", "Ll", "Nd"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_hashed_embedding_invariants(spark, token_lists):
+    """Feature-hash embedding (functions/text.py::hashed_embedding):
+    (a) fixed width dim regardless of input; (b) mass conservation —
+    sum(|v_i|) <= n_tokens (equality iff no in-bucket sign cancellation)
+    and sum(v_i) == sum of token signs; (c) deterministic — the same text
+    twice gives identical vectors; (d) permutation-invariant (bag of
+    words: token order cannot matter)."""
+    import random
+
+    from graphsense_ethereum_etl_spark.functions.text import hashed_embedding
+
+    text = " ".join(token_lists)
+    shuffled = token_lists[:]
+    random.Random(7).shuffle(shuffled)
+    rows = [(1, text), (2, text), (3, " ".join(shuffled))]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["v"]
+        for r in df.select(
+            "doc_id", hashed_embedding("text", dim=8).alias("v")
+        ).collect()
+    }
+    n = len(token_lists)
+    for v in got.values():
+        assert len(v) == 8
+        assert sum(abs(x) for x in v) <= n
+    assert got[1] == got[2]  # deterministic
+    assert got[3] == got[1]  # bag-of-words permutation invariance
+
+
+def test_hashed_embedding_null_empty_zero_vector(spark):
+    from graphsense_ethereum_etl_spark.functions.text import hashed_embedding
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "  \t ")], "doc_id bigint, text string"
+    )
+    for r in df.select(hashed_embedding("text", dim=4).alias("v")).collect():
+        assert r["v"] == [0, 0, 0, 0]
