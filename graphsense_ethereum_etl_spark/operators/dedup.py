@@ -24,7 +24,7 @@ what makes MinHash/LSH fully oracle-checkable in SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles
@@ -846,4 +846,87 @@ def fingerprint_hamming_pairs(
             F.col("id_b").cast("bigint"),
             F.col("hamming"),
         )
+    )
+
+
+def dupspan_coverage(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-substring coverage per document (the ExactSubstr metric of
+    Lee et al., "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022, at word-k-gram granularity): for each document, how many of
+    its token positions sit inside at least one k-token window whose text
+    occurs MORE THAN ONCE in the corpus (counting multiplicity, so a gram
+    repeated within a single document is duplicated too — exactly the
+    suffix-array semantics, quantized to k-token windows).
+
+    Returns one row per input document:
+      (id_col, n_tokens, covered_tokens, coverage)
+    where coverage = covered_tokens / n_tokens.  NULL/empty text follows the
+    corpus token convention (split(trim(coalesce(text,''))) — one empty
+    token, zero grams, coverage 0.0).  Every value is an exact BIGINT or a
+    ratio of two exact BIGINTs, so the result is engine-identical.
+
+    Scale shape (this is what makes it tractable where a distributed suffix
+    array is not): the duplicated-gram set is an aggregate keyed on gram —
+    AQE broadcasts it into the occurrence side when it is small (the
+    measured sf0.1 plan: the occurrences never shuffle), and at corpus
+    scale both sides hash-partition on gram where the identical occurrence
+    subtree is reused (AQE splits skewed mega-gram partitions).  The
+    covered-position count uses NO ×k explode — duplicated k-windows per
+    doc are equal-length intervals, so their union size is the lag-window
+    sum Σ min(k, pos − prev_pos), one doc-keyed window shuffle.  The final
+    join-back is doc-keyed against a ≤1-row-per-doc aggregate.
+    """
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    occ = docs.select(
+        F.col(id_col), F.posexplode(grams).alias("p0", "gram")
+    ).select(id_col, (F.col("p0") + 1).alias("pos"), "gram")
+    dup_grams = (
+        occ.groupBy("gram")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("gram")
+    )
+    dup = occ.join(dup_grams, "gram").select(id_col, "pos")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    covered = (
+        dup.withColumn("prev", F.lag("pos").over(w))
+        .select(
+            id_col,
+            F.least(
+                F.lit(k), F.col("pos") - F.coalesce(F.col("prev"), F.col("pos") - k)
+            ).alias("inc"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("inc").cast("bigint").alias("covered_tokens"))
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    return totals.join(covered, id_col, "left").select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        "n_tokens",
+        F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("bigint").alias(
+            "covered_tokens"
+        ),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coverage"),
     )

@@ -6982,6 +6982,62 @@ def dd8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dd9_dupspan_coverage",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS w
+      FROM documents),
+    occ AS (
+      SELECT doc_id, i.i AS pos,
+             array_to_string(w[i.i:i.i + 4], ' ') AS gram
+      FROM toks, unnest(range(1, len(w) - 5 + 2)) i(i)),
+    dup_grams AS (
+      SELECT gram FROM occ GROUP BY gram HAVING COUNT(*) >= 2),
+    dup AS (
+      SELECT o.doc_id, o.pos FROM occ o JOIN dup_grams d USING (gram)),
+    gaps AS (
+      SELECT doc_id, pos,
+             LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM dup),
+    cov AS (
+      SELECT doc_id,
+             SUM(LEAST(5, pos - COALESCE(prev, pos - 5))) AS covered
+      FROM gaps GROUP BY doc_id)
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+           CASE WHEN len(t.w) > 0
+                THEN CAST(COALESCE(c.covered, 0) AS DOUBLE)
+                     / CAST(len(t.w) AS DOUBLE)
+                ELSE 0.0 END AS coverage
+    FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id
+    """,
+)
+def dd9_dupspan_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-substring coverage (operators/dedup.py::dupspan_coverage —
+    Lee et al. ACL 2022's ExactSubstr dedup metric at word-5-gram
+    granularity): per document, the fraction of token positions inside at
+    least one 5-token window whose text occurs more than once in the corpus
+    (multiplicity counts, so within-doc repetition is duplication too).
+    This is the dedup family member the suffix-array method serves in the
+    paper; quantizing to fixed-k windows is what makes it one gram-keyed
+    aggregate (AQE broadcasts the dup-gram set back into the occurrence
+    side — the occurrences never shuffle at this sf; at corpus scale the
+    join degrades to a gram-partitioned SMJ reusing the same subtree) plus
+    one doc-keyed window instead of a distributed suffix array, and the
+    covered-position union is the lag-window sum
+    Σ min(k, pos − prev) — no ×k position explode, no distinct. The oracle
+    replays the identical pipeline in SQL; coverage is a ratio of two exact
+    BIGINTs so the hash check is exact."""
+    from .operators.dedup import dupspan_coverage
+
+    return dupspan_coverage(
+        load(spark, sf_dir, "documents", spread=True), k=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # ETL dimension maintenance, corpus line dedup, built-in session windows,
 # tokenizer-training pair counts, histograms, key-skew profiling (r5)

@@ -216,6 +216,9 @@ OPS = {
     "dedup.edit_distance_pairs_passjoin": dict(
         input="docs", call=lambda sp, d: dd_ops.edit_distance_pairs_passjoin(d, max_distance=1),
         contract="pairs", id_cols=("id_a", "id_b")),
+    "dedup.dupspan_coverage": dict(
+        input="docs", call=lambda sp, d: dd_ops.dupspan_coverage(d, k=2),
+        contract="per_doc", id_out="doc_id"),
     "dedup.simhash": dict(
         input="docs", call=lambda sp, d: dd_ops.simhash(d),
         contract="per_doc", id_out="doc_id"),

@@ -398,3 +398,54 @@ def test_dd2b_registered_query_plan_exchange_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in ("dd2b_q_prefix", "dd2b_q_sets"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_dupspan_coverage_interval_union_golden(spark):
+    """Hand-checkable corpus for the ExactSubstr coverage metric (k=3):
+    overlapping duplicated windows merge into one interval (union, not
+    sum), a within-doc repeat counts as duplication, short/NULL docs
+    surface with coverage 0."""
+    from graphsense_ethereum_etl_spark.operators.dedup import dupspan_coverage
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1/2 share "a b c d" -> grams "a b c"@1, "b c d"@2 both
+            # duplicated; union of [1,3] and [2,4] = 4 tokens, not 6.
+            (1, "a b c d x"),
+            (2, "a b c d y"),
+            # within-doc repeat: "p q r" twice in one doc (positions 1, 4)
+            # -> intervals [1,3] and [4,6] cover all 6 tokens.
+            (3, "p q r p q r"),
+            (4, "u v"),  # shorter than k: zero grams
+            (5, None),  # NULL text: one empty token, zero grams
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"], r["coverage"])
+        for r in dupspan_coverage(docs, k=3).collect()
+    }
+    assert out[1] == (5, 4, 0.8)
+    assert out[2] == (5, 4, 0.8)
+    assert out[3] == (6, 6, 1.0)
+    assert out[4] == (2, 0, 0.0)
+    assert out[5] == (1, 0, 0.0)
+
+
+def test_dupspan_coverage_adjacent_runs_merge(spark):
+    """A long shared run covers len(run) tokens exactly: every window in
+    the run is duplicated and consecutive positions contribute min(k, 1)
+    each after the first — the lag-sum equals the true interval union."""
+    from graphsense_ethereum_etl_spark.operators.dedup import dupspan_coverage
+
+    shared = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, shared + " tail1 only1"), (2, "head2 " + shared)],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"])
+        for r in dupspan_coverage(docs, k=4).collect()
+    }
+    assert out[1] == (12, 10)
+    assert out[2] == (11, 10)
