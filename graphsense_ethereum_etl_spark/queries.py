@@ -4200,6 +4200,97 @@ def k7_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "k8_incremental_mv",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pri,
+             CAST(FLOOR(o_orderkey / 1000) AS BIGINT) AS bucket
+      FROM orders WHERE o_orderkey < 20000 AND o_orderkey % 3 <> 0),
+    cdc AS (
+      SELECT o_orderkey AS k,
+             CAST(FLOOR(o_orderkey / 1000) AS BIGINT) AS bucket,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'INSERTED'
+                  ELSE 'UPDATED' END AS pri,
+             (o_orderkey % 3 = 2 AND o_orderkey % 5 = 0) AS is_delete
+      FROM orders WHERE o_orderkey < 10000),
+    merged AS (
+      SELECT k, bucket, pri FROM base
+      WHERE k NOT IN (SELECT k FROM cdc)
+      UNION ALL
+      SELECT k, bucket, pri FROM cdc WHERE NOT is_delete)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM merged GROUP BY bucket
+    """,
+)
+def k8_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (``versioned.py::incremental_aggregate`` — the Gupta–Mumick delta rule
+    for self-maintainable aggregates, fed by r8's change data feed):
+    materialize the per-bucket COUNT/SUM view at version v0, apply ONE CDC
+    merge commit (k6's update+insert+delete scenario), then roll the view
+    to v1 from ``read_changes(v0, v1)`` ALONE — inserts weight +1, deletes
+    −1, one CDC-sized delta aggregation union-summed with the view (no
+    join; map-side combinable);
+    the base table is never rescanned and untouched buckets 10-19 never
+    reach any scan (the feed pruned them by manifest-dir identity). The
+    oracle is the FULL RECOMPUTE over the reconstructed post-merge state —
+    equality with it is precisely the view-maintenance correctness
+    statement (a lost delta, a double-applied update, or a group kept
+    after its count hit zero all break the hash)."""
+    import shutil
+    import tempfile
+
+    from .versioned import VersionedTable, incremental_aggregate
+
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 20_000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("pri"),
+            block_bucket("o_orderkey").alias("bucket"),
+        )
+    )
+    base = orders.filter(F.col("k") % 3 != 0)
+    cdc = orders.filter(F.col("k") < 10_000).select(
+        "k",
+        "bucket",
+        F.when(F.col("k") % 3 == 0, F.lit("INSERTED"))
+        .otherwise(F.lit("UPDATED"))
+        .alias("pri"),
+        ((F.col("k") % 3 == 2) & (F.col("k") % 5 == 0)).alias("is_delete"),
+    )
+    workdir = tempfile.mkdtemp(prefix="vt_mv_")
+    try:
+        t = VersionedTable(spark, workdir, partition_col="bucket")
+        t.write_partitions(base)
+        mv0 = (
+            t.read()
+            .groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+            .agg(
+                F.count("*").cast("bigint").alias("cnt"),
+                F.sum("k").cast("bigint").alias("key_sum"),
+            )
+        )
+        t.merge_into(cdc, key_cols=["k"], delete_col="is_delete")
+        v0, v1 = t.history()
+        mv1 = incremental_aggregate(
+            mv0,
+            t.read_changes(v0, v1),
+            group_cols=["bucket"],
+            sum_cols={"key_sum": "k"},
+        )
+        # the MV frame references mv0, whose lineage reads version v0's
+        # data dirs — eager-collect before the workdir vanishes (k5's
+        # pattern)
+        return spark.createDataFrame(mv1.collect(), mv1.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
     "q3_shipping_priority",
     """
     WITH agg AS (

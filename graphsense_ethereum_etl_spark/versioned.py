@@ -637,6 +637,77 @@ class VersionedTable:
         return removed
 
 
+def incremental_aggregate(
+    mv: DataFrame,
+    changes: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str] | dict[str, str],
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Incremental materialized-view maintenance over a change data feed:
+    given the previous materialization of
+    ``SELECT group_cols, COUNT(*) AS count_col, SUM(c) AS c ...`` and a
+    ``read_changes`` frame (rows tagged ``_change_type`` insert/delete),
+    return the view at the new version WITHOUT rescanning the base table —
+    the classic delta rule for distributive aggregates (SUM/COUNT are
+    self-maintainable: ΔV = γ(ΔT) merged by addition; Gupta & Mumick,
+    "Maintenance of Materialized Views", IEEE Data Eng. Bull. 1995).
+
+    The delta is one aggregation over the feed (inserts weight +1, deletes
+    −1 — an update's delete+insert pair nets to its value difference),
+    merged by UNION + one group-keyed re-aggregation with the previous
+    view — no join at all (a full-outer merge cannot broadcast its build
+    side in Spark; the union-sum form is map-side combinable and shuffles
+    only view-row-count + delta-group-count rows).  Groups the feed never
+    mentions pass through arithmetically untouched — cost is
+    O(changed data + |view|), independent of the base table, which is the
+    entire point at 100 TB (the feed itself is already O(changed
+    partitions) by manifest-dir pruning).  A group whose maintained count
+    reaches zero is dropped — it no longer exists in the full recompute.
+
+    AVG/derived aggregates are maintained as SUM+COUNT pairs and divided at
+    read time; MIN/MAX are not self-maintainable under deletes and need
+    either the sketch-rollup path (streaming/incremental.py) or a rescan of
+    the affected groups — raise early rather than silently corrupt.
+
+    ``sum_cols`` maps view column → base (feed) column; a plain list means
+    the names coincide.  Output schema/order:
+    ``group_cols + [count_col] + view sum columns``, counts and sums BIGINT
+    (matching the full-recompute convention used by the registry
+    oracles)."""
+    if not isinstance(sum_cols, dict):
+        sum_cols = {c: c for c in sum_cols}
+    if count_col in sum_cols:
+        raise ValueError(f"count_col {count_col!r} duplicated in sum_cols")
+    w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = changes.groupBy(*group_cols).agg(
+        F.sum(w).cast("bigint").alias("_dcnt"),
+        *[
+            F.sum(w * F.col(src)).cast("bigint").alias(f"_d_{c}")
+            for c, src in sum_cols.items()
+        ],
+    )
+    view_rows = mv.select(
+        *group_cols,
+        F.col(count_col).cast("bigint").alias(count_col),
+        *[F.col(c).cast("bigint").alias(c) for c in sum_cols],
+    )
+    delta_rows = delta.select(
+        *group_cols,
+        F.col("_dcnt").alias(count_col),
+        *[F.col(f"_d_{c}").alias(c) for c in sum_cols],
+    )
+    return (
+        view_rows.unionByName(delta_rows)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(count_col).cast("bigint").alias(count_col),
+            *[F.sum(c).cast("bigint").alias(c) for c in sum_cols],
+        )
+        .filter(F.col(count_col) != 0)
+    )
+
+
 def _rm(path: str) -> None:
     import shutil
 

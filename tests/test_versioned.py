@@ -961,3 +961,104 @@ def test_read_changes_merge_into_tracks_cdc(spark, tmp_path_factory):
         (100, "new", "insert"),
         (7, "base", "delete"),
     }
+
+
+# --------------------------------------------------------------------------
+# incremental_aggregate (r8): the Gupta–Mumick delta rule over the feed
+# --------------------------------------------------------------------------
+
+
+def _mv_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_incremental_aggregate_matches_full_recompute(spark, tmp_path_factory):
+    """Commit → MV → merge (updates+inserts+deletes) → maintained view
+    equals the full recompute of the new version, including a partition
+    whose every row is deleted (its group must VANISH, not sit at zero)."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.versioned import (
+        VersionedTable,
+        incremental_aggregate,
+    )
+
+    root = str(tmp_path_factory.mktemp("vt_inc_mv"))
+    base = spark.createDataFrame(
+        [(i, i % 4, i * 10) for i in range(40)], "k bigint, b bigint, v bigint"
+    )
+    t = VersionedTable(spark, root, partition_col="b")
+    t.write_partitions(base)
+
+    def full_mv(df):
+        return df.groupBy("b").agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("v").cast("bigint").alias("v"),
+        )
+
+    mv0 = full_mv(t.read())
+    # CDC: update k%8==1 (v -> v+1), insert 4 new keys into bucket 1,
+    # delete EVERY row of bucket 3
+    cdc = (
+        base.filter((F.col("k") % 8 == 1))
+        .select("k", "b", (F.col("v") + 1).alias("v"), F.lit(False).alias("d"))
+        .unionByName(
+            spark.createDataFrame(
+                [(100 + i, 1, 7, False) for i in range(4)],
+                "k bigint, b bigint, v bigint, d boolean",
+            )
+        )
+        .unionByName(
+            base.filter(F.col("b") == 3).select(
+                "k", "b", "v", F.lit(True).alias("d")
+            )
+        )
+    )
+    t.merge_into(cdc, key_cols=["k"], delete_col="d")
+    v0, v1 = t.history()
+    maintained = incremental_aggregate(
+        mv0, t.read_changes(v0, v1), group_cols=["b"], sum_cols=["v"]
+    )
+    assert _mv_rows(maintained) == _mv_rows(full_mv(t.read()))
+    assert not [r for r in maintained.collect() if r["b"] == 3]
+
+
+def test_incremental_aggregate_null_measures_and_new_group(spark):
+    """NULL measure values follow SUM semantics on both paths (ignored by
+    the delta exactly as the recompute ignores them), and a group first
+    seen in the feed materializes."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.versioned import incremental_aggregate
+
+    mv = spark.createDataFrame(
+        [(1, 2, None), (2, 1, 5)], "g bigint, cnt bigint, s bigint"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 7, "insert"),     # group 1 gains its first non-NULL value
+            (2, None, "insert"),  # NULL measure: counts, doesn't sum
+            (3, 4, "insert"),     # brand-new group
+        ],
+        "g bigint, x bigint, _change_type string",
+    )
+    out = {
+        r["g"]: (r["cnt"], r["s"])
+        for r in incremental_aggregate(
+            mv, changes, group_cols=["g"], sum_cols={"s": "x"}
+        ).collect()
+    }
+    assert out == {1: (3, 7), 2: (2, 5), 3: (1, 4)}
+
+
+def test_incremental_aggregate_count_col_guard(spark):
+    from graphsense_ethereum_etl_spark.versioned import incremental_aggregate
+
+    mv = spark.createDataFrame([(1, 1, 1)], "g bigint, cnt bigint, s bigint")
+    ch = spark.createDataFrame(
+        [(1, 1, "insert")], "g bigint, s bigint, _change_type string"
+    )
+    with pytest.raises(ValueError, match="duplicated"):
+        incremental_aggregate(
+            mv, ch, group_cols=["g"], sum_cols=["cnt", "s"]
+        )
