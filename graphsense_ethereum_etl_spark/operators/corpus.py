@@ -539,3 +539,83 @@ def _domain_cap_candidates(
         .filter(F.col("_lrk") <= k)
         .drop("_salt", "_lrk")
     )
+
+
+def centroid_classifier(
+    examples: DataFrame,
+    id_col: str = "doc_id",
+    feature_col: str = "features",
+    label_col: str = "label",
+    train_col: str = "is_train",
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) linear classifier, integer-exact — the
+    quality/language GATE pattern of LLM data pipelines (fastText-style
+    filters: CCNet, Llama's quality classifiers) with training AND
+    inference in-engine: per-class mean vectors over the labeled training
+    rows, then each held-out row is scored by which centroid is closer.
+
+    ``examples`` carries (id_col, feature_col array<bigint>, label_col
+    0/1, train_col boolean).  Integer features (e.g.
+    ``functions.text.hashed_embedding``) keep every step exact: centroid
+    components are truncating-division means (Spark DIV == DuckDB //),
+    and instead of comparing two L2 distances — whose expansion needs a
+    division by two class sizes — the decision value is the margin
+
+        m(x) = 2·x·(c⁺ − c⁻) − (‖c⁺‖² − ‖c⁻‖²)
+
+    an exact BIGINT whose sign says which centroid is nearer (ties →
+    class 0, the conservative gate).  Returns one row per held-out
+    example: (id_col, label, pred, margin).
+
+    Scale shape: training is one explode of the train rows into
+    (class, dim, value) and a partial-agg groupBy (2·dim cells) whose
+    2·dim-integer result is collected to the driver (km1's sanctioned
+    k·d-scalar centroid collect) and inlined as literals, so inference is
+    a pure map-only zip_with/aggregate pass over the held-out split — no
+    shuffle and no broadcast exchange touch the scored corpus; the model
+    "parameters" are 2·dim integers in the plan itself.  Mismatched
+    feature widths surface per-row (zip_with pads with NULL → NULL
+    margin), and a training split missing either class raises — a
+    one-class gate is a bug upstream, not a model."""
+    train = examples.filter(F.col(train_col))
+    cent_rows = (
+        train.select(
+            F.col(label_col).alias("cls"),
+            F.posexplode(feature_col).alias("pos", "xv"),
+        )
+        .groupBy("cls", "pos")
+        .agg(F.expr("sum(xv) DIV count(*)").alias("cv"))
+        .collect()
+    )
+    cents: dict[int, dict[int, int]] = {}
+    for r in cent_rows:
+        cents.setdefault(r["cls"], {})[r["pos"]] = r["cv"]
+    if sorted(cents) != [0, 1]:
+        raise ValueError(
+            f"need both classes in the training split, saw {sorted(cents)}"
+        )
+    cp = [v for _, v in sorted(cents[1].items())]
+    cn = [v for _, v in sorted(cents[0].items())]
+    if len(cp) != len(cn):
+        raise ValueError(
+            f"per-class feature widths differ: {len(cp)} vs {len(cn)}"
+        )
+    diff = F.array(*[F.lit(p - n).cast("long") for p, n in zip(cp, cn)])
+    norm_gap = sum(p * p for p in cp) - sum(n * n for n in cn)
+
+    x = F.col(feature_col)
+    margin = (
+        F.lit(2)
+        * F.aggregate(
+            F.zip_with(x, diff, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        - F.lit(norm_gap)
+    ).cast("bigint")
+    return examples.filter(~F.col(train_col)).select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.col(label_col).cast("int").alias("label"),
+        F.when(margin > 0, F.lit(1)).otherwise(F.lit(0)).alias("pred"),
+        margin.alias("margin"),
+    )

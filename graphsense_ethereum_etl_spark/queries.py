@@ -6903,6 +6903,88 @@ def ml1_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ml2_centroid_classifier",
+    """
+    WITH toks AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS t
+        FROM documents)
+      WHERE t != ''),
+    hb AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % 16 AS pos,
+             CASE WHEN CAST('0x' || substring(md5(t), 9, 1) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM toks),
+    agg AS (
+      SELECT doc_id, pos, CAST(SUM(s) AS BIGINT) AS val
+      FROM hb GROUP BY doc_id, pos),
+    grid AS (
+      SELECT d.doc_id, i.i AS pos
+      FROM (SELECT DISTINCT doc_id FROM documents) d,
+           unnest(range(0, 16)) i(i)),
+    feat AS (
+      SELECT g.doc_id, g.pos, COALESCE(a.val, 0) AS val
+      FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.pos = g.pos),
+    lab AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+             (doc_id % 5 <> 0) AS is_train
+      FROM documents),
+    cent AS (
+      SELECT l.label AS cls, f.pos, SUM(f.val) // COUNT(*) AS cv
+      FROM feat f JOIN lab l USING (doc_id) WHERE l.is_train
+      GROUP BY l.label, f.pos),
+    diff AS (
+      SELECT p.pos, p.cv - n.cv AS dv
+      FROM cent p JOIN cent n ON p.pos = n.pos
+      WHERE p.cls = 1 AND n.cls = 0),
+    gap AS (
+      SELECT CAST(SUM(CASE WHEN cls = 1 THEN cv * cv
+                           ELSE -(cv * cv) END) AS BIGINT) AS g
+      FROM cent),
+    dots AS (
+      SELECT f.doc_id, CAST(SUM(f.val * d.dv) AS BIGINT) AS xd
+      FROM feat f JOIN diff d USING (pos)
+      GROUP BY f.doc_id)
+    SELECT CAST(l.doc_id AS BIGINT) AS doc_id,
+           CAST(l.label AS INT) AS label,
+           CAST(CASE WHEN 2 * dt.xd - gp.g > 0 THEN 1 ELSE 0 END AS INT) AS pred,
+           CAST(2 * dt.xd - gp.g AS BIGINT) AS margin
+    FROM lab l JOIN dots dt ON dt.doc_id = l.doc_id CROSS JOIN gap gp
+    WHERE NOT l.is_train
+    """,
+)
+def ml2_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine classifier training + inference
+    (operators/corpus.py::centroid_classifier — the Rocchio
+    nearest-centroid linear gate, the CCNet/fastText quality-filter
+    pattern): featurize every document with the hashing trick
+    (emb1's dim-16 signed bucket counts), train per-class integer
+    centroids on the doc_id%5≠0 split for the 'is English' label, and
+    score the held-out 20% by the exact-BIGINT margin
+    2·x·(c⁺−c⁻) − (‖c⁺‖²−‖c⁻‖²) — sign = nearer centroid. Truncating
+    integer division agrees between engines on NEGATIVE sums too (both
+    Spark DIV and DuckDB // truncate toward zero — verified, so the
+    signed features need no offset trick). Training is one partial-agg
+    groupBy to 2·16 integers (collected, km1's sanctioned pattern);
+    inference is map-only with the model inlined as literals — the
+    held-out corpus is never shuffled. The oracle replays featurization,
+    training, and scoring in SQL; margins hash-check exactly."""
+    from .functions.text import hashed_embedding
+    from .operators.corpus import centroid_classifier
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    ex = docs.select(
+        "doc_id",
+        hashed_embedding("text", 16).alias("features"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("label"),
+        (F.col("doc_id") % 5 != 0).alias("is_train"),
+    )
+    return centroid_classifier(ex, feature_col="features")
+
+
+@query(
     "apx3_freq_items",
     """
     WITH toks AS (

@@ -348,6 +348,10 @@ SKIPS = {
     "codecs.dhash": "ndarray kernel — tested in test_codecs.py",
     # Column-expression helpers (return a Column, not a DataFrame):
     "decontam.word_ngrams": "Column helper — exercised via ngram_contamination",
+    # Needs a labeled two-class train/test fixture the generic docs
+    # variants cannot provide (degenerate splits raise by contract) —
+    # covered by test_centroid_classifier_adversarial below.
+    "corpus.centroid_classifier": "dedicated adversarial test (labeled fixture)",
 }
 
 
@@ -653,3 +657,44 @@ def test_every_public_operator_is_registered():
     assert not missing, (
         "public operators without an adversarial-harness entry "
         f"(add to OPS or SKIPS with a reason): {sorted(missing)}")
+
+
+def test_centroid_classifier_adversarial(spark):
+    """Dedicated harness for corpus.centroid_classifier (generic docs
+    variants can't provide a labeled two-class split): NULL/empty/
+    whitespace text featurizes to the zero vector and still classifies
+    (held-out ids conserved, margin defined); a training split missing
+    either class raises by contract instead of shipping a one-class
+    gate."""
+    from graphsense_ethereum_etl_spark.functions.text import hashed_embedding
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "aa bb cc", 1, True),
+        (2, None, 0, True),          # NULL text trains as a zero vector
+        (3, "", 1, True),
+        (4, " \t ", 0, True),
+        (5, "aa bb", 1, False),      # held out
+        (6, None, 0, False),         # held out, zero-vector inference
+    ]
+    ex = spark.createDataFrame(
+        rows, "doc_id bigint, text string, label int, is_train boolean"
+    ).select(
+        "doc_id",
+        hashed_embedding("text", 8).alias("features"),
+        "label",
+        "is_train",
+    )
+    out = c_ops.centroid_classifier(ex)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert sorted(got) == [5, 6]
+    assert all(got[i]["pred"] in (0, 1) and got[i]["margin"] is not None
+               for i in got)
+
+    one_class = ex.filter(F.col("label") == 1)
+    with pytest.raises(ValueError, match="both classes"):
+        c_ops.centroid_classifier(one_class)
+
+    empty = ex.filter(F.lit(False))
+    with pytest.raises(ValueError, match="both classes"):
+        c_ops.centroid_classifier(empty)
