@@ -155,3 +155,105 @@ def test_vtchanges_requires_root(spark):
         spark.readStream.format("vtchanges").load().writeStream.format(
             "noop"
         ).trigger(availableNow=True).start().awaitTermination(60)
+
+
+# --------------------------------------------------------------------------
+# run_streaming_mv: the k8 delta rule as a continuously-maintained view
+# --------------------------------------------------------------------------
+
+
+def _vframe(spark, rows):
+    return spark.createDataFrame(
+        rows, "block_id bigint, block_id_group bigint, v bigint"
+    )
+
+
+def _full_mv(df):
+    from pyspark.sql import functions as F
+
+    return df.groupBy("block_id_group").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("v").cast("bigint").alias("v"),
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streaming_mv_tracks_commits_and_resumes(spark, tmp_path):
+    """Drain several commits (snapshot + overwrite + merge-with-deletes)
+    into a maintained view, check it equals the full recompute at each
+    drain, then commit more and RESUME on the same checkpoint — versions
+    are applied exactly once and the view stays equal to the recompute."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.streaming.cdf import (
+        read_streaming_mv,
+        run_streaming_mv,
+    )
+
+    root = str(tmp_path / "vt")
+    mv_root = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    t = VersionedTable(spark, root)
+    t.write_partitions(_vframe(spark, [(i, i // 10, i) for i in range(30)]))
+    t.write_partitions(_vframe(spark, [(i, 1, 100 + i) for i in range(10, 20)]))
+
+    run_streaming_mv(
+        spark, root, mv_root, ["block_id_group"], ["v"], checkpoint=ckpt
+    )
+    assert _rows(read_streaming_mv(spark, mv_root)) == _rows(_full_mv(t.read()))
+
+    # more commits: delete every row of group 0, update half of group 2
+    cdc = (
+        t.read()
+        .filter(F.col("block_id_group") == 0)
+        .select("block_id", "block_id_group", "v", F.lit(True).alias("d"))
+        .unionByName(
+            t.read()
+            .filter((F.col("block_id_group") == 2) & (F.col("block_id") % 2 == 0))
+            .select(
+                "block_id",
+                "block_id_group",
+                (F.col("v") + 1000).alias("v"),
+                F.lit(False).alias("d"),
+            )
+        )
+    )
+    t.merge_into(cdc, key_cols=["block_id"], delete_col="d")
+    run_streaming_mv(
+        spark, root, mv_root, ["block_id_group"], ["v"], checkpoint=ckpt
+    )
+    out = read_streaming_mv(spark, mv_root)
+    assert _rows(out) == _rows(_full_mv(t.read()))
+    assert not [r for r in out.collect() if r["block_id_group"] == 0]
+
+
+def test_streaming_mv_replay_is_idempotent(spark, tmp_path):
+    """A fresh checkpoint re-delivers EVERY version (worst-case replay);
+    the pointer discipline must skip them all and leave the view
+    byte-identical — the same hook-before-marker idempotence contract the
+    ingest rollups carry."""
+    from graphsense_ethereum_etl_spark.streaming.cdf import (
+        read_streaming_mv,
+        run_streaming_mv,
+    )
+
+    root = str(tmp_path / "vt")
+    mv_root = str(tmp_path / "mv")
+    t = VersionedTable(spark, root)
+    t.write_partitions(_vframe(spark, [(i, i // 10, i) for i in range(20)]))
+    t.write_partitions(_vframe(spark, [(i, 0, 7) for i in range(5)]))
+
+    run_streaming_mv(
+        spark, root, mv_root, ["block_id_group"], ["v"],
+        checkpoint=str(tmp_path / "ckpt1"),
+    )
+    before = _rows(read_streaming_mv(spark, mv_root))
+    run_streaming_mv(
+        spark, root, mv_root, ["block_id_group"], ["v"],
+        checkpoint=str(tmp_path / "ckpt2"),  # fresh: replays all versions
+    )
+    assert _rows(read_streaming_mv(spark, mv_root)) == before
+    assert before == _rows(_full_mv(t.read()))
