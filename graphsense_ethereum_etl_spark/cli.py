@@ -348,7 +348,7 @@ def build_parser() -> ArgumentParser:
         choices=[
             "dedup", "decontaminate", "score", "sample", "pack", "chunk",
             "dedup-lines", "negatives", "validate", "lm-score", "ann",
-            "embed",
+            "embed", "dupspan", "classify",
         ],
         help="which curation pass to run over the input documents table",
     )
@@ -478,6 +478,62 @@ def build_parser() -> ArgumentParser:
     corpus.add_argument(
         "--embed-dim", dest="embed_dim", type=int, default=16,
         help="embed: feature-hash vector width",
+    )
+    corpus.add_argument(
+        "--span-k", dest="span_k", type=int, default=5,
+        help="dupspan: duplicated-window width in tokens",
+    )
+    corpus.add_argument(
+        "--label-col", dest="label_col", default="label",
+        help="classify: 0/1 label column",
+    )
+    corpus.add_argument(
+        "--train-col", dest="train_col", default="is_train",
+        help="classify: boolean train-split column",
+    )
+    corpus.add_argument(
+        "--feature-col", dest="feature_col", default=None,
+        help="classify: integer feature-vector column (default: hash-embed "
+        "--text-col at --embed-dim on the fly)",
+    )
+
+    mv = sub.add_parser(
+        "mv",
+        help="maintain a COUNT/SUM materialized view of a versioned table "
+        "from its change feed (never rescans the base table); repeated "
+        "invocations on one checkpoint roll the view forward exactly once "
+        "per commit",
+    )
+    mv.add_argument(
+        "--table-root", dest="table_root", required=True,
+        help="versioned table root",
+    )
+    mv.add_argument(
+        "--mv-root", dest="mv_root", required=True,
+        help="view root: one immutable parquet dir per applied version "
+        "plus an atomically-swapped _CURRENT pointer",
+    )
+    mv.add_argument(
+        "--group", required=True,
+        help="comma-separated grouping columns",
+    )
+    mv.add_argument(
+        "--sum", dest="sum_cols", default="",
+        help="comma-separated measure columns to SUM (COUNT(*) is always "
+        "maintained)",
+    )
+    mv.add_argument("--count-col", dest="count_col", default="cnt")
+    mv.add_argument(
+        "--partition-col", dest="partition_col", default="block_id_group"
+    )
+    mv.add_argument(
+        "--checkpoint", dest="checkpoint", required=True,
+        help="checkpoint dir owning the version cursor",
+    )
+    mv.add_argument(
+        "--from-version", dest="from_version", type=int, default=0,
+        help="first version to apply on a fresh checkpoint (default 0: "
+        "full history — the snapshot feed seeds the view)",
     )
 
     return parser
@@ -864,6 +920,34 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
             .cast("array<double>")
             .alias(args.vec_col),
         )
+    elif args.operation == "dupspan":
+        from .operators.dedup import dupspan_coverage
+
+        out = dupspan_coverage(
+            docs, k=args.span_k, text_col=args.text_col, id_col=args.id_col
+        )
+    elif args.operation == "classify":
+        from pyspark.sql import functions as F
+
+        from .operators.corpus import centroid_classifier
+
+        if args.feature_col is None:
+            from .functions.text import hashed_embedding
+
+            examples = docs.withColumn(
+                "_features", hashed_embedding(args.text_col, dim=args.embed_dim)
+            )
+            feature_col = "_features"
+        else:
+            examples = docs
+            feature_col = args.feature_col
+        out = centroid_classifier(
+            examples,
+            id_col=args.id_col,
+            feature_col=feature_col,
+            label_col=args.label_col,
+            train_col=args.train_col,
+        )
     elif args.operation == "ann":
         from .operators.similarity import (
             brute_force_topk,
@@ -929,6 +1013,33 @@ def cmd_explain(args: Namespace, spark: SparkSession) -> IngestStats:
     return IngestStats()
 
 
+def cmd_mv(args: Namespace, spark: SparkSession) -> IngestStats:
+    """Maintained aggregate view over a versioned table's change feed
+    (streaming/cdf.py::run_streaming_mv — k8's delta rule, operational
+    form): each invocation drains every commit since the checkpoint and
+    rolls the view forward once per version; the base table is never
+    rescanned."""
+    from .streaming.cdf import read_streaming_mv, run_streaming_mv
+
+    run_streaming_mv(
+        spark,
+        args.table_root,
+        args.mv_root,
+        group_cols=args.group.split(","),
+        sum_cols=[c for c in args.sum_cols.split(",") if c],
+        checkpoint=args.checkpoint,
+        count_col=args.count_col,
+        partition_col=args.partition_col,
+        start_version=args.from_version,
+    )
+    try:
+        mv = read_streaming_mv(spark, args.mv_root)
+        print(f"mv: view at {args.mv_root} has {mv.count():,} groups")
+    except FileNotFoundError:
+        print(f"mv: no versions applied yet at {args.mv_root}")
+    return IngestStats()
+
+
 def main(
     argv: list[str] | None = None,
     spark: SparkSession | None = None,
@@ -954,4 +1065,6 @@ def main(
         return cmd_corpus(args, spark)
     if args.command == "changes":
         return cmd_changes(args, spark)
+    if args.command == "mv":
+        return cmd_mv(args, spark)
     return cmd_invalidate(args, spark)

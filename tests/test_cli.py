@@ -1147,3 +1147,93 @@ def test_cli_changes_stream_follow(spark, tmp_path, capsys):
     assert "Drained 1 new version(s)" in printed
     v3 = t.history()[-1]
     assert spark.read.parquet(f"{out}/v={v3}").count() == 10
+
+
+def test_cli_corpus_dupspan_and_classify(spark, tmp_path):
+    """`corpus dupspan` (dd9's operator) and `corpus classify` (ml2's)
+    through the CLI: dupspan emits one coverage row per doc; classify
+    hash-embeds on the fly, trains on the labeled split, and scores only
+    the held-out rows."""
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    n_docs = spark.read.parquet(src).count()
+
+    dout = str(tmp_path / "dupspan")
+    main(
+        ["corpus", "dupspan", "-i", src, "-o", dout, "--span-k", "4"],
+        spark=spark,
+    )
+    cov = spark.read.parquet(dout)
+    assert cov.count() == n_docs
+    assert {"doc_id", "n_tokens", "covered_tokens", "coverage"} <= set(cov.columns)
+    assert cov.filter("covered_tokens > n_tokens").count() == 0
+
+    lsrc = str(tmp_path / "labeled")
+    spark.read.parquet(src).select(
+        "doc_id",
+        "text",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        (F.col("doc_id") % 4 != 0).alias("is_train"),
+    ).write.parquet(lsrc)
+    cout = str(tmp_path / "preds")
+    main(
+        ["corpus", "classify", "-i", lsrc, "-o", cout, "--embed-dim", "8"],
+        spark=spark,
+    )
+    preds = spark.read.parquet(cout)
+    held = spark.read.parquet(lsrc).filter("NOT is_train").count()
+    assert preds.count() == held
+    assert preds.filter("pred NOT IN (0, 1)").count() == 0
+
+
+def test_cli_mv_rolls_view_forward(spark, tmp_path, capsys):
+    """`mv` maintains the COUNT/SUM view across invocations: seed a
+    versioned table, run mv (snapshot seeds the view), commit a merge
+    with deletes, run mv again on the SAME checkpoint — the view equals
+    the full recompute after each pass and bucket-drop works e2e."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.streaming.cdf import read_streaming_mv
+    from graphsense_ethereum_etl_spark.versioned import VersionedTable
+
+    root = str(tmp_path / "vt")
+    mv_root = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    t = VersionedTable(spark, root)
+    t.write_partitions(
+        spark.createDataFrame(
+            [(i, i // 10, i) for i in range(30)],
+            "block_id bigint, block_id_group bigint, v bigint",
+        )
+    )
+    argv = [
+        "mv", "--table-root", root, "--mv-root", mv_root,
+        "--group", "block_id_group", "--sum", "v",
+        "--checkpoint", ckpt,
+    ]
+    main(argv, spark=spark)
+
+    def full():
+        return sorted(
+            tuple(r)
+            for r in t.read()
+            .groupBy("block_id_group")
+            .agg(
+                F.count("*").cast("bigint").alias("cnt"),
+                F.sum("v").cast("bigint").alias("v"),
+            )
+            .collect()
+        )
+
+    assert sorted(tuple(r) for r in read_streaming_mv(spark, mv_root).collect()) == full()
+
+    cdc = t.read().filter("block_id_group = 1").select(
+        "block_id", "block_id_group", "v", F.lit(True).alias("d")
+    )
+    t.merge_into(cdc, key_cols=["block_id"], delete_col="d")
+    main(argv, spark=spark)
+    rows = sorted(tuple(r) for r in read_streaming_mv(spark, mv_root).collect())
+    assert rows == full()
+    assert not [r for r in rows if r[0] == 1]
+    assert "groups" in capsys.readouterr().out
