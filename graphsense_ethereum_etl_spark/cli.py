@@ -348,7 +348,7 @@ def build_parser() -> ArgumentParser:
         choices=[
             "dedup", "decontaminate", "score", "sample", "pack", "chunk",
             "dedup-lines", "negatives", "validate", "lm-score", "ann",
-            "embed", "dupspan", "classify",
+            "ann-build", "ann-search", "embed", "dupspan", "classify",
         ],
         help="which curation pass to run over the input documents table",
     )
@@ -811,7 +811,12 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
     surface of the engine."""
     from .operators.corpus import dedup_keepers, hash_sample, score_documents
 
-    docs = spark.read.parquet(args.input)
+    # ann-search's -i names a persisted INDEX directory, not a parquet table
+    docs = (
+        None
+        if args.operation == "ann-search"
+        else spark.read.parquet(args.input)
+    )
     if args.operation == "dedup":
         if args.method == "semantic":
             from .operators.corpus import semantic_dedup_keepers
@@ -947,6 +952,33 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
             feature_col=feature_col,
             label_col=args.label_col,
             train_col=args.train_col,
+        )
+    elif args.operation == "ann-build":
+        from .operators.similarity import build_ivfpq_index
+
+        dim = args.dim
+        if dim is None:
+            first = docs.select(args.vec_col).first()
+            if first is None or first[0] is None:
+                raise SystemExit("corpus ann-build: cannot infer --dim (empty input)")
+            dim = len(first[0])
+        build_ivfpq_index(
+            docs, args.output, dim=dim, n_clusters=args.n_clusters,
+            m=args.pq_m, n_codes=args.n_codes,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        n = spark.read.parquet(f"{args.output}/codes").count()
+        print(f"corpus ann-build: indexed {n:,} vectors at {args.output}")
+        return IngestStats()
+    elif args.operation == "ann-search":
+        from .operators.similarity import ivfpq_search
+
+        # -i names the INDEX here; --queries the query panel (required)
+        if not args.queries:
+            raise SystemExit("corpus ann-search requires --queries")
+        out = ivfpq_search(
+            spark, args.input, spark.read.parquet(args.queries),
+            nprobe=args.nprobe, k=args.k,
         )
     elif args.operation == "ann":
         from .operators.similarity import (

@@ -962,8 +962,69 @@ def ivfpq_topk(
     inverted-list exchange) against nprobe rows per query; top-k is the
     only other shuffle. A candidate belongs to exactly one list, so
     multi-probe never scores it twice — no dedup aggregation needed."""
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
+    frames = _ivfpq_build_frames(
+        embeddings, dim, n_clusters, m, n_codes, id_col, vec_col
+    )
+    return _ivfpq_query_side(
+        queries, *frames, dim=dim, m=m, nprobe=nprobe, k=k,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def _ivfpq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _ivfpq_coarse_dists(xq):
+    """array of struct(dist, c) to every coarse centroid (expects the
+    single-row `coarse` array column in scope)."""
+    return F.transform(
+        F.col("coarse"),
+        lambda e: F.struct(_ivfpq_l2(xq, e["cent"]).alias("dist"), e["c"].alias("c")),
+    )
+
+
+def _ivfpq_cent_of(cluster_col):
+    """centroid array of the coarse entry whose c == cluster_col."""
+    return F.element_at(
+        F.filter(F.col("coarse"), lambda e: e["c"] == cluster_col), 1
+    )["cent"]
+
+
+def _ivfpq_res_sub_dists(res_col, s, w: int):
+    """Per-subspace struct(dist, c) against the prepared codebooks; ``s``
+    is a Column index (see _pq_sub_dists — transform-over-sequence keeps
+    the tree m× smaller than unrolling)."""
+    sv = F.slice(res_col, s * w + 1, w)
+    return F.transform(
+        F.element_at(F.col("cbs"), s + 1),
+        lambda e: F.struct(
+            _ivfpq_l2(sv, e["cent"]).alias("dist"), e["c"].alias("c")
+        ),
+    )
+
+
+def _ivfpq_build_frames(
+    embeddings: DataFrame,
+    dim: int,
+    n_clusters: int,
+    m: int,
+    n_codes: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The index-build side of IVF-PQ, as three persistable relations:
+
+      coarse (c, cent array<bigint>)          — the coarse quantizer
+      cb     (sub, c, cent array<bigint>)     — residual PQ codebooks
+      cand   (cluster, cand_id, codes)        — the inverted index proper
+
+    ivfpq_topk consumes them in-flight; build_ivfpq_index writes them at
+    rest (codes partitioned BY CLUSTER so a probe reads only its lists)."""
     w = dim // m
     xq = _pq_quantize(vec_col)
     valid = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
@@ -989,33 +1050,13 @@ def ivfpq_topk(
         F.array_sort(F.collect_list(F.struct("c", "cent"))).alias("coarse")
     )
 
-    def _l2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    def _coarse_dists():
-        """array of struct(dist, c) to every coarse centroid."""
-        return F.transform(
-            F.col("coarse"),
-            lambda e: F.struct(_l2(xq, e["cent"]).alias("dist"), e["c"].alias("c")),
-        )
-
-    def _cent_of(cluster_col):
-        """centroid array of the entry whose c == cluster_col."""
-        return F.element_at(
-            F.filter(F.col("coarse"), lambda e: e["c"] == cluster_col), 1
-        )["cent"]
-
     # ---- candidate side: assign + residual, one map-only pass
     cand_res = (
         embeddings.where(valid)
         .crossJoin(F.broadcast(coarse1))
         .select(
             F.col(id_col).cast("long").alias("cand_id"),
-            F.array_min(_coarse_dists())["c"].alias("cluster"),
+            F.array_min(_ivfpq_coarse_dists(xq))["c"].alias("cluster"),
             xq.alias("xqv"),
             F.col("coarse"),
         )
@@ -1023,7 +1064,7 @@ def ivfpq_topk(
             "cand_id",
             "cluster",
             F.zip_with(
-                F.col("xqv"), _cent_of(F.col("cluster")), lambda a, b: a - b
+                F.col("xqv"), _ivfpq_cent_of(F.col("cluster")), lambda a, b: a - b
             ).alias("res"),
         )
     )
@@ -1052,27 +1093,40 @@ def ivfpq_topk(
     )
     cbs = _pq_prepared(cb, m)
 
-    def _res_sub_dists(res_col, s):
-        # s is a Column index (see _pq_sub_dists: transform-over-sequence
-        # keeps the expression tree m× smaller than unrolling)
-        sv = F.slice(res_col, s * w + 1, w)
-        return F.transform(
-            F.element_at(F.col("cbs"), s + 1),
-            lambda e: F.struct(
-                _l2(sv, e["cent"]).alias("dist"), e["c"].alias("c")
-            ),
-        )
-
     cand = cand_res.crossJoin(F.broadcast(cbs)).select(
         "cluster",
         "cand_id",
         F.transform(
             _pq_subs(m),
-            lambda s: F.array_min(_res_sub_dists(F.col("res"), s))["c"],
+            lambda s: F.array_min(_ivfpq_res_sub_dists(F.col("res"), s, w))["c"],
         ).alias("codes"),
     )
+    return coarse, cb, cand
 
-    # ---- query side: nprobe lists, residual LUT per probed list
+
+def _ivfpq_query_side(
+    queries: DataFrame,
+    coarse: DataFrame,
+    cb: DataFrame,
+    cand: DataFrame,
+    dim: int,
+    m: int,
+    nprobe: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Probe nprobe lists per query and ADC-score their candidates —
+    identical whether the index frames are in-flight (ivfpq_topk) or read
+    back from rest (ivfpq_search)."""
+    w = dim // m
+    xq = _pq_quantize(vec_col)
+    valid = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    coarse1 = coarse.agg(
+        F.array_sort(F.collect_list(F.struct("c", "cent"))).alias("coarse")
+    )
+    cbs = _pq_prepared(cb, m)
+
     qprobe = (
         queries.where(valid)
         .crossJoin(F.broadcast(coarse1))
@@ -1081,14 +1135,14 @@ def ivfpq_topk(
             xq.alias("xqv"),
             F.col("coarse"),
             F.explode(
-                F.slice(F.array_sort(_coarse_dists()), 1, nprobe)
+                F.slice(F.array_sort(_ivfpq_coarse_dists(xq)), 1, nprobe)
             ).alias("probe"),
         )
         .select(
             "query_id",
             F.col("probe")["c"].alias("cluster"),
             F.zip_with(
-                F.col("xqv"), _cent_of(F.col("probe")["c"]), lambda a, b: a - b
+                F.col("xqv"), _ivfpq_cent_of(F.col("probe")["c"]), lambda a, b: a - b
             ).alias("qres"),
         )
     )
@@ -1098,7 +1152,7 @@ def ivfpq_topk(
         F.transform(
             _pq_subs(m),
             lambda s: F.transform(
-                _res_sub_dists(F.col("qres"), s),
+                _ivfpq_res_sub_dists(F.col("qres"), s, w),
                 lambda e: F.struct(e["c"].alias("c"), e["dist"].alias("ld")),
             ),
         ).alias("luts"),
@@ -1133,4 +1187,122 @@ def ivfpq_topk(
             F.col("adc_dist").cast("bigint"),
             "rank",
         )
+    )
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    index_root: str,
+    dim: int,
+    n_clusters: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF-PQ index at rest — the separation production ANN
+    actually deploys (FAISS writes the index once, serves queries from
+    it; the docstring promise "at rest you'd persist (cluster, id,
+    codes)" made real):
+
+      <index_root>/meta.json   dim / n_clusters / m / n_codes / columns
+      <index_root>/coarse      (c, cent)            — coarse quantizer
+      <index_root>/codebooks   (sub, c, cent)       — residual codebooks
+      <index_root>/codes       (cand_id, codes) partitioned by CLUSTER
+
+    ``codes`` is partitioned by cluster id, so a search's nprobe lists
+    prune to their directories at the parquet scan — the on-disk form of
+    the inverted-list cut (candidates never read = bytes never touched,
+    m bytes per vector for the ones that are). Everything is exact
+    BIGINT on km1's quantization: rebuilding the index bit-reproduces
+    it, and search-from-rest returns byte-identical rows to the
+    in-flight ivfpq_topk (pinned by test)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    import json
+    import os
+
+    coarse, cb, cand = _ivfpq_build_frames(
+        embeddings, dim, n_clusters, m, n_codes, id_col, vec_col
+    )
+    os.makedirs(index_root, exist_ok=True)
+    coarse.write.mode("overwrite").parquet(f"{index_root}/coarse")
+    cb.write.mode("overwrite").parquet(f"{index_root}/codebooks")
+    cand.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{index_root}/codes"
+    )
+    with open(f"{index_root}/meta.json", "w") as fh:
+        json.dump(
+            {
+                "dim": dim,
+                "n_clusters": n_clusters,
+                "m": m,
+                "n_codes": n_codes,
+                "id_col": id_col,
+                "vec_col": vec_col,
+            },
+            fh,
+        )
+
+
+def ivfpq_search(
+    spark,
+    index_root: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+) -> DataFrame:
+    """Answer top-k queries from a persisted IVF-PQ index
+    (build_ivfpq_index) WITHOUT touching the original embeddings: read
+    the tiny coarse/codebook relations, compute each query's nprobe
+    lists, and scan ONLY those partitions of the codes table — the
+    probed-cluster set (≤ |queries|·nprobe ints, a bounded panel-sized
+    collect) is pushed into the scan as a partition filter, so unprobed
+    lists cost zero IO (PartitionFilters, plan-asserted in tests).
+    Results are byte-identical to running ivfpq_topk in-flight with the
+    same parameters."""
+    import json
+
+    with open(f"{index_root}/meta.json") as fh:
+        meta = json.load(fh)
+    id_col = id_col or meta["id_col"]
+    vec_col = vec_col or meta["vec_col"]
+    dim, m = meta["dim"], meta["m"]
+    coarse = spark.read.parquet(f"{index_root}/coarse")
+    cb = spark.read.parquet(f"{index_root}/codebooks")
+
+    xq = _pq_quantize(vec_col)
+    valid = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    coarse1 = coarse.agg(
+        F.array_sort(F.collect_list(F.struct("c", "cent"))).alias("coarse")
+    )
+    probed = sorted(
+        {
+            r["cluster"]
+            for r in queries.where(valid)
+            .crossJoin(F.broadcast(coarse1))
+            .select(
+                F.explode(
+                    F.transform(
+                        F.slice(
+                            F.array_sort(_ivfpq_coarse_dists(xq)), 1, nprobe
+                        ),
+                        lambda e: e["c"],
+                    )
+                ).alias("cluster")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    cand = (
+        spark.read.parquet(f"{index_root}/codes")
+        .filter(F.col("cluster").isin(probed))
+        .select("cluster", "cand_id", "codes")
+    )
+    return _ivfpq_query_side(
+        queries, coarse, cb, cand, dim=dim, m=m, nprobe=nprobe, k=k,
+        id_col=id_col, vec_col=vec_col,
     )

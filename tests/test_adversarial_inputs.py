@@ -352,6 +352,12 @@ SKIPS = {
     # variants cannot provide (degenerate splits raise by contract) —
     # covered by test_centroid_classifier_adversarial below.
     "corpus.centroid_classifier": "dedicated adversarial test (labeled fixture)",
+    # Index-at-rest pair (writes/reads a directory, not a pure
+    # DataFrame→DataFrame op); equivalence to ivfpq_topk — which IS
+    # harnessed — plus determinism and pruning are pinned in
+    # tests/test_similarity.py.
+    "similarity.build_ivfpq_index": "persists to disk — tested in test_similarity.py",
+    "similarity.ivfpq_search": "reads a persisted index — tested in test_similarity.py",
 }
 
 

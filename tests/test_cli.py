@@ -1237,3 +1237,33 @@ def test_cli_mv_rolls_view_forward(spark, tmp_path, capsys):
     assert rows == full()
     assert not [r for r in rows if r[0] == 1]
     assert "groups" in capsys.readouterr().out
+
+
+def test_cli_ann_build_then_search(spark, tmp_path):
+    """`corpus ann-build` persists the IVF-PQ index; `corpus ann-search`
+    answers from it without the original embeddings, matching the
+    one-shot `corpus ann --ann-method ivfpq` output exactly."""
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    qsrc = str(tmp_path / "queries")
+    spark.read.parquet(src).filter("vec_id < 4").write.parquet(qsrc)
+
+    oneshot = str(tmp_path / "oneshot")
+    main(
+        ["corpus", "ann", "-i", src, "-o", oneshot, "--ann-method", "ivfpq",
+         "--queries", qsrc, "--k", "5", "--id-col", "vec_id"],
+        spark=spark,
+    )
+    idx = str(tmp_path / "idx")
+    main(
+        ["corpus", "ann-build", "-i", src, "-o", idx, "--id-col", "vec_id"],
+        spark=spark,
+    )
+    found = str(tmp_path / "found")
+    main(
+        ["corpus", "ann-search", "-i", idx, "-o", found,
+         "--queries", qsrc, "--k", "5"],
+        spark=spark,
+    )
+    a = sorted(tuple(r) for r in spark.read.parquet(oneshot).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(found).collect())
+    assert a == b and len(a) > 0

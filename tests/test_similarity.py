@@ -292,3 +292,58 @@ def test_ivfpq_candidate_in_one_list_only(spark):
     ).collect()
     pairs = [(r["query_id"], r["cand_id"]) for r in out]
     assert len(pairs) == len(set(pairs))
+
+
+def test_ivfpq_index_at_rest_matches_in_flight(spark, tmp_path):
+    """build_ivfpq_index → ivfpq_search returns byte-identical rows to
+    ivfpq_topk on the same parameters, and the codes scan prunes to the
+    probed clusters' partitions (PartitionFilters on cluster — unprobed
+    inverted lists cost zero IO)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_search,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4)
+    params = dict(dim=64, n_clusters=8, m=8, n_codes=16)
+    direct = sorted(
+        tuple(r) for r in ivfpq_topk(emb, q, nprobe=2, k=5, **params).collect()
+    )
+    root = str(tmp_path / "idx")
+    build_ivfpq_index(emb, root, **params)
+    out = ivfpq_search(spark, root, q, nprobe=2, k=5)
+    assert sorted(tuple(r) for r in out.collect()) == direct
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cluster", plan), (
+        "codes scan must prune by cluster partition"
+    )
+    # id/vec column names default from the persisted meta
+    assert {"query_id", "cand_id", "adc_dist", "rank"} == set(out.columns)
+
+
+def test_ivfpq_index_rebuild_is_deterministic(spark, tmp_path):
+    """Rebuilding the index from the same embeddings bit-reproduces the
+    codes table (exact-integer pipeline — no train-order dependence)."""
+    from graphsense_ethereum_etl_spark.operators.similarity import (
+        build_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    r1, r2 = str(tmp_path / "a"), str(tmp_path / "b")
+    for r in (r1, r2):
+        build_ivfpq_index(emb, r, dim=64, n_clusters=4, m=8, n_codes=8)
+    rows = [
+        sorted(
+            (r["cluster"], r["cand_id"], tuple(r["codes"]))
+            for r in spark.read.parquet(f"{root}/codes").collect()
+        )
+        for root in (r1, r2)
+    ]
+    assert rows[0] == rows[1]
