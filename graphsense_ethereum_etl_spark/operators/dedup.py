@@ -930,3 +930,124 @@ def dupspan_coverage(
         .otherwise(F.lit(0.0))
         .alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership dedup (the Dolma / CCNet "seen before?" gate)
+# ---------------------------------------------------------------------------
+#
+# At 100 TB the cheapest dedup question is not "which documents are
+# near-duplicates of each other?" but "has THIS fingerprint been seen in the
+# corpus we already shipped?" — a one-sided membership test against a prior
+# snapshot. Materializing the full seen-fingerprint set as a join relation
+# costs a corpus-sized shuffle per increment; the classic answer (used by
+# Dolma's dedupe pass and CCNet's hash filters) is a Bloom filter: the seen
+# set is collapsed into an m-bit array that is orders of magnitude smaller
+# than the data, and membership is k bit probes with NO false negatives and
+# a tunable false-positive rate ~(1 - e^{-kn/m})^k.
+#
+# Spark-first layout:
+#   - the filter is a relation of (word_idx, word) rows — m_bits/32 rows of
+#     one BIGINT each (2^16 bits → 2048 rows ≈ 16 KiB) — built with ONE
+#     map-side-combined bit_or aggregation over the seen side; the word
+#     width is 32 bits stored in a BIGINT so no value ever touches the sign
+#     bit (shiftleft(1L, 63) would, and two's-complement wrap differs
+#     between engines' SQL dialects);
+#   - the probe side never shuffles: the bloom relation is broadcast and
+#     each incoming row evaluates its k probes with integer shifts/ANDs.
+#
+# Determinism: probe position i of fingerprint f is
+#   pos_i = int(md5(f || ':' || i)[:8], 16) % m_bits
+# — the smp1 md5-bucket convention — so engine and SQL oracle compute
+# bit-identical filters and verdicts (the no-false-negative contract is a
+# theorem about the arithmetic, not a tolerance).
+
+
+def _bloom_positions(fp_col: str, k_hashes: int, m_bits: int):
+    """k Bloom probe positions as an array column (exact integer md5 slices)."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col(fp_col), F.lit(f":{i}"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(m_bits),
+            )
+            for i in range(k_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    seen: DataFrame,
+    fp_col: str = "fp",
+    m_bits: int = 65536,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Collapse a seen-fingerprint relation into a Bloom filter relation
+    ``(word_idx bigint, word bigint)`` with 32 valid bits per word.
+
+    One explode (k rows per fingerprint, each a single BIGINT) and one
+    bit_or aggregation on ≤ m_bits/32 keys; partial aggregation makes the
+    shuffle O(words × partitions), independent of corpus size.
+    """
+    pos = seen.select(
+        F.explode(_bloom_positions(fp_col, k_hashes, m_bits)).alias("pos")
+    )
+    return (
+        pos.select(
+            F.expr("CAST(pos DIV 32 AS BIGINT)").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+                "word_val"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(word_val)").alias("word"))
+    )
+
+
+def bloom_probe(
+    docs: DataFrame,
+    bloom: DataFrame,
+    fp_col: str = "fp",
+    m_bits: int = 65536,
+    k_hashes: int = 4,
+    out_col: str = "possibly_seen",
+) -> DataFrame:
+    """Append ``out_col`` = every one of the k probe bits is set.
+
+    MAP-ONLY on the document side: the bloom relation collapses to one row
+    holding a word_idx -> word map (<= m_bits/32 entries, ~16 KiB at the
+    default size), which is broadcast-cross-joined in; each document then
+    evaluates its k probes with element_at + integer shifts inside the same
+    stage. No exchange touches the corpus, no join-back, no regroup —
+    exactly the posture an incremental 100-TB dedup gate needs. Words
+    absent from the map (no seen fingerprint touched them) coalesce to 0,
+    i.e. a guaranteed miss.
+    """
+    bloom_map = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("word_idx"), F.col("word")))
+        ).alias("_bloom_words")
+    )
+    pos_arr = _bloom_positions(fp_col, k_hashes, m_bits)
+    probed = (
+        docs.crossJoin(F.broadcast(bloom_map))
+        .withColumn("_bloom_pos", pos_arr)
+        .withColumn(
+            out_col,
+            F.expr(
+                "forall(_bloom_pos, p -> ("
+                "  shiftright("
+                "    coalesce(element_at(_bloom_words, CAST(p DIV 32 AS BIGINT)),"
+                "             CAST(0 AS BIGINT)),"
+                "    CAST(p % 32 AS INT)) & 1) = 1)"
+            ),
+        )
+        .drop("_bloom_words", "_bloom_pos")
+    )
+    return probed

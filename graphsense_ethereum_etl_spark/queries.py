@@ -7211,6 +7211,110 @@ def dd9_dupspan_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dd10_bloom_ngram_gate",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS w
+      FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+               || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+               AS fp
+      FROM toks, UNNEST(range(1, len(w) - 6)) t(i)
+      WHERE len(w) >= 8),
+    seen AS (SELECT DISTINCT fp FROM g WHERE doc_id % 2 = 0),
+    inc AS (SELECT doc_id, fp FROM g WHERE doc_id % 2 = 1),
+    pos AS (
+      SELECT fp,
+             CAST('0x' || substring(md5(fp || ':' || i), 1, 8) AS BIGINT)
+               % 65536 AS p
+      FROM seen, UNNEST(range(0, 4)) t(i)),
+    bloom AS (
+      SELECT p // 32 AS widx,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS word
+      FROM pos GROUP BY 1),
+    probe AS (
+      SELECT inc.doc_id, inc.fp,
+             CAST('0x' || substring(md5(inc.fp || ':' || i), 1, 8) AS BIGINT)
+               % 65536 AS p
+      FROM inc, UNNEST(range(0, 4)) t(i)),
+    hit AS (
+      SELECT doc_id, fp,
+             MIN(CASE WHEN (coalesce(word, 0)
+                            >> CAST(p % 32 AS INTEGER)) & 1 = 1
+                      THEN 1 ELSE 0 END) AS all_bits
+      FROM probe LEFT JOIN bloom ON probe.p // 32 = bloom.widx
+      GROUP BY 1, 2),
+    fl AS (
+      SELECT h.doc_id, h.all_bits = 1 AS flagged, s.fp IS NOT NULL AS truly
+      FROM hit h LEFT JOIN seen s ON h.fp = s.fp)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged_bloom,
+           CAST(SUM(CASE WHEN truly THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truly_seen,
+           CAST(SUM(CASE WHEN truly AND NOT flagged THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_negatives
+    FROM fl GROUP BY 1
+    """,
+)
+def dd10_bloom_ngram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter n-gram membership gate (operators/dedup.py::bloom_build
+    / bloom_probe — the Dolma dedupe-pass / CCNet hash-filter shape): has
+    this word-8-gram been seen in the corpus we already shipped? The seen
+    half (even doc_ids) collapses into a 2^16-bit Bloom filter — 2048
+    BIGINT words built with ONE map-side-combined bit_or aggregation — and
+    the incoming half (odd doc_ids) evaluates k=4 md5-positioned bit probes
+    per gram ENTIRELY map-side: the filter is broadcast as a single-row
+    word_idx→word map and probed with element_at + integer shifts, so the
+    incoming corpus never shuffles for the verdict. Per incoming document:
+    gram count, Bloom-flagged count, exact-membership count, and the
+    no-false-negative contract surfaced as data (n_false_negatives is
+    provably 0 — a theorem about the shared arithmetic, not a tolerance).
+    The exact-membership join exists here only to measure the FP rate
+    against ground truth; the production gate at 100 TB is the Bloom side
+    alone, which is what makes it incremental — new snapshots OR their
+    word relations together (bit_or is the union), never re-reading shipped
+    data. All positions are smp1-convention md5 slices, so the SQL oracle
+    rebuilds the identical filter bit-for-bit."""
+    from .functions.text import shingles
+    from .operators.dedup import bloom_build, bloom_probe
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    grams = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(shingles("text", k=8)).alias("fp"),
+    )
+    seen = grams.filter(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    inc = grams.filter(F.col("doc_id") % 2 == 1)
+    bloom = bloom_build(seen, fp_col="fp", m_bits=65536, k_hashes=4)
+    probed = bloom_probe(
+        inc, bloom, fp_col="fp", m_bits=65536, k_hashes=4, out_col="flagged"
+    )
+    truly = seen.withColumn("truly", F.lit(True))
+    return (
+        probed.join(truly, "fp", "left")
+        .withColumn("truly", F.coalesce(F.col("truly"), F.lit(False)))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged_bloom"),
+            F.sum(F.when(F.col("truly"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_truly_seen"),
+            F.sum(F.when(F.col("truly") & ~F.col("flagged"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_false_negatives"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # ETL dimension maintenance, corpus line dedup, built-in session windows,
 # tokenizer-training pair counts, histograms, key-skew profiling (r5)

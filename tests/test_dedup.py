@@ -449,3 +449,101 @@ def test_dupspan_coverage_adjacent_runs_merge(spark):
     }
     assert out[1] == (12, 10)
     assert out[2] == (11, 10)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership gate (bloom_build / bloom_probe)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_brute_positions(fp: str, k: int = 4, m: int = 65536) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{fp}:{i}".encode()).hexdigest()[:8], 16) % m
+        for i in range(k)
+    ]
+
+
+def test_bloom_no_false_negatives_and_exact_bits(spark):
+    """Every inserted fingerprint must probe positive, and the filter's set
+    bits must be EXACTLY the union of the k positions of every inserted
+    fingerprint (driver-side md5 replay) — the determinism the SQL oracle
+    relies on."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.operators.dedup import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    fps = [f"fp-{i}" for i in range(200)]
+    seen = spark.createDataFrame([(f,) for f in fps], "fp string")
+    bloom = bloom_build(seen, m_bits=65536, k_hashes=4)
+    words = {r["word_idx"]: r["word"] for r in bloom.collect()}
+    expect: dict[int, int] = {}
+    for f in fps:
+        for p in _bloom_brute_positions(f):
+            expect[p // 32] = expect.get(p // 32, 0) | (1 << (p % 32))
+    assert words == expect
+    probed = bloom_probe(seen, bloom, out_col="hit")
+    assert probed.filter(~F.col("hit")).count() == 0
+
+
+def test_bloom_probe_misses_empty_filter_and_is_map_only(spark):
+    """An empty filter rejects everything, absent words coalesce to 0, and
+    the probe plan contains NO exchange on the document side (the 100-TB
+    contract: broadcast word-map, map-only verdict)."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.operators.dedup import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    seen = spark.createDataFrame([("only-one",)], "fp string")
+    bloom = bloom_build(seen)
+    docs = spark.createDataFrame(
+        [("only-one",), ("never-seen-a",), ("never-seen-b",)], "fp string"
+    )
+    out = bloom_probe(docs, bloom)
+    got = {r["fp"]: r["possibly_seen"] for r in out.collect()}
+    assert got["only-one"] is True
+    # never-seen strings may false-positive in principle, but with one
+    # inserted fingerprint (4 bits of 65536 set) a 4-bit collision is
+    # impossible unless positions coincide; assert the exact expectation
+    # computed driver-side instead of assuming.
+    bits = set(_bloom_brute_positions("only-one"))
+    for f in ("never-seen-a", "never-seen-b"):
+        expect = set(_bloom_brute_positions(f)) <= bits
+        assert got[f] is expect
+
+    # plan: the document side of the probe must not shuffle — the ONLY
+    # hash exchange in the whole plan is the build side's word
+    # aggregation; the verdict rides a broadcast cross join (1-row map).
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE prints the plan twice
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bloom_union_is_incremental(spark):
+    """bit_or of two snapshot filters == the filter of the union — the
+    property that makes the gate incremental at 100 TB (ship new words,
+    never re-read old corpus)."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.operators.dedup import bloom_build
+
+    a = spark.createDataFrame([(f"a-{i}",) for i in range(50)], "fp string")
+    b = spark.createDataFrame([(f"b-{i}",) for i in range(50)], "fp string")
+    merged = (
+        bloom_build(a)
+        .unionByName(bloom_build(b))
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+    )
+    direct = bloom_build(a.unionByName(b))
+    m = {r["word_idx"]: r["word"] for r in merged.collect()}
+    d = {r["word_idx"]: r["word"] for r in direct.collect()}
+    assert m == d
