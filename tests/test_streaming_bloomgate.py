@@ -1,0 +1,120 @@
+"""Streaming Bloom-filter dedup gate (streaming/bloomgate.py): exact
+cross-batch dedup with CONSTANT-SIZE state — planted exact duplicates
+(including normalized-form variants) arriving in later micro-batches are
+dropped against the accumulated filter, survivors have globally distinct
+fingerprints, and a replayed batch is a no-op."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SCHEMA = "doc_id long, text string"
+
+
+def _corpus():
+    """Three batches with planted exact dups across boundaries.
+
+    fingerprint() normalizes (lowercase, collapse whitespace), so doc 21 —
+    a case/spacing variant of doc 1 — is an exact duplicate too."""
+    b1 = [
+        (0, "alpha beta gamma delta"),
+        (1, "epsilon zeta eta theta"),
+        (2, "iota kappa lambda mu"),
+        (3, "alpha beta gamma delta"),  # in-batch dup of 0
+    ]
+    b2 = [
+        (10, "nu xi omicron pi"),
+        (11, "epsilon zeta eta theta"),  # cross-batch dup of 1
+        (12, "rho sigma tau upsilon"),
+    ]
+    b3 = [
+        (20, "phi chi psi omega"),
+        (21, "  Epsilon ZETA   eta theta "),  # normalized dup of 1
+        (22, "nu xi omicron pi"),  # cross-batch dup of 10
+    ]
+    return b1, b2, b3
+
+
+def test_streaming_bloom_gate_first_seen_across_batches(spark, tmp_path):
+    from graphsense_ethereum_etl_spark.streaming.bloomgate import (
+        read_bloom,
+        run_streaming_bloom_gate,
+    )
+
+    b1, b2, b3 = _corpus()
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    flt = str(tmp_path / "filter")
+    ckpt = str(tmp_path / "ckpt")
+
+    survivors_after = []
+    for batch in (b1, b2, b3):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+        stream = spark.readStream.schema(SCHEMA).json(src)
+        run_streaming_bloom_gate(stream, out, flt, ckpt)
+        survivors_after.append(
+            {r.doc_id for r in spark.read.parquet(out).collect()}
+        )
+
+    # first-of-fingerprint survives; every later copy (in-batch, cross-batch,
+    # normalized variant) is dropped. At m=2^16 with ~9 distinct fps the FP
+    # probability is ~1e-10, so the exact rule is the expectation.
+    assert survivors_after[-1] == {0, 1, 2, 10, 12, 20}
+    assert survivors_after[0] == {0, 1, 2}
+    # survivor fingerprints are globally distinct (the no-false-negative
+    # guarantee: a duplicate of a survivor can never pass)
+    from graphsense_ethereum_etl_spark.functions.text import fingerprint
+
+    surv = spark.read.parquet(out).select(fingerprint("text").alias("fp"))
+    assert surv.count() == surv.distinct().count()
+    # survivor rows keep their payload
+    row = spark.read.parquet(out).filter(F.col("doc_id") == 10).collect()[0]
+    assert row.text == "nu xi omicron pi"
+
+    # state is constant-size: the collapsed filter has at most m/32 words,
+    # and equals the filter built from the survivors' fingerprints directly
+    # (survivors-only appends lose nothing)
+    from graphsense_ethereum_etl_spark.operators.dedup import bloom_build
+
+    collapsed = {
+        (r.word_idx, r.word) for r in read_bloom(spark, flt).collect()
+    }
+    assert len(collapsed) <= 65536 // 32
+    direct = {
+        (r.word_idx, r.word)
+        for r in bloom_build(surv.distinct()).collect()
+    }
+    assert collapsed == direct
+
+
+def test_bloom_gate_batch_replay_is_noop(spark, tmp_path):
+    """After the words append, replaying the same batch emits zero
+    survivors and leaves the collapsed filter unchanged — the crash-after-
+    append story."""
+    from graphsense_ethereum_etl_spark.streaming.bloomgate import (
+        bloom_gate_batch,
+        read_bloom,
+    )
+
+    flt = str(tmp_path / "filter")
+    batch = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta"), (2, "alpha beta")], SCHEMA
+    )
+    bloom0 = read_bloom(spark, flt)
+    surv, words = bloom_gate_batch(batch, bloom0)
+    assert {r.doc_id for r in surv.collect()} == {0, 1}
+    words.write.mode("append").parquet(flt)
+    after_first = {
+        (r.word_idx, r.word) for r in read_bloom(spark, flt).collect()
+    }
+
+    # replay: same batch against the now-updated filter
+    surv2, words2 = bloom_gate_batch(batch, read_bloom(spark, flt))
+    assert surv2.count() == 0
+    words2.write.mode("append").parquet(flt)  # empty/idempotent append
+    after_replay = {
+        (r.word_idx, r.word) for r in read_bloom(spark, flt).collect()
+    }
+    assert after_replay == after_first
