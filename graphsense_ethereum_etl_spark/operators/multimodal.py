@@ -28,7 +28,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -399,3 +399,105 @@ def perceptual_hash(
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(hash_batches, schema=PHASH_SCHEMA)
+
+
+ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("energy_sum", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def audio_frame_energies(media: DataFrame, frame_len: int = 256) -> DataFrame:
+    """Per-frame integer energies for WAV payloads: real-decode
+    (codecs.wav_decode, stdlib wave), mono-mix by summing channels, frame
+    into fixed ``frame_len``-sample windows, and emit one
+    ``(media_id, frame_idx, energy_sum, n_samples)`` row per frame — a
+    1-in-N Arrow expansion like ``video_frame_hashes``. ``energy_sum`` is
+    Σ|sample| as an exact BIGINT (no float mean — the downstream threshold
+    compare cross-multiplies, so the whole VAD pipeline is
+    integer-deterministic and SQL-oracle-checkable). The ragged tail frame
+    is emitted with its true ``n_samples`` so thresholding stays a
+    per-frame mean, not a per-frame sum. Corrupt payloads degrade to zero
+    rows; Python does ONLY what Catalyst can't (the codec), the
+    segmentation itself is pure Spark (``audio_activity_segments``)."""
+
+    def energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import wav_decode
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    samples, _rate = wav_decode(
+                        bytes(content) if content is not None else b""
+                    )
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    continue
+                mono = np.abs(samples.astype(np.int64)).sum(axis=1)
+                n = len(mono)
+                for f in range(0, (n + frame_len - 1) // frame_len):
+                    lo, hi = f * frame_len, min((f + 1) * frame_len, n)
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": f,
+                            "energy_sum": int(mono[lo:hi].sum()),
+                            "n_samples": hi - lo,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "energy_sum", "n_samples"],
+            )
+
+    return media.mapInPandas(energy_batches, schema=ENERGY_SCHEMA)
+
+
+def audio_activity_segments(
+    energies: DataFrame, threshold_per_sample: int = 100
+) -> DataFrame:
+    """Energy-threshold voice-activity segmentation over the output of
+    ``audio_frame_energies`` — pure Catalyst: a frame is ACTIVE iff its
+    mean |amplitude| exceeds the threshold, evaluated exactly as
+    ``energy_sum > threshold · n_samples`` (integer cross-multiplication,
+    no division), and maximal runs of active frames collapse into segments
+    by gaps-and-islands (island key = frame_idx − row_number over the
+    active frames of the clip). One shuffle on media_id shared by the
+    window and the final aggregation; per-clip state is streaming window
+    arithmetic, never a buffered waveform. Returns one row per segment:
+    ``(media_id, seg_idx, start_frame, end_frame, n_frames,
+    energy_sum)``."""
+    active = energies.filter(
+        F.col("energy_sum")
+        > F.lit(threshold_per_sample).cast("bigint") * F.col("n_samples")
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    islands = active.withColumn(
+        "_island", F.col("frame_idx") - F.row_number().over(w)
+    )
+    seg = (
+        islands.groupBy("media_id", "_island")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.sum("energy_sum").cast("bigint").alias("energy_sum"),
+        )
+    )
+    w2 = Window.partitionBy("media_id").orderBy("start_frame")
+    return seg.select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        (F.row_number().over(w2) - 1).cast("bigint").alias("seg_idx"),
+        F.col("start_frame").cast("bigint"),
+        F.col("end_frame").cast("bigint"),
+        "n_frames",
+        "energy_sum",
+    )

@@ -2229,6 +2229,101 @@ def mm5_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vad1_audio_segments",
+    """
+    WITH pat AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':vad'),
+                                    1, 15) AS BIGINT) AS bits
+      FROM documents WHERE doc_id < 200),
+    fr AS (
+      SELECT doc_id, i AS f, (bits >> CAST(i AS INTEGER)) & 1 AS b
+      FROM pat, UNNEST(range(0, 60)) t(i)),
+    act AS (SELECT doc_id, f FROM fr WHERE b = 1),
+    isl AS (
+      SELECT doc_id, f,
+             f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS g
+      FROM act),
+    seg AS (
+      SELECT doc_id, g, MIN(f) AS start_frame, MAX(f) AS end_frame,
+             COUNT(*) AS n_frames
+      FROM isl GROUP BY 1, 2)
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+                - 1 AS BIGINT) AS seg_idx,
+           CAST(start_frame AS BIGINT) AS start_frame,
+           CAST(end_frame AS BIGINT) AS end_frame,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_frames * 1600 AS BIGINT) AS energy_sum
+    FROM seg
+    """,
+)
+def vad1_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity segmentation (the audio analog of
+    text chunking — the preprocessing that turns raw audio into
+    trainable clips): real PCM decode → per-frame integer energies in
+    mapInPandas (operators/multimodal.py::audio_frame_energies — Python
+    does ONLY the codec), then a pure-Catalyst threshold + gaps-and-islands
+    collapse into maximal active segments
+    (audio_activity_segments), one media_id-keyed shuffle total. The
+    threshold compare is integer cross-multiplied (energy_sum >
+    thr·n_samples — no float mean), so engine and oracle agree exactly.
+
+    Oracle strategy (mm5's arithmetic-encoding pattern): each document's
+    waveform ENCODES a known 60-bit md5 activity pattern — frame f holds 8
+    constant samples of amplitude 200 where bit f is set (mean 200 > 100)
+    and 3 where clear (3 < 100) — so decode → framing → energies →
+    islands must reproduce the segments DuckDB derives from the bits
+    arithmetically; active-frame energy is exactly 8·200 = 1600, making
+    every output column an exact BIGINT."""
+    import pandas as pd
+
+    from .operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_activity_segments,
+        audio_frame_energies,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def encode_batches(batches):
+        import hashlib
+
+        import numpy as np
+
+        from .operators.codecs import wav_encode
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                bits = int(
+                    hashlib.md5(f"{did}:vad".encode()).hexdigest()[:15], 16
+                )
+                amps = np.where(
+                    (bits >> np.arange(60)) & 1 == 1, 200, 3
+                ).astype(np.int16)
+                samples = np.repeat(amps, 8)
+                payload = wav_encode(samples, sample_rate=8000, sample_width=2)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": payload,
+                        "meta": {"mime": "audio/wav", "n_bytes": len(payload)},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
+    energies = audio_frame_energies(media, frame_len=8)
+    return audio_activity_segments(energies, threshold_per_sample=100)
+
+
 # ---------------------------------------------------------------------------
 # §2.10 streaming surface (batch-checkable event-time operators)
 # ---------------------------------------------------------------------------

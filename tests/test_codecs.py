@@ -369,3 +369,72 @@ def test_audio_hash_empty_input_keeps_schema(spark):
     out = audio_hash(empty)
     assert out.columns == ["media_id", "ahash"]
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# audio VAD: frame energies + activity segmentation
+# ---------------------------------------------------------------------------
+
+
+def test_audio_frame_energies_ragged_tail_and_corrupt(spark):
+    """The tail frame carries its true n_samples (thresholding stays a
+    mean), corrupt payloads degrade to zero rows, and energies are exact
+    integer sums."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.operators.codecs import wav_encode
+    from graphsense_ethereum_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_frame_energies,
+    )
+    import numpy as np
+
+    # 10 samples at frame_len=4 -> frames of 4, 4, 2
+    samples = np.array([1, -2, 3, -4, 5, -6, 7, -8, 9, -10], dtype=np.int16)
+    good = wav_encode(samples, sample_rate=8000, sample_width=2)
+    pdf = pd.DataFrame(
+        [
+            {"media_id": 1, "content": good, "meta": {"mime": "audio/wav", "n_bytes": len(good)}},
+            {"media_id": 2, "content": b"not a wav", "meta": {"mime": "audio/wav", "n_bytes": 9}},
+        ]
+    )
+    media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    rows = {
+        r.frame_idx: (r.energy_sum, r.n_samples)
+        for r in audio_frame_energies(media, frame_len=4).collect()
+    }
+    assert rows == {0: (1 + 2 + 3 + 4, 4), 1: (5 + 6 + 7 + 8, 4), 2: (9 + 10, 2)}
+
+
+def test_audio_activity_segments_islands_and_threshold_edge(spark):
+    """Gaps-and-islands merges adjacent active frames only; the threshold
+    is strict (mean == threshold is inactive, integer cross-multiplied)."""
+    from graphsense_ethereum_etl_spark.operators.multimodal import (
+        audio_activity_segments,
+    )
+
+    # frames: idx, energy_sum, n_samples (threshold 10/sample)
+    energies = spark.createDataFrame(
+        [
+            (1, 0, 44, 4),   # active (11 > 10)
+            (1, 1, 41, 4),   # active
+            (1, 2, 40, 4),   # INACTIVE: mean exactly 10, strict >
+            (1, 3, 99, 4),   # active
+            (1, 5, 80, 4),   # active but frame 4 missing -> new segment
+            (2, 0, 400, 4),  # second clip independent
+        ],
+        "media_id long, frame_idx long, energy_sum long, n_samples long",
+    )
+    segs = [
+        (r.media_id, r.seg_idx, r.start_frame, r.end_frame, r.n_frames, r.energy_sum)
+        for r in audio_activity_segments(energies, threshold_per_sample=10)
+        .orderBy("media_id", "seg_idx")
+        .collect()
+    ]
+    assert segs == [
+        (1, 0, 0, 1, 2, 85),
+        (1, 1, 3, 3, 1, 99),
+        (1, 2, 5, 5, 1, 80),
+        (2, 0, 0, 0, 1, 400),
+    ]
