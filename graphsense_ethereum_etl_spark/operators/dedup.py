@@ -994,8 +994,13 @@ def bloom_build(
     One explode (k rows per fingerprint, each a single BIGINT) and one
     bit_or aggregation on ≤ m_bits/32 keys; partial aggregation makes the
     shuffle O(words × partitions), independent of corpus size.
+
+    NULL fingerprints contribute no bits: a row with nothing to
+    fingerprint cannot mark anything as seen (unfiltered, a NULL fp
+    produced a (NULL, NULL) word row that poisoned bloom_probe's
+    map_from_entries with a NULL map key — a hard crash).
     """
-    pos = seen.select(
+    pos = seen.where(F.col(fp_col).isNotNull()).select(
         F.explode(_bloom_positions(fp_col, k_hashes, m_bits)).alias("pos")
     )
     return (
@@ -1028,8 +1033,14 @@ def bloom_probe(
     exactly the posture an incremental 100-TB dedup gate needs. Words
     absent from the map (no seen fingerprint touched them) coalesce to 0,
     i.e. a guaranteed miss.
+
+    A NULL ``fp_col`` probes nothing and reports ``false`` — a document
+    with no fingerprint cannot have been seen (forall over NULL probe
+    positions otherwise yields NULL, silently un-gating the row). NULL
+    word rows in the filter relation are dropped defensively so a
+    pre-fix or externally-persisted relation can't crash the map build.
     """
-    bloom_map = bloom.agg(
+    bloom_map = bloom.where(F.col("word_idx").isNotNull()).agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("word_idx"), F.col("word")))
         ).alias("_bloom_words")
@@ -1040,12 +1051,14 @@ def bloom_probe(
         .withColumn("_bloom_pos", pos_arr)
         .withColumn(
             out_col,
-            F.expr(
-                "forall(_bloom_pos, p -> ("
-                "  shiftright("
-                "    coalesce(element_at(_bloom_words, CAST(p DIV 32 AS BIGINT)),"
-                "             CAST(0 AS BIGINT)),"
-                "    CAST(p % 32 AS INT)) & 1) = 1)"
+            F.when(F.col(fp_col).isNull(), F.lit(False)).otherwise(
+                F.expr(
+                    "forall(_bloom_pos, p -> ("
+                    "  shiftright("
+                    "    coalesce(element_at(_bloom_words, CAST(p DIV 32 AS BIGINT)),"
+                    "             CAST(0 AS BIGINT)),"
+                    "    CAST(p % 32 AS INT)) & 1) = 1)"
+                )
             ),
         )
         .drop("_bloom_words", "_bloom_pos")

@@ -30,6 +30,7 @@ import importlib
 import pkgutil
 
 import pytest
+from pyspark.sql import functions as F
 
 import graphsense_ethereum_etl_spark.operators as ops_pkg
 from graphsense_ethereum_etl_spark.operators import (
@@ -230,6 +231,25 @@ OPS = {
         call=lambda sp, d: dd_ops.fingerprint_hamming_pairs(
             dd_ops.simhash(d).withColumnRenamed("simhash", "fingerprint")),
         contract="pairs", id_cols=("id_a", "id_b")),
+    "dedup.bloom_build": dict(
+        # NULL-text docs fingerprint to a NULL fp (md5(NULL) is NULL —
+        # the streaming gate's convention): the filter must absorb them
+        # (pre-fix they produced a NULL word row that crashed the probe).
+        input="docs",
+        call=lambda sp, d: dd_ops.bloom_build(
+            d.select(F.md5("text").alias("fp")), m_bits=256, k_hashes=2),
+        contract="no_crash"),
+    "dedup.bloom_probe": dict(
+        # Self-probe: every doc row survives with the gate column added;
+        # NULL fps report possibly_seen=false instead of NULL.
+        input="docs",
+        call=lambda sp, d: dd_ops.bloom_probe(
+            d.withColumn("fp", F.md5("text")),
+            dd_ops.bloom_build(
+                d.select(F.md5("text").alias("fp")),
+                m_bits=256, k_hashes=2),
+            m_bits=256, k_hashes=2),
+        contract="per_doc", id_out="doc_id"),
     # ---- graph ----
     "graph.connected_components[label]": dict(
         input="edges", call=lambda sp, d: g_ops.connected_components(d),
@@ -274,6 +294,17 @@ OPS = {
     "multimodal.perceptual_hash": dict(
         input="media", call=lambda sp, d: mm_ops.perceptual_hash(d),
         contract="per_doc_media", id_out="media_id"),
+    "multimodal.audio_frame_energies": dict(
+        input="media", call=lambda sp, d: mm_ops.audio_frame_energies(d, frame_len=4),
+        contract="subset_media", id_out="media_id",
+        documented="non-WAV/corrupt payloads decode to zero frames by contract"),
+    "multimodal.audio_activity_segments": dict(
+        input="media",
+        call=lambda sp, d: mm_ops.audio_activity_segments(
+            mm_ops.audio_frame_energies(d, frame_len=4), threshold_per_sample=0),
+        contract="subset_media", id_out="media_id",
+        documented="segments exist only for clips with active frames; "
+                   "undecodable payloads have no frames at all"),
     # ---- pipelines ----
     "pipelines.transform_blocks": dict(input="custom", call=None, contract="no_crash"),
     "pipelines.transform_transactions": dict(input="custom", call=None, contract="no_crash"),

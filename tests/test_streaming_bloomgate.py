@@ -118,3 +118,29 @@ def test_bloom_gate_batch_replay_is_noop(spark, tmp_path):
         (r.word_idx, r.word) for r in read_bloom(spark, flt).collect()
     }
     assert after_replay == after_first
+
+
+def test_bloom_gate_null_text_survives(spark, tmp_path):
+    """A NULL-text doc has a NULL fingerprint — it can't be deduped, so it
+    must pass the gate as novel and contribute nothing to the filter.
+    Pre-fix, forall over its NULL probe positions evaluated to NULL and
+    filter(~NULL) silently dropped the row; a NULL fp reaching bloom_build
+    poisoned the word relation with a NULL map key (hard crash on the
+    next batch's probe)."""
+    from graphsense_ethereum_etl_spark.streaming.bloomgate import (
+        bloom_gate_batch,
+        read_bloom,
+    )
+
+    flt = str(tmp_path / "filter")
+    b1 = spark.createDataFrame([(0, "alpha beta"), (1, None)], SCHEMA)
+    surv, words = bloom_gate_batch(b1, read_bloom(spark, flt))
+    assert {r.doc_id for r in surv.collect()} == {0, 1}
+    words.write.mode("append").parquet(flt)
+
+    # next batch: another NULL-text doc still survives (no bits were set
+    # for doc 1) and the updated filter doesn't crash the probe
+    b2 = spark.createDataFrame([(2, None), (3, "alpha beta")], SCHEMA)
+    surv2, words2 = bloom_gate_batch(b2, read_bloom(spark, flt))
+    assert {r.doc_id for r in surv2.collect()} == {2}
+    assert all(r.word_idx is not None for r in words2.collect())
