@@ -3053,7 +3053,10 @@ def sim6_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffle is the final per-query top-k window."""
     from .operators.similarity import pq_topk
 
-    emb = load(spark, sf_dir, "embeddings")
+    # spread=True: the PQ encode is per-row interpreted-HOF work; a
+    # single-file parquet scan would serialize it on one task (km1's
+    # round-robin-width lesson — at real scale the scan is already wide).
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     return pq_topk(
         emb, emb.filter(F.col("vec_id") < 5), dim=64, m=8, n_codes=16, k=10
     )
@@ -3154,7 +3157,10 @@ def sim7_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one list, so multi-probe never scores it twice."""
     from .operators.similarity import ivfpq_topk
 
-    emb = load(spark, sf_dir, "embeddings")
+    # spread=True: coarse assignment + residual PQ encode are per-row
+    # interpreted-HOF map work — round-robin the scan so a small file
+    # doesn't serialize them on one task (km1's lesson).
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     return ivfpq_topk(
         emb,
         emb.filter(F.col("vec_id") < 5),

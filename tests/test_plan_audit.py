@@ -29,6 +29,11 @@ SMOKE_SF = "/root/testdata/sf0.001"
 BNLJ_WHITELIST = {
     "apx1_approx_distinct",
     "apx3_freq_items",
+    "dd10_bloom_ngram_gate",  # the Bloom filter collapses to a 1-row
+    # word_idx->word map aggregate broadcast over the incoming grams —
+    # ~16 KiB at any corpus size (m_bits/32 words), the map-only probe
+    # that makes the gate incremental; the build side cannot grow with
+    # the data by construction
     "h2_equidepth_deciles",
     "h2b_approx_deciles",
     "prof1_key_skew",
