@@ -349,6 +349,7 @@ def build_parser() -> ArgumentParser:
             "dedup", "decontaminate", "score", "sample", "pack", "chunk",
             "dedup-lines", "negatives", "validate", "lm-score", "ann",
             "ann-build", "ann-search", "embed", "dupspan", "classify",
+            "dedup-gate",
         ],
         help="which curation pass to run over the input documents table",
     )
@@ -381,6 +382,25 @@ def build_parser() -> ArgumentParser:
     corpus.add_argument("--text-col", dest="text_col", default="text")
     corpus.add_argument("--id-col", dest="id_col", default="doc_id")
     corpus.add_argument("--vec-col", dest="vec_col", default="embedding")
+    corpus.add_argument(
+        "--filter-dir", dest="filter_dir", default=None,
+        help="dedup-gate: append-only Bloom word directory (the gate's "
+        "constant-size cross-run state; share it across pipelines to "
+        "union their dedup scopes)",
+    )
+    corpus.add_argument(
+        "--checkpoint", dest="checkpoint", default=None,
+        help="dedup-gate: streaming checkpoint — re-invocations process "
+        "only input files not yet seen",
+    )
+    corpus.add_argument(
+        "--m-bits", dest="m_bits", type=int, default=65536,
+        help="dedup-gate: Bloom filter size in bits",
+    )
+    corpus.add_argument(
+        "--k-hashes", dest="k_hashes", type=int, default=4,
+        help="dedup-gate: probe bits per fingerprint",
+    )
     corpus.add_argument(
         "--n-clusters", dest="n_clusters", type=int, default=16,
         help="semantic dedup: k-means block count; ann ivf/ivfpq: "
@@ -817,6 +837,42 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
         if args.operation == "ann-search"
         else spark.read.parquet(args.input)
     )
+    if args.operation == "dedup-gate":
+        # Streaming Bloom-filter dedup gate (streaming/bloomgate.py):
+        # constant-size cross-run state, survivors APPEND to the output.
+        # Unlike the batch passes this is incremental by construction —
+        # rerunning after new files land in the input dir gates only the
+        # new files against the accumulated filter.
+        from .streaming.bloomgate import run_streaming_bloom_gate
+
+        if not args.filter_dir or not args.checkpoint:
+            raise SystemExit(
+                "corpus dedup-gate: --filter-dir and --checkpoint are required"
+            )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            # one micro-batch per input file: each file probes the filter
+            # as updated by the files before it (the gate's batch-sequence
+            # semantics)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(args.input)
+        )
+        run_streaming_bloom_gate(
+            stream,
+            args.output,
+            args.filter_dir,
+            args.checkpoint,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            m_bits=args.m_bits,
+            k_hashes=args.k_hashes,
+        )
+        try:
+            n = spark.read.parquet(args.output).count()
+        except Exception:
+            n = 0  # zero survivors ever -> no output dir yet
+        print(f"corpus dedup-gate: {n:,} survivor rows in {args.output}")
+        return IngestStats()
     if args.operation == "dedup":
         if args.method == "semantic":
             from .operators.corpus import semantic_dedup_keepers

@@ -1267,3 +1267,44 @@ def test_cli_ann_build_then_search(spark, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(oneshot).collect())
     b = sorted(tuple(r) for r in spark.read.parquet(found).collect())
     assert a == b and len(a) > 0
+
+
+def test_cli_corpus_dedup_gate_incremental(spark, tmp_path):
+    """corpus dedup-gate end-to-end: the streaming Bloom gate through the
+    CLI. First invocation drains the input dir one file per micro-batch
+    (in-batch + cross-file dups dropped); dropping a NEW file into the
+    same input dir and re-invoking with the same checkpoint gates ONLY
+    the new file against the accumulated filter — survivors append, the
+    old output rows stay untouched."""
+    src = str(tmp_path / "gate_src")
+    out = str(tmp_path / "gate_out")
+    flt = str(tmp_path / "gate_filter")
+    ckpt = str(tmp_path / "gate_ckpt")
+    b1 = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon zeta"),
+         (2, "alpha beta gamma")],  # in-file dup of 0
+        "doc_id bigint, text string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    main(
+        ["corpus", "dedup-gate", "-i", src, "-o", out,
+         "--filter-dir", flt, "--checkpoint", ckpt],
+        spark=spark,
+    )
+    ids1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert ids1 == {0, 1}
+
+    # a later pipeline run lands a new file: cross-RUN dup of 1 plus a
+    # novel doc; only these rows are processed (checkpoint) and only the
+    # novel one survives (persistent filter)
+    spark.createDataFrame(
+        [(10, "delta epsilon zeta"), (11, "eta theta iota")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    main(
+        ["corpus", "dedup-gate", "-i", src, "-o", out,
+         "--filter-dir", flt, "--checkpoint", ckpt],
+        spark=spark,
+    )
+    ids2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert ids2 == {0, 1, 11}
