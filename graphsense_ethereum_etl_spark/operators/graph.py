@@ -102,6 +102,75 @@ def connected_components(
     return labels.select(F.col("v").alias("id"), F.col("label").alias("component"))
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 2,
+) -> DataFrame:
+    """(id, community) after ``rounds`` synchronous label-propagation steps
+    over the undirected simple graph of ``edges`` — near-linear community
+    detection (Raghavan et al. 2007), made DETERMINISTIC: every vertex
+    starts as its own label; each round every vertex simultaneously adopts
+    the most frequent label among its neighbours, ties broken by the
+    SMALLEST label. Synchronous update + value tie-break replace the two
+    classic nondeterminism sources (asynchronous visit order, random
+    tie-break), so the result is a pure function of the edge set, the
+    label algebra is all-integer, and each round is SQL-unrollable — the
+    registry oracle (g7) hash-checks exactly.
+
+    Contract mirrors connected_components: NULL-endpoint edges are dropped
+    before the algorithm; self-loops are not neighbours and multi-edges
+    count once (the neighbour relation is a SET); a vertex appearing only
+    in self-loops keeps its own label; isolated vertices don't appear (no
+    edge rows).
+
+    Scale shape: per round, ONE shuffle-join of the symmetrized edge set
+    against the current labels on the neighbour key, a (vertex, label)
+    count that combines map-side, a per-vertex argmax as MAX over a
+    (count, -label) struct — no window, no sort — and a left join back to
+    the vertex relation. Deep runs truncate lineage with localCheckpoint
+    every few rounds like connected_components; the default 2 rounds keep
+    a single shallow plan."""
+    ok = edges.filter(
+        F.col(src).cast("bigint").isNotNull()
+        & F.col(dst).cast("bigint").isNotNull()
+    )
+    e = ok.select(
+        F.col(src).cast("bigint").alias("s"), F.col(dst).cast("bigint").alias("d")
+    )
+    verts = (
+        e.select(F.col("s").alias("v"))
+        .union(e.select(F.col("d").alias("v")))
+        .distinct()
+    )
+    und = e.filter(F.col("s") != F.col("d"))
+    sym = und.union(
+        und.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=False)
+    labels = verts.withColumn("label", F.col("v"))
+    for r in range(rounds):
+        nbr = sym.join(labels, sym["d"] == labels["v"]).select(
+            sym["s"].alias("u"), F.col("label")
+        )
+        cnt = nbr.groupBy("u", "label").agg(F.count("*").alias("c"))
+        best = cnt.groupBy("u").agg(
+            F.max(
+                F.struct(F.col("c").alias("c"), (-F.col("label")).alias("nl"))
+            ).alias("b")
+        ).select(F.col("u"), (-F.col("b.nl")).alias("nlabel"))
+        labels = labels.join(best, labels["v"] == best["u"], "left").select(
+            labels["v"],
+            F.coalesce(F.col("nlabel"), labels["label"]).alias("label"),
+        )
+        if rounds > 3 and (r + 1) % 3 == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select(
+        F.col("v").alias("id"), F.col("label").alias("community")
+    )
+
+
 def _star_components(
     edges: DataFrame, src: str, dst: str, max_iter: int
 ) -> tuple[DataFrame, int]:

@@ -3491,6 +3491,60 @@ def g4_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g7_label_propagation",
+    """
+    WITH raw AS (
+      SELECT CAST(o_orderkey % 997 AS BIGINT) AS a,
+             CAST((o_orderkey * 13 + 7) % 997 AS BIGINT) AS b
+      FROM orders),
+    verts AS (SELECT DISTINCT v
+              FROM (SELECT a AS v FROM raw UNION ALL SELECT b FROM raw)),
+    ed AS (SELECT DISTINCT a AS u, b AS v FROM raw WHERE a != b),
+    sym AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+    l0 AS (SELECT v AS id, v AS label FROM verts),
+    c1 AS (SELECT s.u AS id, l.label AS label, COUNT(*) AS c
+           FROM sym s JOIN l0 l ON l.id = s.v GROUP BY s.u, l.label),
+    b1 AS (SELECT id, label FROM c1
+           QUALIFY row_number()
+             OVER (PARTITION BY id ORDER BY c DESC, label ASC) = 1),
+    l1 AS (SELECT l0.id, COALESCE(b1.label, l0.label) AS label
+           FROM l0 LEFT JOIN b1 ON b1.id = l0.id),
+    c2 AS (SELECT s.u AS id, l.label AS label, COUNT(*) AS c
+           FROM sym s JOIN l1 l ON l.id = s.v GROUP BY s.u, l.label),
+    b2 AS (SELECT id, label FROM c2
+           QUALIFY row_number()
+             OVER (PARTITION BY id ORDER BY c DESC, label ASC) = 1),
+    l2 AS (SELECT l1.id, COALESCE(b2.label, l1.label) AS label
+           FROM l1 LEFT JOIN b2 ON b2.id = l1.id)
+    SELECT id AS vertex, label AS community FROM l2
+    """,
+)
+def g7_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation, 2 rounds
+    (operators/graph.py::label_propagation) — community detection, the
+    graph analytic between cc1's reachability clustering (labels flow to
+    the global minimum) and g4's weighted message passing (ranks flow
+    along edges): here each vertex adopts its neighbourhood's MODE label,
+    so labels stop at community boundaries instead of flooding the
+    component. Most-frequent-neighbour-label with smallest-label
+    tie-break, all vertices updating simultaneously — the two classic
+    LPA nondeterminism sources (visit order, random ties) are gone, so
+    the DuckDB oracle unrolls the identical two rounds and hash-checks
+    exactly. Edge list derived deterministically from orders (mod-997
+    vertex ids, the g3 recipe)."""
+    from .operators.graph import label_propagation
+
+    raw = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 997).cast("bigint").alias("a"),
+        ((F.col("o_orderkey") * 13 + 7) % 997).cast("bigint").alias("b"),
+    )
+    return label_propagation(raw, src="a", dst="b", rounds=2).select(
+        F.col("id").cast("bigint").alias("vertex"),
+        F.col("community").cast("bigint").alias("community"),
+    )
+
+
+@query(
     "km1_kmeans",
     """
     WITH q AS (

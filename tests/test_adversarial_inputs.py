@@ -257,6 +257,9 @@ OPS = {
     "graph.connected_components[star]": dict(
         input="edges", call=lambda sp, d: g_ops.connected_components(d, algorithm="star"),
         contract="no_crash"),
+    "graph.label_propagation": dict(
+        input="edges", call=lambda sp, d: g_ops.label_propagation(d),
+        contract="no_crash"),
     "graph.bipartite_project": dict(
         input="bip", call=lambda sp, d: g_ops.bipartite_project(d, left="s", right="p"),
         contract="no_crash"),
@@ -491,6 +494,22 @@ def test_connected_components_adversarial(spark, variant, algorithm):
     assert got <= verts, "components invented vertices"
     for r in rows:
         assert r["component"] is not None, "NULL component label"
+
+
+@pytest.mark.parametrize("variant", list(EDGE_VARIANTS))
+def test_label_propagation_adversarial(spark, variant):
+    edges = spark.createDataFrame(EDGE_VARIANTS[variant], EDGE_SCHEMA)
+    out = g_ops.label_propagation(edges, rounds=2).collect()
+    verts = {
+        v for e in EDGE_VARIANTS[variant] for v in e if v is not None
+    }
+    # NULL-endpoint edges drop the whole edge; the surviving vertex of a
+    # half-NULL edge only appears if some fully-non-NULL edge carries it
+    assert {r["id"] for r in out} <= verts, "LPA invented vertices"
+    for r in out:
+        assert r["community"] is not None, "NULL community label"
+    if variant == "self_loop":  # self-loop-only vertex keeps its own label
+        assert {(r["id"], r["community"]) for r in out} == {(3, 3)}
 
 
 @pytest.mark.parametrize("variant", list(BIP_VARIANTS))

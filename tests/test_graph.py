@@ -132,3 +132,91 @@ def test_bipartite_project_preserves_string_vertex_ids(spark):
         ("0xaa", "0xcc"): 1,
         ("0xbb", "0xcc"): 1,
     }
+
+
+def _lpa_reference(edges, rounds=2):
+    """Plain-Python synchronous LPA: mode neighbour label, smallest-label
+    tie-break, simultaneous update — the operator's documented contract."""
+    from collections import Counter
+
+    ok = [(s, d) for s, d in edges if s is not None and d is not None]
+    verts = sorted({v for e in ok for v in e})
+    nbrs = {v: set() for v in verts}
+    for s, d in ok:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    label = {v: v for v in verts}
+    for _ in range(rounds):
+        new = {}
+        for v in verts:
+            if not nbrs[v]:
+                new[v] = label[v]
+                continue
+            cnt = Counter(label[n] for n in nbrs[v])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        label = new
+    return label
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Two planted communities joined by one bridge edge: LPA must keep
+    them separate where min-label CC would merge everything. Checked
+    against the plain-Python reference on the exact contract, including
+    self-loop-only vertices (keep own label) and NULL-endpoint drops."""
+    from graphsense_ethereum_etl_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    import itertools
+
+    # two 4-cliques joined by one bridge: dense enough that the in-clique
+    # mode beats the bridge label (a triangle is NOT — the round-1 all-tie
+    # lets the bridge label leak in)
+    clique_a = list(itertools.combinations([1, 2, 3, 4], 2))
+    clique_b = list(itertools.combinations([10, 11, 12, 13], 2))
+    edges = (
+        clique_a + clique_b
+        + [
+            (4, 10),        # bridge
+            (20, 20),       # self-loop-only vertex: appears, keeps own label
+            (None, 1), (2, None),  # NULL endpoints: dropped entirely
+            (1, 2),         # multi-edge (counts once)
+        ]
+    )
+    df = spark.createDataFrame(
+        [e for e in edges], "src bigint, dst bigint"
+    )
+    for rounds in (1, 2, 4):
+        got = {
+            r["id"]: r["community"]
+            for r in label_propagation(df, rounds=rounds).collect()
+        }
+        want = _lpa_reference(edges, rounds=rounds)
+        assert got == want, f"rounds={rounds}"
+    # the communities stay distinct across the bridge (CC would merge them)
+    two = _lpa_reference(edges, rounds=2)
+    assert two[1] == two[2] == two[3] == two[4] == 1
+    assert two[10] == two[11] == two[12] == two[13] == 10
+    assert two[20] == 20
+    cc = {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert cc[13] == 1  # min-label flooding crosses the bridge
+
+
+def test_label_propagation_empty_and_dense(spark):
+    from graphsense_ethereum_etl_spark.operators.graph import label_propagation
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    assert label_propagation(empty).count() == 0
+    # random-ish dense graph vs reference (regression net for argmax ties)
+    edges = [((i * 7) % 13, (i * 11 + 3) % 13) for i in range(40)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["id"]: r["community"] for r in label_propagation(df, rounds=3).collect()
+    }
+    assert got == _lpa_reference(edges, rounds=3)
