@@ -6542,6 +6542,139 @@ def mm4_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts1_resample_interpolate",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, ts, value,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+      FROM events
+      WHERE value IS NOT NULL AND value >= 0
+        AND user_id IS NOT NULL AND ts IS NOT NULL),
+    anchors AS (
+      SELECT user_id, day_idx, CAST(FLOOR(value * 100) AS BIGINT) AS v_fp
+      FROM ev
+      QUALIFY row_number() OVER (PARTITION BY user_id, day_idx
+                                 ORDER BY ts DESC, event_id DESC) = 1),
+    spans AS (SELECT user_id, MIN(day_idx) AS lo, MAX(day_idx) AS hi
+              FROM anchors GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day_idx FROM spans),
+    j AS (SELECT g.user_id, g.day_idx, a.v_fp
+          FROM grid g LEFT JOIN anchors a USING (user_id, day_idx)),
+    f AS (SELECT user_id, day_idx, v_fp,
+            last_value(CASE WHEN v_fp IS NOT NULL THEN day_idx END
+                       IGNORE NULLS) OVER wp AS d0,
+            last_value(v_fp IGNORE NULLS) OVER wp AS v0,
+            first_value(CASE WHEN v_fp IS NOT NULL THEN day_idx END
+                        IGNORE NULLS) OVER wf AS d1,
+            first_value(v_fp IGNORE NULLS) OVER wf AS v1
+          FROM j
+          WINDOW wp AS (PARTITION BY user_id ORDER BY day_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY user_id ORDER BY day_idx
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(day_idx AS BIGINT) AS day_idx,
+           CAST(CASE WHEN v_fp IS NOT NULL THEN v_fp
+                     ELSE (v0 * (d1 - day_idx) + v1 * (day_idx - d0))
+                          // (d1 - d0) END AS BIGINT) AS value_fp,
+           CAST(CASE WHEN v_fp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_anchor
+    FROM f
+    """,
+)
+def ts1_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to a daily grid with LINEAR INTERPOLATION
+    across gaps — the step past w6's forward fill and rates.densify_rates'
+    carry-forward: per user, the last observation of each day anchors the
+    grid (day index vs a fixed epoch), missing interior days take the
+    integer fixed-point interpolation
+    ``(v0·(d1−d) + v1·(d−d0)) DIV (d1−d0)`` between the surrounding
+    anchors. The weighted form keeps the numerator nonnegative (values
+    are filtered ≥ 0), so truncating DIV and DuckDB's floor ``//`` agree
+    and the oracle hash-checks exactly — no float summation anywhere.
+
+    Scale shape: ONE shuffle on user_id is shared by the anchor dedup
+    window, the span aggregate, the grid join, and both fill windows
+    (same partitioning, same order — AQE reuses the exchange); the grid
+    explode is shuffle-free. Output is bounded by Σ per-user span days,
+    independent of the event count per day."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & (F.col("value") >= 0)
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    # One explicit exchange on user_id; the (user_id, day_idx) anchor
+    # aggregation, the span aggregate, and both fill windows all cluster
+    # on user_id or a superset, so every downstream operator rides this
+    # partitioning (plan-checked: hash exchanges only on user_id, zero
+    # range partitioning; the grid side broadcasts at panel scale and
+    # AQE swaps to a co-partitioned join when spans outgrow it). max_by
+    # on the unique (ts, event_id) struct replaces a row_number window —
+    # same last-observation-of-the-day semantics, no composite-key
+    # repartition.
+    anchors = (
+        ev.withColumn(
+            "day_idx",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("bigint"),
+        )
+        .repartition("user_id")
+        .groupBy("user_id", "day_idx")
+        .agg(
+            F.max_by(
+                F.floor(F.col("value") * 100).cast("bigint"),
+                F.struct("ts", "event_id"),
+            ).alias("v_fp")
+        )
+    )
+    grid = (
+        anchors.groupBy("user_id")
+        .agg(F.min("day_idx").alias("lo"), F.max("day_idx").alias("hi"))
+        .select(
+            "user_id", F.explode(F.sequence("lo", "hi")).alias("day_idx")
+        )
+    )
+    j = grid.join(anchors, ["user_id", "day_idx"], "left")
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("day_idx")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("day_idx")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    anchor_day = F.when(F.col("v_fp").isNotNull(), F.col("day_idx"))
+    f = j.select(
+        "user_id",
+        "day_idx",
+        "v_fp",
+        F.last(anchor_day, ignorenulls=True).over(wp).alias("d0"),
+        F.last("v_fp", ignorenulls=True).over(wp).alias("v0"),
+        F.first(anchor_day, ignorenulls=True).over(wf).alias("d1"),
+        F.first("v_fp", ignorenulls=True).over(wf).alias("v1"),
+    )
+    return f.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("day_idx").cast("bigint").alias("day_idx"),
+        F.when(F.col("v_fp").isNotNull(), F.col("v_fp"))
+        .otherwise(
+            F.expr(
+                "(v0 * (d1 - day_idx) + v1 * (day_idx - d0)) DIV (d1 - d0)"
+            )
+        )
+        .cast("bigint")
+        .alias("value_fp"),
+        F.when(F.col("v_fp").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_anchor"),
+    )
+
+
+@query(
     "w6_ignore_nulls_ffill",
     """
     SELECT CAST(event_id AS BIGINT) AS event_id,

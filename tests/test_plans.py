@@ -347,3 +347,26 @@ def test_smp8_join_sides_stay_narrow(spark, sf_dir):
     assert schemas and all(
         "text" not in s and "embedding" not in s for s in schemas
     ), schemas
+
+
+def test_ts1_partitions_on_user_only(spark, sf_dir):
+    """ts1's anchor agg, span agg, and both fill windows all ride user_id
+    partitioning: hash exchanges exist only on user_id (no composite-key
+    repartition, no range partitioning) and every scan prunes to the four
+    columns the query touches."""
+    import re
+
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    df = REGISTRY["ts1_resample_interpolate"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "rangepartitioning" not in plan
+    for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        cols = {c.strip().split("#")[0] for c in m.split(",")[:-1]}
+        assert cols == {"user_id"}, m
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(
+        set(re.findall(r"(\w+):", s))
+        <= {"user_id", "ts", "value", "event_id"}
+        for s in schemas
+    ), schemas
