@@ -586,8 +586,8 @@ def test_versioned_randomized_soak(spark, tmp_path_factory, seed):
     vt = VersionedTable(spark, root, partition_col="pc", stats_cols=["val"])
     model: dict[int, dict] = {}
     evolved = False
-    # (version, model snapshot) after every successful commit
-    commits: list[tuple[int, dict]] = []
+    # (version, model snapshot, op) after every successful commit
+    commits: list[tuple[int, dict, str]] = []
 
     def gen_rows(parts, with_extra):
         rows = []
@@ -622,7 +622,9 @@ def test_versioned_randomized_soak(spark, tmp_path_factory, seed):
                 "val": row[2],
                 "extra": row[3] if with_extra else None,
             }
-        commits.append((vt.history()[-1], {k: dict(v) for k, v in model.items()}))
+        commits.append(
+            (vt.history()[-1], {k: dict(v) for k, v in model.items()}, "write")
+        )
 
     def apply_merge(crash):
         parts = sorted(
@@ -658,7 +660,9 @@ def test_versioned_randomized_soak(spark, tmp_path_factory, seed):
                 # nulls it out for upserted rows
                 model[key] = {"pc": pc, "val": val, "extra": None}
                 del prev_extra
-        commits.append((vt.history()[-1], {k: dict(v) for k, v in model.items()}))
+        commits.append(
+            (vt.history()[-1], {k: dict(v) for k, v in model.items()}, "merge")
+        )
 
     def apply_invalidate(crash):
         p = rng.randint(1, 3)
@@ -676,7 +680,10 @@ def test_versioned_randomized_soak(spark, tmp_path_factory, seed):
         vt.invalidate_from(p)
         for k in [k for k, v in model.items() if v["pc"] >= p]:
             del model[k]
-        commits.append((vt.history()[-1], {k: dict(v) for k, v in model.items()}))
+        commits.append(
+            (vt.history()[-1], {k: dict(v) for k, v in model.items()},
+             "invalidate")
+        )
 
     def apply_compact(crash):
         style = rng.choice(["plain", "sort", "zorder"])
@@ -702,7 +709,8 @@ def test_versioned_randomized_soak(spark, tmp_path_factory, seed):
         assert n == len({v["pc"] for v in model.values()})
         if n or vt.history():
             commits.append(
-                (vt.history()[-1], {k: dict(v) for k, v in model.items()})
+                (vt.history()[-1], {k: dict(v) for k, v in model.items()},
+                 "compact")
             )
 
     def apply_vacuum():
@@ -711,7 +719,7 @@ def test_versioned_randomized_soak(spark, tmp_path_factory, seed):
             return
         vt.vacuum(keep_manifests=keep)
         retained = set(vt.history())
-        commits[:] = [(v, m) for v, m in commits if v in retained]
+        commits[:] = [c for c in commits if c[0] in retained]
 
     # seed the table so early merges/invalidates have something to chew on
     apply_write(gen_rows([0, 1], False), False, crash=False)
@@ -755,7 +763,7 @@ def test_versioned_randomized_soak(spark, tmp_path_factory, seed):
 
     # ---- 3. time travel to retained versions reproduces history
     retained = set(vt.history())
-    for version, snap_model in commits:
+    for version, snap_model, _op in commits:
         if version not in retained:
             continue
         df = vt.read_version(version)
@@ -770,6 +778,44 @@ def test_versioned_randomized_soak(spark, tmp_path_factory, seed):
         assert got == _model_as_set(snap_model), (
             f"seed {seed}: time travel to v{version} diverged"
         )
+
+    # ---- 4. change-data-feed algebra across the randomized schedule
+    # (r8: k7 landed this round; the soak is what caught r7's worst
+    # versioned-table bugs, so the feed gets the same treatment). For
+    # adjacent retained commits, the feed's inserts/deletes must equal
+    # the model's row-level set diff — and a compaction commit, which
+    # renames every dir without changing a row, must contribute ZERO
+    # feed rows.
+    from pyspark.sql import functions as F
+
+    def _rows_as_set(df):
+        if "key" not in df.columns:
+            return set()
+        has_extra = "extra" in df.columns
+        return {
+            (r["key"], r["pc"], r["val"], r["extra"] if has_extra else None)
+            for r in df.collect()
+        }
+
+    live = [c for c in commits if c[0] in retained]
+    adjacent = list(zip(live, live[1:]))
+    compactions = [p for p in adjacent if p[1][2] == "compact"]
+    others = [p for p in adjacent if p[1][2] != "compact"]
+    to_check = compactions + rng.sample(others, min(2, len(others)))
+    for (v0, m0, _), (v1, m1, op) in to_check:
+        feed = vt.read_changes(v0, v1)
+        ins = _rows_as_set(feed.filter(F.col("_change_type") == "insert"))
+        del_ = _rows_as_set(feed.filter(F.col("_change_type") == "delete"))
+        want_ins = _model_as_set(m1) - _model_as_set(m0)
+        want_del = _model_as_set(m0) - _model_as_set(m1)
+        assert ins == want_ins and del_ == want_del, (
+            f"seed {seed}: CDF v{v0}->v{v1} ({op}) diverged from the "
+            f"model diff"
+        )
+        if op == "compact":
+            assert not ins and not del_, (
+                f"seed {seed}: compaction v{v0}->v{v1} produced feed rows"
+            )
 
 
 def test_vacuum_ignores_orphan_manifest(spark, tmp_path_factory):
