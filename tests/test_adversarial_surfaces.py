@@ -298,28 +298,87 @@ def test_dedup_stream_within_watermark_batch_adversarial(spark, variant):
     assert len(out) == len(set(keys)) if in_rows else len(out) == 0
 
 
+# Every public function in streaming/*.py must be named here — either in
+# STREAM_COVERED (adversarially driven above) or STREAM_SKIPS (with the
+# test file that owns it). The completeness gate below walks the WHOLE
+# streaming package (r8: it previously walked only structured.py, which
+# is how bloomgate's NULL-fp crash shipped unharnessed for a session).
+STREAM_COVERED = {
+    "structured.windowed_event_counts",
+    "structured.sessionized_event_counts",
+    "structured.stream_stream_interval_join",
+    "structured.dedup_stream_within_watermark",
+}
+
 STREAM_SKIPS = {
-    "stream_raw_blocks": "needs a live streaming source — covered by "
-                         "test_stateful.py / sources/datasource tests",
-    "run_stream_merge": "streaming driver loop — covered by CDC-merge "
-                        "stream tests in test_stateful.py",
-    "run_stream_to_parquet": "streaming driver loop — covered by stream "
-                             "tests",
+    "structured.stream_raw_blocks": "needs a live streaming source — covered "
+        "by test_stateful.py / sources/datasource tests",
+    "structured.run_stream_merge": "streaming driver loop — covered by "
+        "CDC-merge stream tests in test_stateful.py",
+    "structured.run_stream_to_parquet": "streaming driver loop — covered by "
+        "stream tests",
+    "bloomgate.read_bloom": "missing/empty/corrupt dirs — "
+        "test_streaming_bloomgate.py",
+    "bloomgate.bloom_gate_batch": "NULL-text/dup/replay contracts — "
+        "test_streaming_bloomgate.py (+ the dedup.bloom_* operator harness "
+        "in test_adversarial_inputs.py)",
+    "bloomgate.run_streaming_bloom_gate": "streaming driver loop — "
+        "crash/resume e2e in test_streaming_bloomgate.py + CLI e2e in "
+        "test_cli.py",
+    "cdf.run_streaming_cdf": "streaming driver loop — history/resume/"
+        "tail-follow/merge-commit tests in test_streaming_cdf.py",
+    "cdf.run_streaming_mv": "streaming driver loop — commit-tracking/"
+        "resume/replay-idempotence tests in test_streaming_cdf.py",
+    "cdf.read_streaming_mv": "pointer read — test_streaming_cdf.py",
+    "incremental.latest_ingested_block": "resume contract — "
+        "test_incremental.py (empty/missing sink cases)",
+    "incremental.resolve_range": "empty-range guards — test_incremental.py",
+    "incremental.run_incremental": "micro-batch driver loop — crash/resume/"
+        "idempotence tests in test_incremental.py + CLI e2e",
+    "incremental.transform_and_write_batch": "batch body — golden pipeline "
+        "tests via run_incremental",
+    "incremental.update_bucket_rollup": "rollup maintenance — "
+        "test_incremental.py replay tests",
+    "incremental.update_sketch_rollup": "HLL union algebra/replay — "
+        "test_incremental.py",
+    "incremental.update_topk_rollup": "per-bucket replay safety — "
+        "test_incremental.py",
+    "incremental.sketch_rollup_hook": "CLI --rollup crash/resume e2e — "
+        "test_cli.py",
+    "incremental.run_streaming_ingest": "streaming driver loop — "
+        "test_stateful.py / datasource tests",
+    "incremental.invalidate_from": "reorg path — test_catalog_reorg.py + "
+        "versioned soak",
+    "neardup.near_dup_gate_batch": "batch-equivalence + NULL handling — "
+        "test_streaming_neardup.py",
+    "neardup.run_streaming_neardup_gate": "streaming driver loop — "
+        "crash/resume in test_streaming_neardup.py",
+    "stateful.running_user_totals": "state-recovery test — test_stateful.py",
+    "stateful.streaming_first_seen": "state store contract — "
+        "test_stateful.py",
 }
 
 
 def test_streaming_surface_is_registered():
-    covered = {
-        "windowed_event_counts", "sessionized_event_counts",
-        "stream_stream_interval_join", "dedup_stream_within_watermark",
-    }
-    missing = [
-        n
-        for n, fn in vars(st).items()
-        if inspect.isfunction(fn)
-        and not n.startswith("_")
-        and fn.__module__ == st.__name__
-        and n not in covered
-        and n not in STREAM_SKIPS
-    ]
-    assert not missing, f"streaming functions without a harness entry: {missing}"
+    import importlib
+    import pkgutil
+
+    import graphsense_ethereum_etl_spark.streaming as stream_pkg
+
+    missing = []
+    for m in pkgutil.iter_modules(stream_pkg.__path__):
+        mod = importlib.import_module(
+            f"graphsense_ethereum_etl_spark.streaming.{m.name}"
+        )
+        for n, fn in vars(mod).items():
+            if (
+                inspect.isfunction(fn)
+                and not n.startswith("_")
+                and fn.__module__ == mod.__name__
+            ):
+                key = f"{m.name}.{n}"
+                if key not in STREAM_COVERED and key not in STREAM_SKIPS:
+                    missing.append(key)
+    assert not missing, (
+        f"streaming functions without a harness entry: {sorted(missing)}"
+    )
