@@ -211,8 +211,18 @@ def hashed_embedding(text: Column | str, dim: int = 16) -> Column:
         F.split(F.trim(F.coalesce(c, F.lit(""))), r"\s+"),
         lambda t: t != "",
     )
+    return hashed_embedding_tokens(toks, dim)
+
+
+def hashed_embedding_tokens(tokens: Column, dim: int = 16) -> Column:
+    """``hashed_embedding`` over an already-tokenized ``array<string>``
+    column — the variant chunk-level featurization needs (a chunk is a
+    token slice; re-joining it to text just to re-split would do the
+    whitespace work twice). Same md5 bucket/sign convention, same fold,
+    same zero-vector-for-empty contract; ``hashed_embedding`` is now a
+    tokenize-then-call wrapper so the two can never drift."""
     tagged = F.transform(
-        toks,
+        tokens,
         lambda t: F.struct(
             F.pmod(
                 F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),

@@ -6675,6 +6675,144 @@ def ts1_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rag1_chunk_retrieval",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                               '\\s+'),
+                         t -> t != '') AS w
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, s, w[s:s+31] AS chunk
+      FROM toks, unnest(range(1, len(w) + 1, 32)) t(s)),
+    cemb AS (
+      SELECT doc_id, s, pos, CAST(SUM(sgn) AS BIGINT) AS val FROM (
+        SELECT doc_id, s,
+               CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % 16 AS pos,
+               CASE WHEN CAST('0x' || substring(md5(t), 9, 1) AS BIGINT) % 2
+                    = 0 THEN 1 ELSE -1 END AS sgn
+        FROM chunks, unnest(chunk) u(t))
+      GROUP BY doc_id, s, pos),
+    qemb AS (
+      SELECT doc_id, pos, CAST(SUM(sgn) AS BIGINT) AS val FROM (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % 16 AS pos,
+               CASE WHEN CAST('0x' || substring(md5(t), 9, 1) AS BIGINT) % 2
+                    = 0 THEN 1 ELSE -1 END AS sgn
+        FROM (SELECT doc_id, unnest(w) AS t FROM toks
+              WHERE doc_id % 50 = 0))
+      GROUP BY doc_id, pos),
+    pairs AS (
+      SELECT q.query_id, c.doc_id AS cand_doc, c.s AS start_pos
+      FROM (SELECT DISTINCT doc_id AS query_id FROM documents
+            WHERE doc_id % 50 = 0) q
+      JOIN (SELECT DISTINCT doc_id, s FROM chunks) c
+        ON c.doc_id != q.query_id),
+    dots AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS cand_doc, c.s AS start_pos,
+             SUM(q.val * c.val) AS score
+      FROM qemb q JOIN cemb c ON q.pos = c.pos AND c.doc_id != q.doc_id
+      GROUP BY 1, 2, 3)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(cand_doc AS BIGINT) AS cand_doc,
+           CAST(start_pos AS BIGINT) AS start_pos,
+           CAST(score AS BIGINT) AS score,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+      SELECT p.query_id, p.cand_doc, p.start_pos,
+             COALESCE(d.score, 0) AS score,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY COALESCE(d.score, 0) DESC,
+                                         p.cand_doc ASC, p.start_pos ASC)
+               AS rnk
+      FROM pairs p LEFT JOIN dots d
+        ON d.query_id = p.query_id AND d.cand_doc = p.cand_doc
+       AND d.start_pos = p.start_pos)
+    WHERE rnk <= 3
+    """,
+)
+def rag1_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval featurization — the composition a RAG /
+    training-data pipeline actually runs, as ONE declarative plan:
+    chunk (chk1's slice explode, 32-token windows) → featurize
+    (functions/text.py::hashed_embedding_tokens on the chunk's token
+    slice — no text re-join) → retrieve (integer INNER-PRODUCT top-3
+    per query document over every other document's chunks — FAISS
+    IndexFlatIP semantics with hash-exact BIGINT scores; deterministic
+    (score DESC, cand_doc, start_pos) tie-break).
+
+    Scale shape: the corpus side is map-only (chunk explode + per-chunk
+    fold featurization — no shuffle touches the corpus until the final
+    top-k window); the query panel (|docs|/50 rows × dim integers) is a
+    bounded broadcast, sim1's sanctioned shape, so scoring is one
+    whole-stage-codegen pass over chunks × panel; the only exchange is
+    the per-query top-k. Swapping brute-force scoring for the PQ/IVF
+    tiers (sim6/sim7) or the at-rest index (build_ivfpq_index) changes
+    ONLY the retrieve stage — the chunk/embed stages are shared, which
+    is the point of the bridge contract."""
+    from .functions.text import hashed_embedding, hashed_embedding_tokens
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    chunk_expr = F.when(
+        F.size(toks) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks), F.lit(32)),
+            lambda s: F.struct(
+                s.alias("s"), F.slice(toks, s, 32).alias("chunk")
+            ),
+        ),
+    )  # NULL for token-less docs: explode drops them (no chunks)
+    chunks = docs.select(
+        F.col("doc_id").cast("bigint").alias("cand_doc"),
+        F.explode(chunk_expr).alias("c"),
+    ).select(
+        "cand_doc",
+        F.col("c.s").cast("bigint").alias("start_pos"),
+        hashed_embedding_tokens(F.col("c.chunk"), 16).alias("cv"),
+    )
+    qvec = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            F.col("doc_id").cast("bigint").alias("query_id"),
+            hashed_embedding("text", 16).alias("qv"),
+        )
+    )
+    scored = (
+        chunks.crossJoin(F.broadcast(qvec))
+        .filter(F.col("cand_doc") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_doc",
+            "start_pos",
+            F.aggregate(
+                F.zip_with(F.col("cv"), F.col("qv"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("cand_doc"), F.col("start_pos")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "cand_doc",
+            F.col("start_pos"),
+            F.col("score").cast("bigint").alias("score"),
+            "rank",
+        )
+    )
+
+
+@query(
     "w6_ignore_nulls_ffill",
     """
     SELECT CAST(event_id AS BIGINT) AS event_id,

@@ -82,6 +82,20 @@ TEXT_OPS = {
     "stopword_score": (lambda: tx.stopword_score("text", "en"), "nonneg_or_null"),
     "lang_id": (lambda: tx.lang_id("text"), "string_or_null"),
     "hashed_embedding": (lambda: tx.hashed_embedding("text", 8), "array_or_null"),
+    "hashed_embedding_tokens": (
+        # the tokens-array variant hashed_embedding delegates to (rag1's
+        # chunk featurization): drive it through the same text variants
+        # via an inline tokenize so NULL/empty text exercises the
+        # zero-vector contract
+        lambda: tx.hashed_embedding_tokens(
+            F.filter(
+                F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+                lambda t: t != "",
+            ),
+            8,
+        ),
+        "array_or_null",
+    ),
 }
 
 TEXT_SKIPS: dict[str, str] = {}

@@ -39,6 +39,9 @@ BNLJ_WHITELIST = {
     "prof1_key_skew",
     "q11_important_parts",
     "q22_global_sales_opportunity",
+    "rag1_chunk_retrieval",  # bounded query-panel broadcast (sim1's
+    # shape): |docs|/50 rows of dim integers crossed over the map-only
+    # chunk stream; the build side is panel-bounded by construction
     "rj1_range_join",
     "sim1_topk_cosine",
     "sim4_ivf_ann",
