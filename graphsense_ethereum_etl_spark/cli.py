@@ -831,10 +831,12 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
     surface of the engine."""
     from .operators.corpus import dedup_keepers, hash_sample, score_documents
 
-    # ann-search's -i names a persisted INDEX directory, not a parquet table
+    # ann-search's -i names a persisted INDEX directory, not a parquet
+    # table; dedup-gate reads it guarded below (an input dir with no
+    # files yet is a normal state for an incremental gate, not an error)
     docs = (
         None
-        if args.operation == "ann-search"
+        if args.operation in ("ann-search", "dedup-gate")
         else spark.read.parquet(args.input)
     )
     if args.operation == "dedup-gate":
@@ -849,6 +851,17 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
             raise SystemExit(
                 "corpus dedup-gate: --filter-dir and --checkpoint are required"
             )
+        try:
+            docs = spark.read.parquet(args.input)
+            docs.schema  # force resolution
+        except Exception:
+            # incremental gate invoked before any input file landed —
+            # a normal pipeline state, not an error
+            print(
+                f"corpus dedup-gate: no input files in {args.input} yet — "
+                "nothing to gate"
+            )
+            return IngestStats()
         stream = (
             spark.readStream.schema(docs.schema)
             # one micro-batch per input file: each file probes the filter

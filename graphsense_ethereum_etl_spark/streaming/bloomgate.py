@@ -64,6 +64,39 @@ DEFAULT_M_BITS = 65536
 DEFAULT_K_HASHES = 4
 
 
+def ensure_gate_params(filter_dir: str, m_bits: int, k_hashes: int) -> None:
+    """Create-or-verify the filter directory's ``_gate_params.json``.
+
+    The word relation is meaningless without the (m_bits, k_hashes) that
+    positioned its bits: probing an accumulated filter with DIFFERENT
+    parameters silently lands on the wrong positions, and the gate's
+    no-false-negative guarantee inverts — true duplicates pass as novel
+    (reproduced in tests). The sidecar pins the parameters at first use;
+    every later run of the driver loop verifies before touching the
+    filter. Concurrent pipelines sharing one filter write identical
+    sidecars, so the create path is race-benign."""
+    import json
+    import os
+
+    os.makedirs(filter_dir, exist_ok=True)
+    path = os.path.join(filter_dir, "_gate_params.json")
+    want = {"m_bits": int(m_bits), "k_hashes": int(k_hashes)}
+    if os.path.exists(path):
+        with open(path) as fh:
+            have = json.load(fh)
+        if have != want:
+            raise ValueError(
+                f"bloom gate parameter mismatch for {filter_dir}: filter "
+                f"was built with {have}, this run asked for {want} — "
+                "probing with different parameters silently breaks the "
+                "no-false-negative contract; use a fresh --filter-dir or "
+                "the original parameters"
+            )
+        return
+    with open(path, "w") as fh:
+        json.dump(want, fh)
+
+
 def read_bloom(spark, filter_dir: str) -> DataFrame:
     """Collapse the append-only filter directory into one word per index.
 
@@ -134,7 +167,12 @@ def run_streaming_bloom_gate(
     pending then stop; resume from the checkpoint). Survivor ROWS land in
     ``out_dir``; the filter accumulates in ``filter_dir`` as append-only
     words. foreachBatch invocations are serialized by Structured
-    Streaming, so batch N always probes the filter including batch N−1."""
+    Streaming, so batch N always probes the filter including batch N−1.
+    The filter directory's parameter sidecar is created/verified up
+    front — resuming an accumulated filter with different
+    (m_bits, k_hashes) is a hard error, not a silent false-negative
+    source."""
+    ensure_gate_params(filter_dir, m_bits, k_hashes)
     spark = docs_stream.sparkSession
 
     def handle(batch_df: DataFrame, _batch_id: int) -> None:

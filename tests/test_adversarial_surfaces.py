@@ -331,6 +331,8 @@ STREAM_SKIPS = {
         "CDC-merge stream tests in test_stateful.py",
     "structured.run_stream_to_parquet": "streaming driver loop — covered by "
         "stream tests",
+    "bloomgate.ensure_gate_params": "create/verify/mismatch contracts — "
+        "test_streaming_bloomgate.py + CLI refuse test in test_cli.py",
     "bloomgate.read_bloom": "missing/empty/corrupt dirs — "
         "test_streaming_bloomgate.py",
     "bloomgate.bloom_gate_batch": "NULL-text/dup/replay contracts — "

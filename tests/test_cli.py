@@ -1308,3 +1308,37 @@ def test_cli_corpus_dedup_gate_incremental(spark, tmp_path):
     )
     ids2 = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert ids2 == {0, 1, 11}
+
+
+def test_cli_dedup_gate_empty_input_is_noop(spark, tmp_path):
+    """Invoking the incremental gate before any input file landed is a
+    normal pipeline state: zero-op with a message, not a schema-inference
+    crash."""
+    import os
+
+    src = str(tmp_path / "empty_src")
+    os.makedirs(src)
+    main(
+        ["corpus", "dedup-gate", "-i", src, "-o", str(tmp_path / "out"),
+         "--filter-dir", str(tmp_path / "flt"),
+         "--checkpoint", str(tmp_path / "ck")],
+        spark=spark,
+    )
+    assert not os.path.exists(str(tmp_path / "out"))
+
+
+def test_cli_dedup_gate_mismatched_params_refuse(spark, tmp_path):
+    """Re-invoking with a different --m-bits against the same filter dir
+    must hard-error (silent false negatives otherwise)."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(0, "alpha beta")], "doc_id bigint, text string"
+    ).coalesce(1).write.parquet(src)
+    args = ["corpus", "dedup-gate", "-i", src, "-o", str(tmp_path / "out"),
+            "--filter-dir", str(tmp_path / "flt")]
+    main(args + ["--checkpoint", str(tmp_path / "ck1")], spark=spark)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        main(
+            args + ["--checkpoint", str(tmp_path / "ck2"), "--m-bits", "4096"],
+            spark=spark,
+        )

@@ -144,3 +144,59 @@ def test_bloom_gate_null_text_survives(spark, tmp_path):
     surv2, words2 = bloom_gate_batch(b2, read_bloom(spark, flt))
     assert {r.doc_id for r in surv2.collect()} == {2}
     assert all(r.word_idx is not None for r in words2.collect())
+
+
+def test_gate_params_sidecar_blocks_mismatch(spark, tmp_path):
+    """Probing an accumulated filter with different (m_bits, k_hashes)
+    silently lands on the wrong bit positions and INVERTS the
+    no-false-negative guarantee (a true duplicate passes as novel —
+    reproduced before the sidecar existed). The driver loop pins the
+    parameters at first use and hard-errors on mismatch."""
+    import pytest as _pytest
+
+    from graphsense_ethereum_etl_spark.streaming.bloomgate import (
+        ensure_gate_params,
+        run_streaming_bloom_gate,
+    )
+
+    flt = str(tmp_path / "filter")
+    ensure_gate_params(flt, 65536, 4)
+    ensure_gate_params(flt, 65536, 4)  # same params: idempotent
+    with _pytest.raises(ValueError, match="parameter mismatch"):
+        ensure_gate_params(flt, 4096, 4)
+    with _pytest.raises(ValueError, match="parameter mismatch"):
+        ensure_gate_params(flt, 65536, 2)
+
+    # end-to-end: a second driver run with different m_bits refuses
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(0, "alpha beta")], SCHEMA).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    run_streaming_bloom_gate(
+        stream, str(tmp_path / "out"), flt, str(tmp_path / "ck"),
+        m_bits=65536, k_hashes=4,
+    )
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src)
+    with _pytest.raises(ValueError, match="parameter mismatch"):
+        run_streaming_bloom_gate(
+            stream2, str(tmp_path / "out2"), flt, str(tmp_path / "ck2"),
+            m_bits=4096, k_hashes=4,
+        )
+
+
+def test_read_bloom_ignores_params_sidecar(spark, tmp_path):
+    """The _gate_params.json sidecar lives inside the parquet filter dir;
+    underscore-prefixed files are invisible to the parquet reader, so the
+    word relation reads back unchanged."""
+    from graphsense_ethereum_etl_spark.streaming.bloomgate import (
+        bloom_gate_batch,
+        ensure_gate_params,
+        read_bloom,
+    )
+
+    flt = str(tmp_path / "filter")
+    ensure_gate_params(flt, 65536, 4)
+    batch = spark.createDataFrame([(0, "alpha beta")], SCHEMA)
+    _surv, words = bloom_gate_batch(batch, read_bloom(spark, flt))
+    words.write.mode("append").parquet(flt)
+    got = read_bloom(spark, flt).collect()
+    assert got and all(r.word_idx is not None for r in got)
