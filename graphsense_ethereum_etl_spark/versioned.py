@@ -242,6 +242,27 @@ class VersionedTable:
 
         a, b = _side(old), _side(new)
         if a is None and b is None:
+            # No changed partitions (a no-op commit, e.g. an invalidate
+            # past the last partition). The feed's SCHEMA must not depend
+            # on whether changes exist — a downstream delta-rule
+            # maintainer resolves its sum columns against it (the r8 soak
+            # caught incremental_aggregate crashing on exactly this) — so
+            # derive the empty frame's schema from the to-version
+            # snapshot's dirs (falling back to the from-side, then to the
+            # minimal frame only when the table has never held data).
+            for rel in (new, old):
+                dirs = sorted(
+                    f"{self.root}/{_DATA_DIR}/{d}" for d in rel.values()
+                )
+                if dirs:
+                    empty = (
+                        self.spark.read.option("mergeSchema", "true")
+                        .parquet(*dirs)
+                        .limit(0)
+                    )
+                    return empty.withColumn("_change_type", F.lit("insert")).where(
+                        F.lit(False)
+                    )
             return self.spark.createDataFrame(
                 [], f"{self.partition_col} bigint, _change_type string"
             )

@@ -802,6 +802,16 @@ def test_versioned_randomized_soak(spark, tmp_path_factory, seed):
     compactions = [p for p in adjacent if p[1][2] == "compact"]
     others = [p for p in adjacent if p[1][2] != "compact"]
     to_check = compactions + rng.sample(others, min(2, len(others)))
+    from graphsense_ethereum_etl_spark.versioned import incremental_aggregate
+
+    def _direct_mv(m):
+        agg: dict[int, list[int]] = {}
+        for v in m.values():
+            c = agg.setdefault(v["pc"], [0, 0])
+            c[0] += 1
+            c[1] += v["val"]
+        return {(pc, c, s) for pc, (c, s) in agg.items()}
+
     for (v0, m0, _), (v1, m1, op) in to_check:
         feed = vt.read_changes(v0, v1)
         ins = _rows_as_set(feed.filter(F.col("_change_type") == "insert"))
@@ -816,6 +826,20 @@ def test_versioned_randomized_soak(spark, tmp_path_factory, seed):
             assert not ins and not del_, (
                 f"seed {seed}: compaction v{v0}->v{v1} produced feed rows"
             )
+        # k8's delta rule over the same feed: rolling the v0 view forward
+        # must equal the direct re-aggregation of the v1 snapshot —
+        # including groups dropping out at count 0 and groups the feed
+        # never mentions passing through untouched
+        mv0 = spark.createDataFrame(
+            [(pc, c, s) for pc, c, s in _direct_mv(m0)],
+            "pc bigint, cnt bigint, val bigint",
+        )
+        rolled = incremental_aggregate(mv0, feed, ["pc"], ["val"])
+        got_mv = {(r["pc"], r["cnt"], r["val"]) for r in rolled.collect()}
+        assert got_mv == _direct_mv(m1), (
+            f"seed {seed}: delta rule v{v0}->v{v1} ({op}) diverged from "
+            f"direct re-aggregation"
+        )
 
 
 def test_vacuum_ignores_orphan_manifest(spark, tmp_path_factory):
@@ -1108,3 +1132,38 @@ def test_incremental_aggregate_count_col_guard(spark):
         incremental_aggregate(
             mv, ch, group_cols=["g"], sum_cols=["cnt", "s"]
         )
+
+
+def test_read_changes_noop_commit_keeps_schema(spark, tmp_path_factory):
+    """r8 soak find: a no-op commit (identical partition maps — e.g. an
+    invalidate past the last partition) made read_changes return its
+    minimal (partition_col, _change_type) fallback frame, so a delta-rule
+    maintainer crashed resolving its sum columns. The feed's schema must
+    be stable whether or not changes exist."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.versioned import incremental_aggregate
+
+    root = str(tmp_path_factory.mktemp("vt_noop_cdf"))
+    t = VersionedTable(spark, root, partition_col="pc")
+    t.write_partitions(
+        spark.createDataFrame(
+            [(1, 0, 10), (2, 0, 20)], "key bigint, pc bigint, val bigint"
+        )
+    )
+    t.invalidate_from(99)  # touches nothing: version 2, same partitions
+    assert t.history() == [1, 2]
+    feed = t.read_changes(1, 2)
+    assert feed.count() == 0
+    assert {"key", "pc", "val", "_change_type"} <= set(feed.columns)
+    # the delta rule over the empty feed is the identity on the view
+    mv = spark.createDataFrame([(0, 2, 30)], "pc bigint, cnt bigint, val bigint")
+    rolled = incremental_aggregate(mv, feed, ["pc"], ["val"])
+    assert {(r["pc"], r["cnt"], r["val"]) for r in rolled.collect()} == {(0, 2, 30)}
+    # schema-stability also holds for a never-written table
+    t2 = VersionedTable(
+        spark, str(tmp_path_factory.mktemp("vt_empty_cdf")), partition_col="pc"
+    )
+    t2.invalidate_from(0)
+    t2.invalidate_from(0)
+    assert t2.read_changes(1, 2).columns == ["pc", "_change_type"]
