@@ -257,3 +257,27 @@ def test_streaming_mv_replay_is_idempotent(spark, tmp_path):
     )
     assert _rows(read_streaming_mv(spark, mv_root)) == before
     assert before == _rows(_full_mv(t.read()))
+
+
+def test_streaming_mv_survives_noop_commit(spark, tmp_path):
+    """A commit whose partition map is identical to its predecessor (e.g.
+    an invalidate past the last partition) yields an EMPTY change feed —
+    which, pre-fix, carried only (partition_col, _change_type) and
+    crashed the maintainer resolving its sum columns. The MV must roll
+    through it as the identity."""
+    from graphsense_ethereum_etl_spark.streaming.cdf import (
+        read_streaming_mv,
+        run_streaming_mv,
+    )
+
+    root = str(tmp_path / "vt")
+    mv_root = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    t = VersionedTable(spark, root)
+    t.write_partitions(_vframe(spark, [(i, i // 10, i) for i in range(20)]))
+    t.invalidate_from(99)  # no-op commit: version 2, same partitions
+    assert t.history() == [1, 2]
+    run_streaming_mv(
+        spark, root, mv_root, ["block_id_group"], ["v"], checkpoint=ckpt
+    )
+    assert _rows(read_streaming_mv(spark, mv_root)) == _rows(_full_mv(t.read()))
