@@ -458,3 +458,56 @@ def test_hashed_embedding_null_empty_zero_vector(spark):
     )
     for r in df.select(hashed_embedding("text", dim=4).alias("v")).collect():
         assert r["v"] == [0, 0, 0, 0]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_label_propagation_matches_reference_on_random_graphs(
+    spark, edges, rounds
+):
+    """Deterministic synchronous LPA equals the plain-Python reference on
+    arbitrary small multigraphs — self-loops, multi-edges, isolated-by-
+    self-loop vertices, any round count (the argmax tie-break and
+    simultaneous-update semantics are the properties under test)."""
+    from collections import Counter
+
+    from graphsense_ethereum_etl_spark.operators.graph import label_propagation
+
+    verts = sorted({v for e in edges for v in e})
+    nbrs = {v: set() for v in verts}
+    for s, d in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    label = {v: v for v in verts}
+    for _ in range(rounds):
+        label = {
+            v: (
+                max(
+                    Counter(label[n] for n in nbrs[v]).items(),
+                    key=lambda kv: (kv[1], -kv[0]),
+                )[0]
+                if nbrs[v]
+                else label[v]
+            )
+            for v in verts
+        }
+
+    df = spark.createDataFrame(
+        [(s, d) for s, d in edges], "src bigint, dst bigint"
+    ) if edges else spark.createDataFrame([], "src bigint, dst bigint")
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation(df, rounds=rounds).collect()
+    }
+    assert got == label
