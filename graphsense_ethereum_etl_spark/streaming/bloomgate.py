@@ -125,7 +125,15 @@ def bloom_gate_batch(
     ``survivor_ids`` — (doc_id) rows that are first-of-fingerprint within
     the batch (lowest id wins) AND Bloom-negative against the accumulated
     filter. ``survivor_words`` — the survivors' (word_idx, word) relation,
-    ready to append to the filter directory."""
+    ready to append to the filter directory.
+
+    NULL fingerprints (NULL text) are exempt from BOTH dedup stages —
+    a document that can't be fingerprinted can't be a duplicate of
+    anything, so every such row passes. The exemption must be explicit
+    in the in-batch stage too: the first-of-fingerprint window groups
+    ALL NULL fps into one partition, and unexempted it silently dropped
+    every NULL-text doc but the batch's first (the randomized-schedule
+    fuzz caught it with two NULL-text docs in one batch)."""
     from ..functions.text import fingerprint
     from ..operators.dedup import bloom_build, bloom_probe
 
@@ -138,7 +146,7 @@ def bloom_gate_batch(
             "_rk",
             F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
         )
-        .filter(F.col("_rk") == 1)
+        .filter(F.col("fp").isNull() | (F.col("_rk") == 1))
         .drop("_rk")
     )
     novel = bloom_probe(

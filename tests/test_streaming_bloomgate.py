@@ -6,6 +6,7 @@ fingerprints, and a replayed batch is a no-op."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 SCHEMA = "doc_id long, text string"
@@ -200,3 +201,85 @@ def test_read_bloom_ignores_params_sidecar(spark, tmp_path):
     words.write.mode("append").parquet(flt)
     got = read_bloom(spark, flt).collect()
     assert got and all(r.word_idx is not None for r in got)
+
+
+@pytest.mark.parametrize("seed", list(range(8)))
+def test_bloom_gate_randomized_schedules(spark, tmp_path_factory, seed):
+    """Randomized multi-batch schedules (the soak pattern that keeps
+    finding real bugs in the versioned table): random docs with planted
+    cross-batch duplicates, normalization variants, NULL/empty texts,
+    and a replayed batch. Invariants that hold regardless of Bloom false
+    positives: (1) no two survivors across the whole run share a
+    normalized fingerprint (the no-false-negative contract), (2) every
+    NON-dropped distinct fingerprint's FIRST carrier is the survivor
+    (lowest doc_id within its batch), (3) replaying a batch after its
+    words landed emits zero survivors, (4) NULL-text docs always pass."""
+    import random
+
+    from graphsense_ethereum_etl_spark.streaming.bloomgate import (
+        bloom_gate_batch,
+        read_bloom,
+    )
+
+    rng = random.Random(7000 + seed)
+    flt = str(tmp_path_factory.mktemp(f"bg{seed}") / "filter")
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+    def make_text(i):
+        r = rng.random()
+        if r < 0.1:
+            return None
+        if r < 0.2:
+            return "  "  # whitespace-only: normalizes to ''
+        words = [rng.choice(vocab) for _ in range(rng.randint(1, 4))]
+        t = " ".join(words)
+        if rng.random() < 0.3:
+            t = "  " + t.upper().replace(" ", "   ") + " "  # norm variant
+        return t
+
+    next_id = 0
+    survivors_fp = {}  # doc_id -> normalized fp key
+    all_rows = []
+    for _batch in range(rng.randint(3, 5)):
+        rows = []
+        for _ in range(rng.randint(2, 6)):
+            rows.append((next_id, make_text(next_id)))
+            next_id += 1
+        if all_rows and rng.random() < 0.7:  # planted cross-batch dup
+            rows.append((next_id, rng.choice(all_rows)[1]))
+            next_id += 1
+        all_rows.extend(rows)
+        batch = spark.createDataFrame(rows, SCHEMA)
+        surv, words = bloom_gate_batch(batch, read_bloom(spark, flt))
+        got = sorted(r.doc_id for r in surv.collect())
+        norm = {
+            i: (" ".join(t.strip().lower().split()) if t is not None else None)
+            for i, t in rows
+        }
+        for i in got:
+            survivors_fp[i] = norm[i]
+        # (2) a survivor is the lowest-id carrier of its fp in its batch
+        for i in got:
+            if norm[i] is None:
+                continue
+            assert i == min(j for j in norm if norm[j] == norm[i]), (
+                f"seed {seed}: survivor {i} is not its batch's first carrier"
+            )
+        # (4) NULL-text docs always pass
+        for i, t in rows:
+            if t is None:
+                assert i in got, f"seed {seed}: NULL-text doc {i} was dropped"
+        words.write.mode("append").parquet(flt)
+        # (3) immediate replay is a no-op
+        surv2, _ = bloom_gate_batch(batch, read_bloom(spark, flt))
+        replayed = {
+            r.doc_id for r in surv2.collect() if norm[r.doc_id] is not None
+        }
+        assert not replayed, (
+            f"seed {seed}: replay re-emitted non-NULL survivors {replayed}"
+        )
+    # (1) survivor fingerprints globally distinct (NULLs exempt)
+    fps = [fp for fp in survivors_fp.values() if fp is not None]
+    assert len(fps) == len(set(fps)), (
+        f"seed {seed}: two survivors share a fingerprint — false negative"
+    )
