@@ -21,6 +21,7 @@ import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,12 +56,15 @@ def latest_ingested_block(
         return df.agg(F.max("block_id").alias("m")).collect()[0]["m"]
     if not os.path.exists(block_table_path):
         return None
-    row = (
-        spark.read.parquet(block_table_path)
-        .agg(F.max("block_id").alias("m"))
-        .collect()[0]
-    )
-    return row["m"]
+    try:
+        df = spark.read.parquet(block_table_path)
+    except AnalysisException:
+        # The dir exists but holds no readable files — a reorg at (or
+        # before) the first ingested block removed every partition dir
+        # (the randomized ingest soak hit this: the resume scan crashed
+        # on schema inference instead of re-ingesting from genesis).
+        return None
+    return df.agg(F.max("block_id").alias("m")).collect()[0]["m"]
 
 
 def resolve_range(

@@ -454,3 +454,68 @@ def test_topk_sketch_rollup_per_bucket_replay_safe(spark, tmp_path):
     assert got == [("a0", 20), ("a1", 20), ("a2", 20), ("a3", 10), ("a4", 10)]
     update_bucket_rollup(rollup, b2, agg_fn)  # replay: overwrite, no double count
     assert combined() == got
+
+
+def _table_rows(spark, root):
+    def key(r):  # None-safe total order
+        return tuple((x is None, str(x)) for x in r)
+
+    out = {}
+    for t in ["block", "transaction", "trace", "log"]:
+        df = spark.read.parquet(f"{root}/{t}")
+        out[t] = sorted(map(tuple, df.select(*sorted(df.columns)).collect()), key=key)
+    return out
+
+
+@pytest.mark.parametrize("seed", list(range(6)))
+def test_ingest_randomized_crash_reorg_soak(spark, tmp_path, seed):
+    """Randomized operational schedules for the ingest loop (the soak
+    pattern that found the vacuum/CDF/gate bugs): random head advances,
+    random batch sizes, crash injection at random points (children
+    written, marker not), reorgs at random fork blocks — then one clean
+    run to the final head. Whatever the schedule, the sink must equal a
+    single straight-line ingest to the same head, row for row, and the
+    resume marker must sit exactly at the head."""
+    import random
+
+    from graphsense_ethereum_etl_spark.streaming.incremental import (
+        invalidate_from,
+    )
+
+    rng = random.Random(8000 + seed)
+    root = str(tmp_path / "sink")
+    bucket = 10
+    head = 0
+
+    for _step in range(rng.randint(3, 5)):
+        op = rng.choice(["advance", "advance", "advance", "reorg"])
+        if op == "advance":
+            head += rng.randint(5, 30)
+            kw = {}
+            if rng.random() < 0.4:
+                kw["fail_after_tables"] = rng.randint(0, 3)
+            try:
+                run_incremental(
+                    spark, source, root, head=head,
+                    batch_size=rng.choice([10, 20, 30]),
+                    bucket_size=bucket, **kw,
+                )
+            except RuntimeError as e:
+                assert "injected crash" in str(e)
+        elif head > 0:
+            fork = rng.randint(0, head)
+            invalidate_from(spark, root, fork, bucket_size=bucket)
+
+    head += rng.randint(1, 15)
+    run_incremental(
+        spark, source, root, head=head, batch_size=25, bucket_size=bucket
+    )
+
+    ref = str(tmp_path / "ref")
+    run_incremental(spark, source, ref, head=head, batch_size=25, bucket_size=bucket)
+    assert latest_ingested_block(spark, f"{root}/block") == head, (
+        f"seed {seed}: marker diverged"
+    )
+    assert _table_rows(spark, root) == _table_rows(spark, ref), (
+        f"seed {seed}: sink diverged from the straight-line ingest"
+    )
