@@ -619,3 +619,122 @@ def centroid_classifier(
         F.when(margin > 0, F.lit(1)).otherwise(F.lit(0)).alias("pred"),
         margin.alias("margin"),
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+    max_weight: int = 64,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006
+    "Weighted random sampling with a reservoir", A-ES): select ``k`` rows
+    where selection probability tracks ``weight_col`` — the curation move
+    behind quality-weighted corpus subsets (sample high-quality documents
+    preferentially, without the duplicates replacement sampling allows).
+
+    A-ES keys each row with u^(1/w) (u uniform) and keeps the k largest.
+    This implementation replaces the float key with an INTEGER-EXACT
+    equivalent: the maximum of w independent 32-bit hash tickets
+    ``H(id:j:salt)``, j = 1..w. max of w iid U(0,1) has CDF x^w — the
+    law of u^(1/w) — so the selection distribution is A-ES's exactly,
+    while key comparison is int64 (no libm, no last-ulp divergence
+    between engines; the DuckDB oracle reproduces keys bit-for-bit).
+
+    Weights are clamped to [1, ``max_weight``] (NULL → 1); the ticket
+    array is a per-row ``transform(sequence(...))`` expression — O(w)
+    register work, NO explode, NO extra rows. Selection is a global
+    top-k: Catalyst plans ORDER BY + LIMIT as TakeOrderedAndProject
+    (per-partition heap + driver merge of k·P candidates — never a
+    global sort), the shape that survives a 10⁹-row corpus. Ties break
+    on ``id_col`` ascending, so the kept set is fully deterministic.
+
+    Rows with NULL ``id_col`` are dropped (no stable identity → no
+    reproducible ticket; same contract as hash_sample/domain_cap)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_weight < 1:
+        raise ValueError(f"max_weight must be >= 1, got {max_weight}")
+    w = F.greatest(
+        F.lit(1),
+        F.least(
+            F.coalesce(F.col(weight_col).cast("int"), F.lit(1)),
+            F.lit(max_weight),
+        ),
+    )
+    key = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), w),
+            lambda j: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(id_col).cast("string"),
+                            F.lit(":"),
+                            j.cast("string"),
+                            F.lit(f":{salt}"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+    )
+    return (
+        docs.filter(F.col(id_col).isNotNull())
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def grouped_split(
+    docs: DataFrame,
+    group_col: str = "source",
+    cuts: tuple[int, int] = (80, 90),
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a function of
+    ``group_col`` ALONE (bucket = md5-uniform of "group:salt" mod 100;
+    < cuts[0] → train, < cuts[1] → val, else test), so every row sharing
+    a group — every document from one crawl domain, every trace from one
+    address — lands in the SAME split. Splitting i.i.d. by row leaks
+    near-duplicate siblings across the boundary and inflates eval; group
+    hashing is the standard fix (GroupShuffleSplit et al.).
+
+    Deterministic across runs/engines (smp1's md5-bucket convention),
+    consistent under corpus growth (a group never migrates), map-only
+    (zero shuffles — the assignment is a scalar expression on each row).
+    NULL groups form their own bucket (hash of the empty sentinel), so
+    NULL-group rows co-travel too rather than scattering."""
+    lo, hi = cuts
+    if not 0 < lo <= hi <= 100:
+        raise ValueError(f"cuts must satisfy 0 < lo <= hi <= 100, got {cuts}")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.coalesce(F.col(group_col).cast("string"), F.lit("\x01null")),
+                        F.lit(f":{salt}"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(100),
+    )
+    return docs.withColumn(
+        "split",
+        F.when(bucket < lo, F.lit("train"))
+        .when(bucket < hi, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

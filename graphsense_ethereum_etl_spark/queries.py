@@ -6355,6 +6355,89 @@ def smp5_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "smp6_weighted_sample",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             GREATEST(1, LEAST(8, n_chars // 32)) AS w,
+             list_max(list_transform(
+               range(1, GREATEST(1, LEAST(8, n_chars // 32)) + 1),
+               j -> CAST('0x' || substring(
+                      md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)
+                          || ':wsample'), 1, 8) AS BIGINT))) AS sample_key
+      FROM documents WHERE doc_id IS NOT NULL)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(w AS INT) AS w, sample_key
+    FROM k ORDER BY sample_key DESC, doc_id LIMIT 50
+    """,
+)
+def smp6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (operators/corpus.py::
+    weighted_sample — Efraimidis & Spirakis 2006 A-ES): 50 documents with
+    inclusion probability tracking a length-derived weight w ∈ [1, 8]
+    (n_chars DIV 32, clamped) — the quality-weighted subset move of a
+    curation pipeline, reproducible across engines because the A-ES key
+    u^(1/w) is realized INTEGER-EXACTLY as the max of w md5 hash tickets
+    (max of w iid uniforms ≡ u^(1/w) in law; int64 comparison, no libm).
+
+    Plan: map-only ticket expression (transform over sequence — O(w)
+    register work per row, no explode), then global top-50 as
+    TakeOrderedAndProject (per-partition heap + driver merge, never a
+    global sort) — the selection shape that survives a 10⁹-row corpus.
+    Oracle reproduces keys bit-for-bit; ties (none at 32-bit width here)
+    would break on doc_id in both engines."""
+    from .operators.corpus import weighted_sample
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    d = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.greatest(
+            F.lit(1), F.least(F.lit(8), F.expr("CAST(n_chars AS BIGINT) DIV 32"))
+        )
+        .cast("int")
+        .alias("w"),
+    )
+    return weighted_sample(
+        d, k=50, weight_col="w", id_col="doc_id", salt="wsample", max_weight=8
+    ).select("doc_id", "w", "sample_key")
+
+
+@query(
+    "smp7_grouped_split",
+    """
+    WITH b AS (
+      SELECT doc_id, source,
+             CAST('0x' || substring(
+               md5(COALESCE(CAST(source AS VARCHAR), chr(1) || 'null')
+                   || ':split'), 1, 8) AS BIGINT) % 100 AS bucket
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def smp7_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (operators/corpus.py::
+    grouped_split): the split is a function of the SOURCE DOMAIN alone
+    (md5 bucket mod 100: <80 train, <90 val, else test), so near-duplicate
+    siblings from one crawl domain can never straddle the eval boundary —
+    the GroupShuffleSplit discipline, as a deterministic hash so the
+    assignment is reproducible across runs/engines and stable under
+    corpus growth (a domain never migrates splits).
+
+    Plan: map-only — the assignment is a scalar expression per row, zero
+    shuffles at any corpus size; the leakage-safety invariant (one split
+    per source) is property-tested."""
+    from .operators.corpus import grouped_split
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
+    return grouped_split(d, group_col="source", cuts=(80, 90), salt="split")
+
+
 # ---------------------------------------------------------------------------
 # §2.5/§2.9 additions: ordered-set aggregates, lateral top-n, listagg (r5)
 # ---------------------------------------------------------------------------

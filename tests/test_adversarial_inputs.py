@@ -181,6 +181,17 @@ OPS = {
         input="docs", call=lambda sp, d: c_ops.domain_cap(d, k=2, salt_buckets=4),
         contract="subset", id_out="doc_id",
         documented="a cap IS a filter; rk <= k per domain is the contract"),
+    "corpus.weighted_sample": dict(
+        input="docs",
+        call=lambda sp, d: c_ops.weighted_sample(
+            d.withColumn("w", F.length(F.coalesce("text", F.lit("")))),
+            k=2, weight_col="w"),
+        contract="subset", id_out="doc_id",
+        documented="sampling IS a filter (top-k by A-ES key); NULL ids drop "
+                   "by the no-stable-identity contract"),
+    "corpus.grouped_split": dict(
+        input="docs", call=lambda sp, d: c_ops.grouped_split(d),
+        contract="per_doc", id_out="doc_id"),
     # ---- decontam ----
     "decontam.ngram_contamination": dict(
         input="docs",

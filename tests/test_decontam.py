@@ -185,3 +185,115 @@ def test_cosine_pairs_within_duplicate_ids_no_self_pairs(spark):
     assert all(r["id_a"] < r["id_b"] for r in rows)
     # each of the two id=7 rows pairs with id=9; no (7, 7) pair
     assert sorted((r["id_a"], r["id_b"]) for r in rows) == [(7, 9), (7, 9)]
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (r8): A-ES via integer max-of-w-tickets
+# ---------------------------------------------------------------------------
+
+
+def _py_ticket(doc_id: int, j: int, salt: str = "wsample") -> int:
+    import hashlib
+
+    h = hashlib.md5(f"{doc_id}:{j}:{salt}".encode()).hexdigest()
+    return int(h[:8], 16)
+
+
+def test_weighted_sample_key_matches_python_reference(spark):
+    """The engine's A-ES key must equal max_{j=1..w} md5-ticket computed
+    independently in Python — the exact integer contract the oracle and
+    the distribution argument both rest on."""
+    from graphsense_ethereum_etl_spark.operators.corpus import weighted_sample
+
+    rows = [(i, (i * 7) % 5 + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w int")
+    out = weighted_sample(df, k=40, weight_col="w").collect()
+    assert len(out) == 40
+    for r in out:
+        w = dict(rows)[r.doc_id]
+        assert r.sample_key == max(_py_ticket(r.doc_id, j) for j in range(1, w + 1))
+
+
+def test_weighted_sample_topk_deterministic_and_weight_monotone(spark):
+    """Same input → same kept set; and the kept set is the true top-k of
+    the per-row keys (verified against the Python reference ranking)."""
+    from graphsense_ethereum_etl_spark.operators.corpus import weighted_sample
+
+    rows = [(i, 1 + (i % 8)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w int")
+    kept1 = sorted(r.doc_id for r in weighted_sample(df, k=25, weight_col="w").collect())
+    kept2 = sorted(r.doc_id for r in weighted_sample(df, k=25, weight_col="w").collect())
+    assert kept1 == kept2
+    ref = sorted(
+        ((max(_py_ticket(i, j) for j in range(1, w + 1)), -i), i) for i, w in rows
+    )[-25:]
+    assert kept1 == sorted(i for _, i in ref)
+
+
+def test_weighted_sample_clamps_and_null_weights(spark):
+    """NULL weight → 1 ticket; weights clamp into [1, max_weight]; NULL ids
+    are dropped (no stable identity)."""
+    from graphsense_ethereum_etl_spark.operators.corpus import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, None), (2, -5), (3, 999), (None, 4)],
+        "doc_id bigint, w int",
+    )
+    out = {r.doc_id: r.sample_key for r in
+           weighted_sample(df, k=10, weight_col="w", max_weight=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1] == _py_ticket(1, 1)
+    assert out[2] == _py_ticket(2, 1)
+    assert out[3] == max(_py_ticket(3, j) for j in range(1, 4))
+
+
+def test_weighted_sample_rejects_bad_params(spark):
+    from graphsense_ethereum_etl_spark.operators.corpus import weighted_sample
+
+    df = spark.createDataFrame([(1, 1)], "doc_id bigint, w int")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        weighted_sample(df, k=0, weight_col="w")
+    with _pytest.raises(ValueError):
+        weighted_sample(df, k=1, weight_col="w", max_weight=0)
+
+
+# ---------------------------------------------------------------------------
+# grouped_split (r8): leakage-safe split assignment
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_split_leakage_safety_and_determinism(spark):
+    """THE invariant: every group maps to exactly one split, including the
+    NULL group; assignment is reproducible and matches the md5 convention."""
+    import hashlib
+
+    from graphsense_ethereum_etl_spark.operators.corpus import grouped_split
+
+    rows = [(i, f"dom{i % 7}" if i % 11 else None) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = grouped_split(df).collect()
+    assert len(out) == 120
+    per_group: dict = {}
+    for r in out:
+        per_group.setdefault(r.source, set()).add(r.split)
+    assert all(len(s) == 1 for s in per_group.values()), per_group
+    for g, splits in per_group.items():
+        key = (g if g is not None else "\x01null") + ":split"
+        b = int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % 100
+        want = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert splits == {want}, (g, b, splits)
+
+
+def test_grouped_split_cut_validation_and_boundaries(spark):
+    from graphsense_ethereum_etl_spark.operators.corpus import grouped_split
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, source string")
+    import pytest as _pytest
+
+    for bad in [(0, 50), (60, 50), (50, 101)]:
+        with _pytest.raises(ValueError):
+            grouped_split(df, cuts=bad)
+    # cuts=(100, 100): everything is train — the degenerate-but-legal edge
+    assert grouped_split(df, cuts=(100, 100)).collect()[0].split == "train"

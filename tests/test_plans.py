@@ -370,3 +370,35 @@ def test_ts1_partitions_on_user_only(spark, sf_dir):
         <= {"user_id", "ts", "value", "event_id"}
         for s in schemas
     ), schemas
+
+
+def test_smp6_weighted_sample_plan(spark, sf_dir):
+    """The A-ES weighted sample must select its k rows as
+    TakeOrderedAndProject (per-partition heap + driver merge of k·P
+    candidates), NEVER a global range sort — and the ticket expression is
+    map-only: zero hash exchanges anywhere in the plan. The scan must
+    prune to the two key inputs (doc_id, n_chars); text never leaves the
+    parquet footer."""
+    import re
+
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    df = REGISTRY["smp6_weighted_sample"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all("text" not in s for s in schemas), schemas
+
+
+def test_smp7_grouped_split_is_map_only(spark, sf_dir):
+    """The leakage-safe split is a scalar expression per row: the executed
+    plan has NO exchange of any kind and no Python worker — 100% codegen
+    over the scan."""
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    df = REGISTRY["smp7_grouped_split"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
