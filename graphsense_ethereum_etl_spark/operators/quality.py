@@ -98,3 +98,68 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One-pass column profiler (the Deequ ColumnProfiler / dbt source-
+    freshness role): per column, row count, NULL count, distinct count,
+    and — for string columns — mean length. Output is one row per column:
+    (column, n_rows, n_nulls, n_distinct, avg_len), the summary a pipeline
+    inspects before trusting a new drop of data.
+
+    ALL columns profile in ONE aggregation over ONE scan: every statistic
+    is an agg expression on the same pass, and the per-column rows are
+    unpacked from the single wide result row driver-side (an inline
+    explode of a literal-sized struct array — no second job, no shuffle
+    of row data; only the counter values move).
+
+    ``exact_distinct=True`` uses COUNT(DISTINCT col) — with several
+    columns Catalyst plans the multi-distinct via Expand (the scan's rows
+    replicated once per distinct column). That is the exact-answer floor;
+    at 100-TB scale pass ``exact_distinct=False`` to swap in
+    ``approx_count_distinct`` (HLL): the Expand disappears and the whole
+    profile is one map-side-combinable pass with constant-size state.
+    NULL handling follows SQL aggregate semantics everywhere: COUNT(col)
+    skips NULLs (n_nulls = n_rows − that), DISTINCT ignores NULLs, and
+    AVG(LENGTH(col)) averages over non-NULL values only (NULL when the
+    column is entirely NULL or the table is empty)."""
+    from pyspark.sql.types import StringType
+
+    cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    is_str = {
+        c: isinstance(df.schema[c].dataType, StringType) for c in cols
+    }
+    distinct = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).cast("bigint").alias(f"_nn_{i}"))
+        aggs.append(distinct(F.col(c)).cast("bigint").alias(f"_nd_{i}"))
+        if is_str[c]:
+            aggs.append(
+                F.round(F.avg(F.length(F.col(c))), 6).alias(f"_al_{i}")
+            )
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col(f"_nn_{i}")).cast("bigint").alias("n_nulls"),
+            F.col(f"_nd_{i}").alias("n_distinct"),
+            (
+                F.col(f"_al_{i}")
+                if is_str[c]
+                else F.lit(None).cast("double")
+            ).alias("avg_len"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -8177,6 +8177,52 @@ def vq1_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "prof1_table_profile",
+    """
+    WITH s AS (SELECT
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(COUNT(o_orderkey) AS BIGINT) AS nn0,
+      CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd0,
+      CAST(COUNT(o_custkey) AS BIGINT) AS nn1,
+      CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd1,
+      CAST(COUNT(o_orderstatus) AS BIGINT) AS nn2,
+      CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd2,
+      ROUND(AVG(LENGTH(o_orderstatus)), 6) AS al2,
+      CAST(COUNT(o_totalprice) AS BIGINT) AS nn3,
+      CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd3,
+      CAST(COUNT(o_orderdate) AS BIGINT) AS nn4,
+      CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd4,
+      CAST(COUNT(o_orderpriority) AS BIGINT) AS nn5,
+      CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd5,
+      ROUND(AVG(LENGTH(o_orderpriority)), 6) AS al5
+      FROM orders)
+    SELECT 'o_orderkey' AS "column", n AS n_rows, n - nn0 AS n_nulls,
+           nd0 AS n_distinct, CAST(NULL AS DOUBLE) AS avg_len FROM s
+    UNION ALL SELECT 'o_custkey', n, n - nn1, nd1, NULL FROM s
+    UNION ALL SELECT 'o_orderstatus', n, n - nn2, nd2, al2 FROM s
+    UNION ALL SELECT 'o_totalprice', n, n - nn3, nd3, NULL FROM s
+    UNION ALL SELECT 'o_orderdate', n, n - nn4, nd4, NULL FROM s
+    UNION ALL SELECT 'o_orderpriority', n, n - nn5, nd5, al5 FROM s
+    """,
+)
+def prof1_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (operators/quality.py::profile_table —
+    the Deequ ColumnProfiler role): per column of orders, row count, NULL
+    count, exact distinct count, and mean string length — the summary a
+    pipeline inspects before trusting a new drop of data.
+
+    All six columns profile in ONE aggregation over ONE scan (the
+    multi-distinct plans via Expand — exact-answer floor; the operator's
+    ``exact_distinct=False`` swaps HLL sketches in and the Expand out for
+    the 100-TB path). The per-column rows are unpacked from the single
+    wide result row by an inline explode — no second job, no row-data
+    shuffle; only counter values move."""
+    from .operators.quality import profile_table
+
+    return profile_table(load(spark, sf_dir, "orders"))
+
+
+@query(
     "vq2_outlier_flags",
     """
     WITH c AS (

@@ -328,6 +328,11 @@ OPS = {
     "pipelines.latest_block": dict(input="custom", call=None, contract="no_crash"),
     # ---- quality ----
     "quality.check_constraints": dict(input="custom", call=None, contract="no_crash"),
+    "quality.profile_table": dict(
+        input="docs", call=lambda sp, d: q_ops.profile_table(d),
+        contract="no_crash",
+        documented="output is one row per COLUMN (4 for the docs schema), "
+                   "not per input row — shape pinned in test_properties.py"),
     # ---- rates ----
     "rates.rates_long_to_map": dict(input="custom", call=None, contract="no_crash"),
     "rates.densify_rates": dict(input="custom", call=None, contract="no_crash"),

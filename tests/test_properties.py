@@ -511,3 +511,82 @@ def test_label_propagation_matches_reference_on_random_graphs(
         for r in label_propagation(df, rounds=rounds).collect()
     }
     assert got == label
+
+
+# ---------------------------------------------------------------------------
+# profile_table (r8): one-pass column profiler
+# ---------------------------------------------------------------------------
+
+
+def test_profile_table_exact_counts_on_planted_frame(spark):
+    """Hand-computable fixture: NULLs, duplicates, and string lengths all
+    land in the right cells; n_distinct ignores NULLs (SQL semantics) and
+    avg_len averages non-NULL values only."""
+    from graphsense_ethereum_etl_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa", 1.5),
+            (2, "bbbb", 1.5),
+            (2, None, None),
+            (None, "aa", 2.5),
+        ],
+        "k bigint, s string, x double",
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(got) == {"k", "s", "x"}
+    assert all(r.n_rows == 4 for r in got.values())
+    assert (got["k"].n_nulls, got["k"].n_distinct, got["k"].avg_len) == (1, 2, None)
+    assert (got["s"].n_nulls, got["s"].n_distinct) == (1, 2)
+    assert got["s"].avg_len == round((2 + 4 + 2) / 3, 6)
+    assert (got["x"].n_nulls, got["x"].n_distinct, got["x"].avg_len) == (1, 2, None)
+
+
+def test_profile_table_empty_frame_and_all_null_column(spark):
+    """Empty table: zero rows/nulls/distinct, NULL avg_len (no crash —
+    the r7 empty-input bug class). All-NULL string column: n_distinct 0,
+    avg_len NULL."""
+    from graphsense_ethereum_etl_spark.operators.quality import profile_table
+
+    empty = spark.createDataFrame([], "k bigint, s string")
+    got = {r["column"]: r for r in profile_table(empty).collect()}
+    assert set(got) == {"k", "s"}
+    assert all((r.n_rows, r.n_nulls, r.n_distinct, r.avg_len) == (0, 0, 0, None)
+               for r in got.values())
+
+    allnull = spark.createDataFrame([(1, None), (2, None)], "k bigint, s string")
+    s = {r["column"]: r for r in profile_table(allnull).collect()}["s"]
+    assert (s.n_nulls, s.n_distinct, s.avg_len) == (2, 0, None)
+
+
+def test_profile_table_approx_mode_drops_expand(spark):
+    """exact_distinct=False must (a) plan WITHOUT Expand — the whole
+    profile is one map-side-combinable pass — and (b) stay within HLL
+    tolerance of the exact counts."""
+    from graphsense_ethereum_etl_spark.operators.quality import profile_table
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    df = spark.range(0, 2000).selectExpr(
+        "id AS k", "CAST(id % 37 AS STRING) AS s"
+    )
+    exact = {r["column"]: r.n_distinct for r in profile_table(df).collect()}
+    approx_df = profile_table(df, exact_distinct=False)
+    plan_exact = executed_plan(profile_table(df))
+    plan_approx = executed_plan(approx_df)
+    assert "Expand" in plan_exact  # the documented exact-mode cost
+    assert "Expand" not in plan_approx
+    approx = {r["column"]: r.n_distinct for r in approx_df.collect()}
+    for c in exact:
+        assert abs(approx[c] - exact[c]) <= max(2, 0.1 * exact[c]), (c, exact[c], approx[c])
+
+
+def test_profile_table_validates_params(spark):
+    from graphsense_ethereum_etl_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame([(1,)], "k bigint")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile_table(df, columns=[])
+    with _pytest.raises(ValueError):
+        profile_table(df, columns=["nope"])
