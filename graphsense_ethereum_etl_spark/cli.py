@@ -349,7 +349,7 @@ def build_parser() -> ArgumentParser:
             "dedup", "decontaminate", "score", "sample", "pack", "chunk",
             "dedup-lines", "negatives", "validate", "lm-score", "ann",
             "ann-build", "ann-search", "embed", "dupspan", "classify",
-            "dedup-gate",
+            "dedup-gate", "wsample", "split", "profile",
         ],
         help="which curation pass to run over the input documents table",
     )
@@ -515,6 +515,34 @@ def build_parser() -> ArgumentParser:
         "--feature-col", dest="feature_col", default=None,
         help="classify: integer feature-vector column (default: hash-embed "
         "--text-col at --embed-dim on the fly)",
+    )
+    corpus.add_argument(
+        "--weight-col", dest="weight_col", default=None,
+        help="wsample: integer weight column (A-ES inclusion probability "
+        "tracks it; default: document length in characters)",
+    )
+    corpus.add_argument(
+        "--max-weight", dest="max_weight", type=int, default=64,
+        help="wsample: weight clamp (tickets per row are O(weight))",
+    )
+    corpus.add_argument(
+        "--group-col", dest="group_col", default="source",
+        help="split: leakage group — every row sharing it lands in the "
+        "same split",
+    )
+    corpus.add_argument(
+        "--cuts", default="80,90",
+        help="split: percent cut points 'train,val' (e.g. 80,90 = "
+        "80/10/10 train/val/test)",
+    )
+    corpus.add_argument(
+        "--columns", default=None,
+        help="profile: comma-separated column subset (default: all)",
+    )
+    corpus.add_argument(
+        "--approx-distinct", dest="approx_distinct", action="store_true",
+        help="profile: HLL distinct counts instead of exact "
+        "(drops the multi-distinct Expand — the 100-TB mode)",
     )
 
     mv = sub.add_parser(
@@ -1084,6 +1112,47 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
                     nprobe=args.nprobe, m=args.pq_m,
                     n_codes=args.n_codes, k=args.k, **ids,
                 )
+    elif args.operation == "wsample":
+        from pyspark.sql import functions as F
+
+        from .operators.corpus import weighted_sample
+
+        if args.weight_col is None:
+            docs = docs.withColumn(
+                "_w", F.length(F.coalesce(F.col(args.text_col), F.lit("")))
+            )
+            weight_col = "_w"
+        else:
+            weight_col = args.weight_col
+        out = weighted_sample(
+            docs, k=args.k, weight_col=weight_col, id_col=args.id_col,
+            salt=args.salt, max_weight=args.max_weight,
+        )
+        if weight_col == "_w":
+            out = out.drop("_w")
+    elif args.operation == "split":
+        from .operators.corpus import grouped_split
+
+        try:
+            lo, hi = (int(x) for x in args.cuts.split(","))
+        except ValueError:
+            raise SystemExit("corpus split: --cuts must be 'LO,HI' integers")
+        out = grouped_split(
+            docs, group_col=args.group_col, cuts=(lo, hi), salt=args.salt
+        )
+    elif args.operation == "profile":
+        from .operators.quality import profile_table
+
+        cols = args.columns.split(",") if args.columns else None
+        out = profile_table(
+            docs, columns=cols, exact_distinct=not args.approx_distinct
+        )
+        for r in out.collect():
+            al = f"  avg_len={r.avg_len}" if r.avg_len is not None else ""
+            print(
+                f"{r['column']}: rows={r.n_rows} nulls={r.n_nulls} "
+                f"distinct={r.n_distinct}{al}"
+            )
     else:
         out = hash_sample(docs, rate=args.rate, id_col=args.id_col, salt=args.salt)
     out.write.mode("overwrite").parquet(args.output)

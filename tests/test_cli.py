@@ -1342,3 +1342,58 @@ def test_cli_dedup_gate_mismatched_params_refuse(spark, tmp_path):
             args + ["--checkpoint", str(tmp_path / "ck2"), "--m-bits", "4096"],
             spark=spark,
         )
+
+
+def test_cli_corpus_wsample_split_profile(spark, tmp_path, capsys):
+    src = "/root/testdata/sf0.001/documents.parquet"
+
+    # wsample: k rows out, deterministic across invocations, sample_key
+    # attached; default weight = text length (no --weight-col needed)
+    w1, w2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    for out in (w1, w2):
+        main(
+            ["corpus", "wsample", "-i", src, "-o", out,
+             "--k", "7", "--max-weight", "8"],
+            spark=spark,
+        )
+    a = sorted(r.doc_id for r in spark.read.parquet(w1).collect())
+    b = sorted(r.doc_id for r in spark.read.parquet(w2).collect())
+    assert a == b and len(a) == 7
+    assert "sample_key" in spark.read.parquet(w1).columns
+
+    # split: every source maps to exactly one split; cuts honored
+    sout = str(tmp_path / "split")
+    main(
+        ["corpus", "split", "-i", src, "-o", sout, "--cuts", "50,75"],
+        spark=spark,
+    )
+    rows = spark.read.parquet(sout).collect()
+    per_group: dict = {}
+    for r in rows:
+        per_group.setdefault(r.source, set()).add(r.split)
+    assert per_group and all(len(s) == 1 for s in per_group.values())
+    assert {s for ss in per_group.values() for s in ss} <= {"train", "val", "test"}
+
+    # profile: one row per column, printed report, exact == parquet truth
+    pout = str(tmp_path / "prof")
+    main(
+        ["corpus", "profile", "-i", src, "-o", pout,
+         "--columns", "doc_id,text,lang"],
+        spark=spark,
+    )
+    prof = {r["column"]: r for r in spark.read.parquet(pout).collect()}
+    assert set(prof) == {"doc_id", "text", "lang"}
+    n = spark.read.parquet(src).count()
+    assert all(r.n_rows == n for r in prof.values())
+    assert prof["doc_id"].n_distinct == n  # doc_id is the key
+    assert "distinct=" in capsys.readouterr().out
+
+    # bad cuts fail fast
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(
+            ["corpus", "split", "-i", src, "-o", str(tmp_path / "x"),
+             "--cuts", "nope"],
+            spark=spark,
+        )
