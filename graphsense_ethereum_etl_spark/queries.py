@@ -6356,7 +6356,7 @@ def smp5_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "smp6_weighted_sample",
+    "smp9_weighted_sample",
     """
     WITH k AS (
       SELECT doc_id,
@@ -6371,7 +6371,7 @@ def smp5_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM k ORDER BY sample_key DESC, doc_id LIMIT 50
     """,
 )
-def smp6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def smp9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling WITHOUT replacement (operators/corpus.py::
     weighted_sample — Efraimidis & Spirakis 2006 A-ES): 50 documents with
     inclusion probability tracking a length-derived weight w ∈ [1, 8]
@@ -6403,7 +6403,7 @@ def smp6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "smp7_grouped_split",
+    "smp10_grouped_split",
     """
     WITH b AS (
       SELECT doc_id, source,
@@ -6418,7 +6418,7 @@ def smp6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b
     """,
 )
-def smp7_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def smp10_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split (operators/corpus.py::
     grouped_split): the split is a function of the SOURCE DOMAIN alone
     (md5 bucket mod 100: <80 train, <90 val, else test), so near-duplicate

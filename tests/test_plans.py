@@ -372,7 +372,7 @@ def test_ts1_partitions_on_user_only(spark, sf_dir):
     ), schemas
 
 
-def test_smp6_weighted_sample_plan(spark, sf_dir):
+def test_smp9_weighted_sample_plan(spark, sf_dir):
     """The A-ES weighted sample must select its k rows as
     TakeOrderedAndProject (per-partition heap + driver merge of k·P
     candidates), NEVER a global range sort — and the ticket expression is
@@ -383,7 +383,7 @@ def test_smp6_weighted_sample_plan(spark, sf_dir):
 
     from graphsense_ethereum_etl_spark.plans import executed_plan
 
-    df = REGISTRY["smp6_weighted_sample"].fn(spark, sf_dir)
+    df = REGISTRY["smp9_weighted_sample"].fn(spark, sf_dir)
     plan = executed_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
@@ -392,13 +392,13 @@ def test_smp6_weighted_sample_plan(spark, sf_dir):
     assert schemas and all("text" not in s for s in schemas), schemas
 
 
-def test_smp7_grouped_split_is_map_only(spark, sf_dir):
+def test_smp10_grouped_split_is_map_only(spark, sf_dir):
     """The leakage-safe split is a scalar expression per row: the executed
     plan has NO exchange of any kind and no Python worker — 100% codegen
     over the scan."""
     from graphsense_ethereum_etl_spark.plans import executed_plan
 
-    df = REGISTRY["smp7_grouped_split"].fn(spark, sf_dir)
+    df = REGISTRY["smp10_grouped_split"].fn(spark, sf_dir)
     plan = executed_plan(df)
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
