@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans import checkpoint_partitioned
+
 
 def connected_components(
     edges: DataFrame,
@@ -67,13 +69,21 @@ def connected_components(
         F.col(src).cast("bigint").alias("s"), F.col(dst).cast("bigint").alias("d")
     )
     sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    sym = sym.localCheckpoint(eager=False)
+    # pin the edge partitioning on the per-round join key through the
+    # checkpoint (plans/checkpoint.py): rounds shuffle only the labels,
+    # the edge set crosses the wire exactly once (r8 shuffle-byte audit)
+    sym = checkpoint_partitioned(sym, "d")
     labels = (
         sym.select(F.col("s").alias("v")).distinct().withColumn("label", F.col("v"))
     )
     for _ in range(max_iter):
+        # shuffle_hash hint on the LABEL side: labels meet the pinned edge
+        # partitioning (one label shuffle per round, edges never move) and
+        # the per-partition hash build is label-sized and spillable —
+        # without it Catalyst broadcasts whichever side estimates smaller,
+        # and at scale BOTH sides are corpus-sized (see g5's r8 audit)
         nbr_min = (
-            sym.join(labels, sym["d"] == labels["v"])
+            sym.join(labels.hint("shuffle_hash"), sym["d"] == labels["v"])
             .groupBy("s")
             .agg(F.min("label").alias("nbr_label"))
         )
@@ -148,12 +158,15 @@ def label_propagation(
     sym = und.union(
         und.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).distinct()
-    sym = sym.localCheckpoint(eager=False)
+    # pinned partitioning on the per-round join key (see connected_components)
+    sym = checkpoint_partitioned(sym, "d")
     labels = verts.withColumn("label", F.col("v"))
     for r in range(rounds):
-        nbr = sym.join(labels, sym["d"] == labels["v"]).select(
-            sym["s"].alias("u"), F.col("label")
-        )
+        # shuffle_hash on labels: see connected_components — labels meet
+        # the pinned edge partitioning, edges never re-shuffle
+        nbr = sym.join(
+            labels.hint("shuffle_hash"), sym["d"] == labels["v"]
+        ).select(sym["s"].alias("u"), F.col("label"))
         cnt = nbr.groupBy("u", "label").agg(F.count("*").alias("c"))
         best = cnt.groupBy("u").agg(
             F.max(

@@ -256,6 +256,25 @@ def sign_lsh_signatures(
     ).select(id_col, vec_col, "bb.band", "bb.bucket", "bb.sub")
 
 
+def lsh_planes_for(n: int, target_occupancy: int = 8, floor: int = 6) -> int:
+    """Per-band plane count for a corpus of ``n`` vectors such that the
+    MEAN bucket occupancy stays ≈ ``target_occupancy`` regardless of n:
+    r = max(floor, ceil(log2(n / target))). With fixed planes, occupancy
+    grows linearly with the corpus and same-bucket candidate PAIRS grow
+    quadratically — the r8 shuffle-byte audit measured the fixed-6-plane
+    sim3 at 35x shuffle bytes for 10x data; with r grown by log2(n) the
+    bucket count tracks the corpus and candidates stay ~linear. Recall
+    trade-off is the documented banding S-curve: near-duplicates (the
+    dedup target) survive because their collision probability per plane
+    is ≈ 1; mid-similarity recall is bought back with more bands, not
+    fewer planes."""
+    import math
+
+    if n <= 0:
+        return floor
+    return max(floor, math.ceil(math.log2(max(1.0, n / target_occupancy))))
+
+
 def lsh_ann_pairs(
     embeddings: DataFrame,
     n_bands: int = 4,
@@ -266,6 +285,7 @@ def lsh_ann_pairs(
     split_planes: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    auto_planes_target: int | None = None,
 ) -> DataFrame:
     """ANN candidate pairs: vectors sharing any band bucket, exact-rescored
     with cosine, deduped across bands.
@@ -278,10 +298,22 @@ def lsh_ann_pairs(
     randomly. Refined ids are offset by 2^band_planes so split and unsplit
     buckets can never collide.
 
+    ``auto_planes_target``: when set, ``band_planes`` is raised to
+    ``lsh_planes_for(count, target)`` so bucket occupancy — and therefore
+    candidate volume per vector — stays FLAT as the corpus grows (the one
+    extra job is a count). The cap re-split then only handles skewed hot
+    buckets, not uniform overflow. Callers measuring the fixed-parameter
+    S-curve (sim5's recall panel) keep it unset.
+
     Every step (projection folds, window count, CASE re-split, pair join,
     rescore) is plain ANSI SQL over deterministic md5-derived plane literals
     — the DuckDB oracle reproduces the result bit-for-bit (queries.py
     sim3_lsh_ann splices the plane components into the SQL)."""
+    if auto_planes_target is not None:
+        band_planes = max(
+            band_planes,
+            lsh_planes_for(embeddings.count(), auto_planes_target, band_planes),
+        )
     sigs = sign_lsh_signatures(
         embeddings, n_bands, band_planes, dim, split_planes, id_col, vec_col
     )

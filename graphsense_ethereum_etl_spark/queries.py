@@ -1250,11 +1250,22 @@ def sim3_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dd3 band layout), bucket-size cap with hyperplane re-split, band
     bucket join → exact cosine rescore → cross-band dedupe. Oracle: the
     hyperplanes are md5-derived constants spliced into the DuckDB SQL as
-    literal arrays, so the whole pipeline is hash-checkable."""
+    literal arrays, so the whole pipeline is hash-checkable.
+
+    Planes AUTO-SCALE with the corpus (lsh_planes_for: r = max(6,
+    ceil(log2(n/8)))) so bucket occupancy stays flat — with r pinned at 6
+    the r8 shuffle-byte audit measured 35x candidate bytes at 10x data
+    (mean occupancy, and so pairs-per-vector, grew with n). At the sf0.01
+    certification tier n=500 → r=6, exactly the oracle's spliced
+    constants, so the hash check is unaffected; larger tiers get more
+    buckets instead of bigger ones."""
     from .operators.similarity import lsh_ann_pairs
 
     return lsh_ann_pairs(
-        load(spark, sf_dir, "embeddings"), min_score=0.2, bucket_cap=40
+        load(spark, sf_dir, "embeddings"),
+        min_score=0.2,
+        bucket_cap=40,
+        auto_planes_target=8,
     )
 
 
@@ -3449,10 +3460,19 @@ def g4_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation on dst — the standard Pregel-on-relational layout. A
     convergence-loop variant would persist ranks between rounds and
     lineage-checkpoint like operators/graph.py::connected_components."""
+    from .plans import checkpoint_partitioned
+
     S = F.lit(1_000_000_000_000).cast("bigint")
-    e = load(spark, sf_dir, "lineitem").select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    # pin the edge partitioning on the scatter key through a checkpoint
+    # (plans/checkpoint.py, r8 shuffle-byte audit): both iterations' edge⋈
+    # deg⋈rank joins and the outdeg aggregation find the edges clustered
+    # on src, so the edge set crosses the wire once, not once per round
+    e = checkpoint_partitioned(
+        load(spark, sf_dir, "lineitem").select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        ),
+        "src",
     )
     deg = e.groupBy("src").agg(F.count("*").cast("bigint").alias("outdeg"))
     verts = (
@@ -3468,9 +3488,12 @@ def g4_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffle), then the tiny per-vertex result joins verts — joining
         # verts onto raw contributions first would shuffle the full edge
         # volume twice (join exchange + agg exchange).
+        # shuffle_hash hints: deg comes out of the pinned e already
+        # clustered on src and ranks shuffle to meet it — the edge set
+        # itself never re-shuffles or broadcasts (g5's r8 audit class)
         contrib = (
-            e.join(deg, "src")
-            .join(rank_of_src, "src")
+            e.join(deg.hint("shuffle_hash"), "src")
+            .join(rank_of_src.hint("shuffle_hash"), "src")
             .select(
                 F.col("dst").alias("v"),
                 F.expr("pr DIV outdeg").alias("c"),
@@ -7301,16 +7324,33 @@ def g5_sssp_bf3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # materialize the edge set once (cc1's lineage-truncation pattern) —
-    # without it every unrolled round re-runs the lineitem aggregation
-    sym = e.unionByName(
-        e.select(F.col("d").alias("s"), F.col("s").alias("d"), "w")
-    ).localCheckpoint(eager=False)
+    # without it every unrolled round re-runs the lineitem aggregation —
+    # AND pin its hash partitioning on the join key through the checkpoint
+    # (plans/checkpoint.py): every relaxation round then finds the edges
+    # already clustered on s and shuffles only the frontier. The r8
+    # shuffle-byte audit caught the unpartitioned form re-shuffling the
+    # FULL edge list each round once the frontier outgrew AQE's broadcast
+    # threshold (sf~1 tier: 49x shuffle bytes at 10x data); pinned, the
+    # edge shuffle happens exactly once regardless of round count.
+    from .plans import checkpoint_partitioned
+
+    sym = checkpoint_partitioned(
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d"), "w")),
+        "s",
+    )
     dist = spark.createDataFrame([(1, 0)], "v long, dist long")
     for _ in range(3):
-        # no broadcast hint: AQE broadcasts the frontier while it is small
-        # and falls back to a shuffle join when it grows — the correct
-        # behavior at both demo and cluster scale
-        relaxed = sym.join(dist, sym["s"] == dist["v"]).select(
+        # shuffle_hash hint on the FRONTIER side: left alone, Catalyst
+        # broadcast the EDGE relation (its post-agg estimate looks small)
+        # — one full edge broadcast per relaxation round, which is exactly
+        # backwards at scale (measured: 7 concurrent broadcast futures
+        # each materializing the whole edge set; OOM at the sf~1 tier).
+        # The hint pins the Pregel shape: dist shuffles on v to meet the
+        # checkpoint-pinned edge partitioning, edges never move, the
+        # per-partition hash build is frontier-sized and spillable.
+        relaxed = sym.join(
+            dist.hint("shuffle_hash"), sym["s"] == dist["v"]
+        ).select(
             sym["d"].alias("v"), (dist["dist"] + sym["w"]).alias("dist")
         )
         dist = (
@@ -8461,14 +8501,20 @@ def g6_kcore_peel2(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat. The full iterate-to-fixpoint variant is
     connected_components-style driver looping with the same per-round
     plan."""
-    e0 = (
+    from .plans import checkpoint_partitioned
+
+    # each round reads its edge set keyed on BOTH sides; pinning the
+    # checkpoint partitioning on p (plans/checkpoint.py) makes the
+    # part-degree aggregation and the part-side peel join shuffle-free —
+    # the s-side aggregation is the round's one remaining required shuffle
+    e0 = checkpoint_partitioned(
         load(spark, sf_dir, "lineitem")
         .select(
             F.col("l_suppkey").cast("bigint").alias("s"),
             F.col("l_partkey").cast("bigint").alias("p"),
         )
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        "p",
     )
 
     def degrees(e: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -8477,16 +8523,20 @@ def g6_kcore_peel2(spark: SparkSession, sf_dir: str) -> DataFrame:
         return dp, ds
 
     def peel(e: DataFrame, dp: DataFrame, ds: DataFrame) -> DataFrame:
-        keep_p = dp.filter(F.col("d") >= 26).select("p")
-        keep_s = ds.filter(F.col("d") >= 280).select("s")
+        # shuffle_hash: the keep sets are vertex-sized (broadcastable at
+        # demo scale, corpus-sized at 100 TB — g5's r8 audit class); the
+        # p-side join rides e's pinned partitioning, the s-side join is
+        # the round's one required edge shuffle
+        keep_p = dp.filter(F.col("d") >= 26).select("p").hint("shuffle_hash")
+        keep_s = ds.filter(F.col("d") >= 280).select("s").hint("shuffle_hash")
         return e.join(keep_p, "p").join(keep_s, "s").select("s", "p")
 
     dp0, ds0 = degrees(e0)
     # each round's edge set feeds THREE consumers (both degree aggs + the
     # next peel's join); checkpoint so round-1's joins run once, not 3×
-    e1 = peel(e0, dp0, ds0).localCheckpoint(eager=False)
+    e1 = checkpoint_partitioned(peel(e0, dp0, ds0), "p")
     dp1, ds1 = degrees(e1)
-    e2 = peel(e1, dp1, ds1).localCheckpoint(eager=False)
+    e2 = checkpoint_partitioned(peel(e1, dp1, ds1), "p")
     dp2, ds2 = degrees(e2)
     part_row = dp2.agg(
         F.count("*").cast("bigint").alias("n_vertices"),

@@ -16,7 +16,12 @@ Reading the ratios:
     broadcast: the exact defect class the dd8/lm1 chases found, now
     visible as bytes the round it appears.
   - input_ratio >> 10                 → lost pruning/pushdown (a scan
-    reading what it used to skip).
+    reading what it used to skip) — OR re-reads of PERSISTED blocks:
+    Spark counts block-manager reads of localCheckpoint/cache partitions
+    as inputBytes too, so iterative queries that legitimately re-read a
+    checkpointed edge set each round inflate this column with node-local
+    memory traffic. Treat shuffle_ratio as the verdict and input_ratio
+    as the pointer to WHERE to look.
 Zero-byte baselines (fully map-only or broadcast-only plans at sf0.1)
 report ratio null and are listed separately — "no shuffle at either tier"
 is itself the strongest posture.

@@ -402,3 +402,48 @@ def test_smp10_grouped_split_is_map_only(spark, sf_dir):
     plan = executed_plan(df)
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_checkpoint_partitioned_survives_aqe(spark):
+    """plans/checkpoint.py's reason to exist: a repartition+localCheckpoint
+    compiled under AQE loses its hash partitioning (LogicalRDD captures an
+    AdaptiveSparkPlanExec whose partitioning is unknown) and every consumer
+    re-shuffles the checkpointed side; checkpoint_partitioned pins it. Both
+    halves asserted — the naive form DOES re-shuffle (if Spark ever fixes
+    the capture, this fails and the helper can be retired), the helper
+    form does NOT."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.plans import checkpoint_partitioned
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = spark.range(0, 5000).selectExpr("id % 997 AS s", "id AS d")
+        dist = spark.range(0, 50).selectExpr("id AS v")
+
+        naive = e.repartition("s").localCheckpoint(eager=True)
+        jn = naive.join(dist, naive["s"] == dist["v"])
+        pn = jn._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(s#" in pn, (
+            "naive checkpoint now PRESERVES partitioning — retire "
+            "checkpoint_partitioned's AQE workaround")
+
+        pinned = checkpoint_partitioned(e, "s", eager=True)
+        jp = pinned.join(dist, pinned["s"] == dist["v"])
+        pp = jp._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(s#" not in pp, pp
+        # AQE must be back on for the rest of the session
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        # and the join is still correct
+        assert jp.count() == dist.join(e, e["s"] == dist["v"]).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_checkpoint_partitioned_rejects_no_cols(spark):
+    import pytest as _pytest
+
+    from graphsense_ethereum_etl_spark.plans import checkpoint_partitioned
+
+    with _pytest.raises(ValueError):
+        checkpoint_partitioned(spark.range(3))
