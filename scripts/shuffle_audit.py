@@ -95,7 +95,17 @@ def main():
     repo = Path(__file__).resolve().parent.parent
     base = json.load(open(repo / "BENCH_full_latest.json"))
     names = [k for k, _ in sorted(base["queries"].items(), key=lambda kv: -kv[1])[:n]]
-    for extra in ALWAYS_PROBE:
+    # the iterative-graph family and the LSH path ride along every round
+    # regardless of bench rank — the r8 finds (g5 49x, sim3 35x) were in
+    # exactly this class, and byte regressions here are silent in wall time
+    for extra in ALWAYS_PROBE + [
+        "g4_pagerank_2iter",
+        "g5_sssp_bf3",
+        "g6_kcore_peel2",
+        "g7_label_propagation",
+        "cc1_dup_clusters",
+        "sim3_lsh_ann",
+    ]:
         if extra not in names and extra in REGISTRY:
             names.append(extra)
     spark = get_spark(
