@@ -398,6 +398,9 @@ SKIPS = {
     "codecs.dhash": "ndarray kernel — tested in test_codecs.py",
     # Column-expression helpers (return a Column, not a DataFrame):
     "decontam.word_ngrams": "Column helper — exercised via ngram_contamination",
+    # Pure int→int sizing formula (no DataFrame); pinned by the sim3
+    # docstring contract (n=500 → 6) and the shuffle-byte audit.
+    "similarity.lsh_planes_for": "scalar sizing helper — no frame in/out",
     # Needs a labeled two-class train/test fixture the generic docs
     # variants cannot provide (degenerate splits raise by contract) —
     # covered by test_centroid_classifier_adversarial below.
