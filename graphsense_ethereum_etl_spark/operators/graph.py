@@ -97,7 +97,9 @@ def connected_components(
         # cached scan), not a second labels⋈labels shuffle-join job per round.
         # Min-propagation only ever decreases labels, so "<" is the change.
         new_labels = (
-            labels.join(nbr_min, labels["v"] == nbr_min["s"], "left")
+            # join-back also shuffle_hash: nbr_min is VERTEX-sized — small
+            # here, corpus-sized at 100 TB, the same no-broadcast contract
+            labels.join(nbr_min.hint("shuffle_hash"), labels["v"] == nbr_min["s"], "left")
             .select(
                 labels["v"],
                 new_label.alias("label"),
@@ -173,7 +175,10 @@ def label_propagation(
                 F.struct(F.col("c").alias("c"), (-F.col("label")).alias("nl"))
             ).alias("b")
         ).select(F.col("u"), (-F.col("b.nl")).alias("nlabel"))
-        labels = labels.join(best, labels["v"] == best["u"], "left").select(
+        # join-back hinted like connected_components: best is vertex-sized
+        labels = labels.join(
+            best.hint("shuffle_hash"), labels["v"] == best["u"], "left"
+        ).select(
             labels["v"],
             F.coalesce(F.col("nlabel"), labels["label"]).alias("label"),
         )

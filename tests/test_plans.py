@@ -447,3 +447,50 @@ def test_checkpoint_partitioned_rejects_no_cols(spark):
 
     with _pytest.raises(ValueError):
         checkpoint_partitioned(spark.range(3))
+
+
+def test_g5_edges_never_broadcast_or_reshuffled(spark, sf_dir):
+    """The r8 shuffle-byte-audit contract for the iterative family, pinned
+    on g5: (a) NO BroadcastExchange anywhere — left alone Catalyst
+    broadcast the full edge relation once per relaxation round (the
+    checkpointed leaf's size estimate is bogus), which OOMs at scale;
+    (b) the edge set is a checkpointed Scan ExistingRDD (pinned
+    partitioning) and every per-round join is the hinted ShuffledHashJoin
+    with the FRONTIER as build side."""
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    df = REGISTRY["g5_sssp_bf3"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "BroadcastExchange" not in plan, plan
+    assert "Scan ExistingRDD" in plan
+    # >=3 in TEXT: the un-checkpointed dist lineage nests, so round k's
+    # plan repeats earlier rounds' joins (execution dedups via reuse)
+    assert plan.count("ShuffledHashJoin") >= 3, plan
+    # the checkpointed edge side must join WITHOUT its own exchange: each
+    # round exchanges only the frontier (v#...) — no Exchange keyed on the
+    # edge attr s#... may appear
+    edge_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(s#" in ln and "ReusedExchange" not in ln
+    ]
+    assert edge_exchanges == [], edge_exchanges
+
+
+def test_label_propagation_round_uses_pinned_edges(spark):
+    """label_propagation's output plan (labels are NOT checkpointed at
+    rounds<=3, so the round joins are visible) must not broadcast or
+    re-shuffle the checkpointed symmetrized edge set: the edge side reads
+    the pinned ExistingRDD, the label side is the hinted ShuffledHashJoin
+    build. connected_components shares the identical round shape but
+    checkpoints each round, so its final plan is a bare scan — its
+    contract is pinned by the checkpoint_partitioned test plus the
+    shuffle-byte audit ride-alongs."""
+    from graphsense_ethereum_etl_spark.operators.graph import label_propagation
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    edges = spark.range(0, 2000).selectExpr("id AS src", "(id % 397) AS dst")
+    labels = label_propagation(edges, rounds=2)
+    plan = executed_plan(labels)
+    assert "BroadcastExchange" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
