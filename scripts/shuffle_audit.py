@@ -103,6 +103,7 @@ def main():
         "g5_sssp_bf3",
         "g6_kcore_peel2",
         "g7_label_propagation",
+        "g8_bipartite_projection",  # 13.6x at r8 — the degree-cap candidate term, watched
         "cc1_dup_clusters",
         "sim3_lsh_ann",
     ]:
