@@ -354,3 +354,93 @@ def bipartite_project(
         .groupBy(f"{left}1", f"{left}2")
         .agg(F.count("*").cast("bigint").alias(weight_col))
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(id, n_triangles) — per-vertex triangle participation over the
+    undirected simple graph of ``edges``; vertices in no triangle don't
+    appear. On a dedup candidate graph this measures TRANSITIVITY (a
+    near-dup relation whose pairs close into triangles clusters cleanly;
+    open wedges are the borderline pairs), the clustering-coefficient
+    numerator.
+
+    Algorithm: compact-forward / node-iterator++ (Latapy 2008; Suri &
+    Vassilvitskii's MapReduce form, WWW'11). Every undirected edge is
+    ORIENTED from its lower-(degree, id) endpoint to its higher one —
+    a total acyclic order, so each triangle survives as exactly ONE
+    directed wedge (u→v, u→w) with ord(v) < ord(w) plus its closing edge
+    (v→w), counted once with no multiplicity correction. The degree
+    orientation is the scale bound: out-degree after orienting is
+    O(√m) for EVERY vertex (a vertex keeps only edges toward
+    higher-degree endpoints), so wedge volume is Σ outdeg² = O(m^1.5)
+    worst-case regardless of hub skew — an id-only orientation would
+    leave a low-id hub with out-degree m and a quadratic wedge burst.
+
+    Plan shape: one degree aggregation, orientation as a pure projection
+    (no shuffle), wedge self-join keyed on the shared source u, closure
+    equi-join keyed on the (v, w) edge pair, per-vertex explode+count.
+    Each shuffle moves O(m) edge rows or O(m^1.5)-bounded wedge rows —
+    no broadcast of corpus-sized relations anywhere.
+
+    Contract (harnessed): NULL-endpoint edges and self-loops are dropped;
+    multi-edges count once (the edge relation is a SET)."""
+    e0 = (
+        edges.select(
+            F.col(src).cast("bigint").alias("a"),
+            F.col(dst).cast("bigint").alias("b"),
+        )
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("a").alias("v"))
+        .unionAll(e0.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da")
+    db = deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db")
+    # orientation: u = lower (degree, id) endpoint; carry the out-side
+    # (degree, id) key so wedge generation can order the two spokes
+    keyed = e0.join(da.hint("shuffle_hash"), "a").join(
+        db.hint("shuffle_hash"), "b"
+    )
+    fwd = F.struct(F.col("da").alias("d"), F.col("a").alias("i")) < F.struct(
+        F.col("db").alias("d"), F.col("b").alias("i")
+    )
+    oriented = keyed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    x = oriented.alias("x")
+    y = oriented.alias("y")
+    wedges = x.join(y.hint("shuffle_hash"), F.col("x.u") == F.col("y.u")).filter(
+        F.struct(F.col("x.dv").alias("d"), F.col("x.v").alias("i"))
+        < F.struct(F.col("y.dv").alias("d"), F.col("y.v").alias("i"))
+    ).select(
+        F.col("x.u").alias("u"), F.col("x.v").alias("v"), F.col("y.v").alias("w")
+    )
+    closing = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
+    tri = wedges.join(closing.hint("shuffle_hash"), ["v", "w"])
+    verts = (
+        tri.select(F.col("u").alias("id"))
+        .unionAll(tri.select(F.col("v").alias("id")))
+        .unionAll(tri.select(F.col("w").alias("id")))
+    )
+    return verts.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )

@@ -1045,6 +1045,62 @@ def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(load(spark, sf_dir, "documents", spread=True))
 
 
+@query(
+    "g9_triangle_count",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    {_duck_minhash_sig()},
+    banded AS ({_duck_bands()}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+           AND a.doc_id < b.doc_id),
+    deg AS (SELECT v, COUNT(*) AS d
+            FROM (SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs)
+            GROUP BY v),
+    oriented AS (
+      SELECT CASE WHEN row(da.d, p.a) < row(db.d, p.b) THEN p.a ELSE p.b END AS u,
+             CASE WHEN row(da.d, p.a) < row(db.d, p.b) THEN p.b ELSE p.a END AS v,
+             CASE WHEN row(da.d, p.a) < row(db.d, p.b) THEN db.d ELSE da.d END AS dv
+      FROM pairs p JOIN deg da ON da.v = p.a JOIN deg db ON db.v = p.b),
+    tri AS (
+      SELECT x.u AS u, x.v AS v, y.v AS w
+      FROM oriented x
+      JOIN oriented y ON x.u = y.u AND row(x.dv, x.v) < row(y.dv, y.v)
+      JOIN oriented z ON z.u = x.v AND z.v = y.v)
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT u AS id FROM tri
+          UNION ALL SELECT v FROM tri
+          UNION ALL SELECT w FROM tri)
+    GROUP BY id
+    """,
+)
+def g9_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the dd3 MinHash-LSH candidate
+    graph (operators/graph.py::triangle_counts — compact-forward with
+    DEGREE orientation): the transitivity measure of the near-dup
+    relation, the clustering-coefficient numerator. Completes the graph
+    family's analytic tier (g1 degrees, cc components, g7 communities,
+    g8 projection).
+
+    Scale shape: degree orientation bounds every vertex's out-degree at
+    O(√m), so the wedge self-join is O(m^1.5) worst-case regardless of
+    hub skew — an id-only orientation leaves a low-id hub with out-degree
+    m and a quadratic wedge burst. All three joins hinted shuffle_hash
+    (both sides are corpus-sized edge relations; nothing broadcasts).
+    Oracle: the identical orientation + wedge + closure pipeline in SQL
+    over the identical pair set, hash-exact."""
+    from .operators.dedup import lsh_candidate_pairs
+    from .operators.graph import triangle_counts
+
+    pairs = lsh_candidate_pairs(load(spark, sf_dir, "documents", spread=True))
+    return triangle_counts(pairs, src="id_a", dst="id_b").select(
+        F.col("id").cast("bigint").alias("id"), "n_triangles"
+    )
+
+
 def _duck_simhash(bits: int = 64) -> str:
     # Mirrors operators/dedup.py simhash: 16-bit md5 chunks ('0x' hex cast),
     # shift-and-mask bit votes, fingerprint packed into ONE signed BIGINT

@@ -277,6 +277,9 @@ OPS = {
     "graph.bipartite_project[cap]": dict(
         input="bip", call=lambda sp, d: g_ops.bipartite_project(d, left="s", right="p", degree_cap=2),
         contract="no_crash"),
+    "graph.triangle_counts": dict(
+        input="edges", call=lambda sp, d: g_ops.triangle_counts(d),
+        contract="no_crash"),  # dedicated test below (graph-op pattern)
     # ---- joins ----
     "joins.asof_join": dict(input="custom", call=None, contract="no_crash"),
     "joins.salted_join": dict(input="custom", call=None, contract="no_crash"),
@@ -773,3 +776,16 @@ def test_centroid_classifier_adversarial(spark):
     empty = ex.filter(F.lit(False))
     with pytest.raises(ValueError, match="both classes"):
         c_ops.centroid_classifier(empty)
+
+
+@pytest.mark.parametrize("variant", list(EDGE_VARIANTS))
+def test_triangle_counts_adversarial(spark, variant):
+    edges = spark.createDataFrame(EDGE_VARIANTS[variant], EDGE_SCHEMA)
+    out = g_ops.triangle_counts(edges).collect()
+    verts = {
+        v for e in EDGE_VARIANTS[variant] for v in e if v is not None
+    }
+    assert {r["id"] for r in out} <= verts, "triangles invented vertices"
+    # none of the fixtures contains a triangle (empty/single/self-loop/
+    # NULL-endpoint): the contract output is EMPTY, not a crash
+    assert out == []

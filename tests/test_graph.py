@@ -220,3 +220,37 @@ def test_label_propagation_empty_and_dense(spark):
         r["id"]: r["community"] for r in label_propagation(df, rounds=3).collect()
     }
     assert got == _lpa_reference(edges, rounds=3)
+
+
+def test_triangle_counts_matches_bruteforce_on_random_graphs(spark):
+    """Compact-forward with degree orientation vs itertools brute force on
+    random multigraphs (duplicate edges, both orientations, self-loops):
+    per-vertex counts must match exactly — the orientation argument says
+    each triangle is counted once, this checks it."""
+    import itertools
+    import random
+
+    from graphsense_ethereum_etl_spark.operators.graph import triangle_counts
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        n = rng.randint(5, 14)
+        raw = [
+            (rng.randint(0, n - 1), rng.randint(0, n - 1))
+            for _ in range(rng.randint(5, 45))
+        ]
+        simple = {tuple(sorted(e)) for e in raw if e[0] != e[1]}
+        adj = {v: set() for e in simple for v in e}
+        for a, b in simple:
+            adj[a].add(b)
+            adj[b].add(a)
+        want: dict[int, int] = {}
+        for x, y, z in itertools.combinations(sorted(adj), 3):
+            if y in adj[x] and z in adj[x] and z in adj[y]:
+                for v in (x, y, z):
+                    want[v] = want.get(v, 0) + 1
+        df = spark.createDataFrame(raw, "src bigint, dst bigint")
+        got = {
+            r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()
+        }
+        assert got == want, f"seed {seed}: {got} vs {want}"
