@@ -350,6 +350,7 @@ def build_parser() -> ArgumentParser:
             "dedup-lines", "negatives", "validate", "lm-score", "ann",
             "ann-build", "ann-search", "embed", "dupspan", "classify",
             "dedup-gate", "wsample", "split", "profile",
+            "dedup-index", "dedup-probe",
         ],
         help="which curation pass to run over the input documents table",
     )
@@ -357,7 +358,9 @@ def build_parser() -> ArgumentParser:
         "-i", "--input", dest="input", required=True, help="documents parquet path"
     )
     corpus.add_argument(
-        "-o", "--output", dest="output", required=True, help="output parquet path"
+        "-o", "--output", dest="output", default=None,
+        help="output parquet path (required for every operation except "
+        "dedup-index, whose output IS the --index-table)",
     )
     corpus.add_argument(
         "--method",
@@ -543,6 +546,17 @@ def build_parser() -> ArgumentParser:
         "--approx-distinct", dest="approx_distinct", action="store_true",
         help="profile: HLL distinct counts instead of exact "
         "(drops the multi-distinct Expand — the 100-TB mode)",
+    )
+    corpus.add_argument(
+        "--index-table", dest="index_table", default=None,
+        help="dedup-index/dedup-probe: bucketed managed-table name of the "
+        "persisted MinHash band index (survives sessions via its "
+        "_mh_meta.json sidecar)",
+    )
+    corpus.add_argument(
+        "--admit", action="store_true",
+        help="dedup-probe: append the batch's band keys to the index after "
+        "probing (probe-then-admit), so later batches dedup against it",
     )
 
     mv = sub.add_parser(
@@ -859,6 +873,8 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
     surface of the engine."""
     from .operators.corpus import dedup_keepers, hash_sample, score_documents
 
+    if args.output is None and args.operation != "dedup-index":
+        raise SystemExit(f"corpus {args.operation} requires -o/--output")
     # ann-search's -i names a persisted INDEX directory, not a parquet
     # table; dedup-gate reads it guarded below (an input dir with no
     # files yet is a normal state for an incremental gate, not an error)
@@ -1112,6 +1128,28 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
                     nprobe=args.nprobe, m=args.pq_m,
                     n_codes=args.n_codes, k=args.k, **ids,
                 )
+    elif args.operation == "dedup-index":
+        from .operators.dedup import build_minhash_index
+
+        if not args.index_table:
+            raise SystemExit("corpus dedup-index requires --index-table")
+        build_minhash_index(
+            docs, args.index_table, text_col=args.text_col, id_col=args.id_col
+        )
+        n = spark.table(args.index_table).count()
+        print(
+            f"corpus dedup-index: {n:,} band keys in table {args.index_table}"
+        )
+        return IngestStats()
+    elif args.operation == "dedup-probe":
+        from .operators.dedup import minhash_probe
+
+        if not args.index_table:
+            raise SystemExit("corpus dedup-probe requires --index-table")
+        out = minhash_probe(
+            docs, args.index_table, text_col=args.text_col,
+            id_col=args.id_col, admit=args.admit,
+        )
     elif args.operation == "wsample":
         from pyspark.sql import functions as F
 

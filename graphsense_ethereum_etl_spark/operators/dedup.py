@@ -1064,3 +1064,176 @@ def bloom_probe(
         .drop("_bloom_words", "_bloom_pos")
     )
     return probed
+
+
+def _band_keys(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+) -> DataFrame:
+    """(bkey string, doc_id bigint) — one row per (document, band), where
+    ``bkey`` packs the band index and the band's minhash tuple into one
+    injective string ("band:k0:k1:..."). A SINGLE join column makes the
+    persisted index's bucket layout satisfy the probe join's distribution
+    directly (HashPartitioning(bkey) ⇔ the join key set)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    keys = [
+        F.concat_ws(
+            ":",
+            F.lit(str(b)),
+            *[
+                F.col(f"mh{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.explode(F.array(*keys)).alias("bkey"),
+        F.col(id_col).cast("bigint").alias("doc_id"),
+    )
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+    num_buckets: int = 64,
+) -> None:
+    """Persist the corpus's MinHash band keys as a BUCKETED managed table —
+    the at-rest half of incremental near-dup dedup (the batch complement
+    of the streaming Bloom gate): build the index over today's corpus
+    once, then every incoming batch probes it at batch-sized cost.
+
+    The table is bucketed on ``bkey``, so a probe join reads the corpus
+    index with NO exchange — the scan's output partitioning already
+    satisfies the join (plan-asserted): at 100 TB the corpus-side band
+    keys (the big side) never move; only the new batch shuffles, and it
+    is the small side by construction. Hash parameters live in a
+    ``_mh_meta.json`` sidecar INSIDE the table directory (the underscore
+    prefix hides it from the parquet scan, like _SUCCESS) and are
+    validated on probe/append — a probe with mismatched hashing would
+    silently find nothing. The sidecar also carries the bucket spec, so
+    a FRESH SESSION (whose in-memory catalog no longer knows the table)
+    re-registers the existing files with CREATE TABLE ... CLUSTERED BY
+    ... LOCATION before probing — the index outlives the session that
+    built it, which is the whole point of an incremental index.
+    """
+    import json
+    import os
+
+    from .. import sinks
+
+    spark = docs.sparkSession
+    keys = _band_keys(docs, text_col, id_col, num_hashes, bands, shingle_k)
+    sinks.write_bucketed(keys, table, "bkey", num_buckets)
+    meta = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "num_buckets": num_buckets,
+    }
+    with open(os.path.join(_table_dir(spark, table), "_mh_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def _table_dir(spark, table: str) -> str:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:"):]
+    return f"{warehouse}/{table.lower()}"
+
+
+def _ensure_minhash_table(
+    spark, table: str, num_hashes: int, bands: int, shingle_k: int
+) -> None:
+    """Validate hash params against the sidecar and, in a fresh session
+    (in-memory catalog gone, warehouse files still there), re-register
+    the bucketed table over its existing location."""
+    import json
+    import os
+
+    path = os.path.join(_table_dir(spark, table), "_mh_meta.json")
+    try:
+        with open(path) as fh:
+            m = json.load(fh)
+    except OSError:
+        raise ValueError(
+            f"no minhash index at {table!r} (missing {path}) — run "
+            "build_minhash_index first"
+        )
+    if (m["num_hashes"], m["bands"], m["shingle_k"]) != (
+        num_hashes,
+        bands,
+        shingle_k,
+    ):
+        raise ValueError(
+            f"minhash index {table} was built with num_hashes="
+            f"{m['num_hashes']} bands={m['bands']} shingle_k="
+            f"{m['shingle_k']}; probe/append called with ({num_hashes}, "
+            f"{bands}, {shingle_k}) — mismatched hashing finds nothing"
+        )
+    if not spark.catalog.tableExists(table):
+        spark.sql(
+            f"CREATE TABLE {table} (bkey STRING, doc_id BIGINT) "
+            f"USING PARQUET CLUSTERED BY (bkey) SORTED BY (bkey) "
+            f"INTO {m['num_buckets']} BUCKETS "
+            f"LOCATION '{_table_dir(spark, table)}'"
+        )
+
+
+def minhash_probe(
+    new_docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+    admit: bool = False,
+) -> DataFrame:
+    """Near-dup candidates of ``new_docs`` AGAINST the persisted corpus
+    index: distinct (index_id, new_id) pairs sharing any LSH band bucket.
+    The incremental-dedup primitive — the corpus is never recomputed,
+    re-hashed, or re-shuffled; per-batch cost is the batch's own
+    signature pass plus a join the index side serves exchange-free from
+    its bucket layout.
+
+    ``admit=True`` appends the batch's band keys to the index AFTER
+    computing the probe result (probe-then-admit — a batch never matches
+    itself), so successive batches dedup against everything admitted
+    before them: the exact batch analog of the streaming Bloom gate's
+    cross-batch state, but with CANDIDATE PAIRS (who matched whom) rather
+    than a membership bit. Self-pairs (an id present on both sides) are
+    excluded; within-batch duplicates are lsh_candidate_pairs' job."""
+    spark = new_docs.sparkSession
+    _ensure_minhash_table(spark, table, num_hashes, bands, shingle_k)
+    probe_keys = _band_keys(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    if admit:
+        # materialize the probe side BEFORE appending, or the lazy plan
+        # would read its own admitted keys back out of the index
+        probe_keys = probe_keys.localCheckpoint(eager=True)
+    index = spark.table(table)
+    out = (
+        index.join(probe_keys.hint("shuffle_hash"), "bkey")
+        .filter(index["doc_id"] != probe_keys["doc_id"])
+        .select(
+            index["doc_id"].alias("index_id"),
+            probe_keys["doc_id"].alias("new_id"),
+        )
+        .distinct()
+    )
+    if admit:
+        out = out.localCheckpoint(eager=True)
+        probe_keys.write.mode("append").format("parquet").insertInto(table)
+    return out

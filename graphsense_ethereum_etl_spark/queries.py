@@ -1046,6 +1046,39 @@ def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd11_incremental_minhash_probe",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    {_duck_minhash_sig()},
+    banded AS ({_duck_bands()})
+    SELECT DISTINCT CAST(c.doc_id AS BIGINT) AS index_id,
+           CAST(n.doc_id AS BIGINT) AS new_id
+    FROM banded c
+    JOIN banded n
+      ON c.band = n.band AND c.k0 = n.k0 AND c.k1 = n.k1
+         AND c.doc_id % 10 != 0 AND n.doc_id % 10 = 0
+    """,
+)
+def dd11_incremental_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup against a PERSISTED MinHash band index
+    (operators/dedup.py::build_minhash_index / minhash_probe — the batch
+    complement of the dd10 streaming Bloom gate): the corpus (doc_id % 10
+    != 0) is indexed ONCE as a bucketed managed table; the incoming batch
+    (doc_id % 10 = 0) probes it for cross candidates. The corpus is never
+    recomputed, re-hashed, or re-shuffled — the index scan serves the
+    probe join exchange-free from its bucket layout (Bucketed: true,
+    plan-asserted), so per-batch cost is the batch's own signature pass.
+    The index survives sessions via a _mh_meta.json sidecar that lets a
+    fresh catalog re-register the existing files. Oracle: the dd3 band
+    CTE restricted to (corpus, batch) cross pairs."""
+    from .operators.dedup import build_minhash_index, minhash_probe
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    build_minhash_index(docs.filter("doc_id % 10 != 0"), "dd11_mhidx")
+    return minhash_probe(docs.filter("doc_id % 10 = 0"), "dd11_mhidx")
+
+
+@query(
     "g9_triangle_count",
     f"""
     WITH {_DUCK_SHINGLES},

@@ -414,6 +414,12 @@ SKIPS = {
     # tests/test_similarity.py.
     "similarity.build_ivfpq_index": "persists to disk — tested in test_similarity.py",
     "similarity.ivfpq_search": "reads a persisted index — tested in test_similarity.py",
+    # Index-at-rest pair (bucketed managed table + meta sidecar);
+    # equivalence-to-lsh_candidate_pairs, plan shape, probe-then-admit,
+    # fresh-catalog re-registration, and param validation are pinned in
+    # tests/test_dedup.py.
+    "dedup.build_minhash_index": "persists a bucketed table — tested in test_dedup.py",
+    "dedup.minhash_probe": "reads a persisted index — tested in test_dedup.py",
 }
 
 

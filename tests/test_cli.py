@@ -1397,3 +1397,45 @@ def test_cli_corpus_wsample_split_profile(spark, tmp_path, capsys):
              "--cuts", "nope"],
             spark=spark,
         )
+
+
+def test_cli_corpus_dedup_index_and_probe(spark, tmp_path, capsys):
+    src = "/root/testdata/sf0.001/documents.parquet"
+    corpus = str(tmp_path / "corpus")
+    batch = str(tmp_path / "batch")
+    spark.read.parquet(src).filter("doc_id % 5 != 0").write.parquet(corpus)
+    spark.read.parquet(src).filter("doc_id % 5 = 0").write.parquet(batch)
+
+    main(
+        ["corpus", "dedup-index", "-i", corpus, "--index-table", "mhidx_cli"],
+        spark=spark,
+    )
+    assert "band keys in table mhidx_cli" in capsys.readouterr().out
+
+    out = str(tmp_path / "cands")
+    main(
+        ["corpus", "dedup-probe", "-i", batch, "-o", out,
+         "--index-table", "mhidx_cli", "--admit"],
+        spark=spark,
+    )
+    cands = spark.read.parquet(out)
+    assert cands.columns == ["index_id", "new_id"]
+    rows = cands.collect()
+    assert all(r.new_id % 5 == 0 and r.index_id % 5 != 0 for r in rows)
+
+    # after --admit, a re-probe of the same batch matches the admitted copy
+    # of itself only via OTHER ids — self-pairs stay excluded
+    out2 = str(tmp_path / "cands2")
+    main(
+        ["corpus", "dedup-probe", "-i", batch, "-o", out2,
+         "--index-table", "mhidx_cli"],
+        spark=spark,
+    )
+    assert all(
+        r.index_id != r.new_id for r in spark.read.parquet(out2).collect()
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["corpus", "dedup-probe", "-i", batch, "-o", out], spark=spark)

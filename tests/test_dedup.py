@@ -547,3 +547,114 @@ def test_bloom_union_is_incremental(spark):
     m = {r["word_idx"]: r["word"] for r in merged.collect()}
     d = {r["word_idx"]: r["word"] for r in direct.collect()}
     assert m == d
+
+
+# ---------------------------------------------------------------------------
+# persisted MinHash index (r8): build / probe / admit / re-register
+# ---------------------------------------------------------------------------
+
+
+def _mh_docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+def test_minhash_probe_equals_cross_pairs(spark):
+    """Probing the batch against the indexed corpus must surface EXACTLY
+    the (corpus, batch) cross pairs of the full in-memory LSH — the index
+    is a layout, not an approximation."""
+    from graphsense_ethereum_etl_spark.operators.dedup import (
+        build_minhash_index,
+        lsh_candidate_pairs,
+        minhash_probe,
+    )
+
+    docs = _mh_docs(spark)
+    build_minhash_index(docs.filter("doc_id % 7 != 0"), "mhidx_eq")
+    got = {
+        (r.index_id, r.new_id)
+        for r in minhash_probe(docs.filter("doc_id % 7 = 0"), "mhidx_eq").collect()
+    }
+    want = {
+        (a, b) if a % 7 != 0 else (b, a)
+        for a, b in (
+            (r.id_a, r.id_b) for r in lsh_candidate_pairs(docs).collect()
+        )
+        if (a % 7 == 0) != (b % 7 == 0)
+    }
+    assert got == want
+
+
+def test_minhash_probe_index_side_is_exchange_free(spark):
+    """The point of the bucketed layout: the corpus index feeds the probe
+    join straight off its Bucketed: true scan — no Exchange between the
+    index FileScan and the join."""
+    from graphsense_ethereum_etl_spark.operators.dedup import minhash_probe
+
+    batch = _mh_docs(spark).filter("doc_id % 7 = 0")
+    plan = (
+        minhash_probe(batch, "mhidx_eq")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    scan = next(i for i, ln in enumerate(lines) if "mhidx_eq" in ln)
+    assert "Bucketed: true" in lines[scan]
+    # walk up from the scan to its join: no Exchange in between
+    depth_of = lambda s: len(s) - len(s.lstrip(" :+-"))
+    for j in range(scan - 1, -1, -1):
+        if "Join" in lines[j]:
+            break
+        assert "Exchange" not in lines[j], plan
+
+
+def test_minhash_probe_admit_and_fresh_catalog(spark, tmp_path):
+    """probe-then-admit: a batch never matches itself, later batches match
+    admitted docs; and a catalog that has never heard of the table (fresh
+    session) re-registers it from the _mh_meta.json sidecar."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.operators.dedup import (
+        _table_dir,
+        build_minhash_index,
+        minhash_probe,
+    )
+
+    docs = _mh_docs(spark)
+    build_minhash_index(docs.filter("doc_id < 100"), "mhidx_adm")
+    batch = docs.filter("doc_id >= 100 AND doc_id < 130")
+    first = minhash_probe(batch, "mhidx_adm", admit=True)
+    ids = {r.new_id for r in first.collect()}
+    assert all(i >= 100 for i in ids)  # batch never matches itself
+    # clones of the admitted batch must now hit their originals
+    clones = batch.withColumn("doc_id", F.col("doc_id") + 500000)
+    hits = {
+        (r.index_id, r.new_id)
+        for r in minhash_probe(clones, "mhidx_adm").collect()
+    }
+    assert sum(1 for a, b in hits if b == a + 500000) == 30
+
+    # fresh-catalog path: copy the table dir to a name the catalog has
+    # never seen; probe must CREATE ... LOCATION from the sidecar
+    src_dir = _table_dir(spark, "mhidx_adm")
+    dst_dir = _table_dir(spark, "mhidx_fresh")
+    shutil.copytree(src_dir, dst_dir)
+    hits2 = {
+        (r.index_id, r.new_id)
+        for r in minhash_probe(clones, "mhidx_fresh").collect()
+    }
+    assert hits2 == hits
+
+
+def test_minhash_probe_validates_params(spark):
+    import pytest as _pytest
+
+    from graphsense_ethereum_etl_spark.operators.dedup import minhash_probe
+
+    batch = _mh_docs(spark).filter("doc_id % 7 = 0")
+    with _pytest.raises(ValueError, match="mismatched hashing"):
+        minhash_probe(batch, "mhidx_eq", shingle_k=5)
+    with _pytest.raises(ValueError, match="no minhash index"):
+        minhash_probe(batch, "mhidx_never_built")
