@@ -640,6 +640,9 @@ def test_minhash_probe_admit_and_fresh_catalog(spark, tmp_path):
     # never seen; probe must CREATE ... LOCATION from the sidecar
     src_dir = _table_dir(spark, "mhidx_adm")
     dst_dir = _table_dir(spark, "mhidx_fresh")
+    # the warehouse outlives sessions: clear any prior-run copy first
+    spark.sql("DROP TABLE IF EXISTS mhidx_fresh")
+    shutil.rmtree(dst_dir, ignore_errors=True)
     shutil.copytree(src_dir, dst_dir)
     hits2 = {
         (r.index_id, r.new_id)
