@@ -80,11 +80,18 @@ def sort_key(name: str, queries: dict, current_fp: dict[str, str]):
     return (1, 0 if pending else 1, rec["last_certified_round"], name)
 
 
-def scan_correctness() -> dict[str, list[int]]:
-    """{query: sorted rounds with a fully-green row} from CORRECTNESS_r*."""
+def scan_correctness(max_round: int | None = None) -> dict[str, list[int]]:
+    """{query: sorted rounds with a fully-green row} from CORRECTNESS_r*.
+
+    max_round caps which snapshots are folded in — tests use it to
+    recompute "the ledger as of the last consumed round" when the driver
+    has dropped a newer CORRECTNESS file after the final commit of a round
+    (expected at every round boundary; not code drift)."""
     cert: dict[str, list[int]] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnum = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        if max_round is not None and rnum > max_round:
+            continue
         with open(path) as f:
             snap = json.load(f)
         for q, row in snap.items():
@@ -181,16 +188,17 @@ def render_md(order: list[str], queries: dict, current_fp: dict[str, str],
     return "\n".join(lines)
 
 
-def build() -> tuple[dict, str]:
+def build(max_round: int | None = None) -> tuple[dict, str]:
     """Compute the (ledger dict, CERTIFICATION.md text) the repo should
-    contain right now. Shared by main() and tests/test_certification.py."""
+    contain right now. Shared by main() and tests/test_certification.py.
+    max_round: see scan_correctness."""
     from query_fingerprints import fingerprints
 
     from graphsense_ethereum_etl_spark.queries import REGISTRY
 
     current_fp = fingerprints()
     names = sorted(REGISTRY)
-    cert = scan_correctness()
+    cert = scan_correctness(max_round)
     old = {}
     if os.path.exists(LEDGER):
         with open(LEDGER) as f:

@@ -19,22 +19,47 @@ if os.path.join(REPO, "scripts") not in sys.path:
     sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 
-def _fresh():
+def _fresh(max_round=None):
     from regen_certification import build
 
-    return build()
+    return build(max_round)
+
+
+def _committed_ledger():
+    with open(os.path.join(REPO, "CERTIFICATION.json")) as f:
+        return json.load(f)
+
+
+def _consumed_round(committed: dict) -> int:
+    """The newest CORRECTNESS round the committed ledger has folded in."""
+    return max(
+        (rec.get("last_certified_round", 0)
+         for rec in committed.get("queries", {}).values()),
+        default=0,
+    )
 
 
 def test_committed_ledger_matches_recomputation():
     """CERTIFICATION.json must be exactly what regen would produce from
     the current tree — a code change that shifts any query's fingerprint
     (and so the rotation) fails here until the regenerated ledger ships
-    in the same commit."""
+    in the same commit.
+
+    Round-boundary carve-out (r8 verdict finding #1): the driver drops
+    CORRECTNESS_r{N}.json into the tree AFTER the round's last commit, so
+    on handoff the committed ledger legitimately lags by exactly that
+    unconsumed round. That is pending consumption, not drift: the ledger
+    must still equal a recomputation CAPPED at its own consumed round —
+    i.e. any divergence beyond the new CORRECTNESS file is a real code
+    change shipped without regen, and still fails."""
     ledger, _ = _fresh()
-    with open(os.path.join(REPO, "CERTIFICATION.json")) as f:
-        committed = json.load(f)
-    assert committed == ledger, (
-        "CERTIFICATION.json is stale relative to the working tree — run "
+    committed = _committed_ledger()
+    if committed == ledger:
+        return
+    capped, _ = _fresh(max_round=_consumed_round(committed))
+    assert committed == capped, (
+        "CERTIFICATION.json is stale relative to the working tree (beyond "
+        "any unconsumed CORRECTNESS round) — run "
         "scripts/regen_certification.py and commit the result"
     )
 
@@ -43,7 +68,10 @@ def test_committed_doc_matches_recomputation():
     _, md = _fresh()
     with open(os.path.join(REPO, "CERTIFICATION.md")) as f:
         committed = f.read()
-    assert committed == md, (
+    if committed == md:
+        return
+    _, capped_md = _fresh(max_round=_consumed_round(_committed_ledger()))
+    assert committed == capped_md, (
         "CERTIFICATION.md is stale — run scripts/regen_certification.py"
     )
 
