@@ -350,7 +350,7 @@ def build_parser() -> ArgumentParser:
             "dedup-lines", "negatives", "validate", "lm-score", "ann",
             "ann-build", "ann-search", "embed", "dupspan", "classify",
             "dedup-gate", "wsample", "split", "profile",
-            "dedup-index", "dedup-probe",
+            "dedup-index", "dedup-probe", "dedup-compact",
         ],
         help="which curation pass to run over the input documents table",
     )
@@ -549,9 +549,14 @@ def build_parser() -> ArgumentParser:
     )
     corpus.add_argument(
         "--index-table", dest="index_table", default=None,
-        help="dedup-index/dedup-probe: bucketed managed-table name of the "
-        "persisted MinHash band index (survives sessions via its "
-        "_mh_meta.json sidecar)",
+        help="dedup-index/dedup-probe/dedup-compact: bucketed managed-table "
+        "name of the persisted MinHash band index (survives sessions via "
+        "its _mh_meta.json sidecar)",
+    )
+    corpus.add_argument(
+        "--retire-ids", dest="retire_ids", default=None,
+        help="dedup-compact: parquet of doc ids whose band keys are dropped "
+        "during the rewrite (retirement of deleted documents)",
     )
     corpus.add_argument(
         "--admit", action="store_true",
@@ -873,14 +878,15 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
     surface of the engine."""
     from .operators.corpus import dedup_keepers, hash_sample, score_documents
 
-    if args.output is None and args.operation != "dedup-index":
+    if args.output is None and args.operation not in ("dedup-index", "dedup-compact"):
         raise SystemExit(f"corpus {args.operation} requires -o/--output")
     # ann-search's -i names a persisted INDEX directory, not a parquet
     # table; dedup-gate reads it guarded below (an input dir with no
     # files yet is a normal state for an incremental gate, not an error)
+    # dedup-compact operates on the index table itself; its -i is ignored
     docs = (
         None
-        if args.operation in ("ann-search", "dedup-gate")
+        if args.operation in ("ann-search", "dedup-gate", "dedup-compact")
         else spark.read.parquet(args.input)
     )
     if args.operation == "dedup-gate":
@@ -1150,6 +1156,24 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
             docs, args.index_table, text_col=args.text_col,
             id_col=args.id_col, admit=args.admit,
         )
+    elif args.operation == "dedup-compact":
+        from .operators.dedup import compact_minhash_index
+
+        if not args.index_table:
+            raise SystemExit("corpus dedup-compact requires --index-table")
+        retire = (
+            spark.read.parquet(args.retire_ids).select(args.id_col)
+            if args.retire_ids
+            else None
+        )
+        compact_minhash_index(spark, args.index_table, retire_ids=retire)
+        n = spark.table(args.index_table).count()
+        print(
+            f"corpus dedup-compact: {args.index_table} rewritten into its "
+            f"bucket layout; {n:,} band keys"
+            + (f" (retired ids from {args.retire_ids})" if args.retire_ids else "")
+        )
+        return IngestStats()
     elif args.operation == "wsample":
         from pyspark.sql import functions as F
 

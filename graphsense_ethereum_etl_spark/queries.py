@@ -1332,7 +1332,30 @@ def _duck_lsh_sql(
     """
 
 
-@query("sim3_lsh_ann", _duck_lsh_sql())
+def _oracle_tier_planes(target: int = 8, floor: int = 6) -> int:
+    """Per-band plane count for sim3's ORACLE. The oracle splices the
+    hyperplane components as SQL literals, so its plane count must equal
+    what lsh_ann_pairs' auto-scaling computes at the tier the oracle runs
+    on (r8 ADVICE: with the literals pinned at r=6, a certification tier
+    holding >512 embeddings would make the engine pick r=7 and the hash
+    check silently diverge). The driver's oracle contract runs at sf0.01;
+    derive r from that table's actual row count — parquet footer metadata
+    only, no scan — so engine and oracle move TOGETHER if the tier ever
+    changes, instead of the oracle going stale."""
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(
+            "/root/testdata/sf0.01/embeddings.parquet"
+        ).metadata.num_rows
+    except Exception:
+        return floor  # no testdata in this environment: historical default
+    from .operators.similarity import lsh_planes_for
+
+    return lsh_planes_for(n, target, floor)
+
+
+@query("sim3_lsh_ann", _duck_lsh_sql(band_planes=_oracle_tier_planes()))
 def sim3_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-LSH ANN (north-star similarity, the 100 TB path):
     b bands × r deterministic random-hyperplane planes (OR-amplification,
@@ -1347,7 +1370,10 @@ def sim3_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mean occupancy, and so pairs-per-vector, grew with n). At the sf0.01
     certification tier n=500 → r=6, exactly the oracle's spliced
     constants, so the hash check is unaffected; larger tiers get more
-    buckets instead of bigger ones."""
+    buckets instead of bigger ones. The oracle's spliced plane count is
+    DERIVED from the sf0.01 tier's row count through the same
+    lsh_planes_for (_oracle_tier_planes), so engine and oracle cannot
+    drift if the certification tier grows past a power-of-two boundary."""
     from .operators.similarity import lsh_ann_pairs
 
     return lsh_ann_pairs(

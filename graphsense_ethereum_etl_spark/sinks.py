@@ -142,6 +142,30 @@ def write_configuration(
     df.coalesce(1).write.mode("overwrite").parquet(path)
 
 
+def table_location(spark, table: str) -> str:
+    """Storage-location URI of a catalog table. A REGISTERED table answers
+    from the catalog (correct for db-qualified names and any filesystem
+    scheme); an unregistered one maps to the layout the session catalog
+    itself would create for a managed table: warehouse[/db.db]/tbl. The
+    fallback exists because managed-table FILES outlive the in-memory
+    catalog — sidecar readers and orphan-location cleanup both need the
+    answer before the table is (re-)registered."""
+    try:
+        if spark.catalog.tableExists(table):
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+                if r[0] == "Location":
+                    return r[1]
+    except Exception:
+        pass  # not resolvable in this session — derive the managed layout
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    parts = [p for p in table.lower().split(".") if p]
+    if parts and parts[0] == "spark_catalog":
+        parts = parts[1:]
+    if len(parts) == 2 and parts[0] != "default":
+        return f"{warehouse}/{parts[0]}.db/{parts[1]}"
+    return f"{warehouse}/{parts[-1]}"
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -171,13 +195,15 @@ def write_bucketed(
         # in-memory catalog dies with the session; the warehouse dir does
         # not). saveAsTable refuses to adopt such an orphan location even
         # in overwrite mode (LOCATION_ALREADY_EXISTS) — clear it first so
-        # an index rebuild in a fresh session is idempotent.
-        import shutil
-
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        if warehouse.startswith("file:"):
-            warehouse = warehouse[len("file:"):]
-        shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
+        # an index rebuild in a fresh session is idempotent. Deletion goes
+        # through the Hadoop FS API so non-local warehouses behave the
+        # same as file: ones.
+        loc = table_location(spark, table)
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(loc)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
     writer = (
         df.write.mode(mode)
         .format("parquet")

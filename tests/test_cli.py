@@ -1439,3 +1439,47 @@ def test_cli_corpus_dedup_index_and_probe(spark, tmp_path, capsys):
 
     with _pytest.raises(SystemExit):
         main(["corpus", "dedup-probe", "-i", batch, "-o", out], spark=spark)
+
+
+def test_cli_corpus_dedup_compact(spark, tmp_path, capsys):
+    """dedup-compact rewrites the index into its bucket layout and
+    --retire-ids drops deleted docs' keys during the same rewrite."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    corpus = str(tmp_path / "corpus")
+    batch = str(tmp_path / "batch")
+    spark.sql("DROP TABLE IF EXISTS mhidx_cli_c")
+    spark.read.parquet(src).filter("doc_id % 5 != 0").write.parquet(corpus)
+    spark.read.parquet(src).filter("doc_id % 5 = 0").write.parquet(batch)
+    main(
+        ["corpus", "dedup-index", "-i", corpus, "--index-table", "mhidx_cli_c"],
+        spark=spark,
+    )
+    main(
+        ["corpus", "dedup-probe", "-i", batch, "-o", str(tmp_path / "c1"),
+         "--index-table", "mhidx_cli_c", "--admit"],
+        spark=spark,
+    )
+    rows_before = spark.table("mhidx_cli_c").count()
+    capsys.readouterr()
+    main(
+        ["corpus", "dedup-compact", "-i", corpus,
+         "--index-table", "mhidx_cli_c"],
+        spark=spark,
+    )
+    assert "rewritten into its bucket layout" in capsys.readouterr().out
+    assert spark.table("mhidx_cli_c").count() == rows_before
+
+    retire = str(tmp_path / "retire")
+    spark.range(0, 50).toDF("doc_id").write.parquet(retire)
+    main(
+        ["corpus", "dedup-compact", "-i", corpus,
+         "--index-table", "mhidx_cli_c", "--retire-ids", retire],
+        spark=spark,
+    )
+    assert spark.table("mhidx_cli_c").filter("doc_id < 50").count() == 0
+    assert spark.table("mhidx_cli_c").filter("doc_id >= 50").count() > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["corpus", "dedup-compact", "-i", corpus], spark=spark)

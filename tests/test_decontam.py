@@ -297,3 +297,24 @@ def test_grouped_split_cut_validation_and_boundaries(spark):
             grouped_split(df, cuts=bad)
     # cuts=(100, 100): everything is train — the degenerate-but-legal edge
     assert grouped_split(df, cuts=(100, 100)).collect()[0].split == "train"
+
+
+def test_weighted_sample_fractional_weights_round_not_truncate(spark):
+    """r8 ADVICE: a DOUBLE weight of 0.9 must behave as w=1 via rounding
+    (the old cast('int') truncated to 0 first), 2.5 rounds HALF_UP to 3,
+    and a non-numeric weight column is rejected outright."""
+    from graphsense_ethereum_etl_spark.operators.corpus import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (2, 2.5), (3, 7.4)], "doc_id bigint, w double"
+    )
+    out = {r.doc_id: r.sample_key for r in weighted_sample(df, k=3, weight_col="w").collect()}
+    assert out[1] == _py_ticket(1, 1)
+    assert out[2] == max(_py_ticket(2, j) for j in range(1, 4))  # 2.5 -> 3
+    assert out[3] == max(_py_ticket(3, j) for j in range(1, 8))  # 7.4 -> 7
+
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(1, "heavy")], "doc_id bigint, w string")
+    with _pytest.raises(ValueError, match="non-numeric"):
+        weighted_sample(bad, k=1, weight_col="w")

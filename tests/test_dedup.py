@@ -617,10 +617,14 @@ def test_minhash_probe_admit_and_fresh_catalog(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from graphsense_ethereum_etl_spark.operators.dedup import (
-        _table_dir,
+        _table_location,
         build_minhash_index,
         minhash_probe,
     )
+
+    def _local(table):
+        loc = _table_location(spark, table)
+        return loc[len("file:"):] if loc.startswith("file:") else loc
 
     docs = _mh_docs(spark)
     build_minhash_index(docs.filter("doc_id < 100"), "mhidx_adm")
@@ -638,8 +642,8 @@ def test_minhash_probe_admit_and_fresh_catalog(spark, tmp_path):
 
     # fresh-catalog path: copy the table dir to a name the catalog has
     # never seen; probe must CREATE ... LOCATION from the sidecar
-    src_dir = _table_dir(spark, "mhidx_adm")
-    dst_dir = _table_dir(spark, "mhidx_fresh")
+    src_dir = _local("mhidx_adm")
+    dst_dir = _local("mhidx_fresh")
     # the warehouse outlives sessions: clear any prior-run copy first
     spark.sql("DROP TABLE IF EXISTS mhidx_fresh")
     shutil.rmtree(dst_dir, ignore_errors=True)
@@ -661,3 +665,132 @@ def test_minhash_probe_validates_params(spark):
         minhash_probe(batch, "mhidx_eq", shingle_k=5)
     with _pytest.raises(ValueError, match="no minhash index"):
         minhash_probe(batch, "mhidx_never_built")
+
+
+def _probe_index_exchange_free(df, table):
+    """Index FileScan feeds its join with no Exchange in between."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    scan = next(i for i, ln in enumerate(lines) if table in ln)
+    assert "Bucketed: true" in lines[scan], plan
+    for j in range(scan - 1, -1, -1):
+        if "Join" in lines[j]:
+            break
+        assert "Exchange" not in lines[j], plan
+
+
+def test_minhash_admit_replay_is_idempotent(spark):
+    """Replaying an admitted batch (crash recovery, at-least-once upstream
+    delivery) must not grow the index: the append anti-joins keys already
+    present. Before the r9 fix the index accreted duplicate (bkey, doc_id)
+    rows on every replay, masked only by the probe's distinct()."""
+    from graphsense_ethereum_etl_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_probe,
+    )
+
+    docs = _mh_docs(spark)
+    spark.sql("DROP TABLE IF EXISTS mhidx_replay")
+    build_minhash_index(docs.filter("doc_id < 80"), "mhidx_replay")
+    batch = docs.filter("doc_id >= 80 AND doc_id < 110")
+    first = {
+        (r.index_id, r.new_id)
+        for r in minhash_probe(batch, "mhidx_replay", admit=True).collect()
+    }
+    n1 = spark.table("mhidx_replay").count()
+    replay = {
+        (r.index_id, r.new_id)
+        for r in minhash_probe(batch, "mhidx_replay", admit=True).collect()
+    }
+    n2 = spark.table("mhidx_replay").count()
+    assert n2 == n1, "replayed admit grew the index"
+    # the batch's own admitted copy is excluded by the self-pair filter,
+    # so the replayed probe sees exactly what the first one saw
+    assert replay == first
+
+
+def test_minhash_index_compaction_lifecycle(spark):
+    """r8 VERDICT #3: a long-lived index accretes one small file per
+    admit; compaction rewrites the bucket layout, preserves probe results
+    and exchange-freeness, and retire_ids drops deleted docs' keys."""
+    import os
+
+    from graphsense_ethereum_etl_spark.operators.dedup import (
+        _table_location,
+        build_minhash_index,
+        compact_minhash_index,
+        minhash_probe,
+    )
+
+    docs = _mh_docs(spark)
+    spark.sql("DROP TABLE IF EXISTS mhidx_life")
+    spark.sql("DROP TABLE IF EXISTS mhidx_life_compact_tmp")
+    build_minhash_index(docs.filter("doc_id < 50"), "mhidx_life")
+    for b in range(20):  # >=20 admits: the proliferation regime
+        lo = 50 + b * 5
+        minhash_probe(
+            docs.filter(f"doc_id >= {lo} AND doc_id < {lo + 5}"),
+            "mhidx_life",
+            admit=True,
+        ).collect()
+
+    loc = _table_location(spark, "mhidx_life")
+    local = loc[len("file:"):] if loc.startswith("file:") else loc
+    n_files = lambda d: sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+    files_before = n_files(local)
+    assert files_before > 64, "expected per-admit file proliferation"
+
+    # clones of indexed docs guarantee one hit per original on both sides
+    # of the retirement threshold below
+    from pyspark.sql import functions as F
+
+    fresh = docs.filter("doc_id < 150").withColumn(
+        "doc_id", F.col("doc_id") + 900000
+    )
+    probe_before = minhash_probe(fresh, "mhidx_life")
+    _probe_index_exchange_free(probe_before, "mhidx_life")  # survives proliferation
+    hits_before = {(r.index_id, r.new_id) for r in probe_before.collect()}
+    assert sum(1 for a, b in hits_before if b == a + 900000) == 150
+    rows_before = spark.table("mhidx_life").count()
+
+    compact_minhash_index(spark, "mhidx_life")
+    assert n_files(local) <= 64 < files_before
+    assert spark.table("mhidx_life").count() == rows_before
+    probe_after = minhash_probe(fresh, "mhidx_life")
+    _probe_index_exchange_free(probe_after, "mhidx_life")
+    assert {(r.index_id, r.new_id) for r in probe_after.collect()} == hits_before
+
+    # retirement: deleted docs' band keys leave the index in the same pass
+    retired = spark.range(0, 100).toDF("doc_id")
+    compact_minhash_index(spark, "mhidx_life", retire_ids=retired)
+    left = {(r.index_id, r.new_id) for r in minhash_probe(fresh, "mhidx_life").collect()}
+    assert left == {(a, b) for (a, b) in hits_before if a >= 100}
+    assert spark.table("mhidx_life").filter("doc_id < 100").count() == 0
+
+
+def test_minhash_index_db_qualified_name(spark):
+    """r8 ADVICE (medium): db-qualified index names must resolve to the
+    db's directory — the old warehouse+name concat looked outside the
+    table dir and raised 'no minhash index' for a valid index."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.operators.dedup import (
+        _table_location,
+        build_minhash_index,
+        minhash_probe,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS mhdb")
+    spark.sql("DROP TABLE IF EXISTS mhdb.idx")
+    docs = _mh_docs(spark)
+    build_minhash_index(docs.filter("doc_id < 60"), "mhdb.idx")
+    loc = _table_location(spark, "mhdb.idx").rstrip("/")
+    assert loc.endswith("mhdb.db/idx"), loc
+    clones = (
+        docs.filter("doc_id < 60").withColumn("doc_id", F.col("doc_id") + 900000)
+    )
+    hits = {
+        (r.index_id, r.new_id)
+        for r in minhash_probe(clones, "mhdb.idx").collect()
+    }
+    assert sum(1 for a, b in hits if b == a + 900000) == 60

@@ -494,3 +494,45 @@ def test_label_propagation_round_uses_pinned_edges(spark):
     assert "BroadcastExchange" not in plan, plan
     assert "ShuffledHashJoin" in plan, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_checkpoint_partitioned_aqe_toggle_is_serialized(spark):
+    """r8 ADVICE (medium): the AQE set/restore window flips session-global
+    conf. Concurrent checkpoint_partitioned calls must serialize on the
+    exported lock — interleaved windows would otherwise restore a stale
+    value and leave the session planned without AQE. 16 threads hammer the
+    toggle; afterwards the conf equals its original value, every result is
+    pinned-partitioned, and the lock is importable for callers who compile
+    their own queries concurrently with iterative-operator setup."""
+    import threading
+
+    from graphsense_ethereum_etl_spark.plans import checkpoint_partitioned
+    from graphsense_ethereum_etl_spark.plans.checkpoint import _AQE_TOGGLE_LOCK
+
+    assert isinstance(_AQE_TOGGLE_LOCK, type(threading.Lock()))
+    key = "spark.sql.adaptive.enabled"
+    spark.conf.set(key, "true")
+    results, errors = [], []
+
+    def work(i):
+        try:
+            df = spark.range(200).selectExpr("id % 7 AS k", "id AS v")
+            results.append(checkpoint_partitioned(df, "k", eager=True))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert spark.conf.get(key) == "true"
+    assert len(results) == 16
+    # each checkpoint kept its hash partitioning: an aggregation on the
+    # key plans no Exchange above the checkpointed scan
+    plan = (
+        results[0].groupBy("k").count()._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
