@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans import checkpoint_partitioned
+from ..plans import checkpoint_partitioned, evolving_hint
 
 
 def connected_components(
@@ -74,16 +74,24 @@ def connected_components(
     # the edge set crosses the wire exactly once (r8 shuffle-byte audit)
     sym = checkpoint_partitioned(sym, "d")
     labels = (
-        sym.select(F.col("s").alias("v")).distinct().withColumn("label", F.col("v"))
+        sym.select(F.col("s").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint(eager=True)
     )
+    # Size-gated hint regime for every evolving side this loop produces
+    # (plans/hints.py): labels and nbr_min are vertex-sized or smaller in
+    # every round, so ONE vertex count (over the just-materialized
+    # checkpoint — a cached scan) bounds them all. Under the threshold the
+    # evolving side is broadcast and the pinned edges never move at all;
+    # over it, shuffle_hash keeps the r8 audit's no-corpus-broadcast
+    # guarantee (Catalyst alone broadcast the EDGE set at sf~1 and OOMed).
+    n_vertices = labels.count()
     for _ in range(max_iter):
-        # shuffle_hash hint on the LABEL side: labels meet the pinned edge
-        # partitioning (one label shuffle per round, edges never move) and
-        # the per-partition hash build is label-sized and spillable —
-        # without it Catalyst broadcasts whichever side estimates smaller,
-        # and at scale BOTH sides are corpus-sized (see g5's r8 audit)
         nbr_min = (
-            sym.join(labels.hint("shuffle_hash"), sym["d"] == labels["v"])
+            sym.join(
+                evolving_hint(labels, n_vertices), sym["d"] == labels["v"]
+            )
             .groupBy("s")
             .agg(F.min("label").alias("nbr_label"))
         )
@@ -97,9 +105,13 @@ def connected_components(
         # cached scan), not a second labels⋈labels shuffle-join job per round.
         # Min-propagation only ever decreases labels, so "<" is the change.
         new_labels = (
-            # join-back also shuffle_hash: nbr_min is VERTEX-sized — small
-            # here, corpus-sized at 100 TB, the same no-broadcast contract
-            labels.join(nbr_min.hint("shuffle_hash"), labels["v"] == nbr_min["s"], "left")
+            # join-back gated the same way: nbr_min is VERTEX-sized —
+            # broadcastable here, corpus-sized at 100 TB
+            labels.join(
+                evolving_hint(nbr_min, n_vertices),
+                labels["v"] == nbr_min["s"],
+                "left",
+            )
             .select(
                 labels["v"],
                 new_label.alias("label"),
@@ -162,12 +174,12 @@ def label_propagation(
     ).distinct()
     # pinned partitioning on the per-round join key (see connected_components)
     sym = checkpoint_partitioned(sym, "d")
-    labels = verts.withColumn("label", F.col("v"))
+    labels = verts.withColumn("label", F.col("v")).localCheckpoint(eager=True)
+    # one vertex count bounds every evolving side (see connected_components)
+    n_vertices = labels.count()
     for r in range(rounds):
-        # shuffle_hash on labels: see connected_components — labels meet
-        # the pinned edge partitioning, edges never re-shuffle
         nbr = sym.join(
-            labels.hint("shuffle_hash"), sym["d"] == labels["v"]
+            evolving_hint(labels, n_vertices), sym["d"] == labels["v"]
         ).select(sym["s"].alias("u"), F.col("label"))
         cnt = nbr.groupBy("u", "label").agg(F.count("*").alias("c"))
         best = cnt.groupBy("u").agg(
@@ -175,9 +187,9 @@ def label_propagation(
                 F.struct(F.col("c").alias("c"), (-F.col("label")).alias("nl"))
             ).alias("b")
         ).select(F.col("u"), (-F.col("b.nl")).alias("nlabel"))
-        # join-back hinted like connected_components: best is vertex-sized
+        # join-back gated like connected_components: best is vertex-sized
         labels = labels.join(
-            best.hint("shuffle_hash"), labels["v"] == best["u"], "left"
+            evolving_hint(best, n_vertices), labels["v"] == best["u"], "left"
         ).select(
             labels["v"],
             F.coalesce(F.col("nlabel"), labels["label"]).alias("label"),
@@ -416,9 +428,13 @@ def triangle_counts(
     da = deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da")
     db = deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db")
     # orientation: u = lower (degree, id) endpoint; carry the out-side
-    # (degree, id) key so wedge generation can order the two spokes
-    keyed = e0.join(da.hint("shuffle_hash"), "a").join(
-        db.hint("shuffle_hash"), "b"
+    # (degree, id) key so wedge generation can order the two spokes.
+    # deg is vertex-sized: size-gate it (plans/hints.py) — broadcast keeps
+    # e0 in place entirely at demo scale; 2·|e0| (a cached-scan count)
+    # upper-bounds the vertex set
+    n_vertex_bound = 2 * e0.count()
+    keyed = e0.join(evolving_hint(da, n_vertex_bound), "a").join(
+        evolving_hint(db, n_vertex_bound), "b"
     )
     fwd = F.struct(F.col("da").alias("d"), F.col("a").alias("i")) < F.struct(
         F.col("db").alias("d"), F.col("b").alias("i")

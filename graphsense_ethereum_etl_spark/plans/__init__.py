@@ -2,9 +2,12 @@
 
 from .checkpoint import checkpoint_partitioned
 from .explain import executed_plan, has_broadcast_join, pushed_filters, scan_columns
+from .hints import BROADCAST_MAX_ROWS, evolving_hint
 
 __all__ = [
+    "BROADCAST_MAX_ROWS",
     "checkpoint_partitioned",
+    "evolving_hint",
     "executed_plan",
     "has_broadcast_join",
     "pushed_filters",

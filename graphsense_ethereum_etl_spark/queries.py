@@ -3575,7 +3575,7 @@ def g4_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation on dst — the standard Pregel-on-relational layout. A
     convergence-loop variant would persist ranks between rounds and
     lineage-checkpoint like operators/graph.py::connected_components."""
-    from .plans import checkpoint_partitioned
+    from .plans import checkpoint_partitioned, evolving_hint
 
     S = F.lit(1_000_000_000_000).cast("bigint")
     # pin the edge partitioning on the scatter key through a checkpoint
@@ -3595,6 +3595,12 @@ def g4_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(e.select(F.col("dst").alias("v")))
         .distinct()
     )
+    # size-gate the vertex-sized evolving sides (plans/hints.py): |e| (a
+    # cached-scan count over the pinned checkpoint) bounds deg and every
+    # rank relation; under the threshold they broadcast and the edges
+    # never move at all, over it shuffle_hash keeps the no-corpus-
+    # broadcast guarantee from the r8 audit
+    n_vertex_bound = e.count()
 
     def iterate(rank_of_src):
         # scatter: src rank / outdeg along each edge; gather: sum at dst.
@@ -3603,12 +3609,12 @@ def g4_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffle), then the tiny per-vertex result joins verts — joining
         # verts onto raw contributions first would shuffle the full edge
         # volume twice (join exchange + agg exchange).
-        # shuffle_hash hints: deg comes out of the pinned e already
-        # clustered on src and ranks shuffle to meet it — the edge set
-        # itself never re-shuffles or broadcasts (g5's r8 audit class)
+        # gated hints: deg and ranks are vertex-sized — the edge set
+        # itself never re-shuffles or broadcasts in either regime (g5's
+        # r8 audit class)
         contrib = (
-            e.join(deg.hint("shuffle_hash"), "src")
-            .join(rank_of_src.hint("shuffle_hash"), "src")
+            e.join(evolving_hint(deg, n_vertex_bound), "src")
+            .join(evolving_hint(rank_of_src, n_vertex_bound), "src")
             .select(
                 F.col("dst").alias("v"),
                 F.expr("pr DIV outdeg").alias("c"),
@@ -7453,18 +7459,26 @@ def g5_sssp_bf3(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d"), "w")),
         "s",
     )
+    from .plans import evolving_hint
+
     dist = spark.createDataFrame([(1, 0)], "v long, dist long")
+    # |sym| (cached-scan count over the pinned checkpoint) bounds the
+    # frontier in every round
+    n_vertex_bound = sym.count()
     for _ in range(3):
-        # shuffle_hash hint on the FRONTIER side: left alone, Catalyst
-        # broadcast the EDGE relation (its post-agg estimate looks small)
-        # — one full edge broadcast per relaxation round, which is exactly
-        # backwards at scale (measured: 7 concurrent broadcast futures
-        # each materializing the whole edge set; OOM at the sf~1 tier).
-        # The hint pins the Pregel shape: dist shuffles on v to meet the
-        # checkpoint-pinned edge partitioning, edges never move, the
-        # per-partition hash build is frontier-sized and spillable.
+        # size-gated hint on the FRONTIER side (plans/hints.py): left
+        # alone, Catalyst broadcast the EDGE relation (its post-agg
+        # estimate looks small) — one full edge broadcast per relaxation
+        # round, which is exactly backwards at scale (measured: 7
+        # concurrent broadcast futures each materializing the whole edge
+        # set; OOM at the sf~1 tier). Gated broadcast of the FRONTIER
+        # keeps the pinned edges fully in place at demo scale; over the
+        # threshold the hint degrades to shuffle_hash — dist shuffles on
+        # v to meet the checkpoint-pinned edge partitioning, edges never
+        # move, the per-partition hash build is frontier-sized and
+        # spillable.
         relaxed = sym.join(
-            dist.hint("shuffle_hash"), sym["s"] == dist["v"]
+            evolving_hint(dist, n_vertex_bound), sym["s"] == dist["v"]
         ).select(
             sym["d"].alias("v"), (dist["dist"] + sym["w"]).alias("dist")
         )
@@ -8616,7 +8630,7 @@ def g6_kcore_peel2(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat. The full iterate-to-fixpoint variant is
     connected_components-style driver looping with the same per-round
     plan."""
-    from .plans import checkpoint_partitioned
+    from .plans import checkpoint_partitioned, evolving_hint
 
     # each round reads its edge set keyed on BOTH sides; pinning the
     # checkpoint partitioning on p (plans/checkpoint.py) makes the
@@ -8632,18 +8646,25 @@ def g6_kcore_peel2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
     )
 
+    # |e0| (a cached-scan count over the pinned checkpoint) bounds both
+    # vertex sides; one measurement gates every round's keep-set hints
+    n_vertex_bound = e0.count()
+
     def degrees(e: DataFrame) -> tuple[DataFrame, DataFrame]:
         dp = e.groupBy("p").agg(F.count("*").cast("bigint").alias("d"))
         ds = e.groupBy("s").agg(F.count("*").cast("bigint").alias("d"))
         return dp, ds
 
     def peel(e: DataFrame, dp: DataFrame, ds: DataFrame) -> DataFrame:
-        # shuffle_hash: the keep sets are vertex-sized (broadcastable at
-        # demo scale, corpus-sized at 100 TB — g5's r8 audit class); the
-        # p-side join rides e's pinned partitioning, the s-side join is
-        # the round's one required edge shuffle
-        keep_p = dp.filter(F.col("d") >= 26).select("p").hint("shuffle_hash")
-        keep_s = ds.filter(F.col("d") >= 280).select("s").hint("shuffle_hash")
+        # size-gated (plans/hints.py): the keep sets are vertex-sized —
+        # broadcast at demo scale keeps the edges entirely in place (the
+        # s-side shuffle_hash join re-shuffled the EDGE set every round:
+        # the r7->r8 g6 regression, 1.77 s -> 5.12 s), corpus-sized at
+        # 100 TB where the gate falls back to shuffle_hash (g5's r8
+        # audit class); the p-side join rides e's pinned partitioning
+        # in either regime
+        keep_p = evolving_hint(dp.filter(F.col("d") >= 26).select("p"), n_vertex_bound)
+        keep_s = evolving_hint(ds.filter(F.col("d") >= 280).select("s"), n_vertex_bound)
         return e.join(keep_p, "p").join(keep_s, "s").select("s", "p")
 
     dp0, ds0 = degrees(e0)

@@ -91,6 +91,14 @@ def measure(spark, app_id: str, name: str, sf_dir: str) -> dict:
 
 
 def main():
+    # Force the scale regime of the size-gated iterative hints
+    # (plans/hints.py): the gate legitimately broadcasts vertex-sized
+    # evolving sides at small tiers, but a plan that broadcasts at 1x and
+    # shuffles at 10x would make the byte RATIO meaningless. The audit's
+    # job is the 100-TB plan, so measure shuffle_hash at both tiers.
+    from graphsense_ethereum_etl_spark.plans.hints import FORCE_SHUFFLE_ENV
+
+    os.environ[FORCE_SHUFFLE_ENV] = "1"
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 15
     repo = Path(__file__).resolve().parent.parent
     base = json.load(open(repo / "BENCH_full_latest.json"))

@@ -449,16 +449,20 @@ def test_checkpoint_partitioned_rejects_no_cols(spark):
         checkpoint_partitioned(spark.range(3))
 
 
-def test_g5_edges_never_broadcast_or_reshuffled(spark, sf_dir):
+def test_g5_edges_never_broadcast_or_reshuffled(spark, sf_dir, monkeypatch):
     """The r8 shuffle-byte-audit contract for the iterative family, pinned
-    on g5: (a) NO BroadcastExchange anywhere — left alone Catalyst
-    broadcast the full edge relation once per relaxation round (the
-    checkpointed leaf's size estimate is bogus), which OOMs at scale;
-    (b) the edge set is a checkpointed Scan ExistingRDD (pinned
-    partitioning) and every per-round join is the hinted ShuffledHashJoin
-    with the FRONTIER as build side."""
+    on g5 in the FORCED scale regime (plans/hints.py FORCE_SHUFFLE_ENV —
+    what the byte audit measures, and what the gate picks once the vertex
+    bound exceeds BROADCAST_MAX_ROWS): (a) NO BroadcastExchange anywhere —
+    left alone Catalyst broadcast the full edge relation once per
+    relaxation round (the checkpointed leaf's size estimate is bogus),
+    which OOMs at scale; (b) the edge set is a checkpointed Scan
+    ExistingRDD (pinned partitioning) and every per-round join is the
+    hinted ShuffledHashJoin with the FRONTIER as build side."""
     from graphsense_ethereum_etl_spark.plans import executed_plan
+    from graphsense_ethereum_etl_spark.plans.hints import FORCE_SHUFFLE_ENV
 
+    monkeypatch.setenv(FORCE_SHUFFLE_ENV, "1")
     df = REGISTRY["g5_sssp_bf3"].fn(spark, sf_dir)
     plan = executed_plan(df)
     assert "BroadcastExchange" not in plan, plan
@@ -476,23 +480,61 @@ def test_g5_edges_never_broadcast_or_reshuffled(spark, sf_dir):
     assert edge_exchanges == [], edge_exchanges
 
 
-def test_label_propagation_round_uses_pinned_edges(spark):
-    """label_propagation's output plan (labels are NOT checkpointed at
-    rounds<=3, so the round joins are visible) must not broadcast or
-    re-shuffle the checkpointed symmetrized edge set: the edge side reads
-    the pinned ExistingRDD, the label side is the hinted ShuffledHashJoin
-    build. connected_components shares the identical round shape but
-    checkpoints each round, so its final plan is a bare scan — its
-    contract is pinned by the checkpoint_partitioned test plus the
-    shuffle-byte audit ride-alongs."""
-    from graphsense_ethereum_etl_spark.operators.graph import label_propagation
+def test_g5_gated_regime_broadcasts_frontier_only(spark, sf_dir):
+    """The size-gated DEMO regime (r9: vertex bound under
+    BROADCAST_MAX_ROWS): the frontier broadcasts — but the EDGE relation
+    still never moves: no hashpartitioning Exchange keyed on the edge
+    attr, and the checkpointed edge scan sits OUTSIDE every broadcast
+    subtree (the OOM class the r8 audit caught was edges inside a
+    per-round BroadcastExchange)."""
     from graphsense_ethereum_etl_spark.plans import executed_plan
 
+    df = REGISTRY["g5_sssp_bf3"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    edge_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(s#" in ln and "ReusedExchange" not in ln
+    ]
+    assert edge_exchanges == [], edge_exchanges
+    # every BroadcastExchange must build the FRONTIER relation: its direct
+    # child is keyed on the vertex attr v# (a Filter/HashAggregate over the
+    # dist lineage), never the edge relation s#/d#/w# — the OOM class the
+    # r8 audit caught was the edge set as the broadcast build side. (Later
+    # rounds' frontier lineage textually NESTS earlier edge joins — that's
+    # plan text of the already-computed frontier, not edges moving.)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        child = lines[i + 1]
+        assert "v#" in child and "Scan ExistingRDD[s#" not in child, (
+            "broadcast build side is not the frontier:\n" + plan
+        )
+
+
+def test_label_propagation_round_uses_pinned_edges(spark, monkeypatch):
+    """label_propagation's output plan (labels are NOT checkpointed at
+    rounds<=3, so the round joins are visible) must not broadcast or
+    re-shuffle the checkpointed symmetrized edge set. Forced regime: the
+    label side is the hinted ShuffledHashJoin build. Gated regime (small
+    vertex set): the label side broadcasts instead — and the edge scan
+    never sits under a BroadcastExchange in either."""
+    from graphsense_ethereum_etl_spark.operators.graph import label_propagation
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+    from graphsense_ethereum_etl_spark.plans.hints import FORCE_SHUFFLE_ENV
+
     edges = spark.range(0, 2000).selectExpr("id AS src", "(id % 397) AS dst")
-    labels = label_propagation(edges, rounds=2)
-    plan = executed_plan(labels)
+
+    monkeypatch.setenv(FORCE_SHUFFLE_ENV, "1")
+    plan = executed_plan(label_propagation(edges, rounds=2))
     assert "BroadcastExchange" not in plan, plan
     assert "ShuffledHashJoin" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+    monkeypatch.delenv(FORCE_SHUFFLE_ENV)
+    plan = executed_plan(label_propagation(edges, rounds=2))
+    assert "BroadcastHashJoin" in plan, plan
     assert "Scan ExistingRDD" in plan, plan
 
 
@@ -536,3 +578,30 @@ def test_checkpoint_partitioned_aqe_toggle_is_serialized(spark):
         .executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_evolving_hint_gate(spark, monkeypatch):
+    """Unit contract of the size gate: under threshold → broadcast hint,
+    at/over threshold or unknown bound → shuffle_hash, env force wins."""
+    from graphsense_ethereum_etl_spark.plans import (
+        BROADCAST_MAX_ROWS,
+        evolving_hint,
+    )
+    from graphsense_ethereum_etl_spark.plans.hints import FORCE_SHUFFLE_ENV
+
+    small = spark.range(10).selectExpr("id AS k", "id AS x")
+    big = spark.range(10).selectExpr("id AS k", "id AS y")
+
+    def joined_plan(hinted):
+        return (
+            big.join(hinted, "k")._jdf.queryExecution().executedPlan().toString()
+        )
+
+    monkeypatch.delenv(FORCE_SHUFFLE_ENV, raising=False)
+    assert "BroadcastHashJoin" in joined_plan(evolving_hint(small, 100))
+    assert "ShuffledHashJoin" in joined_plan(
+        evolving_hint(small, BROADCAST_MAX_ROWS + 1)
+    )
+    assert "ShuffledHashJoin" in joined_plan(evolving_hint(small, None))
+    monkeypatch.setenv(FORCE_SHUFFLE_ENV, "1")
+    assert "ShuffledHashJoin" in joined_plan(evolving_hint(small, 100))
