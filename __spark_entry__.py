@@ -22,26 +22,10 @@ from graphsense_ethereum_etl_spark.functions.columns import block_bucket, hex_pr
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001 (SURVEY.md §7.2): the
     transaction-enrichment pipeline analog — source → derive (P5 bucket,
-    P6 prefix) → broadcast join (J1) → grouped agg (A1 two-phase max)."""
-    sf_dir = "/root/testdata/sf0.001"
-    orders = load(spark, sf_dir, "orders")
-    customer = load(spark, sf_dir, "customer").select(
-        "c_custkey", F.col("c_mktsegment").alias("segment")
-    )
-    enriched = (
-        orders.withColumn("bucket", block_bucket("o_orderkey"))
-        .withColumn(
-            "key_prefix",
-            hex_prefix(F.concat(F.lit("0x"), F.md5(F.col("o_orderkey").cast("string")))),
-        )
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-    )
-    return enriched.groupBy("bucket", "segment").agg(
-        F.count("*").alias("n_orders"),
-        F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
-        F.countDistinct("key_prefix").cast("bigint").alias("n_prefixes"),
-    )
+    P6 prefix) → broadcast join (J1) → grouped agg (A1 two-phase max).
+    Since r9 the slice is the registered (and oracle-certified) query
+    ``flagship_enrichment``, also runnable via ``gse-spark flagship``."""
+    return REGISTRY["flagship_enrichment"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

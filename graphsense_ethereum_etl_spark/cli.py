@@ -40,6 +40,10 @@ Subcommands:
     (sliding-window token chunks); ``dedup --method semantic`` runs
     SemDeDup over an embedding column. No reference equivalent — the
     LLM-pipeline surface of the engine.
+``flagship``
+    Run the SURVEY.md §7.2 flagship enrichment slice (the registered,
+    oracle-certified ``flagship_enrichment`` query — what the external
+    driver smoke-checks) against any testdata tier and print a summary.
 
 Provider URIs: ``http(s)://…`` talks JSON-RPC 2.0 batch to a real node;
 ``synthetic://<head>`` serves the deterministic generator chain
@@ -337,6 +341,21 @@ def build_parser() -> ArgumentParser:
         "--mode",
         choices=["simple", "extended", "formatted", "cost"],
         default="formatted",
+    )
+
+    flagship = sub.add_parser(
+        "flagship",
+        help="run the SURVEY.md §7.2 flagship enrichment slice "
+        "end-to-end (the registered flagship_enrichment query) and print "
+        "a summary",
+    )
+    flagship.add_argument(
+        "--sf-dir", dest="sf_dir", default="/root/testdata/sf0.001",
+        help="testdata directory to run against",
+    )
+    flagship.add_argument(
+        "-o", "--output", dest="output", default=None,
+        help="optional parquet path for the result",
     )
 
     corpus = sub.add_parser(
@@ -1245,6 +1264,32 @@ def cmd_explain(args: Namespace, spark: SparkSession) -> IngestStats:
     return IngestStats()
 
 
+def cmd_flagship(args: Namespace, spark: SparkSession) -> IngestStats:
+    """The driver smoke check, human-runnable: execute the registered
+    flagship_enrichment query (source -> derive -> broadcast join ->
+    grouped agg) against --sf-dir, optionally write the result, print a
+    one-line summary."""
+    from pyspark.sql import functions as F
+
+    from .queries import REGISTRY
+
+    df = REGISTRY["flagship_enrichment"].fn(spark, args.sf_dir)
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        df = spark.read.parquet(args.output)
+    rows = df.count()
+    top = df.orderBy(F.col("revenue").desc()).limit(3).collect()
+    peaks = ", ".join(
+        f"bucket {r.bucket}/{r.segment}: {r.n_orders} orders" for r in top
+    )
+    print(
+        f"flagship enrichment over {args.sf_dir}: {rows} (bucket, segment) "
+        f"groups; top by revenue -> {peaks}"
+        + (f"; written to {args.output}" if args.output else "")
+    )
+    return IngestStats()
+
+
 def cmd_mv(args: Namespace, spark: SparkSession) -> IngestStats:
     """Maintained aggregate view over a versioned table's change feed
     (streaming/cdf.py::run_streaming_mv — k8's delta rule, operational
@@ -1293,6 +1338,8 @@ def main(
         return cmd_ingest_rates(args, spark)
     if args.command == "explain":
         return cmd_explain(args, spark)
+    if args.command == "flagship":
+        return cmd_flagship(args, spark)
     if args.command == "corpus":
         return cmd_corpus(args, spark)
     if args.command == "changes":

@@ -8857,6 +8857,61 @@ def h2b_approx_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "flagship_enrichment",
+    """
+    WITH enr AS (
+      SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment AS segment,
+             CAST(floor(o.o_orderkey / 1000) AS BIGINT) AS bucket,
+             substring(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 5) AS key_prefix
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    SELECT bucket, segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(DISTINCT key_prefix) AS BIGINT) AS n_prefixes
+    FROM enr GROUP BY 1, 2
+    """,
+)
+def flagship_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SURVEY.md §7.2 flagship slice as a first-class registered
+    query (r8 VERDICT #7 asked for a human-runnable surface): the
+    transaction-enrichment pipeline analog — source → derive (P5 range
+    bucket, P6 hash prefix) → broadcast dim join (J1) → grouped agg
+    (A1 two-phase max + revenue + distinct prefixes). This is what
+    ``__spark_entry__.entry`` runs as the driver smoke check and what
+    ``gse-spark flagship`` runs from the CLI; registering it puts the
+    end-to-end slice under the same oracle certification as every other
+    operator. Decimal(18,2) summation keeps revenue exact across
+    engines; the dim join broadcasts (customer is the small side by
+    construction at any scale where it fits — at 100 TB the same slice
+    runs with the bucketed-join layout instead)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    from .functions.columns import block_bucket, hex_prefix
+
+    enriched = (
+        orders.withColumn("bucket", block_bucket("o_orderkey"))
+        .withColumn(
+            "key_prefix",
+            hex_prefix(
+                F.concat(F.lit("0x"), F.md5(F.col("o_orderkey").cast("string")))
+            ),
+        )
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    )
+    return enriched.groupBy("bucket", "segment").agg(
+        F.count("*").alias("n_orders"),
+        F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.countDistinct("key_prefix").cast("bigint").alias("n_prefixes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry certification ordering
 # ---------------------------------------------------------------------------
