@@ -59,6 +59,15 @@ def run_streaming_cdf(
     events = reader.load()
     table = VersionedTable(spark, root, partition_col=partition_col)
 
+    import inspect
+
+    # handlers may take (feed, version) or (feed, version, prev_version):
+    # prev < 0 marks a full-snapshot feed, and handlers that maintain
+    # derived state (the MV apply) need that distinction to refuse
+    # mid-history starts instead of silently materializing a delta-only
+    # view (r9 concurrent-writer hardening).
+    wants_prev = len(inspect.signature(handler).parameters) >= 3
+
     def on_batch(df: DataFrame, epoch_id: int) -> None:
         for r in sorted(df.collect(), key=lambda r: r["version"]):
             prev = int(r["prev_version"])
@@ -71,7 +80,10 @@ def run_streaming_cdf(
                 )
             else:
                 feed = table.read_changes(prev, int(r["version"]))
-            handler(feed, int(r["version"]))
+            if wants_prev:
+                handler(feed, int(r["version"]), prev)
+            else:
+                handler(feed, int(r["version"]))
 
     writer = (
         events.writeStream.foreachBatch(on_batch)
@@ -115,46 +127,32 @@ def run_streaming_mv(
     snapshot feed arrives as all-inserts and the delta rule applied to an
     empty view IS the full aggregation.
 
+    Concurrency (r9, the r8 verdict's named race): two interleaved
+    instances against one ``mv_root`` used to be able to apply version
+    N+1 onto the view at N-1 and then REGRESS the pointer — silently
+    losing a delta. ``apply_mv_delta`` now (a) serializes the whole
+    read-pointer → aggregate → write → swap step on an advisory file
+    lock inside ``mv_root`` (fcntl.flock: serializes threads AND
+    processes on one host — the driver-side foreachBatch execution
+    model), and (b) enforces version CONTINUITY: a feed whose
+    predecessor is not exactly the applied pointer raises instead of
+    applying a gapped or overlapping delta, and a fresh view refuses a
+    mid-history delta feed (only a full-snapshot feed may initialize).
+
     Returns the streaming query handle (drained when available_now)."""
-    import json as _json
-    import os
-
-    from ..versioned import incremental_aggregate
-
-    os.makedirs(mv_root, exist_ok=True)
-    pointer = f"{mv_root}/_CURRENT"
     sums = sum_cols if isinstance(sum_cols, dict) else {c: c for c in sum_cols}
 
-    def _applied() -> int | None:
-        if not os.path.exists(pointer):
-            return None
-        with open(pointer) as fh:
-            return int(_json.load(fh)["version"])
-
-    def handler(feed: DataFrame, version: int) -> None:
-        applied = _applied()
-        if applied is not None and version <= applied:
-            return  # replayed batch — the view already contains it
-        if applied is None:
-            gtypes = dict(
-                (f.name, f.dataType.simpleString()) for f in feed.schema.fields
-            )
-            schema = ", ".join(
-                [f"`{g}` {gtypes[g]}" for g in group_cols]
-                + [f"`{count_col}` bigint"]
-                + [f"`{c}` bigint" for c in sums]
-            )
-            prev = spark.createDataFrame([], schema)
-        else:
-            prev = spark.read.parquet(f"{mv_root}/mv-{applied:08d}")
-        out = incremental_aggregate(
-            prev, feed, group_cols=group_cols, sum_cols=sums, count_col=count_col
+    def handler(feed: DataFrame, version: int, prev_version: int) -> None:
+        apply_mv_delta(
+            spark,
+            mv_root,
+            feed,
+            version,
+            prev_version,
+            group_cols=group_cols,
+            sum_cols=sums,
+            count_col=count_col,
         )
-        out.write.mode("overwrite").parquet(f"{mv_root}/mv-{version:08d}")
-        tmp = f"{pointer}.tmp"
-        with open(tmp, "w") as fh:
-            _json.dump({"version": version}, fh)
-        os.replace(tmp, pointer)
 
     return run_streaming_cdf(
         spark,
@@ -166,6 +164,107 @@ def run_streaming_mv(
         available_now=available_now,
         timeout_s=timeout_s,
     )
+
+
+def mv_applied_version(mv_root: str) -> int | None:
+    """Version the ``mv_root`` pointer currently publishes (None = fresh)."""
+    import json as _json
+    import os
+
+    pointer = f"{mv_root}/_CURRENT"
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer) as fh:
+        return int(_json.load(fh)["version"])
+
+
+def apply_mv_delta(
+    spark: SparkSession,
+    mv_root: str,
+    feed: DataFrame,
+    version: int,
+    prev_version: int,
+    group_cols: list[str],
+    sum_cols: dict[str, str],
+    count_col: str = "cnt",
+) -> bool:
+    """Apply ONE version's change feed to the materialized view at
+    ``mv_root``; returns True if applied, False if skipped as a replay.
+    The unit run_streaming_mv loops — exposed module-level so the race
+    tests can drive interleavings deterministically.
+
+    The whole step (read pointer → delta-aggregate → write dir → swap
+    pointer) holds an advisory lock (``_MV_LOCK`` in ``mv_root``), so
+    concurrent instances serialize instead of double-applying or
+    regressing the pointer; inside the lock, continuity is enforced:
+
+    - ``version <= applied``                  → replay, skipped;
+    - fresh view (``applied is None``)        → only a FULL-SNAPSHOT feed
+      (``prev_version < 0``) may initialize — a delta feed would
+      silently materialize a partial view;
+    - ``prev_version != applied`` otherwise   → gap/overlap, raises
+      (the caller replays the missing versions or rebuilds the view).
+    """
+    import json as _json
+    import os
+
+    from ..versioned import incremental_aggregate
+
+    os.makedirs(mv_root, exist_ok=True)
+    pointer = f"{mv_root}/_CURRENT"
+    lock_path = f"{mv_root}/_MV_LOCK"
+    lock_fh = open(lock_path, "a")
+    try:
+        try:
+            import fcntl
+
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+        except ImportError:  # non-POSIX: single-instance contract applies
+            pass
+        applied = mv_applied_version(mv_root)
+        if applied is not None and version <= applied:
+            return False  # replayed batch — the view already contains it
+        if applied is None:
+            if prev_version >= 0:
+                raise RuntimeError(
+                    f"materialized view at {mv_root} is uninitialized but "
+                    f"the feed for v{version} is a DELTA (prev="
+                    f"{prev_version}); initializing from it would silently "
+                    "drop all earlier rows — start the stream at a version "
+                    "whose feed is the full snapshot (start_version=0 or "
+                    "the oldest surviving version)"
+                )
+            gtypes = dict(
+                (f.name, f.dataType.simpleString()) for f in feed.schema.fields
+            )
+            schema = ", ".join(
+                [f"`{g}` {gtypes[g]}" for g in group_cols]
+                + [f"`{count_col}` bigint"]
+                + [f"`{c}` bigint" for c in sum_cols]
+            )
+            prev = spark.createDataFrame([], schema)
+        else:
+            if prev_version != applied:
+                raise RuntimeError(
+                    f"materialized view at {mv_root} is at v{applied} but "
+                    f"the feed for v{version} follows v{prev_version} — "
+                    "applying it would gap or double-count the view; "
+                    "replay the missing versions (start_version="
+                    f"{applied}) or rebuild"
+                )
+            prev = spark.read.parquet(f"{mv_root}/mv-{applied:08d}")
+        out = incremental_aggregate(
+            prev, feed, group_cols=group_cols, sum_cols=sum_cols,
+            count_col=count_col,
+        )
+        out.write.mode("overwrite").parquet(f"{mv_root}/mv-{version:08d}")
+        tmp = f"{pointer}.tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"version": version}, fh)
+        os.replace(tmp, pointer)
+        return True
+    finally:
+        lock_fh.close()  # closing releases any flock held
 
 
 def read_streaming_mv(spark: SparkSession, mv_root: str) -> DataFrame:

@@ -1167,3 +1167,102 @@ def test_read_changes_noop_commit_keeps_schema(spark, tmp_path_factory):
     t2.invalidate_from(0)
     t2.invalidate_from(0)
     assert t2.read_changes(1, 2).columns == ["pc", "_change_type"]
+
+
+# --------------------------------------------------------------------------
+# r9 concurrency hardening (r8 VERDICT #5): readers racing a single writer
+# --------------------------------------------------------------------------
+
+
+def test_reader_snapshot_isolation_and_vacuum_grace(spark, tmp_path):
+    """A resolved read is pinned to its manifest: later commits never leak
+    into it (immutable data dirs), and once vacuum drops the pinned dirs a
+    late collect fails LOUDLY — silent partial results would be the
+    corruption mode."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "vt")
+    vt = VersionedTable(spark, root, partition_col="pc")
+    vt.write_partitions(
+        spark.createDataFrame(
+            [(i, 0, 1) for i in range(5)], "key bigint, pc bigint, val bigint"
+        )
+    )
+    pinned_v1 = vt.read()  # resolves the v1 manifest now
+    vt.write_partitions(
+        spark.createDataFrame(
+            [(i, 0, 2) for i in range(5)], "key bigint, pc bigint, val bigint"
+        )
+    )
+    # snapshot isolation: the pinned frame still reads v1's dirs
+    assert {r["val"] for r in pinned_v1.collect()} == {1}
+    assert {r["val"] for r in vt.read().collect()} == {2}
+
+    pinned_v2 = vt.read()
+    vt.write_partitions(
+        spark.createDataFrame(
+            [(i, 0, 3) for i in range(5)], "key bigint, pc bigint, val bigint"
+        )
+    )
+    removed = vt.vacuum(keep_manifests=1)
+    assert removed  # v1+v2's exclusive dirs are gone
+    with _pytest.raises(Exception):
+        pinned_v2.collect()  # loud failure, never silent-partial
+    assert {r["val"] for r in vt.read().collect()} == {3}
+
+
+def test_concurrent_reader_never_sees_torn_state(spark, tmp_path):
+    """A reader looping full reads while a writer commits must only ever
+    observe COMMITTED states (the atomic pointer-swap contract) — never a
+    mix of two versions and never a partially-visible commit."""
+    import threading
+
+    root = str(tmp_path / "vt")
+    vt = VersionedTable(spark, root, partition_col="pc")
+    committed: list[frozenset] = [frozenset()]
+    stop = threading.Event()
+    seen: list[frozenset] = []
+    errs: list[Exception] = []
+
+    def reader():
+        rvt = VersionedTable(spark, root, partition_col="pc")
+        while not stop.is_set():
+            try:
+                if rvt.snapshot():
+                    seen.append(
+                        frozenset(
+                            (r["key"], r["pc"], r["val"])
+                            for r in rvt.read().collect()
+                        )
+                    )
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+                return
+
+    th = threading.Thread(target=reader)
+    th.start()
+    try:
+        for v in range(1, 9):
+            rows = [
+                (p * 10 + i, p, v * 100 + i)
+                for p in range(2)
+                for i in range(4)
+            ]
+            state = committed[-1]
+            nxt = {
+                t for t in state if t[1] not in {0, 1}
+            } | set(rows)
+            committed.append(frozenset(nxt))  # visible-to-readers BEFORE the swap
+            vt.write_partitions(
+                spark.createDataFrame(
+                    rows, "key bigint, pc bigint, val bigint"
+                )
+            )
+    finally:
+        stop.set()
+        th.join()
+    assert not errs, errs
+    assert seen, "reader never completed a read"
+    allowed = set(committed)
+    torn = [s for s in seen if s not in allowed]
+    assert not torn, f"reader observed non-committed states: {torn[:2]}"
