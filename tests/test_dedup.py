@@ -794,3 +794,38 @@ def test_minhash_index_db_qualified_name(spark):
         for r in minhash_probe(clones, "mhdb.idx").collect()
     }
     assert sum(1 for a, b in hits if b == a + 900000) == 60
+
+
+def test_ngram_jaccard_bucketed_reuse_skips_build(spark, sf_dir):
+    """reuse_existing=True must answer from the STANDING index: same pairs
+    as the building call, and passing different docs changes nothing
+    (proof the build was skipped — the amortized path the sf~1 probe
+    times as dd2b_reuse)."""
+    from graphsense_ethereum_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs_bucketed,
+    )
+
+    docs = _mh_docs(spark).filter("doc_id < 150")
+    built = sorted(
+        map(tuple, ngram_jaccard_pairs_bucketed(
+            spark, docs, table="dd2b_reuse_t", threshold=0.5
+        ).collect())
+    )
+    other = _mh_docs(spark).filter("doc_id >= 400")
+    reused = sorted(
+        map(tuple, ngram_jaccard_pairs_bucketed(
+            spark, other, table="dd2b_reuse_t", threshold=0.5,
+            reuse_existing=True,
+        ).collect())
+    )
+    assert reused == built and built
+    # without standing tables, reuse_existing falls back to building
+    spark.sql("DROP TABLE IF EXISTS dd2b_fresh_t_prefix")
+    spark.sql("DROP TABLE IF EXISTS dd2b_fresh_t_sets")
+    fresh = sorted(
+        map(tuple, ngram_jaccard_pairs_bucketed(
+            spark, docs, table="dd2b_fresh_t", threshold=0.5,
+            reuse_existing=True,
+        ).collect())
+    )
+    assert fresh == built
