@@ -684,7 +684,21 @@ def weighted_sample(
         F.lit(1),
         F.least(F.coalesce(w_int, F.lit(1)), F.lit(max_weight)),
     )
-    key = F.array_max(
+    key = _aes_sample_key(id_col, w, salt)
+    return (
+        docs.filter(F.col(id_col).isNotNull())
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _aes_sample_key(id_col: str, w, salt: str):
+    """The integer-exact A-ES key: max of w md5 tickets H(id:j:salt) —
+    max of w iid U(0,1) has CDF x^w, the law of u^(1/w). Shared by the
+    global (weighted_sample) and per-group (grouped_weighted_sample)
+    variants so both stay bit-identical to the SQL oracles."""
+    return F.array_max(
         F.transform(
             F.sequence(F.lit(1), w),
             lambda j: F.conv(
@@ -705,11 +719,55 @@ def weighted_sample(
             ).cast("bigint"),
         )
     )
+
+
+def grouped_weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "gws",
+    max_weight: int = 64,
+) -> DataFrame:
+    """Per-GROUP weighted sampling without replacement: the k rows with
+    the largest A-ES keys WITHIN each ``group_col`` value — the stratified
+    form of ``weighted_sample`` (quality-weighted subsets per source /
+    domain / language, the mix-building move that keeps every stratum
+    represented while preferring high-weight rows inside it).
+
+    Same integer-exact ticket scheme and weight contract as
+    weighted_sample (integers pass through, fractional weights HALF_UP
+    round, non-numeric rejected; ``id_col`` must be unique; NULL ids are
+    dropped). Selection is one window per group (rank by key desc, id
+    asc) — a single exchange on ``group_col``; the ticket array is
+    map-side register work. Rows with NULL group form their own stratum
+    (a NULL crawl domain is still a domain)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_weight < 1:
+        raise ValueError(f"max_weight must be >= 1, got {max_weight}")
+    wtype = dict(docs.dtypes).get(weight_col, "")
+    if wtype in ("tinyint", "smallint", "int", "bigint"):
+        w_int = F.col(weight_col).cast("int")
+    elif wtype in ("float", "double") or wtype.startswith("decimal"):
+        w_int = F.round(F.col(weight_col)).cast("int")
+    else:
+        raise ValueError(
+            f"weight_col {weight_col!r} has non-numeric type {wtype!r} — "
+            "grouped_weighted_sample needs a numeric weight"
+        )
+    w = F.greatest(
+        F.lit(1), F.least(F.coalesce(w_int, F.lit(1)), F.lit(max_weight))
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("sample_key").desc(), F.col(id_col).asc()
+    )
     return (
         docs.filter(F.col(id_col).isNotNull())
-        .withColumn("sample_key", key)
-        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
-        .limit(k)
+        .withColumn("sample_key", _aes_sample_key(id_col, w, salt))
+        .withColumn("sample_rank", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
     )
 
 

@@ -419,6 +419,78 @@ def lsh_ann_pairs(
     )
 
 
+def diverse_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-constrained exact retrieval: per query, the top-``k``
+    candidates under the constraint of AT MOST ONE candidate per
+    ``group_col`` value — the context-diversification move of a RAG /
+    few-shot pipeline (k near-identical chunks from one source crowd out
+    everything else; capping per source/document/cluster is the standard
+    fix, the degenerate-but-deterministic cousin of MMR re-ranking).
+
+    Plan shape: queries broadcast (bounded panel), candidates scored
+    map-only (JVM double cosine fold, 9-dp rank rounding — the
+    brute_force_topk convention), then the per-(query, group) argmax is
+    ONE aggregation via a (score, -id) struct MAX — no window over the
+    full scored relation — and only the group winners (|queries| x
+    |groups| rows) pay the final per-query ranking window. Ties break on
+    candidate id ascending at both stages."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(group_col).alias("_grp"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "_grp",
+            "cand_id",
+            F.round(cosine("qvec", "cvec"), 9).alias("score9"),
+        )
+    )
+    best = (
+        scored.groupBy("query_id", "_grp")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score9").alias("s"), (-F.col("cand_id")).alias("nid")
+                )
+            ).alias("b")
+        )
+        .select(
+            "query_id",
+            F.col("_grp").alias(group_col),
+            (-F.col("b.nid")).cast("bigint").alias("cand_id"),
+            F.col("b.s").alias("score9"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score9").desc(), F.col("cand_id")
+    )
+    return (
+        best.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("cand_id"),
+            group_col,
+            F.round("score9", 6).alias("score"),
+            "rank",
+        )
+    )
+
+
 def cosine_pairs_within(
     tagged: DataFrame,
     block_col: str,

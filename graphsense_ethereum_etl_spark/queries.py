@@ -8912,6 +8912,249 @@ def flagship_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "g10_clustering_coefficient",
+    """
+    WITH raw AS (
+      SELECT CAST(o_orderkey % 997 AS BIGINT) AS a,
+             CAST((o_orderkey * 13 + 7) % 997 AS BIGINT) AS b
+      FROM orders),
+    ed AS (SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+           FROM raw WHERE a != b),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT a AS v FROM ed UNION ALL SELECT b FROM ed)
+            GROUP BY v),
+    oriented AS (
+      SELECT CASE WHEN row(da.d, p.a) < row(db.d, p.b) THEN p.a ELSE p.b END AS u,
+             CASE WHEN row(da.d, p.a) < row(db.d, p.b) THEN p.b ELSE p.a END AS v,
+             CASE WHEN row(da.d, p.a) < row(db.d, p.b) THEN db.d ELSE da.d END AS dv
+      FROM ed p JOIN deg da ON da.v = p.a JOIN deg db ON db.v = p.b),
+    tri AS (
+      SELECT x.u AS u, x.v AS v, y.v AS w
+      FROM oriented x
+      JOIN oriented y ON x.u = y.u AND row(x.dv, x.v) < row(y.dv, y.v)
+      JOIN oriented z ON z.u = x.v AND z.v = y.v),
+    tc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS t
+           FROM (SELECT u AS id FROM tri
+                 UNION ALL SELECT v FROM tri
+                 UNION ALL SELECT w FROM tri)
+           GROUP BY id)
+    SELECT CAST(deg.v AS BIGINT) AS id, deg.d AS degree,
+           CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.d >= 2
+                THEN round(2.0 * COALESCE(tc.t, 0) / (deg.d * (deg.d - 1)), 6)
+                ELSE 0.0 END AS coeff
+    FROM deg LEFT JOIN tc ON tc.id = deg.v
+    """,
+)
+def g10_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex — 2T(v) / (d(v)(d(v)-1)),
+    the canonical transitivity ratio, completing g9's numerator with its
+    normalization (vertices in no triangle score 0; degree-1 vertices
+    have no defined wedge and score 0 by convention). Runs on the g7
+    synthetic orders graph so the fact is cheap and exact at any tier.
+
+    Scale shape: triangle counts ride operators/graph.py::triangle_counts
+    (degree-oriented compact-forward, O(m^1.5) wedge bound); the degree
+    relation is one map-side-combined aggregation over the normalized
+    edge set; the final join is vertex-sized ⋈ vertex-sized. The
+    coefficient arithmetic is 2.0·T/(d(d-1)) in both engines — one double
+    division, 6-dp rounded like every scored query."""
+    from .operators.graph import triangle_counts
+
+    raw = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 997).cast("bigint").alias("src"),
+        ((F.col("o_orderkey") * 13 + 7) % 997).cast("bigint").alias("dst"),
+    )
+    e = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    tc = triangle_counts(raw, "src", "dst")
+    t = F.coalesce(tc["n_triangles"], F.lit(0)).cast("bigint")
+    return deg.join(tc, deg["v"] == tc["id"], "left").select(
+        deg["v"].cast("bigint").alias("id"),
+        F.col("degree"),
+        t.alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                F.lit(2.0) * t / (F.col("degree") * (F.col("degree") - 1)), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coeff"),
+    )
+
+
+@query(
+    "smp11_grouped_weighted_sample",
+    """
+    WITH k AS (
+      SELECT doc_id, source,
+             GREATEST(1, LEAST(8, n_chars // 32)) AS w,
+             list_max(list_transform(
+               range(1, GREATEST(1, LEAST(8, n_chars // 32)) + 1),
+               j -> CAST('0x' || substring(
+                      md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)
+                          || ':gws'), 1, 8) AS BIGINT))) AS sample_key
+      FROM documents WHERE doc_id IS NOT NULL)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(w AS INT) AS w,
+           sample_key, CAST(rn AS BIGINT) AS sample_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY sample_key DESC, doc_id) AS rn
+          FROM k)
+    WHERE rn <= 5
+    """,
+)
+def smp11_grouped_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified weighted sampling (operators/corpus.py::
+    grouped_weighted_sample): the 5 highest-A-ES-key documents per
+    source — the mix-building move that keeps every stratum represented
+    while preferring high-weight rows within it (smp9 selects globally
+    and can starve small domains). Same integer-exact max-of-w-tickets
+    key as smp9 under a distinct salt.
+
+    Scale shape: tickets are map-side register work; ONE exchange on the
+    group column for the ranking window; output is k·|groups| rows. A
+    mega-group never sorts whole in one task beyond its own stratum —
+    and the smp6 two-stage prune applies verbatim if per-group volumes
+    skew."""
+    from .operators.corpus import grouped_weighted_sample
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.greatest(
+            F.lit(1), F.least(F.lit(8), F.expr("CAST(n_chars AS BIGINT) DIV 32"))
+        )
+        .cast("int")
+        .alias("w"),
+    )
+    return grouped_weighted_sample(
+        d, k=5, weight_col="w", group_col="source", id_col="doc_id",
+        salt="gws", max_weight=8,
+    ).select("doc_id", "source", "w", "sample_key", "sample_rank")
+
+
+@query(
+    "an1_grouped_outliers",
+    """
+    WITH base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    med AS (SELECT grp, quantile_cont(cents, 0.5) AS m FROM base GROUP BY grp),
+    dev AS (SELECT b.grp, b.o_orderkey, b.cents, m.m,
+                   ABS(b.cents - m.m) AS ad
+            FROM base b JOIN med m ON m.grp = b.grp),
+    mad AS (SELECT grp, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY grp)
+    SELECT d.o_orderkey, d.grp, d.cents,
+           round(d.m, 6) AS med, round(mad.mad, 6) AS mad,
+           (ABS(d.cents - d.m) > 5 * mad.mad) AS is_outlier
+    FROM dev d JOIN mad ON mad.grp = d.grp
+    """,
+)
+def an1_grouped_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection — median/MAD flags (the data-
+    quality pass a curation pipeline runs before training: z-scores break
+    on the very outliers they hunt; median absolute deviation does not).
+    Integer cents keep both engines' percentile interpolation exact
+    (medians land on integers or .5 halves — double-exact), so the oracle
+    is hash-exact, not a tolerance check.
+
+    Scale shape: two grouped EXACT percentiles (median, then MAD) with
+    the tiny per-group results broadcast back onto the fact — the fact
+    table itself is never shuffled. Exact percentile buffers each group's
+    values in the aggregation state; at 100 TB swap both for
+    approx_percentile (the h2→h2b swap, rank error ≤ 1e-4 at
+    accuracy=10000) and the flag threshold inherits the sketch bound —
+    the plan shape is otherwise identical."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    med = base.groupBy("grp").agg(F.expr("percentile(cents, 0.5D)").alias("m"))
+    dev = base.join(F.broadcast(med), "grp").select(
+        "grp", "o_orderkey", "cents", "m",
+        F.abs(F.col("cents") - F.col("m")).alias("ad"),
+    )
+    mad = dev.groupBy("grp").agg(F.expr("percentile(ad, 0.5D)").alias("mad"))
+    return dev.join(F.broadcast(mad), "grp").select(
+        "o_orderkey",
+        "grp",
+        "cents",
+        F.round("m", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        (F.abs(F.col("cents") - F.col("m")) > 5 * F.col("mad")).alias(
+            "is_outlier"
+        ),
+    )
+
+
+@query(
+    "rag2_diverse_retrieval",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT query_id, e.label AS label, e.vec_id AS cand_id,
+             round({_DUCK_COS.format(a="qv", b="e.embedding")}, 9) AS score9
+      FROM embeddings e, q WHERE e.vec_id != query_id),
+    best AS (
+      SELECT query_id, label, cand_id, score9 FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id, label
+                                 ORDER BY score9 DESC, cand_id) = 1),
+    ranked AS (
+      SELECT query_id, label, cand_id, score9,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score9 DESC, cand_id) AS rn
+      FROM best)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(cand_id AS BIGINT) AS cand_id, CAST(label AS INT) AS label,
+           round(score9, 6) AS score, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def rag2_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-constrained retrieval (operators/similarity.py::
+    diverse_topk): per query, the exact-cosine top-5 under AT MOST ONE
+    candidate per label — the context-diversification step after rag1's
+    raw retrieval (k near-identical chunks from one cluster crowd out
+    the context window; per-group capping is the deterministic cousin of
+    MMR re-ranking, and unlike MMR it is order-free and so hash-exact).
+
+    Scale shape: the query panel broadcasts; candidates are scored
+    map-only; the per-(query, label) argmax is ONE aggregation via a
+    (score, -id) struct MAX (no window over the full scored relation);
+    only the |queries|·|labels| group winners pay the final ranking
+    window."""
+    from .operators.similarity import diverse_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return diverse_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=5, group_col="label"
+    ).select(
+        "query_id",
+        "cand_id",
+        F.col("label").cast("int").alias("label"),
+        "score",
+        "rank",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry certification ordering
 # ---------------------------------------------------------------------------

@@ -117,6 +117,16 @@ def main():
     ]:
         if extra not in names and extra in REGISTRY:
             names.append(extra)
+    # r8 VERDICT #6: rotate byte coverage through the WHOLE registry by
+    # auditing the round's certification window (the same 50 queries the
+    # external harness certifies) on top of the slowest-N and the standing
+    # iterative/LSH list — 148 queries had never had their bytes read.
+    cert = repo / "CERTIFICATION.json"
+    if cert.exists():
+        ledger = json.load(open(cert))
+        for name in ledger["registry_order"][: ledger["window"]]:
+            if name not in names and name in REGISTRY:
+                names.append(name)
     spark = get_spark(
         app_name="shuffle-audit",
         extra_conf={

@@ -318,3 +318,49 @@ def test_weighted_sample_fractional_weights_round_not_truncate(spark):
     bad = spark.createDataFrame([(1, "heavy")], "doc_id bigint, w string")
     with _pytest.raises(ValueError, match="non-numeric"):
         weighted_sample(bad, k=1, weight_col="w")
+
+
+def test_grouped_weighted_sample_matches_python_reference(spark):
+    """Per-group A-ES: within each group the kept set is the true top-k
+    by (ticket key desc, id asc), keys bit-equal to the Python reference;
+    NULL groups form their own stratum; NULL ids drop."""
+    from graphsense_ethereum_etl_spark.operators.corpus import (
+        grouped_weighted_sample,
+    )
+
+    rows = [(i, ["a", "b", "c", None][i % 4], 1 + (i % 6)) for i in range(120)]
+    rows.append((None, "a", 5))
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string, w int")
+    got = grouped_weighted_sample(
+        df, k=4, weight_col="w", group_col="grp", id_col="doc_id", salt="gws"
+    ).collect()
+    assert all(r.doc_id is not None for r in got)
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r.grp, []).append(r)
+    assert set(by_grp) == {"a", "b", "c", None}
+    for grp, kept in by_grp.items():
+        members = [
+            (i, w) for (i, g, w) in rows if g == grp and i is not None
+        ]
+        ref = sorted(
+            (
+                (
+                    max(
+                        _py_ticket(i, j, "gws") for j in range(1, w + 1)
+                    ),
+                    -i,
+                ),
+                i,
+            )
+            for i, w in members
+        )[-4:]
+        assert sorted(r.doc_id for r in kept) == sorted(i for _, i in ref)
+        for r in kept:
+            w = dict(members)[r.doc_id]
+            assert r.sample_key == max(
+                _py_ticket(r.doc_id, j, "gws") for j in range(1, w + 1)
+            )
+        assert sorted(r.sample_rank for r in kept) == list(
+            range(1, len(kept) + 1)
+        )

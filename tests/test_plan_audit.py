@@ -42,6 +42,9 @@ BNLJ_WHITELIST = {
     "rag1_chunk_retrieval",  # bounded query-panel broadcast (sim1's
     # shape): |docs|/50 rows of dim integers crossed over the map-only
     # chunk stream; the build side is panel-bounded by construction
+    "rag2_diverse_retrieval",  # same bounded query-panel cross as
+    # sim1/rag1; the corpus side stays map-only and the diversity argmax
+    # aggregates before the only window
     "rj1_range_join",
     "sim1_topk_cosine",
     "sim4_ivf_ann",

@@ -347,3 +347,39 @@ def test_ivfpq_index_rebuild_is_deterministic(spark, tmp_path):
         for root in (r1, r2)
     ]
     assert rows[0] == rows[1]
+
+
+def test_diverse_topk_one_per_group_and_best_scores(spark, sf_dir):
+    """Diversity contract: per query at most one candidate per label,
+    each group winner is that group's true cosine argmax, and the kept
+    set is the top-k over group winners (verified against brute force)."""
+    from graphsense_ethereum_etl_spark.operators.similarity import (
+        brute_force_topk,
+        diverse_topk,
+    )
+    from graphsense_ethereum_etl_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings").filter("vec_id < 300")
+    queries = emb.filter("vec_id % 150 = 0")
+    got = diverse_topk(emb, queries, k=3, group_col="label").collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r)
+    # brute force: all candidates ranked, then greedy one-per-label
+    brute = brute_force_topk(emb, queries, k=10**6).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    for qid, kept in per_q.items():
+        assert len({r.label for r in kept}) == len(kept) <= 3
+        seen, expect = set(), []
+        for r in sorted(
+            (r for r in brute if r.query_id == qid),
+            key=lambda r: r.rank,
+        ):
+            lb = labels[r.cand_id]
+            if lb in seen:
+                continue
+            seen.add(lb)
+            expect.append((r.cand_id, lb, r.score))
+            if len(expect) == 3:
+                break
+        assert [(r.cand_id, r.label, r.score) for r in sorted(kept, key=lambda r: r.rank)] == expect
