@@ -9155,6 +9155,84 @@ def rag2_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "u1_uint256_grouped_sum",
+    """
+    WITH v AS (
+      SELECT l_returnflag,
+             md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                 CAST(l_linenumber AS VARCHAR)) AS h
+      FROM lineitem),
+    limbs AS (
+      SELECT l_returnflag,
+             CAST('0x' || substring(h, 1, 8) AS BIGINT) AS hi,
+             CAST('0x' || substring(h, 9, 8) AS BIGINT) AS mid,
+             CAST('0x' || substring(h, 17, 8) AS BIGINT) AS lo
+      FROM v),
+    sums AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n_values,
+             SUM(hi) AS shi, SUM(mid) AS smid, SUM(lo) AS slo
+      FROM limbs GROUP BY l_returnflag)
+    SELECT l_returnflag, n_values,
+           CAST(CAST(shi AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT)
+                + CAST(smid AS HUGEINT) * CAST(4294967296 AS HUGEINT)
+                + CAST(slo AS HUGEINT) AS VARCHAR) AS wei_total
+    FROM sums
+    """,
+)
+def u1_uint256_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped SUM over values wider than any engine's native
+    integer — SURVEY.md §7.4.1's hard part exercised beyond the codec
+    round-trip: synthetic 96-bit wei amounts (md5-derived, deterministic)
+    summed exactly per group via INDEPENDENT LIMB SUMS. Each value splits
+    into three 32-bit limbs; each limb sums in plain int64 (32-bit limb ×
+    10^12 rows stays under 2^63 — no overflow at any realistic scale);
+    the total recombines as Σhi·2^64 + Σmid·2^32 + Σlo in decimal(38,0)
+    only at the END, one row per group. This is how the engine sums the
+    reference's uint256 value/difficulty columns losslessly at 100 TB:
+    map-side-combining integer aggregation on the fact table, wide
+    arithmetic on the group-sized result only. Output serialized as a
+    STRING so Spark's decimal and the oracle's HUGEINT hash identically.
+
+    (Full 256-bit inputs use eight 32-bit limbs and the same identity —
+    limb sums are exact, carries only materialize in the final decimal
+    recombination; the demo stays at 96 bits because DuckDB's widest
+    exact integer is the 128-bit HUGEINT.)"""
+    li = load(spark, sf_dir, "lineitem")
+    h = F.md5(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    limbs = li.select(
+        "l_returnflag",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("mid"),
+        F.conv(F.substring(h, 17, 8), 16, 10).cast("bigint").alias("lo"),
+    )
+    sums = limbs.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_values"),
+        F.sum("hi").alias("shi"),
+        F.sum("mid").alias("smid"),
+        F.sum("lo").alias("slo"),
+    )
+    two64 = F.lit("18446744073709551616").cast("decimal(38,0)")
+    two32 = F.lit(4294967296).cast("decimal(38,0)")
+    total = (
+        F.col("shi").cast("decimal(38,0)") * two64
+        + F.col("smid").cast("decimal(38,0)") * two32
+        + F.col("slo").cast("decimal(38,0)")
+    )
+    return sums.select(
+        "l_returnflag",
+        "n_values",
+        total.cast("decimal(38,0)").cast("string").alias("wei_total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry certification ordering
 # ---------------------------------------------------------------------------
