@@ -158,3 +158,53 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
     )
     return salted_fact.join(salted_dim, on=[on, "_salt"], how=how).drop("_salt")
+
+
+def bucketized_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    grid: float,
+) -> DataFrame:
+    """Range join (point ∈ [lo, hi)) as an EQUI-join — the scale path when
+    the interval side outgrows broadcast (rj1's BroadcastNestedLoopJoin
+    evaluates |points|·|intervals| predicates; fine for a 10-row band dim,
+    quadratic death for an interval TABLE). Each interval explodes into
+    the ``grid``-width cells it overlaps; each point maps to its ONE cell;
+    the join equi-matches on the cell and a residual predicate restores
+    exact [lo, hi) semantics. A (point, interval) pair can only meet in
+    the point's single cell, so no dedup step is needed.
+
+    Cost: the interval side replicates by ~(interval_width / grid + 1);
+    the point side never replicates. Pick ``grid`` near the TYPICAL
+    interval width — too small replicates intervals, too large piles
+    unrelated points into each cell's residual check (the classic
+    bucketized interval-join trade, cf. Spark's own range-join hints in
+    the Databricks runtime; this is the open-source expression of it).
+    Both sides shuffle on the cell key — at 100 TB that is one
+    co-partitioned exchange each, with AQE free to broadcast the exploded
+    interval side when it measures small."""
+    if grid <= 0:
+        raise ValueError(f"grid must be positive, got {grid}")
+    cells = intervals.withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / grid).cast("bigint"),
+                F.floor(F.col(hi_col) / grid).cast("bigint"),
+            )
+        ),
+    )
+    pts = points.withColumn(
+        "_cell", F.floor(F.col(point_col) / grid).cast("bigint")
+    )
+    return (
+        pts.join(cells, "_cell")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("_cell")
+    )

@@ -9233,6 +9233,47 @@ def u1_uint256_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rj2_bucketized_range_join",
+    """
+    WITH bands AS (
+      SELECT b.band, b.band * 25.0 AS lo, b.band * 25.0 + 40.0 AS hi
+      FROM (SELECT unnest(range(40)) AS band) b)
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN bands ON e.value >= bands.lo AND e.value < bands.hi
+    GROUP BY band
+    """,
+)
+def rj2_bucketized_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rj1's range join re-expressed as an EQUI-join on grid cells
+    (operators/joins.py::bucketized_range_join) — the plan that survives
+    an interval side too big to broadcast: rj1's BroadcastNestedLoopJoin
+    evaluates |events|x|bands| predicates, the bucketized form probes one
+    hash cell per event and residual-filters. Forty overlapping
+    [band*25, band*25+40) bands over the event value domain; grid width
+    64 ~ the interval width, so each band explodes into at most 2 cells.
+    Same aggregation contract as rj1 (exact decimal sum serialized as
+    double); the plan is asserted BNLJ-free with the join keyed on the
+    cell."""
+    from .operators.joins import bucketized_range_join
+
+    ev = load(spark, sf_dir, "events").select("value")
+    bands = spark.range(40).select(
+        F.col("id").cast("bigint").alias("band"),
+        (F.col("id") * 25.0).alias("lo"),
+        (F.col("id") * 25.0 + 40.0).alias("hi"),
+    )
+    j = bucketized_range_join(ev, bands, "value", "lo", "hi", grid=64.0)
+    return j.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry certification ordering
 # ---------------------------------------------------------------------------

@@ -605,3 +605,56 @@ def test_evolving_hint_gate(spark, monkeypatch):
     assert "ShuffledHashJoin" in joined_plan(evolving_hint(small, None))
     monkeypatch.setenv(FORCE_SHUFFLE_ENV, "1")
     assert "ShuffledHashJoin" in joined_plan(evolving_hint(small, 100))
+
+
+def test_rj2_is_equi_join_not_bnlj(spark, sf_dir):
+    """The bucketized range join must plan as a hash/sort-merge EQUI-join
+    on the grid cell — no BroadcastNestedLoopJoin anywhere (rj1's shape is
+    only right while the interval side broadcasts)."""
+    from graphsense_ethereum_etl_spark.plans import executed_plan
+
+    df = REGISTRY["rj2_bucketized_range_join"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "_cell" in plan  # the join key is the grid cell
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_bucketized_range_join_equals_bnlj(spark):
+    """Property: grid form == direct inequality join on adversarial data
+    (negative points, interval boundaries on/off the grid, empty
+    intervals, points outside every interval)."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.operators.joins import (
+        bucketized_range_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(
+            [-130.0, -64.0, -63.9, -1.0, 0.0, 0.5, 63.9, 64.0, 65.0,
+             127.9, 128.0, 500.0, 1000.0]
+        )],
+        "pid bigint, v double",
+    )
+    iv = spark.createDataFrame(
+        [(0, -128.0, -60.0), (1, -10.0, 10.0), (2, 0.0, 64.0),
+         (3, 64.0, 64.0), (4, 60.0, 130.0), (5, 100.0, 90.0)],
+        "iid bigint, lo double, hi double",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in bucketized_range_join(pts, iv, "v", "lo", "hi", 64.0).collect()
+    )
+    want = sorted(
+        (r.pid, r.iid)
+        for r in pts.crossJoin(iv)
+        .filter((F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")))
+        .collect()
+    )
+    assert got == want and got
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="grid"):
+        bucketized_range_join(pts, iv, "v", "lo", "hi", 0)
