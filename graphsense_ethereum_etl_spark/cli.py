@@ -498,6 +498,12 @@ def build_parser() -> ArgumentParser:
         "--k", type=int, default=10, help="ann: neighbors per query"
     )
     corpus.add_argument(
+        "--diverse-col", dest="diverse_col", default=None,
+        help="ann (brute only): diversity constraint — at most one result "
+        "per value of this candidate column per query (context "
+        "diversification, operators/similarity.py::diverse_topk)",
+    )
+    corpus.add_argument(
         "--dim", type=int, default=None,
         help="ann pq/ivfpq: embedding dimension (default: inferred from "
         "the first row)",
@@ -1128,8 +1134,20 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
 
         queries = spark.read.parquet(args.queries) if args.queries else docs
         ids = dict(id_col=args.id_col, vec_col=args.vec_col)
+        if args.diverse_col and args.ann_method != "brute":
+            raise SystemExit(
+                "corpus ann: --diverse-col requires --ann-method brute "
+                "(the constrained argmax needs exact scores)"
+            )
         if args.ann_method == "brute":
-            out = brute_force_topk(docs, queries, k=args.k, **ids)
+            if args.diverse_col:
+                from .operators.similarity import diverse_topk
+
+                out = diverse_topk(
+                    docs, queries, k=args.k, group_col=args.diverse_col, **ids
+                )
+            else:
+                out = brute_force_topk(docs, queries, k=args.k, **ids)
         elif args.ann_method == "ivf":
             out = ivf_topk(
                 docs, queries, n_clusters=args.n_clusters,

@@ -9274,6 +9274,100 @@ def rj2_bucketized_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "g11_degree_assortativity",
+    """
+    WITH raw AS (
+      SELECT CAST(o_orderkey % 997 AS BIGINT) AS a,
+             CAST((o_orderkey * 13 + 7) % 997 AS BIGINT) AS b
+      FROM orders
+      UNION ALL
+      SELECT CAST(o_orderkey % 997 AS BIGINT) AS a,
+             CAST((o_orderkey * 7 + 1) % 331 AS BIGINT) AS b
+      FROM orders),
+    ed AS (SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+           FROM raw WHERE a != b),
+    sym AS (SELECT a AS u, b AS v FROM ed UNION ALL SELECT b, a FROM ed),
+    deg AS (SELECT u AS x, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    pairs AS (
+      SELECT da.d AS du, db.d AS dv
+      FROM sym JOIN deg da ON da.x = sym.u JOIN deg db ON db.x = sym.v),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(du) AS BIGINT) AS sx,
+                 CAST(SUM(du * du) AS BIGINT) AS sxx,
+                 CAST(SUM(du * dv) AS BIGINT) AS sxy
+          FROM pairs)
+    SELECT m, sx, sxx, sxy,
+           CASE WHEN m * sxx - sx * sx = 0 THEN NULL
+                ELSE round(CAST(m * sxy - sx * sx AS DOUBLE)
+                           / CAST(m * sxx - sx * sx AS DOUBLE), 6)
+           END AS assortativity
+    FROM s
+    """,
+)
+def g11_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over the symmetrized edge list — positive for
+    hub-to-hub networks, negative for hub-and-spoke — rounding out the
+    graph-analytics tier (g1 degrees … g10 clustering coefficient). The
+    synthetic graph UNIONS two residue generators (mod 997 and mod 331)
+    so low-id vertices become hubs — the single-generator graph is
+    1-regular and its degree variance is zero (a REGULAR graph has no
+    defined assortativity: the guard returns NULL instead of dividing by
+    zero, both engines). On
+    the symmetric relation Σdu = Σdv and Σdu² = Σdv², so
+    r = (m·Σdudv − (Σdu)²) / (m·Σdu² − (Σdu)²): ALL sums are exact
+    int64 (degree ≤ |V|, so du·dv ≤ 10¹² per row, and the per-sum
+    overflow bound m·d² < 2⁶³ holds to ~10⁹ edges; widen the three
+    accumulators to decimal(38,0) beyond) — one double division at the
+    end, hash-exact at 6 dp. The moment sums ride along as checked
+    integer facts.
+
+    Scale shape: one degree aggregation (map-side combined), two
+    vertex-sized joins to attach endpoint degrees (broadcastable at any
+    tier where |V| fits, co-partitioned otherwise — Catalyst's choice,
+    this is a one-shot analytic not an iterative loop), one global
+    1-row aggregation."""
+    o = load(spark, sf_dir, "orders")
+    raw = o.select(
+        (F.col("o_orderkey") % 997).cast("bigint").alias("a"),
+        ((F.col("o_orderkey") * 13 + 7) % 997).cast("bigint").alias("b"),
+    ).unionAll(
+        o.select(
+            (F.col("o_orderkey") % 997).cast("bigint").alias("a"),
+            ((F.col("o_orderkey") * 7 + 1) % 331).cast("bigint").alias("b"),
+        )
+    )
+    ed = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    sym = ed.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        ed.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("x")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    da = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    pairs = sym.join(da, "u").join(db, "v")
+    s = pairs.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("du").cast("bigint").alias("sx"),
+        F.sum(F.col("du") * F.col("du")).cast("bigint").alias("sxx"),
+        F.sum(F.col("du") * F.col("dv")).cast("bigint").alias("sxy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
+    den_i = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "m", "sx", "sxx", "sxy",
+        F.when(den_i != 0, F.round(num / den_i.cast("double"), 6)).alias(
+            "assortativity"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry certification ordering
 # ---------------------------------------------------------------------------

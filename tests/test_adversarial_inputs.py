@@ -189,6 +189,14 @@ OPS = {
         contract="subset", id_out="doc_id",
         documented="sampling IS a filter (top-k by A-ES key); NULL ids drop "
                    "by the no-stable-identity contract"),
+    "corpus.grouped_weighted_sample": dict(
+        input="docs",
+        call=lambda sp, d: c_ops.grouped_weighted_sample(
+            d.withColumn("w", F.length(F.coalesce("text", F.lit("")))),
+            k=2, weight_col="w", group_col="source"),
+        contract="subset", id_out="doc_id",
+        documented="sampling IS a filter (per-group top-k by A-ES key); "
+                   "NULL ids drop by the no-stable-identity contract"),
     "corpus.grouped_split": dict(
         input="docs", call=lambda sp, d: c_ops.grouped_split(d),
         contract="per_doc", id_out="doc_id"),
@@ -282,6 +290,7 @@ OPS = {
         contract="no_crash"),  # dedicated test below (graph-op pattern)
     # ---- joins ----
     "joins.asof_join": dict(input="custom", call=None, contract="no_crash"),
+    "joins.bucketized_range_join": dict(input="custom", call=None, contract="no_crash"),
     "joins.salted_join": dict(input="custom", call=None, contract="no_crash"),
     # ---- multimodal ----
     "multimodal.attach_media_columns": dict(
@@ -372,6 +381,11 @@ OPS = {
         input="emb",
         call=lambda sp, d: s_ops.pq_topk(d, d, dim=8, m=4, n_codes=4, k=3, rerank=2),
         contract="pairs", id_cols=("query_id", "cand_id")),
+    "similarity.diverse_topk": dict(
+        input="emb",
+        call=lambda sp, d: s_ops.diverse_topk(
+            d.withColumn("label", F.col("vec_id") % 2), d, k=3),
+        contract="pairs", id_cols=("query_id", "cand_id")),
     "similarity.ivfpq_topk": dict(
         input="emb",
         call=lambda sp, d: s_ops.ivfpq_topk(
@@ -420,6 +434,9 @@ SKIPS = {
     # tests/test_dedup.py.
     "dedup.build_minhash_index": "persists a bucketed table — tested in test_dedup.py",
     "dedup.minhash_probe": "reads a persisted index — tested in test_dedup.py",
+    "dedup.compact_minhash_index": "rewrites a persisted bucketed table — "
+        "20-admit proliferation/compaction/retirement lifecycle tested in "
+        "test_dedup.py",
 }
 
 
@@ -795,3 +812,23 @@ def test_triangle_counts_adversarial(spark, variant):
     # none of the fixtures contains a triangle (empty/single/self-loop/
     # NULL-endpoint): the contract output is EMPTY, not a crash
     assert out == []
+
+
+def test_bucketized_range_join_adversarial(spark):
+    """NULL point values and NULL interval bounds must drop (no cell, no
+    residual match — never a crash or a phantom row); empties compose."""
+    import graphsense_ethereum_etl_spark.operators.joins as j_ops
+
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -5.0)], "pid bigint, v double"
+    )
+    iv = spark.createDataFrame(
+        [(0, 0.0, 10.0), (1, None, 10.0), (2, -10.0, None)],
+        "iid bigint, lo double, hi double",
+    )
+    out = j_ops.bucketized_range_join(pts, iv, "v", "lo", "hi", 4.0)
+    assert sorted((r.pid, r.iid) for r in out.collect()) == [(1, 0)]
+    empty_p = spark.createDataFrame([], "pid bigint, v double")
+    empty_i = spark.createDataFrame([], "iid bigint, lo double, hi double")
+    assert j_ops.bucketized_range_join(empty_p, iv, "v", "lo", "hi", 4.0).count() == 0
+    assert j_ops.bucketized_range_join(pts, empty_i, "v", "lo", "hi", 4.0).count() == 0

@@ -232,6 +232,9 @@ def test_compact_partitions_adversarial(spark, tmp_path, n):
 SINK_SKIPS = {
     "write_cassandra": "needs spark-cassandra-connector + live cluster "
                        "(error path unit-tested in test_sources_sinks.py)",
+    "table_location": "path-resolution helper (no frame in/out) — "
+                      "db-qualified/fresh-session/orphan-cleanup contracts "
+                      "pinned in test_dedup.py's index lifecycle tests",
 }
 
 
@@ -325,6 +328,11 @@ STREAM_COVERED = {
 }
 
 STREAM_SKIPS = {
+    "cdf.apply_mv_delta": "gap/regression/delta-init/replay/lock contracts — "
+        "deterministic race tests + 3-seed two-instance interleave soak in "
+        "test_streaming_cdf.py",
+    "cdf.mv_applied_version": "pointer reader — exercised by every MV race "
+        "test in test_streaming_cdf.py",
     "structured.stream_raw_blocks": "needs a live streaming source — covered "
         "by test_stateful.py / sources/datasource tests",
     "structured.run_stream_merge": "streaming driver loop — covered by "

@@ -1503,3 +1503,34 @@ def test_cli_flagship(spark, tmp_path, capsys):
 
     expect = entry_mod.entry(spark)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_cli_corpus_ann_diverse(spark, tmp_path):
+    """--diverse-col routes brute ANN through diverse_topk (at most one
+    result per label per query) and refuses non-brute methods."""
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    q = str(tmp_path / "q")
+    spark.read.parquet(src).filter("vec_id < 2").write.parquet(q)
+    out = str(tmp_path / "nbrs")
+    main(
+        ["corpus", "ann", "-i", src, "-o", out, "--queries", q,
+         "--id-col", "vec_id", "--vec-col", "embedding",
+         "--k", "4", "--diverse-col", "label"],
+        spark=spark,
+    )
+    rows = spark.read.parquet(out).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, set())
+        assert r.label not in per_q[r.query_id], "duplicate label per query"
+        per_q[r.query_id].add(r.label)
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="diverse-col"):
+        main(
+            ["corpus", "ann", "-i", src, "-o", out, "--ann-method", "ivf",
+             "--id-col", "vec_id", "--diverse-col", "label"],
+            spark=spark,
+        )
