@@ -249,3 +249,44 @@ def hashed_embedding_tokens(tokens: Column, dim: int = 16) -> Column:
             ),
         ),
     )
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form of an http(s) URL for web-corpus dedup — the
+    standard crawl-pipeline normalization (cf. RFC 3986 §6 syntax-based
+    normalization plus the tracking-parameter strip every production
+    pipeline adds):
+
+      - scheme and host lowercased (case-insensitive by spec);
+      - default ports dropped (``:80`` for http, ``:443`` for https —
+        NON-default ports are kept: a different port is a different
+        origin);
+      - fragment dropped (never sent to the server);
+      - query parameters SORTED (order is almost always insignificant)
+        with ``utm_*`` tracking parameters and empty fragments removed;
+      - empty path normalized to ``/``; path case and trailing slashes
+        preserved (paths are case-significant by spec).
+
+    Pure Catalyst (regexp_extract / filter / array_sort / concat) — the
+    identical pipeline is expressible in ANSI-ish SQL, so the t13 oracle
+    hash-checks it. NULL url → NULL."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/:?#]+)", 1))
+    port = F.regexp_extract(u, r"^[A-Za-z]+://[^/:?#]+:([0-9]+)", 1)
+    default = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port != "") & ~default, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    nofrag = F.regexp_replace(u, r"#.*$", "")
+    path = F.regexp_extract(nofrag, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.filter(
+        F.split(F.regexp_extract(nofrag, r"\?(.*)$", 1), "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    q = F.array_join(F.array_sort(params), "&")
+    q_part = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+    return F.concat(scheme, F.lit("://"), host, port_part, path_part, q_part)

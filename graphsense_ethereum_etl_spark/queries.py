@@ -9368,6 +9368,98 @@ def g11_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t13_url_canonical_dedup",
+    """
+    WITH urls AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'http://' || source || '/item/'
+                           || CAST(doc_id % 150 AS VARCHAR) || '?a=1&b=2'
+               WHEN 1 THEN 'HTTP://' || upper(source) || ':80/item/'
+                           || CAST(doc_id % 150 AS VARCHAR)
+                           || '?b=2&utm_source=feed&a=1'
+               WHEN 2 THEN 'http://' || source || '/item/'
+                           || CAST(doc_id % 150 AS VARCHAR) || '?a=1&b=2#frag'
+               ELSE 'https://' || source || '/item/'
+                    || CAST(doc_id % 150 AS VARCHAR) || '?a=1&b=2'
+             END AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) ||
+             CASE WHEN port != ''
+                       AND NOT (lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) = 'http' AND port = '80')
+                       AND NOT (lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) = 'https' AND port = '443')
+                  THEN ':' || port ELSE '' END ||
+             CASE WHEN path = '' THEN '/' ELSE path END ||
+             CASE WHEN q IS NULL OR q = '' THEN '' ELSE '?' || q END
+               AS canonical_url
+      FROM (
+        SELECT doc_id, url,
+               regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:([0-9]+)', 1) AS port,
+               regexp_extract(regexp_replace(url, '#.*$', ''),
+                              '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+               list_aggr(list_sort(list_filter(
+                 string_split(regexp_extract(regexp_replace(url, '#.*$', ''),
+                                             '\\?(.*)$', 1), '&'),
+                 p -> p != '' AND NOT starts_with(p, 'utm_'))),
+                 'string_agg', '&') AS q
+        FROM urls))
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def t13_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (functions/text.py::canonical_url) —
+    the web-crawl staple: case-folded scheme/host, default ports and
+    fragments dropped, query params sorted with utm_* tracking stripped,
+    then exact dedup on the canonical form. The synthetic url column
+    derives four variants per document (plain / SHOUTED-host+:80+utm /
+    fragment / https) so the canonicalizer provably conflates the first
+    three and keeps the https origin distinct. Map-only normalization +
+    one fingerprint groupBy — the cc2/exact-dedup shuffle shape, with
+    the canonical string as the fingerprint."""
+    from .functions.text import canonical_url
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
+    item = (F.col("doc_id") % 150).cast("string")
+    variant = (F.col("doc_id") % 4).cast("int")
+    url = (
+        F.when(
+            variant == 0,
+            F.concat(F.lit("http://"), F.col("source"), F.lit("/item/"), item, F.lit("?a=1&b=2")),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("HTTP://"), F.upper("source"), F.lit(":80/item/"), item,
+                F.lit("?b=2&utm_source=feed&a=1"),
+            ),
+        )
+        .when(
+            variant == 2,
+            F.concat(F.lit("http://"), F.col("source"), F.lit("/item/"), item, F.lit("?a=1&b=2#frag")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), F.col("source"), F.lit("/item/"), item, F.lit("?a=1&b=2")),
+        )
+    )
+    return (
+        d.select("doc_id", canonical_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.min("doc_id").cast("bigint").alias("canonical_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry certification ordering
 # ---------------------------------------------------------------------------
