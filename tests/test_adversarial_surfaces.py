@@ -96,6 +96,11 @@ TEXT_OPS = {
         ),
         "array_or_null",
     ),
+    # canonical_url over the TEXT variants: arbitrary non-URL text must
+    # never crash the regexes (it degrades to '://' scaffolding strings —
+    # garbage-in-garbage-out; the real-URL contracts live in
+    # test_text_functions.py's edge-case/idempotence unit)
+    "canonical_url": (lambda: tx.canonical_url("text"), "string_or_null"),
 }
 
 TEXT_SKIPS: dict[str, str] = {}
