@@ -1152,10 +1152,33 @@ def build_minhash_index(
         "shingle_k": shingle_k,
         "num_buckets": num_buckets,
     }
-    _sidecar_write(spark, _table_location(spark, table), json.dumps(meta))
+    location = _table_location(spark, table)
+    _sidecar_write(spark, location, json.dumps(meta))
+    # a rebuild is a fresh index: clear any sticky-retirement state a
+    # previous generation left behind
+    fs, _ = _hadoop_path(spark, location)
+    rpath = spark._jvm.org.apache.hadoop.fs.Path(_retired_dir(location))
+    if fs.exists(rpath):
+        fs.delete(rpath, True)
 
 
 _SIDECAR = "_mh_meta.json"
+_RETIRED = "_mh_retired"
+
+
+def _retired_dir(location: str) -> str:
+    return f"{location}/{_RETIRED}"
+
+
+def _read_retired(spark, location: str):
+    """DataFrame(doc_id bigint) of STICKILY retired docs, or None. The
+    underscore prefix hides the dir from the table scan, like the
+    sidecar."""
+    fs, _ = _hadoop_path(spark, location)
+    path = spark._jvm.org.apache.hadoop.fs.Path(_retired_dir(location))
+    if not fs.exists(path):
+        return None
+    return spark.read.parquet(_retired_dir(location))
 
 
 def _table_location(spark, table: str) -> str:
@@ -1291,6 +1314,15 @@ def minhash_probe(
     if admit:
         out = out.localCheckpoint(eager=True)
         fresh = probe_keys.join(spark.table(table), ["bkey", "doc_id"], "left_anti")
+        retired = _read_retired(spark, _table_location(spark, table))
+        if retired is not None:
+            # retirement is STICKY: a replayed batch containing docs that
+            # were retired after its first admit must not resurrect them
+            # (found by the r9 lifecycle soak). USING-join fronts the key
+            # — re-project to the table's column order for insertInto.
+            fresh = fresh.join(retired, "doc_id", "left_anti").select(
+                "bkey", "doc_id"
+            )
         fresh.write.mode("append").format("parquet").insertInto(table)
     return out
 
@@ -1345,11 +1377,32 @@ def compact_minhash_index(
     rows = spark.table(table).dropDuplicates(["bkey", "doc_id"])
     if retire_ids is not None:
         retired = retire_ids.toDF("doc_id")
-        rows = rows.join(F.broadcast(retired), "doc_id", "left_anti")
+        # USING-join fronts the join key — re-project to the table's
+        # (bkey, doc_id) order or the rewritten table's schema flips and
+        # the NEXT admit's positional insertInto cast-fails (found by the
+        # r9 lifecycle soak)
+        rows = rows.join(F.broadcast(retired), "doc_id", "left_anti").select(
+            "bkey", "doc_id"
+        )
     tmp = f"{table}_compact_tmp"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     sinks.write_bucketed(rows, tmp, "bkey", m["num_buckets"])
     _sidecar_write(spark, _table_location(spark, tmp), json.dumps(m))
+    # Sticky-retirement state travels with the NEW generation: write the
+    # (unioned, deduped) retired set into the tmp dir BEFORE the swap —
+    # the old generation's dir, including its `_mh_retired`, is deleted
+    # when the live table drops (the r9 soak caught the set vanishing
+    # when it was rewritten in place), and a plain compaction must carry
+    # the existing set forward unchanged.
+    prev = _read_retired(spark, location)
+    if retire_ids is not None:
+        allr = retired if prev is None else retired.unionByName(prev)
+    else:
+        allr = prev
+    if allr is not None:
+        allr.select(F.col("doc_id").cast("bigint")).distinct().write.mode(
+            "overwrite"
+        ).parquet(_retired_dir(_table_location(spark, tmp)))
     # the bucketed write above is the last read of the old generation
     spark.sql(f"DROP TABLE {table}")
     fs, _ = _hadoop_path(spark, location)

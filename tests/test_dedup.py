@@ -829,3 +829,107 @@ def test_ngram_jaccard_bucketed_reuse_skips_build(spark, sf_dir):
         ).collect())
     )
     assert fresh == built
+
+
+@pytest.mark.parametrize("seed", list(range(6)))
+def test_minhash_index_lifecycle_soak(spark, seed):
+    """Randomized admit / replay / probe / compact / retire schedules
+    against a Python model of the index's (bkey, doc_id) set. The model
+    ingests the SAME _band_keys output the operator writes (hashing
+    correctness is dd11's oracle job — this soak pins the LIFECYCLE state
+    machine: no double-appends on replay, compaction preserves content,
+    retirement removes exactly the named docs, probes always equal the
+    model join)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.operators.dedup import (
+        _band_keys,
+        build_minhash_index,
+        compact_minhash_index,
+        minhash_probe,
+    )
+
+    rng = random.Random(4000 + seed)
+    table = f"mhidx_soak{seed}"
+    docs = _mh_docs(spark)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_compact_tmp")
+
+    def keys_of(df):
+        return {
+            (r.bkey, r.doc_id)
+            for r in _band_keys(df, "text", "doc_id", 8, 4, 3).collect()
+        }
+
+    base = docs.filter("doc_id < 40")
+    build_minhash_index(base, table)
+    model = keys_of(base)
+    retired_ids: set[int] = set()
+    admitted_ranges: list[tuple[int, int]] = [(0, 40)]
+    next_lo = 40
+
+    def model_probe(batch_keys):
+        by_key: dict[str, set] = {}
+        for bk, did in model:
+            by_key.setdefault(bk, set()).add(did)
+        out = set()
+        for bk, did in batch_keys:
+            for idx_id in by_key.get(bk, ()):
+                if idx_id != did:
+                    out.add((idx_id, did))
+        return out
+
+    for _step in range(rng.randint(6, 10)):
+        op = rng.choice(["admit", "replay", "probe", "compact", "retire"])
+        if op == "admit":
+            lo = next_lo
+            next_lo += rng.randint(3, 12)
+            batch = docs.filter(f"doc_id >= {lo} AND doc_id < {next_lo}")
+            got = {
+                (r.index_id, r.new_id)
+                for r in minhash_probe(batch, table, admit=True).collect()
+            }
+            bk = keys_of(batch)
+            assert got == model_probe(bk), f"seed {seed}: admit probe diverged"
+            # sticky retirement: docs retired before their (re-)admit
+            # never enter the index
+            model |= {(k, d) for (k, d) in bk if d not in retired_ids}
+            admitted_ranges.append((lo, next_lo))
+        elif op == "replay" and admitted_ranges:
+            lo, hi = rng.choice(admitted_ranges)
+            batch = docs.filter(f"doc_id >= {lo} AND doc_id < {hi}")
+            minhash_probe(batch, table, admit=True).collect()
+            # replay admits nothing new — model unchanged by definition
+        elif op == "probe":
+            lo = rng.randint(0, 400)
+            batch = docs.filter(
+                f"doc_id >= {lo + 900000 - 900000} AND doc_id < {lo + 20}"
+            ).withColumn("doc_id", F.col("doc_id") + 900000)
+            got = {
+                (r.index_id, r.new_id)
+                for r in minhash_probe(batch, table).collect()
+            }
+            assert got == model_probe(keys_of(batch)), (
+                f"seed {seed}: read-only probe diverged"
+            )
+        elif op == "compact":
+            compact_minhash_index(spark, table)
+        else:  # retire
+            cut = rng.randint(0, next_lo)
+            width = rng.randint(1, 10)
+            retired = spark.range(cut, cut + width).toDF("doc_id")
+            compact_minhash_index(spark, table, retire_ids=retired)
+            retired_ids |= set(range(cut, cut + width))
+            model = {
+                (bk, did) for bk, did in model if did not in retired_ids
+            }
+        # global invariant after every op: table content == model
+        got_rows = {
+            (r.bkey, r.doc_id) for r in spark.table(table).collect()
+        }
+        assert got_rows == model, (
+            f"seed {seed}: index content diverged from the model after {op}"
+        )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
