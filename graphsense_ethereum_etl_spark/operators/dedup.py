@@ -1345,7 +1345,12 @@ def compact_minhash_index(
     retirement-of-deleted-docs: their band keys are anti-joined out during
     the same rewrite, so retiring costs nothing beyond the compaction
     itself. Parquet has no row deletes; rewrite-with-filter is the
-    at-rest-index equivalent.
+    at-rest-index equivalent. Retirement is STICKY: retired ids persist
+    in an underscore-hidden ``_mh_retired`` parquet set inside the index
+    directory (carried across compactions, cleared by a full rebuild),
+    and every future ``admit=True`` probe anti-joins against it — an
+    at-least-once REPLAY of a batch whose docs were later retired cannot
+    resurrect them (found by the randomized lifecycle soak).
 
     The swap is write-aside, never overwrite-in-place: the new layout is
     fully written and sidecar-stamped at ``<table>_compact_tmp`` BEFORE
