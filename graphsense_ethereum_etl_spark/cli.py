@@ -369,7 +369,7 @@ def build_parser() -> ArgumentParser:
             "dedup-lines", "negatives", "validate", "lm-score", "ann",
             "ann-build", "ann-search", "embed", "dupspan", "classify",
             "dedup-gate", "wsample", "split", "profile",
-            "dedup-index", "dedup-probe", "dedup-compact",
+            "dedup-index", "dedup-probe", "dedup-compact", "outliers",
         ],
         help="which curation pass to run over the input documents table",
     )
@@ -556,7 +556,7 @@ def build_parser() -> ArgumentParser:
     corpus.add_argument(
         "--group-col", dest="group_col", default="source",
         help="split: leakage group — every row sharing it lands in the "
-        "same split",
+        "same split; outliers: robust stats computed within each group",
     )
     corpus.add_argument(
         "--cuts", default="80,90",
@@ -577,6 +577,19 @@ def build_parser() -> ArgumentParser:
         help="dedup-index/dedup-probe/dedup-compact: bucketed managed-table "
         "name of the persisted MinHash band index (survives sessions via "
         "its _mh_meta.json sidecar)",
+    )
+    corpus.add_argument(
+        "--value-col", dest="value_col", default="n_chars",
+        help="outliers: numeric column to flag on",
+    )
+    corpus.add_argument(
+        "--mad-k", dest="mad_k", type=float, default=5.0,
+        help="outliers: flag |x - median| > k * MAD",
+    )
+    corpus.add_argument(
+        "--approx", action="store_true",
+        help="outliers: approx_percentile instead of exact (the 100-TB "
+        "form; rank error <= 1e-4)",
     )
     corpus.add_argument(
         "--retire-ids", dest="retire_ids", default=None,
@@ -1211,6 +1224,13 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
             + (f" (retired ids from {args.retire_ids})" if args.retire_ids else "")
         )
         return IngestStats()
+    elif args.operation == "outliers":
+        from .operators.quality import grouped_outliers
+
+        out = grouped_outliers(
+            docs, args.value_col, args.group_col, k=args.mad_k,
+            exact=not args.approx,
+        )
     elif args.operation == "wsample":
         from pyspark.sql import functions as F
 

@@ -163,3 +163,57 @@ def profile_table(
         for i, c in enumerate(cols)
     ]
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def grouped_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 5.0,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Robust per-group outlier flags — median/MAD, the z-score that
+    doesn't break on the outliers it hunts (an1's operator form): every
+    input row comes back with its group's ``med`` and ``mad`` attached
+    and ``is_outlier = |x − med| > k·mad``. NULL values are never
+    outliers (no evidence either way); NULL groups form their own
+    stratum.
+
+    ``exact=True`` uses Spark's exact ``percentile`` (group values buffer
+    in the aggregation state — right up to millions of rows per group);
+    ``exact=False`` swaps in ``approx_percentile`` at ``accuracy`` (rank
+    error ≤ 1/accuracy) — the 100-TB form, same plan shape. Either way
+    the fact table is NEVER shuffled: two group-sized percentile
+    aggregates broadcast back onto it."""
+    fn = "percentile" if exact else "approx_percentile"
+    extra = "" if exact else f", {accuracy}"
+    base = df.withColumn("_gx", F.col(value_col).cast("double"))
+    # null-SAFE group joins: a NULL group is a real stratum (a NULL crawl
+    # domain is still a domain) — a plain equi-join would orphan its rows
+    # from their own med/mad
+    med = base.groupBy(group_col).agg(
+        F.expr(f"{fn}(_gx, 0.5D{extra})").alias("med")
+    ).withColumnRenamed(group_col, "_g_med")
+    dev = base.join(
+        F.broadcast(med), base[group_col].eqNullSafe(F.col("_g_med")), "left"
+    ).drop("_g_med").withColumn(
+        "_ad", F.abs(F.col("_gx") - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.expr(f"{fn}(_ad, 0.5D{extra})").alias("mad")
+    ).withColumnRenamed(group_col, "_g_mad")
+    return (
+        dev.join(
+            F.broadcast(mad), dev[group_col].eqNullSafe(F.col("_g_mad")), "left"
+        )
+        .drop("_g_mad")
+        .withColumn(
+            "is_outlier",
+            F.when(
+                F.col("_gx").isNotNull(),
+                F.abs(F.col("_gx") - F.col("med")) > F.lit(k) * F.col("mad"),
+            ),
+        )
+        .drop("_gx", "_ad")
+    )

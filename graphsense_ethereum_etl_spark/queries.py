@@ -9080,27 +9080,22 @@ def an1_grouped_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile (the h2→h2b swap, rank error ≤ 1e-4 at
     accuracy=10000) and the flag threshold inherits the sketch bound —
     the plan shape is otherwise identical."""
+    from .operators.quality import grouped_outliers
+
     orders = load(spark, sf_dir, "orders")
     base = orders.select(
         F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    med = base.groupBy("grp").agg(F.expr("percentile(cents, 0.5D)").alias("m"))
-    dev = base.join(F.broadcast(med), "grp").select(
-        "grp", "o_orderkey", "cents", "m",
-        F.abs(F.col("cents") - F.col("m")).alias("ad"),
-    )
-    mad = dev.groupBy("grp").agg(F.expr("percentile(ad, 0.5D)").alias("mad"))
-    return dev.join(F.broadcast(mad), "grp").select(
+    out = grouped_outliers(base, "cents", "grp", k=5.0, exact=True)
+    return out.select(
         "o_orderkey",
         "grp",
         "cents",
-        F.round("m", 6).alias("med"),
+        F.round("med", 6).alias("med"),
         F.round("mad", 6).alias("mad"),
-        (F.abs(F.col("cents") - F.col("m")) > 5 * F.col("mad")).alias(
-            "is_outlier"
-        ),
+        "is_outlier",
     )
 
 

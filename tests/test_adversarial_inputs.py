@@ -340,6 +340,12 @@ OPS = {
     "pipelines.latest_block": dict(input="custom", call=None, contract="no_crash"),
     # ---- quality ----
     "quality.check_constraints": dict(input="custom", call=None, contract="no_crash"),
+    "quality.grouped_outliers": dict(
+        input="docs",
+        call=lambda sp, d: q_ops.grouped_outliers(
+            d.withColumn("v", F.length(F.coalesce("text", F.lit("")))),
+            "v", "source"),
+        contract="per_doc", id_out="doc_id"),
     "quality.profile_table": dict(
         input="docs", call=lambda sp, d: q_ops.profile_table(d),
         contract="no_crash",

@@ -1534,3 +1534,19 @@ def test_cli_corpus_ann_diverse(spark, tmp_path):
              "--id-col", "vec_id", "--diverse-col", "label"],
             spark=spark,
         )
+
+
+def test_cli_corpus_outliers(spark, tmp_path, capsys):
+    """corpus outliers: every input row returns with med/mad/is_outlier;
+    a planted extreme value is flagged, the bulk is not."""
+    rows = [(i, "a", 100 + (i % 7)) for i in range(40)] + [(99, "a", 100000)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id bigint, source string, n_chars bigint"
+    ).write.parquet(src)
+    out = str(tmp_path / "flags")
+    main(["corpus", "outliers", "-i", src, "-o", out], spark=spark)
+    got = spark.read.parquet(out)
+    assert got.count() == 41
+    flagged = {r.doc_id for r in got.filter("is_outlier").collect()}
+    assert flagged == {99}
