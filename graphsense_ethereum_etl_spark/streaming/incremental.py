@@ -136,8 +136,51 @@ def run_incremental(
     bucket multiple, and a resume re-ingests from the start of the last
     partial bucket (idempotent overwrite ≙ Cassandra upsert re-run).
     Dynamic partition overwrite is scoped per-writer inside
-    ``transform_and_write_batch`` — no session-conf side effects."""
+    ``transform_and_write_batch`` — no session-conf side effects.
+
+    Single-writer guard (r9): the whole loop holds an advisory flock on
+    ``<sink_root>/_ingest.lock``. Two concurrent ingests into one sink
+    root would interleave partition overwrites and (in versioned mode)
+    race manifest-pointer swaps — the contract was previously only a
+    docstring note in ``vacuum``; now a second instance FAILS FAST with
+    a clear error instead of corrupting silently. The lock covers
+    threads and processes on one host (the ingest loop is driver-local
+    by design); distributed deployments coordinate externally, as the
+    reference's single streamer process does implicitly."""
+    import os
+
     batch_size = max(bucket_size, (batch_size // bucket_size) * bucket_size)
+    os.makedirs(sink_root, exist_ok=True)
+    lock_fh = open(f"{sink_root}/_ingest.lock", "a")
+    try:
+        import fcntl
+
+        fcntl.flock(lock_fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except ImportError:  # non-POSIX: documented single-instance contract
+        pass
+    except OSError:
+        lock_fh.close()
+        raise RuntimeError(
+            f"another ingest already holds {sink_root}/_ingest.lock — "
+            "concurrent ingests into one sink root interleave partition "
+            "overwrites (and race versioned-manifest swaps); run one "
+            "ingest per sink root"
+        )
+    try:
+        return _run_incremental_locked(
+            spark, source, sink_root, head, start_block, end_block,
+            batch_size, bucket_size, dialect, fail_after_tables,
+            collect_stats, sink_format, on_batch,
+        )
+    finally:
+        lock_fh.close()  # closing releases the flock
+
+
+def _run_incremental_locked(
+    spark, source, sink_root, head, start_block, end_block, batch_size,
+    bucket_size, dialect, fail_after_tables, collect_stats, sink_format,
+    on_batch,
+) -> IngestStats:
     resume = latest_ingested_block(spark, f"{sink_root}/block", sink_format)
     rng = resolve_range(resume, head, start_block, end_block)
     stats = IngestStats()

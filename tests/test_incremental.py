@@ -519,3 +519,44 @@ def test_ingest_randomized_crash_reorg_soak(spark, tmp_path, seed):
     assert _table_rows(spark, root) == _table_rows(spark, ref), (
         f"seed {seed}: sink diverged from the straight-line ingest"
     )
+
+
+def test_concurrent_ingest_fails_fast(spark, tmp_path):
+    """r9 single-writer guard: a second ingest into the same sink root
+    must fail fast with a clear error while the first holds the lock —
+    interleaved partition overwrites were previously a silent-corruption
+    contract violation."""
+    import threading
+    import time as _time
+
+    root = str(tmp_path / "sink")
+    slow_barrier = threading.Event()
+    release = threading.Event()
+
+    def slow_source(sp, lo, hi):
+        slow_barrier.set()
+        release.wait(30)
+        return source(sp, lo, hi)
+
+    errs: list[Exception] = []
+
+    def first():
+        try:
+            run_incremental(spark, slow_source, root, head=1999,
+                            start_block=0, batch_size=1000)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t = threading.Thread(target=first)
+    t.start()
+    try:
+        assert slow_barrier.wait(30), "first ingest never started"
+        with pytest.raises(RuntimeError, match="_ingest.lock"):
+            run_incremental(spark, source, root, head=1999,
+                            start_block=0, batch_size=1000)
+    finally:
+        release.set()
+        t.join()
+    assert not errs, errs
+    # after the first finishes, a sequential ingest proceeds normally
+    run_incremental(spark, source, root, head=2999, batch_size=1000)
