@@ -816,3 +816,52 @@ def grouped_split(
         .when(bucket < hi, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budget: int,
+    token_col: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mixb",
+    budgets: dict[str, int] | None = None,
+) -> DataFrame:
+    """Token-BUDGETED mix construction: per source, keep a deterministic
+    hash-ordered prefix of documents whose running token total stays
+    within the source's budget — the data-mixing move that builds a
+    training corpus to an exact per-source token recipe (smp3 rebalances
+    by expected RATE; budgets enforce the total). Kept rows return with
+    ``cum_tokens`` (the running total INCLUDING the row) for recipe
+    audits.
+
+    Determinism: the per-source order is md5(id:salt) — an unbiased
+    sample prefix, stable across runs/engines, unaffected by corpus
+    growth before the cut line. A row whose own tokens exceed the
+    remaining budget is dropped along with everything after it (the
+    budget is a hard ceiling, documented — no partial documents). NULL
+    token counts count as 0; NULL ids drop (no stable order position).
+
+    ``budgets`` optionally overrides the default ``budget`` per source
+    value (unlisted sources use the default). Plan: ONE exchange on the
+    source column for the cumsum window; everything else is map-side."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}")))
+    toks = F.coalesce(F.col(token_col).cast("bigint"), F.lit(0))
+    b = F.lit(budget).cast("bigint")
+    if budgets:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in budgets.items() for x in kv]
+        )
+        b = F.coalesce(
+            mapping[F.col(source_col)].cast("bigint"), b
+        )
+    w = Window.partitionBy(source_col).orderBy(h, F.col(id_col).asc())
+    return (
+        docs.filter(F.col(id_col).isNotNull())
+        .withColumn("_toks", toks)
+        .withColumn("cum_tokens", F.sum("_toks").over(w))
+        .filter(F.col("cum_tokens") <= b)
+        .drop("_toks")
+    )

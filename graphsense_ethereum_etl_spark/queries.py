@@ -9455,6 +9455,43 @@ def t13_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "smp12_token_budget_mix",
+    """
+    WITH t AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+             COALESCE(CAST(n_chars // 4 AS BIGINT), 0) AS toks,
+             md5(CAST(doc_id AS VARCHAR) || ':mixb') AS h
+      FROM documents WHERE doc_id IS NOT NULL),
+    c AS (
+      SELECT doc_id, source, toks,
+             SUM(toks) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT doc_id, source, CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= 2000
+    """,
+)
+def smp12_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mix construction (operators/corpus.py::
+    token_budget_mix): per source, the deterministic hash-ordered prefix
+    of documents whose running token total stays within a 2000-token
+    budget — building a corpus to an exact per-source token recipe
+    (smp3's rate rebalancing enforces expected shares; this enforces the
+    TOTAL). Tokens proxied as n_chars DIV 4 so the oracle stays integer-
+    exact. One source-keyed window exchange; everything else map-side."""
+    from .operators.corpus import token_budget_mix
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.expr("CAST(n_chars AS BIGINT) DIV 4").alias("toks"),
+    )
+    return token_budget_mix(d, budget=2000, token_col="toks").select(
+        "doc_id", "source", "cum_tokens"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry certification ordering
 # ---------------------------------------------------------------------------

@@ -197,6 +197,14 @@ OPS = {
         contract="subset", id_out="doc_id",
         documented="sampling IS a filter (per-group top-k by A-ES key); "
                    "NULL ids drop by the no-stable-identity contract"),
+    "corpus.token_budget_mix": dict(
+        input="docs",
+        call=lambda sp, d: c_ops.token_budget_mix(
+            d.withColumn("toks", F.length(F.coalesce("text", F.lit("")))),
+            budget=10, token_col="toks"),
+        contract="subset", id_out="doc_id",
+        documented="a budget IS a filter (hash-ordered prefix per source); "
+                   "NULL ids drop by the no-stable-order contract"),
     "corpus.grouped_split": dict(
         input="docs", call=lambda sp, d: c_ops.grouped_split(d),
         contract="per_doc", id_out="doc_id"),

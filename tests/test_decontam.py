@@ -364,3 +364,45 @@ def test_grouped_weighted_sample_matches_python_reference(spark):
         assert sorted(r.sample_rank for r in kept) == list(
             range(1, len(kept) + 1)
         )
+
+
+def test_token_budget_mix_properties(spark):
+    """Budget is a hard per-source ceiling on the hash-ordered prefix:
+    kept cum_tokens <= budget; the kept set is exactly the maximal
+    prefix (verified against a Python replay); per-source budget
+    overrides apply; oversized first doc -> empty source."""
+    import hashlib
+
+    from graphsense_ethereum_etl_spark.operators.corpus import token_budget_mix
+
+    rows = [(i, ["a", "b"][i % 2], 7) for i in range(30)] + [(100, "c", 99)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, toks bigint")
+    got = token_budget_mix(
+        df, budget=21, token_col="toks", budgets={"b": 7}
+    ).collect()
+    per_src = {}
+    for r in got:
+        per_src.setdefault(r.source, []).append(r)
+    # python replay of the contract
+    def prefix(src, budget):
+        members = sorted(
+            (hashlib.md5(f"{i}:mixb".encode()).hexdigest(), i, t)
+            for i, s_, t in rows if s_ == src
+        )
+        out, cum = [], 0
+        for _h, i, t in members:
+            cum += t
+            if cum > budget:
+                break
+            out.append((i, cum))
+        return out
+
+    assert sorted((r.doc_id, r.cum_tokens) for r in per_src.get("a", [])) == sorted(prefix("a", 21))
+    assert sorted((r.doc_id, r.cum_tokens) for r in per_src.get("b", [])) == sorted(prefix("b", 7))
+    assert "c" not in per_src  # 99 > 21: oversized first doc, empty source
+    assert all(r.cum_tokens <= (7 if r.source == "b" else 21) for r in got)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        token_budget_mix(df, budget=-1, token_col="toks")
