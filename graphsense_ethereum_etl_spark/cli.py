@@ -370,6 +370,7 @@ def build_parser() -> ArgumentParser:
             "ann-build", "ann-search", "embed", "dupspan", "classify",
             "dedup-gate", "wsample", "split", "profile",
             "dedup-index", "dedup-probe", "dedup-compact", "outliers",
+            "mix",
         ],
         help="which curation pass to run over the input documents table",
     )
@@ -581,6 +582,19 @@ def build_parser() -> ArgumentParser:
     corpus.add_argument(
         "--value-col", dest="value_col", default="n_chars",
         help="outliers: numeric column to flag on",
+    )
+    corpus.add_argument(
+        "--token-budget", dest="token_budget", type=int, default=None,
+        help="mix: per-source token budget (hash-ordered prefix kept "
+        "while the running total fits)",
+    )
+    corpus.add_argument(
+        "--budgets", dest="budgets", default=None,
+        help="mix: per-source overrides as src=budget,src=budget",
+    )
+    corpus.add_argument(
+        "--token-col", dest="token_col", default="n_chars",
+        help="mix: token-count column the budget is measured in",
     )
     corpus.add_argument(
         "--mad-k", dest="mad_k", type=float, default=5.0,
@@ -1230,6 +1244,27 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
         out = grouped_outliers(
             docs, args.value_col, args.group_col, k=args.mad_k,
             exact=not args.approx,
+        )
+    elif args.operation == "mix":
+        from .operators.corpus import token_budget_mix
+
+        if args.token_budget is None:
+            raise SystemExit("corpus mix requires --token-budget")
+        overrides = None
+        if args.budgets:
+            try:
+                overrides = {
+                    k: int(v)
+                    for k, v in (kv.split("=") for kv in args.budgets.split(","))
+                }
+            except ValueError:
+                raise SystemExit(
+                    "corpus mix: --budgets must be src=budget[,src=budget...]"
+                )
+        out = token_budget_mix(
+            docs, budget=args.token_budget, token_col=args.token_col,
+            source_col=args.group_col, id_col=args.id_col,
+            budgets=overrides,
         )
     elif args.operation == "wsample":
         from pyspark.sql import functions as F

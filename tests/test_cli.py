@@ -1550,3 +1550,32 @@ def test_cli_corpus_outliers(spark, tmp_path, capsys):
     assert got.count() == 41
     flagged = {r.doc_id for r in got.filter("is_outlier").collect()}
     assert flagged == {99}
+
+
+def test_cli_corpus_mix(spark, tmp_path):
+    """corpus mix: per-source budgets enforced as hard ceilings, override
+    syntax parsed, bad syntax refused."""
+    rows = [(i, ["a", "b"][i % 2], 10) for i in range(40)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id bigint, source string, n_chars bigint"
+    ).write.parquet(src)
+    out = str(tmp_path / "mix")
+    main(
+        ["corpus", "mix", "-i", src, "-o", out,
+         "--token-budget", "50", "--budgets", "b=20"],
+        spark=spark,
+    )
+    got = spark.read.parquet(out).collect()
+    by_src = {}
+    for r in got:
+        by_src[r.source] = max(by_src.get(r.source, 0), r.cum_tokens)
+    assert by_src == {"a": 50, "b": 20}
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="token-budget"):
+        main(["corpus", "mix", "-i", src, "-o", out], spark=spark)
+    with _pytest.raises(SystemExit, match="budgets"):
+        main(["corpus", "mix", "-i", src, "-o", out,
+              "--token-budget", "50", "--budgets", "nope"], spark=spark)
