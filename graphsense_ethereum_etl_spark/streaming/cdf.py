@@ -275,3 +275,45 @@ def read_streaming_mv(spark: SparkSession, mv_root: str) -> DataFrame:
     with open(f"{mv_root}/_CURRENT") as fh:
         version = int(_json.load(fh)["version"])
     return spark.read.parquet(f"{mv_root}/mv-{version:08d}")
+
+
+def vacuum_mv(mv_root: str, keep: int = 2) -> list[str]:
+    """Delete materialization dirs older than the newest ``keep``
+    generations at-or-below the published pointer — the MV's vacuum
+    (every applied version leaves an immutable ``mv-<version>`` dir; a
+    long-lived view accretes one per base-table commit). ``keep`` must be
+    >= 1: the pointer's own dir is never removable. Dirs NEWER than the
+    pointer are crash debris (a write that died before its swap) and are
+    removed too — the replay rebuilds them. Holds the same advisory lock
+    as apply_mv_delta so a vacuum never races an in-flight apply.
+    Returns removed dir names."""
+    import os
+    import shutil
+
+    if keep < 1:
+        raise ValueError("keep must be >= 1: the published view dir stays")
+    lock_fh = open(f"{mv_root}/_MV_LOCK", "a")
+    try:
+        try:
+            import fcntl
+
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+        except ImportError:  # non-POSIX: single-instance contract
+            pass
+        applied = mv_applied_version(mv_root)
+        if applied is None:
+            return []
+        removed = []
+        versions = sorted(
+            int(n[3:]) for n in os.listdir(mv_root)
+            if n.startswith("mv-") and n[3:].isdigit()
+        )
+        retained = [v for v in versions if v <= applied][-keep:]
+        for v in versions:
+            if v in retained:
+                continue
+            shutil.rmtree(f"{mv_root}/mv-{v:08d}")
+            removed.append(f"mv-{v:08d}")
+        return removed
+    finally:
+        lock_fh.close()

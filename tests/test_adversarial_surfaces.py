@@ -338,6 +338,8 @@ STREAM_SKIPS = {
         "test_streaming_cdf.py",
     "cdf.mv_applied_version": "pointer reader — exercised by every MV race "
         "test in test_streaming_cdf.py",
+    "cdf.vacuum_mv": "generation GC — retained/debris/lock contracts in "
+        "test_streaming_cdf.py::test_vacuum_mv_keeps_published_and_drops_debris",
     "structured.stream_raw_blocks": "needs a live streaming source — covered "
         "by test_stateful.py / sources/datasource tests",
     "structured.run_stream_merge": "streaming driver loop — covered by "

@@ -399,3 +399,48 @@ def test_streaming_mv_two_interleaved_instances(spark, tmp_path, seed):
     assert not errs, errs
     assert mv_applied_version(mv_root) == t.history()[-1]
     assert _rows(read_streaming_mv(spark, mv_root)) == _rows(_full_mv(t.read()))
+
+
+def test_vacuum_mv_keeps_published_and_drops_debris(spark, tmp_path):
+    """vacuum_mv removes old generations AND crash debris newer than the
+    pointer, never the published dir; the stream keeps advancing after."""
+    from graphsense_ethereum_etl_spark.streaming.cdf import (
+        mv_applied_version,
+        read_streaming_mv,
+        run_streaming_mv,
+        vacuum_mv,
+    )
+
+    root, mv_root = str(tmp_path / "vt"), str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    t = VersionedTable(spark, root)
+    for c in range(4):
+        t.write_partitions(
+            _vframe(spark, [(c * 10 + i, c % 2, i) for i in range(5)])
+        )
+    run_streaming_mv(
+        spark, root, mv_root, ["block_id_group"], ["v"], checkpoint=ckpt,
+        start_version=0,
+    )
+    import os
+
+    assert mv_applied_version(mv_root) == 4
+    # plant crash debris newer than the pointer
+    os.makedirs(f"{mv_root}/mv-00000099")
+    removed = vacuum_mv(mv_root, keep=2)
+    assert sorted(removed) == ["mv-00000001", "mv-00000002", "mv-00000099"]
+    left = sorted(n for n in os.listdir(mv_root) if n.startswith("mv-"))
+    assert left == ["mv-00000003", "mv-00000004"]
+    # the view still reads, and new commits still apply
+    assert read_streaming_mv(spark, mv_root).count() > 0
+    t.write_partitions(_vframe(spark, [(900 + i, 0, 1) for i in range(3)]))
+    run_streaming_mv(
+        spark, root, mv_root, ["block_id_group"], ["v"], checkpoint=ckpt,
+    )
+    assert mv_applied_version(mv_root) == 5
+    assert _rows(read_streaming_mv(spark, mv_root)) == _rows(_full_mv(t.read()))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep"):
+        vacuum_mv(mv_root, keep=0)
