@@ -650,6 +650,11 @@ def build_parser() -> ArgumentParser:
         help="checkpoint dir owning the version cursor",
     )
     mv.add_argument(
+        "--vacuum-keep", dest="vacuum_keep", type=int, default=None,
+        help="after draining, delete view generations older than the "
+        "newest N (and crash debris newer than the pointer)",
+    )
+    mv.add_argument(
         "--from-version", dest="from_version", type=int, default=0,
         help="first version to apply on a fresh checkpoint (default 0: "
         "full history — the snapshot feed seeds the view)",
@@ -1382,6 +1387,12 @@ def cmd_mv(args: Namespace, spark: SparkSession) -> IngestStats:
         partition_col=args.partition_col,
         start_version=args.from_version,
     )
+    if args.vacuum_keep is not None:
+        from .streaming.cdf import vacuum_mv
+
+        removed = vacuum_mv(args.mv_root, keep=args.vacuum_keep)
+        if removed:
+            print(f"mv: vacuumed {len(removed)} old generation(s)")
     try:
         mv = read_streaming_mv(spark, args.mv_root)
         print(f"mv: view at {args.mv_root} has {mv.count():,} groups")

@@ -1238,6 +1238,23 @@ def test_cli_mv_rolls_view_forward(spark, tmp_path, capsys):
     assert not [r for r in rows if r[0] == 1]
     assert "groups" in capsys.readouterr().out
 
+    # --vacuum-keep trims old generations after the drain; the view and
+    # its pointer survive
+    import os
+
+    t.write_partitions(
+        spark.createDataFrame(
+            [(100, 9, 1)], "block_id bigint, block_id_group bigint, v bigint"
+        )
+    )
+    main(argv + ["--vacuum-keep", "1"], spark=spark)
+    assert "vacuumed" in capsys.readouterr().out
+    gens = [n for n in os.listdir(mv_root) if n.startswith("mv-")]
+    assert len(gens) == 1
+    assert sorted(
+        tuple(r) for r in read_streaming_mv(spark, mv_root).collect()
+    ) == full()
+
 
 def test_cli_ann_build_then_search(spark, tmp_path):
     """`corpus ann-build` persists the IVF-PQ index; `corpus ann-search`
