@@ -21,7 +21,14 @@ progress, ``foreachBatch`` reuses the batch operator):
 
 Operational contract: versions must survive until their batch commits —
 ``vacuum(keep_manifests=K)`` must keep K larger than the stream's worst
-lag, the same grace-window rule time travel already imposes.
+lag, the same grace-window rule time travel already imposes. When the
+window IS violated, the failure is explicit, never a silent gap: the
+source emits the oldest SURVIVING version as a full-snapshot feed
+(``prev_version = -1`` — the vacuumed deltas are unrecoverable by
+construction, so raw consumers get a resync they can see), and the MV
+maintainer's continuity guard RAISES on it rather than double-counting
+a snapshot into an initialized view (pinned by
+tests/test_streaming_cdf.py::test_cdf_vacuum_outrunning_the_stream_...).
 """
 
 from __future__ import annotations

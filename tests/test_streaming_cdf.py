@@ -444,3 +444,53 @@ def test_vacuum_mv_keeps_published_and_drops_debris(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="keep"):
         vacuum_mv(mv_root, keep=0)
+
+
+def test_cdf_vacuum_outrunning_the_stream_resyncs_or_raises(spark, tmp_path):
+    """Grace-window violation semantics, pinned: when vacuum drops
+    versions the stream has not consumed, the source emits the oldest
+    SURVIVING version as a FULL-SNAPSHOT feed (prev=-1) — the vacuumed
+    deltas are unrecoverable by construction, so a raw CDF consumer gets
+    an explicit full resync rather than a silent gap — and the MV
+    maintainer, whose view cannot absorb a snapshot as a delta, RAISES
+    via its continuity guard instead of double-counting."""
+    from graphsense_ethereum_etl_spark.streaming.cdf import (
+        apply_mv_delta,
+        run_streaming_cdf,
+        run_streaming_mv,
+    )
+
+    root = str(tmp_path / "vt")
+    ckpt = str(tmp_path / "ckpt")
+    mv_root = str(tmp_path / "mv")
+    t = VersionedTable(spark, root)
+    t.write_partitions(_vframe(spark, [(i, i // 10, i) for i in range(10)]))
+    seen: dict = {}
+
+    def h(df, v, prev):
+        seen[v] = (prev, df.count())
+
+    run_streaming_cdf(spark, root, h, checkpoint=ckpt, start_version=0)
+    run_streaming_mv(
+        spark, root, mv_root, ["block_id_group"], ["v"],
+        checkpoint=str(tmp_path / "mvckpt"), start_version=0,
+    )
+    assert seen == {1: (-1, 10)}
+    t.write_partitions(_vframe(spark, [(i, 0, 99) for i in range(5)]))
+    t.write_partitions(_vframe(spark, [(i, 1, 7) for i in range(10, 14)]))
+    t.vacuum(keep_manifests=1)  # outruns both streams' cursors
+    # raw CDF: explicit full resync as the oldest surviving version
+    run_streaming_cdf(spark, root, h, checkpoint=ckpt)
+    assert 2 not in seen and seen[3][0] == -1
+    assert seen[3][1] == t.read().count()
+    # MV: the snapshot-as-delta is refused loudly (continuity guard) —
+    # driven directly since foreachBatch swallows handler stacks into
+    # StreamingQueryException wrappers
+    from pyspark.sql import functions as F
+
+    snap = t.read_version(3).withColumn("_change_type", F.lit("insert"))
+    with pytest.raises(RuntimeError, match="gap or double-count"):
+        apply_mv_delta(
+            spark, mv_root, snap, 3, -1,
+            group_cols=["block_id_group"], sum_cols={"v": "v"},
+        )
