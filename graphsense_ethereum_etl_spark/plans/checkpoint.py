@@ -40,8 +40,10 @@ from pyspark.sql import DataFrame
 # SparkSession during that brief window still plans with AQE off — Spark
 # has no per-thread SQLConf, so a caller that compiles queries from
 # multiple threads concurrently with iterative-operator setup should
-# serialize against _AQE_TOGGLE_LOCK too (it is exported for that reason).
+# serialize against AQE_TOGGLE_LOCK too — the public alias below is
+# re-exported from plans/__init__.py for exactly that reason (r9 ADVICE).
 _AQE_TOGGLE_LOCK = threading.Lock()
+AQE_TOGGLE_LOCK = _AQE_TOGGLE_LOCK
 
 
 def checkpoint_partitioned(

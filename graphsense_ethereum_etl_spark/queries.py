@@ -3595,12 +3595,15 @@ def g4_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(e.select(F.col("dst").alias("v")))
         .distinct()
     )
-    # size-gate the vertex-sized evolving sides (plans/hints.py): |e| (a
-    # cached-scan count over the pinned checkpoint) bounds deg and every
-    # rank relation; under the threshold they broadcast and the edges
-    # never move at all, over it shuffle_hash keeps the no-corpus-
-    # broadcast guarantee from the r8 audit
-    n_vertex_bound = e.count()
+    # size-gate the vertex-sized evolving sides (plans/hints.py): the
+    # rank relations range over verts = src UNION dst, which can hold up
+    # to 2|e| distinct vertices, so the bound is 2·|e| (matching
+    # triangle_counts; a plain |e| undercounted and could admit up to
+    # twice the documented broadcast cap — r9 ADVICE). Under the
+    # threshold they broadcast and the edges never move at all, over it
+    # shuffle_hash keeps the no-corpus-broadcast guarantee from the r8
+    # audit.
+    n_vertex_bound = 2 * e.count()
 
     def iterate(rank_of_src):
         # scatter: src rank / outdeg along each edge; gather: sum at dst.
@@ -6504,9 +6507,9 @@ def smp5_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH k AS (
       SELECT doc_id,
-             GREATEST(1, LEAST(8, n_chars // 32)) AS w,
+             GREATEST(1, LEAST(8, COALESCE(n_chars // 32, 1))) AS w,
              list_max(list_transform(
-               range(1, GREATEST(1, LEAST(8, n_chars // 32)) + 1),
+               range(1, GREATEST(1, LEAST(8, COALESCE(n_chars // 32, 1))) + 1),
                j -> CAST('0x' || substring(
                       md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)
                           || ':wsample'), 1, 8) AS BIGINT))) AS sample_key
@@ -6536,7 +6539,13 @@ def smp9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.greatest(
-            F.lit(1), F.least(F.lit(8), F.expr("CAST(n_chars AS BIGINT) DIV 32"))
+            F.lit(1),
+            F.least(
+                F.lit(8),
+                F.coalesce(
+                    F.expr("CAST(n_chars AS BIGINT) DIV 32"), F.lit(1)
+                ),
+            ),
         )
         .cast("int")
         .alias("w"),
@@ -9001,9 +9010,9 @@ def g10_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH k AS (
       SELECT doc_id, source,
-             GREATEST(1, LEAST(8, n_chars // 32)) AS w,
+             GREATEST(1, LEAST(8, COALESCE(n_chars // 32, 1))) AS w,
              list_max(list_transform(
-               range(1, GREATEST(1, LEAST(8, n_chars // 32)) + 1),
+               range(1, GREATEST(1, LEAST(8, COALESCE(n_chars // 32, 1))) + 1),
                j -> CAST('0x' || substring(
                       md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)
                           || ':gws'), 1, 8) AS BIGINT))) AS sample_key
@@ -9035,7 +9044,13 @@ def smp11_grouped_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "source",
         F.greatest(
-            F.lit(1), F.least(F.lit(8), F.expr("CAST(n_chars AS BIGINT) DIV 32"))
+            F.lit(1),
+            F.least(
+                F.lit(8),
+                F.coalesce(
+                    F.expr("CAST(n_chars AS BIGINT) DIV 32"), F.lit(1)
+                ),
+            ),
         )
         .cast("int")
         .alias("w"),
@@ -9181,10 +9196,15 @@ def u1_uint256_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer — SURVEY.md §7.4.1's hard part exercised beyond the codec
     round-trip: synthetic 96-bit wei amounts (md5-derived, deterministic)
     summed exactly per group via INDEPENDENT LIMB SUMS. Each value splits
-    into three 32-bit limbs; each limb sums in plain int64 (32-bit limb ×
-    10^12 rows stays under 2^63 — no overflow at any realistic scale);
+    into three 32-bit limbs; each limb sums as decimal(38,0) — still a
+    map-side-combinable single-column aggregate, and exact to ~10^28 rows
+    per group (int64 limb sums would silently wrap past ~2^31 rows per
+    group under Spark's non-ANSI default: 2^32·10^12 ≈ 4.3e21 > 2^63);
     the total recombines as Σhi·2^64 + Σmid·2^32 + Σlo in decimal(38,0)
-    only at the END, one row per group. This is how the engine sums the
+    only at the END, one row per group. The recombined TOTAL must itself
+    fit decimal(38,0) (< 10^38) — true for any realistic wei aggregate
+    (total ether supply ~1.2e26 wei) and for ~10^9 worst-case 96-bit
+    values per group; DuckDB's HUGEINT bound (~1.7e38) matches. This is how the engine sums the
     reference's uint256 value/difficulty columns losslessly at 100 TB:
     map-side-combining integer aggregation on the fact table, wide
     arithmetic on the group-sized result only. Output serialized as a
@@ -9204,23 +9224,19 @@ def u1_uint256_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     limbs = li.select(
         "l_returnflag",
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("hi"),
-        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("mid"),
-        F.conv(F.substring(h, 17, 8), 16, 10).cast("bigint").alias("lo"),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("decimal(38,0)").alias("hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("decimal(38,0)").alias("mid"),
+        F.conv(F.substring(h, 17, 8), 16, 10).cast("decimal(38,0)").alias("lo"),
     )
     sums = limbs.groupBy("l_returnflag").agg(
         F.count("*").cast("bigint").alias("n_values"),
-        F.sum("hi").alias("shi"),
-        F.sum("mid").alias("smid"),
-        F.sum("lo").alias("slo"),
+        F.sum("hi").cast("decimal(38,0)").alias("shi"),
+        F.sum("mid").cast("decimal(38,0)").alias("smid"),
+        F.sum("lo").cast("decimal(38,0)").alias("slo"),
     )
     two64 = F.lit("18446744073709551616").cast("decimal(38,0)")
     two32 = F.lit(4294967296).cast("decimal(38,0)")
-    total = (
-        F.col("shi").cast("decimal(38,0)") * two64
-        + F.col("smid").cast("decimal(38,0)") * two32
-        + F.col("slo").cast("decimal(38,0)")
-    )
+    total = F.col("shi") * two64 + F.col("smid") * two32 + F.col("slo")
     return sums.select(
         "l_returnflag",
         "n_values",

@@ -299,6 +299,10 @@ def vacuum_mv(mv_root: str, keep: int = 2) -> list[str]:
 
     if keep < 1:
         raise ValueError("keep must be >= 1: the published view dir stays")
+    if not os.path.isdir(mv_root):
+        # A drain that applied zero versions never creates mv_root —
+        # vacuuming nothing is a no-op, not a crash (r9 ADVICE).
+        return []
     lock_fh = open(f"{mv_root}/_MV_LOCK", "a")
     try:
         try:

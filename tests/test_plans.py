@@ -548,9 +548,13 @@ def test_checkpoint_partitioned_aqe_toggle_is_serialized(spark):
     their own queries concurrently with iterative-operator setup."""
     import threading
 
-    from graphsense_ethereum_etl_spark.plans import checkpoint_partitioned
+    from graphsense_ethereum_etl_spark.plans import (
+        AQE_TOGGLE_LOCK,
+        checkpoint_partitioned,
+    )
     from graphsense_ethereum_etl_spark.plans.checkpoint import _AQE_TOGGLE_LOCK
 
+    assert AQE_TOGGLE_LOCK is _AQE_TOGGLE_LOCK
     assert isinstance(_AQE_TOGGLE_LOCK, type(threading.Lock()))
     key = "spark.sql.adaptive.enabled"
     spark.conf.set(key, "true")

@@ -446,6 +446,19 @@ def test_vacuum_mv_keeps_published_and_drops_debris(spark, tmp_path):
         vacuum_mv(mv_root, keep=0)
 
 
+def test_vacuum_mv_noops_when_mv_root_never_created(tmp_path):
+    """A drain that applied zero versions never creates mv_root —
+    vacuuming it is a no-op returning [], not FileNotFoundError
+    (r9 ADVICE: the old code opened {mv_root}/_MV_LOCK unconditionally)."""
+    from graphsense_ethereum_etl_spark.streaming.cdf import vacuum_mv
+
+    missing = str(tmp_path / "never-created-mv")
+    assert vacuum_mv(missing, keep=2) == []
+    import os
+
+    assert not os.path.exists(missing)  # the no-op does not create it either
+
+
 def test_cdf_vacuum_outrunning_the_stream_resyncs_or_raises(spark, tmp_path):
     """Grace-window violation semantics, pinned: when vacuum drops
     versions the stream has not consumed, the source emits the oldest
