@@ -17,9 +17,18 @@ Fingerprint of a query = sha256 over:
     globals AND function-body ``from .x import y`` imports, so r7-style
     shared-helper changes (``_DUCK_TOKENS``, ``operators.dedup.simhash``)
     propagate to every query that uses them, plus
-  - the repr of referenced package-level constants (address-free reprs
-    only — anything whose repr carries an ``at 0x`` identity is skipped as
-    nondeterministic), plus
+  - the repr of referenced IMMUTABLE package-level constants
+    (str/bytes/int/float/bool/tuple/frozenset/None), plus
+  - for referenced non-const objects (dicts, lists, sets, StructTypes,
+    locks, ...), the SOURCE TEXT of the module-level assignment that
+    binds the name — never the live repr. A mutable container's live
+    repr is runtime state: queries._SCHEMA_CACHE fills up on the first
+    Spark read in the process, and hashing its contents (the pre-r10
+    behavior) made every query's fingerprint depend on whether a Spark
+    test had already run in the same interpreter. Fingerprint algorithm
+    v2 (r10); the ledger's recorded fingerprints were migrated in the
+    same commit (old-algo-unchanged queries restamped to their v2
+    values, the 4 genuinely-changed queries kept their r9 stamps), plus
   - for names that resolve to whole package MODULES, that module file's
     content hash (coarse fallback).
 
@@ -45,6 +54,9 @@ import textwrap
 PACKAGE = "graphsense_ethereum_etl_spark"
 
 _CONST_TYPES = (str, bytes, int, float, bool, tuple, frozenset, type(None))
+
+# {(module, name): concatenated binding-statement source | None}
+_BINDING_CACHE: dict[tuple[str, str], str | None] = {}
 
 
 def _in_package(mod_name: str | None) -> bool:
@@ -77,8 +89,89 @@ def _collect_refs(src: str, module_name: str) -> tuple[set[str], list[tuple[str,
     return names, imports
 
 
-def _obj_token(obj, visited: set, cache: dict) -> str:
-    """Deterministic text contribution of one reachable object."""
+def _binding_statements(body: list, src: str, name: str, out: list[str]) -> None:
+    """Collect source segments of statements in ``body`` (descending into
+    top-level If/Try/With blocks but never into function/class bodies —
+    those have their own scopes) that bind ``name``."""
+    for node in body:
+        targets: list = []
+        if isinstance(node, ast.Assign):
+            targets = node.targets
+        elif isinstance(node, (ast.AnnAssign, ast.AugAssign)):
+            targets = [node.target]
+        for t in targets:
+            elts = t.elts if isinstance(t, (ast.Tuple, ast.List)) else [t]
+            if any(isinstance(e, ast.Name) and e.id == name for e in elts):
+                seg = ast.get_source_segment(src, node)
+                if seg:
+                    out.append(seg)
+        if isinstance(node, ast.If):
+            _binding_statements(node.body, src, name, out)
+            _binding_statements(node.orelse, src, name, out)
+        elif isinstance(node, ast.Try):
+            for blk in (node.body, *[h.body for h in node.handlers],
+                        node.orelse, node.finalbody):
+                _binding_statements(blk, src, name, out)
+        elif isinstance(node, ast.With):
+            _binding_statements(node.body, src, name, out)
+
+
+def _binding_source(module_name: str, name: str, depth: int = 3) -> str | None:
+    """Source text of the module-level statement(s) that bind ``name`` in
+    ``module_name``, chasing top-level ``from .x import name`` re-exports
+    up to ``depth`` hops. None when unresolvable (then the caller falls
+    back to a content-free token)."""
+    key = (module_name, name)
+    if key in _BINDING_CACHE:
+        return _BINDING_CACHE[key]
+    _BINDING_CACHE[key] = None  # cycle guard
+    result = None
+    if _in_package(module_name):
+        try:
+            mod = sys.modules.get(module_name) or importlib.import_module(module_name)
+            src = inspect.getsource(mod)
+        except (OSError, TypeError, ImportError):
+            src = None
+        if src:
+            tree = ast.parse(src)
+            segs: list[str] = []
+            _binding_statements(tree.body, src, name, segs)
+            if segs:
+                result = "\n".join(segs)
+            elif depth > 0:
+                pkg_parts = module_name.split(".")
+                for node in tree.body:
+                    if not isinstance(node, ast.ImportFrom):
+                        continue
+                    if node.level:
+                        base = pkg_parts[: len(pkg_parts) - node.level]
+                        mod2 = ".".join(
+                            base + ([node.module] if node.module else [])
+                        )
+                    else:
+                        mod2 = node.module or ""
+                    for a in node.names:
+                        if (a.asname or a.name) == name and _in_package(mod2):
+                            result = _binding_source(mod2, a.name, depth - 1)
+                            break
+                    if result is not None:
+                        break
+    _BINDING_CACHE[key] = result
+    return result
+
+
+def _obj_token(obj, visited: set, cache: dict, binding: tuple[str, str] | None = None) -> str:
+    """Deterministic text contribution of one reachable object.
+
+    ``binding`` = (module that resolved the name, the name) — used for
+    objects that are neither code nor immutable constants (dicts, lists,
+    sets, StructTypes, locks, ...): their token is the SOURCE TEXT of the
+    module-level assignment that created them, never their live repr.
+    Live repr of a mutable container is runtime state, not content — the
+    r10 bug this fixes was queries._SCHEMA_CACHE (a (sf_dir, table) →
+    StructType cache filled by the first Spark read in the process)
+    flipping every query's fingerprint depending on whether a Spark test
+    had run earlier in the same process."""
     if inspect.isfunction(obj) or inspect.isclass(obj):
         mod = getattr(obj, "__module__", None)
         if not _in_package(mod):
@@ -109,10 +202,15 @@ def _obj_token(obj, visited: set, cache: dict) -> str:
             return f"nosrcmod:{obj.__name__}"
     if isinstance(obj, _CONST_TYPES):
         return f"const:{obj!r}"
-    r = repr(obj)
-    if " at 0x" in r or "object at" in r:
-        return f"opaque:{type(obj).__module__}.{type(obj).__qualname__}"
-    return f"value:{r}"
+    # Non-const, non-code: token by binding source, NEVER live repr.
+    if binding is not None:
+        src = _binding_source(*binding)
+        if src is not None:
+            return f"assign:{src}"
+    return (
+        f"nonconst:{type(obj).__module__}.{type(obj).__qualname__}"
+        + (f":{binding[0]}.{binding[1]}" if binding else "")
+    )
 
 
 def _deps_token(src: str, module_name: str, visited: set, cache: dict) -> str:
@@ -123,7 +221,10 @@ def _deps_token(src: str, module_name: str, visited: set, cache: dict) -> str:
     parts: list[str] = []
     for n in sorted(names):
         if n in mod_globals:
-            parts.append(f"\n# dep {n}\n" + _obj_token(mod_globals[n], visited, cache))
+            parts.append(
+                f"\n# dep {n}\n"
+                + _obj_token(mod_globals[n], visited, cache, binding=(module_name, n))
+            )
     for mod, imported in sorted(imports):
         try:
             m = importlib.import_module(mod)
@@ -148,7 +249,10 @@ def _deps_token(src: str, module_name: str, visited: set, cache: dict) -> str:
                 except ImportError:
                     pass
             if hasattr(m, n):
-                parts.append(f"\n# dep {mod}.{n}\n" + _obj_token(getattr(m, n), visited, cache))
+                parts.append(
+                    f"\n# dep {mod}.{n}\n"
+                    + _obj_token(getattr(m, n), visited, cache, binding=(mod, n))
+                )
     return "".join(parts)
 
 

@@ -116,3 +116,49 @@ def test_window_front_loads_debt():
     # bucket monotonicity: never < changed/requested < unchanged,
     # stalest-first inside — the single sort key regen uses
     assert order == sorted(order, key=lambda n: sort_key(n, queries, fp))
+
+
+def test_fingerprints_invariant_to_runtime_cache_state():
+    """Fingerprints are CONTENT hashes — live state of runtime-mutated
+    module globals must not feed them. The r10 bug: queries._SCHEMA_CACHE
+    (filled by the first Spark read in the process) was hashed by repr,
+    so fingerprints() returned different values depending on whether a
+    Spark test had run earlier in the same interpreter — which made the
+    ledger-consistency tests above order-dependent across the suite.
+    Algo v2 tokens non-const deps by their assignment SOURCE instead."""
+    import query_fingerprints as qf
+    from graphsense_ethereum_etl_spark import queries as Q
+
+    before = qf.fingerprints()
+    sentinel = object()
+    Q._SCHEMA_CACHE[("/tmp/fp-invariance-test", "lineitem")] = sentinel
+    try:
+        qf._BINDING_CACHE.clear()
+        after = qf.fingerprints()
+    finally:
+        del Q._SCHEMA_CACHE[("/tmp/fp-invariance-test", "lineitem")]
+    shifted = sorted(n for n in before if before[n] != after[n])
+    assert not shifted, f"runtime cache state shifted fingerprints: {shifted[:5]}"
+
+
+def test_nonconst_deps_token_by_binding_source_never_live_repr():
+    """_obj_token for a dict/list/set/StructType-like dep must emit the
+    module-level assignment source (``assign:...``) when resolvable and a
+    content-free ``nonconst:`` token otherwise — never ``value:{repr}``."""
+    import query_fingerprints as qf
+
+    src = qf._binding_source(
+        "graphsense_ethereum_etl_spark.queries", "_SCHEMA_CACHE"
+    )
+    assert src is not None and "_SCHEMA_CACHE" in src and "{}" in src
+
+    live = {"runtime": "state"}
+    with_binding = qf._obj_token(
+        live, set(), {},
+        binding=("graphsense_ethereum_etl_spark.queries", "_SCHEMA_CACHE"),
+    )
+    assert with_binding.startswith("assign:")
+    assert "runtime" not in with_binding
+    without_binding = qf._obj_token(live, set(), {})
+    assert without_binding.startswith("nonconst:")
+    assert "runtime" not in without_binding
