@@ -1244,11 +1244,17 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
         )
         return IngestStats()
     elif args.operation == "outliers":
+        from pyspark.sql import functions as _F
+
         from .operators.quality import grouped_outliers
 
+        # one exact count_distinct pass bounds the |groups|-sized med/mad
+        # relations so the attach-back broadcast is size-gated (NULL
+        # groups form their own stratum, hence +1)
+        n_groups = docs.agg(_F.count_distinct(args.group_col)).first()[0] + 1
         out = grouped_outliers(
             docs, args.value_col, args.group_col, k=args.mad_k,
-            exact=not args.approx,
+            exact=not args.approx, n_groups_bound=n_groups,
         )
     elif args.operation == "mix":
         from .operators.corpus import token_budget_mix

@@ -1381,14 +1381,24 @@ def compact_minhash_index(
 
     rows = spark.table(table).dropDuplicates(["bkey", "doc_id"])
     if retire_ids is not None:
+        from ..plans.hints import evolving_hint
+
         retired = retire_ids.toDF("doc_id")
+        # The retire set is caller-supplied and unbounded in deletions
+        # (r9-verdict #1): measure it once — negligible next to the full
+        # index rewrite this function IS — and size-gate the anti-join's
+        # build side: broadcast under the 4M-row cap, plain shuffled
+        # anti-join at-or-over it (the index side shuffles on doc_id for
+        # that one join; the bucketed bkey write below re-clusters it
+        # anyway).
+        n_retire = retired.count()
         # USING-join fronts the join key — re-project to the table's
         # (bkey, doc_id) order or the rewritten table's schema flips and
         # the NEXT admit's positional insertInto cast-fails (found by the
         # r9 lifecycle soak)
-        rows = rows.join(F.broadcast(retired), "doc_id", "left_anti").select(
-            "bkey", "doc_id"
-        )
+        rows = rows.join(
+            evolving_hint(retired, n_retire), "doc_id", "left_anti"
+        ).select("bkey", "doc_id")
     tmp = f"{table}_compact_tmp"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     sinks.write_bucketed(rows, tmp, "bkey", m["num_buckets"])

@@ -172,6 +172,7 @@ def grouped_outliers(
     k: float = 5.0,
     exact: bool = True,
     accuracy: int = 10000,
+    n_groups_bound: int | None = None,
 ) -> DataFrame:
     """Robust per-group outlier flags — median/MAD, the z-score that
     doesn't break on the outliers it hunts (an1's operator form): every
@@ -183,9 +184,22 @@ def grouped_outliers(
     ``exact=True`` uses Spark's exact ``percentile`` (group values buffer
     in the aggregation state — right up to millions of rows per group);
     ``exact=False`` swaps in ``approx_percentile`` at ``accuracy`` (rank
-    error ≤ 1/accuracy) — the 100-TB form, same plan shape. Either way
-    the fact table is NEVER shuffled: two group-sized percentile
-    aggregates broadcast back onto it."""
+    error ≤ 1/accuracy) — the 100-TB form, same plan shape.
+
+    The med/mad relations are |groups|-sized, so attaching them back is
+    SIZE-GATED exactly like the iterative-graph family
+    (``plans.hints.evolving_hint``): pass ``n_groups_bound`` — an upper
+    bound on the number of distinct groups, measured once by the caller
+    (e.g. ``df.agg(F.count_distinct(group_col))``) — and under the 4M-row
+    cap both percentile aggregates broadcast back onto the fact with zero
+    fact shuffle; at-or-over the cap (group_col = domain/host on a
+    web-scale corpus can reach 10⁷–10⁸ groups — an unconditional
+    broadcast OOMs the executors, the r9-audit g5 lesson) the gate
+    resolves to ``shuffle_hash`` and the fact exchanges once per join on
+    the group key. ``None`` (the default) means "unmeasured" and resolves
+    to the scale-safe shuffle regime by omission."""
+    from ..plans.hints import evolving_hint
+
     fn = "percentile" if exact else "approx_percentile"
     extra = "" if exact else f", {accuracy}"
     base = df.withColumn("_gx", F.col(value_col).cast("double"))
@@ -196,7 +210,9 @@ def grouped_outliers(
         F.expr(f"{fn}(_gx, 0.5D{extra})").alias("med")
     ).withColumnRenamed(group_col, "_g_med")
     dev = base.join(
-        F.broadcast(med), base[group_col].eqNullSafe(F.col("_g_med")), "left"
+        evolving_hint(med, n_groups_bound),
+        base[group_col].eqNullSafe(F.col("_g_med")),
+        "left",
     ).drop("_g_med").withColumn(
         "_ad", F.abs(F.col("_gx") - F.col("med"))
     )
@@ -205,7 +221,9 @@ def grouped_outliers(
     ).withColumnRenamed(group_col, "_g_mad")
     return (
         dev.join(
-            F.broadcast(mad), dev[group_col].eqNullSafe(F.col("_g_mad")), "left"
+            evolving_hint(mad, n_groups_bound),
+            dev[group_col].eqNullSafe(F.col("_g_mad")),
+            "left",
         )
         .drop("_g_mad")
         .withColumn(

@@ -9094,7 +9094,15 @@ def an1_grouped_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     values in the aggregation state; at 100 TB swap both for
     approx_percentile (the h2→h2b swap, rank error ≤ 1e-4 at
     accuracy=10000) and the flag threshold inherits the sketch bound —
-    the plan shape is otherwise identical."""
+    the plan shape is otherwise identical.
+
+    The broadcast-back is SIZE-GATED (r9-verdict #1): the med/mad
+    relations are |groups|-sized, so the builder measures the group
+    count once (one map-side-combined count_distinct over the grouping
+    column — 5 here, o_orderpriority's domain) and routes the attach
+    through ``evolving_hint``: broadcast under the 4M-row cap, scale-safe
+    ``shuffle_hash`` at-or-over it, never an unconditional broadcast of a
+    data-cardinality-dependent relation."""
     from .operators.quality import grouped_outliers
 
     orders = load(spark, sf_dir, "orders")
@@ -9103,7 +9111,10 @@ def an1_grouped_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    out = grouped_outliers(base, "cents", "grp", k=5.0, exact=True)
+    n_groups = base.agg(F.count_distinct("grp")).first()[0] + 1  # +1: NULL stratum
+    out = grouped_outliers(
+        base, "cents", "grp", k=5.0, exact=True, n_groups_bound=n_groups
+    )
     return out.select(
         "o_orderkey",
         "grp",

@@ -7,6 +7,16 @@ registered query, not just the ones with bespoke plan asserts.
 - No ``BatchEvalPython``: row-at-a-time Python UDFs are banned from the
   engine — Python appears only in Arrow-batched form (``ArrowEvalPython`` /
   ``MapInPandas`` / ``FlatMapGroupsInPandas``), per the §2.11 UDF policy.
+- No UNREVIEWED explicit broadcast hints: every ``F.broadcast``/
+  ``.hint("broadcast")`` in a registered query's analyzed plan must be
+  whitelisted with a per-entry justification (r9 VERDICT #1). Catalyst
+  obeys an explicit hint UNCONDITIONALLY — no size estimate, no AQE
+  demotion — so a hint on a data-cardinality-dependent relation is a
+  latent executor OOM at 100 TB (the pre-gate g5 lesson). Catalyst's OWN
+  broadcast decisions (file-size statistics, AQE runtime sizes) are out
+  of scope: those ARE size gates, revisable at scale. The audit reads the
+  ANALYZED plan, where hints survive as ``ResolvedHint
+  (strategy=broadcast)`` nodes before the optimizer consumes them.
 
 Runs at sf0.001 — plan SHAPE is scale-independent and a handful of queries
 do real work inside their builder (k5's versioned round-trip, cc1's
@@ -83,10 +93,100 @@ RANGE_SORT_WHITELIST = {
 }
 
 
+# Queries whose analyzed plans legitimately carry an explicit broadcast
+# hint. Three admissible categories — the justification names which:
+#
+# - BOUNDED: the build side cannot grow with the data by construction
+#   (a scalar/1-row aggregate, a constant-cardinality dimension like
+#   nation(25)/region(5), a sampled query panel, a k-bounded codebook /
+#   centroid set, a label-domain relation, a Heaps-law-bounded vocab).
+# - GATED: the hint is emitted by ``plans.hints.evolving_hint`` under a
+#   MEASURED row bound — broadcast < 4M rows, shuffle_hash at-or-over,
+#   FORCE_SHUFFLE_ENV flips it for the byte audit. At this audit's smoke
+#   scale the gate resolves to broadcast, which is why the query appears
+#   here; the shuffle regime is pinned by its own plan tests.
+# - SF-DIM: a TPC-H dimension (customer/supplier/part) or a
+#   dimension-cardinality aggregate. These DO scale with SF (the one
+#   consciously-accepted class): dimension:fact byte ratio is ≥ ~1:30
+#   rows / ~1:4000 bytes-after-pruning at every SF, so the broadcast is
+#   the right plan through sf~100 (customer ≈ 15M rows ≈ 1 GB); past
+#   that the documented swap is DROPPING the hint — Catalyst's file-size
+#   statistics and AQE runtime sizes then gate the join, demoting to SMJ
+#   exactly when the dim outgrows the threshold. A new SF-DIM entry is a
+#   conscious review decision, not a default.
+#
+# An explicit broadcast hint on a relation that is none of these —
+# |groups|-sized stats, an unbounded id set, an evolving frontier — is
+# the bug class this list exists to catch (grouped_outliers' med/mad and
+# compact_minhash_index's retired set were exactly that before r10 gated
+# them through evolving_hint).
+BROADCAST_HINT_WHITELIST = {
+    "an1_grouped_outliers": "GATED: med/mad attach via evolving_hint under a measured count_distinct(group) bound",
+    "apx3_freq_items": "BOUNDED: scalar support threshold + top-k frequent-item aggregate",
+    "ctm1_decontamination": "BOUNDED: eval-suite gram set — human-curated benchmark, KB-MB at any corpus size",
+    "dd10_bloom_ngram_gate": "BOUNDED: bit-position relation from one aggregate, m_bits/32 words (~16 KiB) at any corpus size",
+    "dd8_semdedup": "BOUNDED: k-bounded k-means centroid relation",
+    "flagship_enrichment": "SF-DIM: customer dimension onto the orders fact",
+    "fx1_fiat_conversion": "BOUNDED: exchange-rate relation, one row per day (~11k rows per 30 years)",
+    "g2_two_hop": "SF-DIM: supplier dimension; nation is BOUNDED(25)",
+    "g4_pagerank_2iter": "GATED: rank relation via evolving_hint under the measured 2*|e| vertex bound",
+    "g5_sssp_bf3": "GATED: frontier/dist relations via evolving_hint under the measured vertex bound",
+    "g7_label_propagation": "GATED: label relation via evolving_hint under the measured vertex bound",
+    "h2_equidepth_deciles": "BOUNDED: 1-row decile-boundary aggregate",
+    "h2b_approx_deciles": "BOUNDED: 1-row approx-percentile aggregate",
+    "j1_enrich_orders": "SF-DIM: customer dimension onto the orders fact",
+    "km1_kmeans": "BOUNDED: k-bounded centroid relation per Lloyd round",
+    "lm1_bigram_commonness": "BOUNDED: scalar corpus-total aggregate; the bigram LM join is gated by broadcast_model (corpus.py)",
+    "prof1_key_skew": "BOUNDED: 1-row table-stats aggregate",
+    "q2_min_cost_supplier": "SF-DIM: supplier + part-filtered side; nation/region BOUNDED(25/5); min-cost agg is part-bounded",
+    "q3_shipping_priority": "SF-DIM: segment-filtered customer dimension",
+    "q7_volume_shipping": "SF-DIM: supplier/customer; the two nation sides BOUNDED(25)",
+    "q8_market_share": "SF-DIM: part-filtered + supplier; nation/region BOUNDED",
+    "q9_product_profit": "SF-DIM: name-filtered part + supplier; nation BOUNDED(25)",
+    "q10_returned_items": "SF-DIM: customer dimension; nation BOUNDED(25)",
+    "q11_important_parts": "BOUNDED: 1-row value-fraction threshold crossJoined over the grouped aggregate",
+    "q14_promo_revenue": "SF-DIM: part dimension onto lineitem",
+    "q15_top_supplier": "BOUNDED: 1-row max-revenue aggregate; supplier side SF-DIM",
+    "q16_supplier_part_counts": "SF-DIM: complaint-filtered supplier anti-join side + filtered part",
+    "q17_small_quantity_revenue": "SF-DIM: brand/container-filtered part + per-part 0.2*avg(qty) aggregate (part-bounded)",
+    "q18_large_volume_customer": "SF-DIM: customer dimension; the qty>300 semi-join side is order-bounded",
+    "q19_discounted_revenue": "SF-DIM: brand-filtered part dimension",
+    "q20_potential_promotion": "SF-DIM: color-filtered part semi-join side + supplier; nation BOUNDED(25)",
+    "q21_suppliers_kept_waiting": "SF-DIM: single-nation supplier slice; nation BOUNDED(25)",
+    "q22_global_sales_opportunity": "BOUNDED: 1-row avg-balance aggregate; phone-prefix customer slice SF-DIM",
+    "rag1_chunk_retrieval": "BOUNDED: sampled query panel (|docs|/50 rows of dim integers)",
+    "rag2_diverse_retrieval": "BOUNDED: same sampled query panel; corpus side stays map-only",
+    "rj1_range_join": "BOUNDED: 1-row boundary-stats aggregate",
+    "sim1_topk_cosine": "BOUNDED: sampled query panel",
+    "sim4_ivf_ann": "BOUNDED: k-bounded IVF centroid relation + query panel",
+    "sim6_pq_adc": "BOUNDED: PQ codebook (k-bounded) + per-query LUT panel",
+    "sim7_ivfpq_adc": "BOUNDED: coarse centroids + PQ codebooks + query panel, all k-/panel-bounded",
+    "smp3_mix_rebalance": "BOUNDED: per-source cut relation — source-label domain",
+    "smp6_temperature_sampling": "BOUNDED: per-source weight relation — source-label domain; scalar total",
+    "smp8_negative_pairs": "BOUNDED: sampled anchor panel",
+    "str2_listagg": "BOUNDED: nation dimension (25 rows)",
+    "t8_quality_quantile_filter": "BOUNDED: per-language threshold relation — language domain (~200)",
+    "t8b_approx_quantile_filter": "BOUNDED: per-language approx threshold — language domain",
+    "t9_bm25_scoring": "BOUNDED: 1-row corpus-stats (N, avgdl) aggregate",
+    "t11_line_dedup": "BOUNDED: Heaps-law-bounded common-line (boilerplate) set",
+    "vq2_outlier_flags": "BOUNDED: 1-row mean/stddev aggregate",
+    "vq3_winsorize": "BOUNDED: 1-row percentile-pair aggregate",
+}
+
+
 def test_no_cartesian_no_row_python_udfs(spark):
     offenders: dict[str, list[str]] = {}
+    hinted: set[str] = set()
     for name, q in REGISTRY.items():
         df = q.fn(spark, SMOKE_SF)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        if "ResolvedHint (strategy=broadcast)" in analyzed:
+            hinted.add(name)
+            if name not in BROADCAST_HINT_WHITELIST:
+                offenders.setdefault(name, []).append(
+                    "explicit broadcast hint (not whitelisted — justify "
+                    "BOUNDED/GATED/SF-DIM in BROADCAST_HINT_WHITELIST)"
+                )
         plan = df._jdf.queryExecution().executedPlan().toString()
         flags = []
         if "CartesianProduct" in plan:
@@ -104,5 +204,10 @@ def test_no_cartesian_no_row_python_udfs(spark):
         ):
             flags.append("global sort / rangepartitioning (not whitelisted)")
         if flags:
-            offenders[name] = flags
+            offenders.setdefault(name, []).extend(flags)
     assert not offenders, offenders
+    # keep the whitelist honest: an entry whose query no longer hints is
+    # stale — either the hint moved behind a gate that resolved to
+    # shuffle (update the justification) or the query changed (drop it)
+    stale = set(BROADCAST_HINT_WHITELIST) - hinted
+    assert not stale, f"stale BROADCAST_HINT_WHITELIST entries: {sorted(stale)}"
