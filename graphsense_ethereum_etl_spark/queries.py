@@ -4408,6 +4408,94 @@ def k6_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "k9_catalog_snapshot",
+    """
+    WITH c AS (
+      SELECT CAST(FLOOR(o_orderkey / 1000) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders WHERE o_orderkey >= 0 AND o_orderkey < 4000
+      GROUP BY 1)
+    SELECT 'torn' AS phase, e.entity, c.bucket, c.cnt
+    FROM c CROSS JOIN (SELECT 'block' AS entity
+                       UNION ALL SELECT 'transaction') e
+    WHERE c.bucket < 2
+    UNION ALL
+    SELECT 'committed', 'block', bucket, cnt FROM c WHERE bucket < 2
+    UNION ALL
+    SELECT 'committed', 'transaction', bucket, cnt FROM c
+    """,
+)
+def k9_catalog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entity consistent snapshot end-to-end (snapshots.py — the
+    manifest-of-manifests over versioned.py; r9 VERDICT #3): two entity
+    tables commit a first batch and publish catalog v1; a SECOND batch
+    then commits to 'transaction' only — exactly the reference's torn
+    window, children landed before the marker
+    (eth_cassandra_streaming.py:631-636). Reads THROUGH the catalog in
+    that window ('torn' phase) must pin BOTH tables at the v1 heights —
+    the new transaction buckets are invisible until ``commit()`` swaps
+    the one catalog pointer, after which ('committed' phase) they appear
+    atomically. The oracle recomputes both phases straight from orders: a
+    torn read (transaction showing buckets 2-3 pre-publish), a lost
+    publish, or a stale pin all change the hash.
+
+    Like k5, the working tables live in a mkdtemp removed before return,
+    so the tiny per-bucket aggregate is materialized eagerly — the query
+    IS the commit/pin/publish round-trip, not a lazy plan."""
+    import shutil
+    import tempfile
+
+    from .snapshots import SnapshotCatalog
+    from .versioned import VersionedTable
+
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") >= 0) & (F.col("o_orderkey") < 4000))
+        .select("o_orderkey", block_bucket("o_orderkey").alias("bucket"))
+    )
+    workdir = tempfile.mkdtemp(prefix="cat_query_")
+    try:
+        cat = SnapshotCatalog(spark, workdir, tables=("block", "transaction"))
+        first = orders.filter(F.col("bucket") < 2)
+        for name in ("block", "transaction"):
+            VersionedTable(
+                spark, f"{workdir}/{name}", partition_col="bucket"
+            ).write_partitions(first)
+        cat.commit()  # catalog v1: both entities at buckets 0-1
+        # the torn window: a child table commits batch 2, the catalog
+        # pointer has not swapped
+        VersionedTable(
+            spark, f"{workdir}/transaction", partition_col="bucket"
+        ).write_partitions(orders)
+
+        def phase(label: str) -> DataFrame:
+            reads = [
+                cat.read(name)
+                .groupBy("bucket")
+                .agg(F.count("*").cast("bigint").alias("cnt"))
+                .select(
+                    F.lit(label).alias("phase"),
+                    F.lit(name).alias("entity"),
+                    F.col("bucket").cast("bigint").alias("bucket"),
+                    "cnt",
+                )
+                for name in ("block", "transaction")
+            ]
+            return reads[0].unionByName(reads[1])
+
+        torn = phase("torn")
+        torn_rows = torn.collect()
+        cat.commit()  # the atomic publish: both new heights appear at once
+        committed = phase("committed")
+        out = spark.createDataFrame(
+            torn_rows + committed.collect(), committed.schema
+        )
+        return out
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
     "k7_change_feed",
     """
     WITH base AS (

@@ -1,0 +1,221 @@
+"""Cross-entity consistent snapshots — a manifest-of-manifests over the
+per-table ``VersionedTable`` layer.
+
+Why this exists (r9 VERDICT #3): the reference's crash contract is pure
+WRITE-ORDERING — children (logs, traces, txs) land before the block marker
+(eth_cassandra_streaming.py:631-636), so a resume scan never advances past
+missing children. The engine honors that ordering, but ordering alone
+still lets a reader BETWEEN the child commits and the marker commit see a
+TORN multi-table state: transactions at height H+1000 joined against a
+block table still at H. ``versioned.py`` fixed torn reads WITHIN one
+table (manifest-pointer snapshots); this module lifts the same mechanism
+one level: a catalog manifest pins one committed VERSION per entity
+table, and a single atomic pointer swap publishes the whole consistent
+(block, transaction, trace, log) height at once.
+
+Layout::
+
+    <sink_root>/
+      _CATALOG                    # pointer file: name of current catalog doc
+      _catalog/c-00000001.json    # {"tables": {"block": 3, "trace": 3, ...}}
+      block/        _MANIFEST ... # each entity table is a VersionedTable
+      transaction/  _MANIFEST ...
+      trace/        _MANIFEST ...
+      log/          _MANIFEST ...
+
+Commit protocol (the ingest loop in ``streaming/incremental.py``):
+
+1. each table's batch commits through its own ``VersionedTable`` exactly
+   as before — children first, block last (the ordering is kept: direct
+   per-table readers still get the reference's guarantee);
+2. after the LAST table commit (and the maintenance hook), ``commit()``
+   captures every table's published manifest version into a new catalog
+   doc and atomically swaps the ``_CATALOG`` pointer (tmp + rename — the
+   same one-small-file publish as the table layer; on an object store a
+   single PUT).
+
+A reader that resolves tables through ``read()`` therefore sees either
+the complete OLD heights or the complete NEW heights — never a mix; a
+crash anywhere between the first child commit and the catalog swap
+leaves the catalog at the old consistent set, and resume (which reads
+the block height THROUGH the catalog) replays the whole batch, whose
+partition overwrites are idempotent. The catalog swap IS the batch's
+durability point.
+
+Scale posture: the catalog doc is four integers — O(1) regardless of
+data volume; reads add one extra small-file resolution per query, and
+pinned table versions read exactly like any ``read_version`` time
+travel (immutable dirs, manifest-level partition pruning untouched).
+Single-writer discipline is inherited from the ingest flock
+(run_incremental's fail-fast lock covers the whole sink root, catalog
+included).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .versioned import VersionedTable
+
+_CPOINTER = "_CATALOG"
+_CDIR = "_catalog"
+
+#: the reference's entity tables, in the children-before-marker commit
+#: order the ingest loop writes them (block LAST).
+ENTITY_TABLES = ("log", "trace", "transaction", "block")
+
+
+class SnapshotCatalog:
+    """Atomic multi-table snapshot pointer over per-table VersionedTables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        tables: tuple[str, ...] = ENTITY_TABLES,
+    ) -> None:
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.tables = tuple(tables)
+        os.makedirs(f"{self.root}/{_CDIR}", exist_ok=True)
+
+    # -- resolution ---------------------------------------------------------
+
+    def table(self, name: str) -> VersionedTable:
+        return VersionedTable(self.spark, f"{self.root}/{name}")
+
+    def _current_name(self) -> str | None:
+        try:
+            with open(f"{self.root}/{_CPOINTER}") as fh:
+                return fh.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def current_version(self) -> int | None:
+        """Published catalog version number, or None before first commit."""
+        name = self._current_name()
+        return None if name is None else int(name.split("-")[1].split(".")[0])
+
+    def _doc(self, version: int | None = None) -> dict:
+        if version is None:
+            name = self._current_name()
+            if name is None:
+                return {"tables": {}}
+        else:
+            name = f"c-{version:08d}.json"
+        with open(f"{self.root}/{_CDIR}/{name}") as fh:
+            return json.load(fh)
+
+    def current(self) -> dict[str, int]:
+        """{table: pinned VersionedTable version} for the published catalog
+        (empty before the first commit)."""
+        return dict(self._doc()["tables"])
+
+    def history(self) -> list[int]:
+        """Committed catalog versions, oldest first. Like the table layer,
+        a doc NEWER than the published pointer is crash debris (a commit
+        that died between doc write and pointer swap), not a committed
+        version — excluded here, overwritten by the next commit, removed
+        by ``vacuum``."""
+        published = self.current_version()
+        if published is None:
+            return []
+        return sorted(
+            seq
+            for seq in (
+                int(n.split("-")[1].split(".")[0])
+                for n in os.listdir(f"{self.root}/{_CDIR}")
+            )
+            if seq <= published
+        )
+
+    # -- reads --------------------------------------------------------------
+
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        """Snapshot read of ``name`` pinned at the catalog's published (or
+        an explicit historic) version — the torn-read-free multi-table
+        read path: every table read through the same catalog version came
+        from the SAME ingest batch boundary. A table absent from the doc
+        (catalog committed before that table ever published) reads as the
+        canonical empty frame."""
+        doc = self._doc(version)
+        pinned = doc["tables"].get(name)
+        vt = self.table(name)
+        if pinned is None:
+            return self.spark.createDataFrame([], f"{vt.partition_col} bigint")
+        return vt.read_version(pinned)
+
+    # -- commits ------------------------------------------------------------
+
+    def commit(self) -> int:
+        """Publish the CURRENT published version of every catalog table as
+        one consistent set: write the next catalog doc, then atomically
+        swap the pointer. Caller holds the single-writer ingest lock, so
+        the per-table pointers it captures cannot move mid-capture.
+        Returns the new catalog version."""
+        tables: dict[str, int] = {}
+        for name in self.tables:
+            seq = self.table(name)._published_seq()
+            if seq is not None:
+                tables[name] = seq
+        seq = (self.current_version() or 0) + 1
+        name = f"c-{seq:08d}.json"
+        with open(f"{self.root}/{_CDIR}/{name}", "w") as fh:
+            json.dump({"tables": tables}, fh, sort_keys=True)
+        tmp = f"{self.root}/{_CPOINTER}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(name)
+        os.replace(tmp, f"{self.root}/{_CPOINTER}")
+        return seq
+
+    # -- maintenance ----------------------------------------------------------
+
+    def vacuum(self, keep_catalogs: int = 2) -> dict[str, list[str]]:
+        """Trim catalog docs to the newest ``keep_catalogs`` committed ones
+        (anchored on the PUBLISHED pointer — orphan docs newer than it are
+        crash debris and dropped), then vacuum each table with a retention
+        window derived from the catalogs that REMAIN: every table version
+        still referenced by a retained catalog doc survives, so historic
+        catalog reads stay valid exactly as long as their doc does — the
+        cross-table form of the table layer's reader-grace contract.
+        Returns {table: removed data dirs}."""
+        if keep_catalogs < 1:
+            raise ValueError(
+                "keep_catalogs must be >= 1: the published catalog can "
+                "never be vacuumed away"
+            )
+        published = self.current_version()
+        if published is None:
+            return {}
+        versions = sorted(
+            int(n.split("-")[1].split(".")[0])
+            for n in os.listdir(f"{self.root}/{_CDIR}")
+        )
+        kept = [v for v in versions if v <= published][-keep_catalogs:]
+        min_ref: dict[str, int] = {}
+        for v in kept:
+            for t, seq in self._doc(v)["tables"].items():
+                min_ref[t] = min(min_ref.get(t, seq), seq)
+        for v in versions:
+            if v not in kept:
+                os.remove(f"{self.root}/{_CDIR}/c-{v:08d}.json")
+        removed: dict[str, list[str]] = {}
+        for name in self.tables:
+            vt = self.table(name)
+            pub = vt._published_seq()
+            if pub is None:
+                continue
+            # retention window: from the published version back to the
+            # oldest catalog-referenced one (manifest seqs are dense)
+            keep = pub - min_ref.get(name, pub) + 1
+            removed[name] = vt.vacuum(keep_manifests=max(1, keep))
+        return removed
+
+
+def has_catalog(sink_root: str) -> bool:
+    """True once a catalog commit has published at ``sink_root``."""
+    return os.path.exists(f"{sink_root.rstrip('/')}/{_CPOINTER}")

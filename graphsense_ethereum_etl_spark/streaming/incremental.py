@@ -46,11 +46,21 @@ def latest_ingested_block(
     of the reference's PER-PARTITION-LIMIT dance
     (eth_cassandra_streaming.py:225-245). In versioned mode the scan reads
     the current SNAPSHOT, so a crash mid-commit (data dirs landed, pointer
-    not swapped) correctly resumes from the last PUBLISHED block."""
+    not swapped) correctly resumes from the last PUBLISHED block — and
+    once a cross-entity catalog exists at the sink root, the height is
+    read THROUGH it: the catalog swap is the batch's durability point, so
+    a crash after the block table's own commit but before the catalog
+    publish still replays the batch (idempotent partition overwrites)
+    instead of leaving the catalog lagging forever."""
     if sink_format == "versioned":
+        from ..snapshots import SnapshotCatalog, has_catalog
         from ..versioned import VersionedTable
 
-        df = VersionedTable(spark, block_table_path).read()
+        sink_root = os.path.dirname(block_table_path.rstrip("/"))
+        if has_catalog(sink_root):
+            df = SnapshotCatalog(spark, sink_root).read("block")
+        else:
+            df = VersionedTable(spark, block_table_path).read()
         if "block_id" not in df.columns:
             return None
         return df.agg(F.max("block_id").alias("m")).collect()[0]["m"]
@@ -185,6 +195,19 @@ def _run_incremental_locked(
     rng = resolve_range(resume, head, start_block, end_block)
     stats = IngestStats()
     if rng is None:
+        if sink_format == "versioned" and resume is not None:
+            from ..snapshots import SnapshotCatalog, has_catalog
+
+            if not has_catalog(sink_root):
+                # ADOPTION: a pre-catalog sink (or a crash after every
+                # table commit but before the FIRST catalog publish) with
+                # nothing new to ingest. Publishing the current table
+                # versions here is always consistent: block commits LAST,
+                # so any state where the block height equals the head has
+                # every child at that same height (a torn state has the
+                # block table BEHIND, which makes the range non-empty and
+                # routes through the normal batch commits instead).
+                SnapshotCatalog(spark, sink_root).commit()
         return stats
     start, end = rng
     # Re-cover the trailing partial bucket so its partition rewrite is total.
@@ -303,6 +326,19 @@ def transform_and_write_batch(
         if obs is not None and stats is not None:
             stats.rows[table] = stats.rows.get(table, 0) + obs.get["rows"]
         written += 1
+    if sink_format == "versioned":
+        # Cross-entity consistency point (r9 VERDICT #3): one atomic
+        # catalog-pointer swap publishes all four tables' new heights as
+        # a single snapshot. fail_after_tables == len(writes) injects the
+        # crash window this closes — every table committed, catalog not
+        # swapped: catalog readers keep the old CONSISTENT set and resume
+        # (which reads the block height through the catalog) replays the
+        # batch idempotently.
+        if fail_after_tables is not None and fail_after_tables == len(writes):
+            raise RuntimeError("injected crash before the catalog commit")
+        from ..snapshots import SnapshotCatalog
+
+        SnapshotCatalog(spark, sink_root).commit()
 
 
 def update_bucket_rollup(rollup, batch_df, agg_fn) -> list[str]:
@@ -621,6 +657,13 @@ def invalidate_from(
                 first_bucket
             )
             removed_v.extend(f"{table}/block_id_group={d}" for d in dropped)
+        from ..snapshots import SnapshotCatalog, has_catalog
+
+        if has_catalog(sink_root):
+            # publish the post-reorg heights as one consistent catalog
+            # version — catalog readers jump from the pre-fork set to the
+            # truncated set atomically, never a per-table mix
+            SnapshotCatalog(spark, sink_root).commit()
         return removed_v
     import shutil
 

