@@ -268,6 +268,23 @@ def build_parser() -> ArgumentParser:
         default="parquet",
     )
 
+    snap = sub.add_parser(
+        "snapshot",
+        help="inspect / vacuum the cross-entity snapshot catalog of a "
+        "versioned sink (one atomic pointer per consistent "
+        "block/transaction/trace/log height)",
+    )
+    snap.add_argument("-o", "--sink-root", dest="sink_root", required=True)
+    snap.add_argument(
+        "--version", dest="cat_version", type=int, default=None,
+        help="inspect a historic catalog version (default: published)",
+    )
+    snap.add_argument(
+        "--vacuum-keep", dest="vacuum_keep", type=int, default=None,
+        help="trim catalog docs to the newest N and vacuum each table "
+        "down to the versions those docs still reference",
+    )
+
     chg = sub.add_parser(
         "changes",
         help="change data feed of a versioned table between two committed "
@@ -856,6 +873,43 @@ def cmd_invalidate(args: Namespace, spark: SparkSession) -> IngestStats:
     return IngestStats()
 
 
+def cmd_snapshot(args: Namespace, spark: SparkSession) -> IngestStats:
+    """Inspect or vacuum the cross-entity snapshot catalog (snapshots.py):
+    prints the published (or a historic) catalog version, each entity's
+    pinned table version, and its max block height read THROUGH the
+    catalog — the consistent multi-table view, never a torn one."""
+    from pyspark.sql import functions as F
+
+    from .snapshots import SnapshotCatalog, has_catalog
+
+    if not has_catalog(args.sink_root):
+        print(f"no snapshot catalog at {args.sink_root}")
+        return IngestStats()
+    cat = SnapshotCatalog(spark, args.sink_root)
+    if args.vacuum_keep is not None:
+        removed = cat.vacuum(keep_catalogs=args.vacuum_keep)
+        for t, dirs in sorted(removed.items()):
+            print(f"vacuumed {t}: {len(dirs)} data dirs removed")
+    version = (
+        args.cat_version if args.cat_version is not None else cat.current_version()
+    )
+    doc = cat._doc(version)
+    print(f"catalog version {version} (history: {cat.history()})")
+    for t in sorted(cat.tables):
+        pinned = doc["tables"].get(t)
+        if pinned is None:
+            print(f"  {t}: never published")
+            continue
+        df = cat.read(t, version=version)
+        height = (
+            df.agg(F.max("block_id")).collect()[0][0]
+            if "block_id" in df.columns
+            else None
+        )
+        print(f"  {t}: table version {pinned}, max block {height}")
+    return IngestStats()
+
+
 def cmd_changes(args: Namespace, spark: SparkSession) -> IngestStats:
     """CDF read of a versioned table: one-shot diff
     (versioned.py::read_changes) or --stream follow mode
@@ -1434,6 +1488,8 @@ def main(
         return cmd_corpus(args, spark)
     if args.command == "changes":
         return cmd_changes(args, spark)
+    if args.command == "snapshot":
+        return cmd_snapshot(args, spark)
     if args.command == "mv":
         return cmd_mv(args, spark)
     return cmd_invalidate(args, spark)

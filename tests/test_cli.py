@@ -1596,3 +1596,34 @@ def test_cli_corpus_mix(spark, tmp_path):
     with _pytest.raises(SystemExit, match="budgets"):
         main(["corpus", "mix", "-i", src, "-o", out,
               "--token-budget", "50", "--budgets", "nope"], spark=spark)
+
+
+def test_cli_snapshot_inspect_and_vacuum(spark, tmp_path, capsys):
+    """`snapshot` subcommand end-to-end: a versioned CLI ingest publishes
+    the cross-entity catalog; inspect prints one consistent height per
+    entity; --vacuum-keep trims history while the published catalog keeps
+    reading."""
+    sink = str(tmp_path / "eth")
+    base = [
+        "ingest", "-w", "synthetic://29", "-o", sink,
+        "-b", "10", "--bucket-size", "10", "--sink-format", "versioned",
+    ]
+    main(base + ["-e", "9"], spark=spark)
+    main(base + ["-e", "29"], spark=spark)
+
+    main(["snapshot", "-o", sink], spark=spark)
+    printed = capsys.readouterr().out
+    assert "catalog version" in printed
+    for t in ("block", "transaction", "trace", "log"):
+        assert f"  {t}: table version" in printed
+    assert "max block 29" in printed
+
+    main(["snapshot", "-o", sink, "--vacuum-keep", "1"], spark=spark)
+    printed = capsys.readouterr().out
+    assert "vacuumed block:" in printed
+    # the published catalog still reads after the vacuum
+    from graphsense_ethereum_etl_spark.snapshots import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, sink)
+    assert len(cat.history()) == 1
+    assert cat.read("block").count() == 30
