@@ -138,7 +138,17 @@ def time_query(spark, name, sf_dir):
 # formulations ride together so the in-memory variant's candidate-growth
 # trajectory and its bucketed swap-in stay side by side in SCALE.md
 # (VERDICT r7 item 2).
-ALWAYS_PROBE = ["dd2_ngram_jaccard", "dd2b_ngram_jaccard_bucketed"]
+ALWAYS_PROBE = [
+    "dd2_ngram_jaccard",
+    "dd2b_ngram_jaccard_bucketed",
+    # r9-verdict #4: the r9 newcomers were byte-audited (SHUFFLE_r09) but
+    # never wall-probed — seat them on the board until displaced by rank
+    "g10_clustering_coefficient",
+    "rag2_diverse_retrieval",
+    "an1_grouped_outliers",
+    "u1_uint256_grouped_sum",
+    "t13_url_canonical_dedup",
+]
 
 
 def time_dd2b_reuse(spark, sf_dir: str, tag: str) -> float:

@@ -127,6 +127,19 @@ def main():
         for name in ledger["registry_order"][: ledger["window"]]:
             if name not in names and name in REGISTRY:
                 names.append(name)
+    # r9 VERDICT #5: beyond the window rotation, seat every query whose
+    # shuffle bytes have NEVER been read in any prior round — one audit
+    # retires a query from this list forever, so the set shrinks to empty
+    # and stays there as new queries land and get audited the same round.
+    audited: set[str] = set()
+    for p in glob.glob(str(repo / "SHUFFLE_r*.json")):
+        try:
+            audited.update(json.load(open(p)).get("queries", {}).keys())
+        except (OSError, json.JSONDecodeError):
+            pass
+    never = [q for q in REGISTRY if q not in audited and q not in names]
+    names.extend(never)
+    print(f"never-audited seats this round: {len(never)}", file=sys.stderr)
     spark = get_spark(
         app_name="shuffle-audit",
         extra_conf={
