@@ -1427,3 +1427,125 @@ def compact_minhash_index(
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
     spark.catalog.refreshTable(table)
     return m
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+# algorithm): the position-robust document fingerprint the single-hash
+# fingerprint() and fixed-stride shingles both miss. Guarantee: any shared
+# substring of length >= w + k - 1 contributes at least one IDENTICAL
+# selected fingerprint to both documents, while only ~2/(w+1) of positions
+# are kept — the sub-linear sketch that makes content-overlap detection
+# affordable at 100 TB.
+# --------------------------------------------------------------------------
+
+#: winnowing key base: keys pack (hash, position) as (h+1)*B - pos so that
+#: bigint MIN implements "min hash, rightmost position on ties" (the MOSS
+#: robust-winnowing tie rule) in ONE comparable value on both engines.
+#: B must exceed any document's character length.
+_WINNOW_B = 1 << 20
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, h) — each document's winnowing fingerprint set, computed
+    ENTIRELY inside Catalyst array expressions: character k-grams of the
+    normalized text are hashed (md5-derived 32-bit values — deterministic
+    and engine-portable; a production build swaps in a rolling hash to
+    drop the O(k) per-position factor, same plan shape), packed with
+    their position into one bigint key, and each sliding window of ``w``
+    consecutive keys selects its minimum — min hash, rightmost position
+    on ties. The whole selection is MAP-ONLY (transform/slice/array_min
+    over per-row arrays, no explode until the selected set), so the only
+    shuffle a downstream consumer pays is on the ~2/(w+1)-density
+    fingerprints themselves, never on positions. Documents shorter than
+    ``k`` normalized characters have no fingerprints.
+
+    Max key = (2^32)*2^20 = 2^52: exact in int64 with headroom; documents
+    longer than B = 2^20 normalized characters would alias positions —
+    raise B (and the docstring bound) before raising the length cap.
+
+    Expression shape: the gram-key array is bound ONCE per document via
+    the transform-as-`let` idiom — ``transform(array(<keys>), ks -> ...)``
+    — because a plain two-projection formulation lets CollapseProject
+    inline the key-array construction into the per-window lambda, where
+    ``slice`` re-evaluates it once per window START: O(n²·k) md5 calls
+    per document instead of O(n·k) (ngram_jaccard_pairs' Generate-inlining
+    lesson, rediscovered here at ~300× slowdown on 300-char docs). As a
+    lambda VARIABLE, ``ks`` is a per-row value, referenced free."""
+    from ..functions.text import normalized_text
+
+    if w < 1 or k < 1:
+        raise ValueError("winnowing needs k >= 1 and w >= 1")
+    B = _WINNOW_B
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), normalized_text(text_col).alias("s")
+    ).filter(F.length("s") >= k)
+    d = d.withColumn("n_g", F.length("s") - F.lit(k) + 1)
+    keys = (
+        f"transform(sequence(1, n_g), i -> "
+        f"(cast(conv(substring(md5(substring(s, i, {k})), 1, 8), 16, 10)"
+        f" as bigint) + 1L) * {B}L - i)"
+    )
+    # one selected key per window start; slice() truncates at the array end
+    # exactly like the oracle's trailing window frame, so short documents
+    # (fewer than w grams) still select their global minimum once
+    fps = (
+        f"transform(array({keys}), ks -> "
+        f"array_distinct(transform("
+        f"  transform(sequence(1, greatest(size(ks) - {w - 1}, 1)),"
+        f"            j -> array_min(slice(ks, j, {w}))),"
+        f"  sk -> (sk + {B - 1}L) div {B}L - 1L)))[0]"
+    )
+    return d.select("doc_id", F.explode(F.expr(fps)).alias("h"))
+
+
+def winnowing_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 5,
+    max_df: int | None = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-overlap candidate pairs by shared winnowing fingerprints:
+    (id_a, id_b, n_shared) for documents sharing at least ``min_shared``
+    selected fingerprints — the guarantee makes n_shared a lower-bound
+    witness for shared substrings of length >= w + k - 1 each.
+
+    ``max_df`` drops fingerprints present in more than that many
+    documents before the self-join (boilerplate/banner grams — MOSS's
+    own noise rule): the standard frequent-token guard that bounds the
+    per-fingerprint bucket, so the join's worst cell is max_df², never
+    corpus². The document-frequency relation it needs is one extra
+    fingerprint-keyed aggregate — map-side-combinable, and at 100 TB the
+    same relation doubles as the boilerplate report."""
+    fp = winnowing_fingerprints(docs, k=k, w=w, text_col=text_col, id_col=id_col)
+    if max_df is not None:
+        keep = (
+            fp.groupBy("h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("h")
+        )
+        fp = fp.join(keep, "h", "left_semi")
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1079,6 +1079,66 @@ def dd11_incremental_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "dd12_winnowing_pairs",
+    """
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+      FROM documents),
+    grams AS (
+      SELECT doc_id, i,
+             (CAST('0x' || substr(md5(substr(s, CAST(i AS INT), 8)), 1, 8)
+                   AS BIGINT) + 1) * 1048576 - i AS key,
+             len(s) - 7 AS n_g
+      FROM norm, UNNEST(range(1, len(s) - 6)) t(i)
+      WHERE len(s) >= 8),
+    sel AS (
+      SELECT doc_id, i, n_g,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sk
+      FROM grams),
+    fp AS (
+      SELECT DISTINCT doc_id, (sk + 1048575) // 1048576 - 1 AS h
+      FROM sel WHERE i <= greatest(n_g - 3, 1)),
+    df AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= 10),
+    fpk AS (SELECT fp.doc_id, fp.h FROM fp JOIN df USING (h)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(n_shared AS BIGINT) AS n_shared
+    FROM pairs WHERE n_shared >= 5
+    """,
+)
+def dd12_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint content-overlap pairs (MOSS,
+    Schleimer/Wilkerson/Aiken SIGMOD'03 — operators/dedup.py::
+    winnowing_pairs): character-8-gram hashes, window-4 minima with the
+    rightmost-on-tie rule, so any shared substring of >= 11 characters
+    leaves an identical fingerprint in both documents while only
+    ~2/(w+1) of positions are kept. The selection is MAP-ONLY Catalyst
+    array code (transform/slice/array_min — no explode before the
+    selected set, no shuffle before the fingerprint join); fingerprints
+    in more than 10 docs are dropped before the self-join — the max_df
+    guard that both bounds every join bucket AND selects for the RARE
+    shared fingerprints that witness real duplication (the synthetic
+    corpus's small vocabulary makes common 8-grams near-universal; rare
+    ones isolate the planted near-dup structure). The oracle
+    recomputes selection with a trailing window-frame MIN over unnested
+    positions — same packed (hash<<20 - pos) keys, so tie-breaking is
+    bit-identical across engines."""
+    from .operators.dedup import winnowing_pairs
+
+    return winnowing_pairs(
+        load(spark, sf_dir, "documents", spread=True),
+        k=8,
+        w=4,
+        min_shared=5,
+        max_df=10,
+    )
+
+
+@query(
     "g9_triangle_count",
     f"""
     WITH {_DUCK_SHINGLES},
@@ -3300,6 +3360,61 @@ def sim7_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim8_filtered_ann",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id % 50 = 1),
+    scored AS (
+      SELECT query_id, e.vec_id AS cand_id, e.label AS label,
+             round({_DUCK_COS.format(a="qv", b="e.embedding")}, 9) AS score9
+      FROM embeddings e, q
+      WHERE e.label % 2 = 0 AND e.vec_id != query_id),
+    ranked AS (
+      SELECT query_id, cand_id, label, score9,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score9 DESC, cand_id) AS rn
+      FROM scored)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(cand_id AS BIGINT) AS cand_id,
+           CAST(label AS INT) AS label,
+           round(score9, 6) AS score, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def sim8_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search (the vector-DB staple the plain
+    sim1-sim7 tiers skip): top-5 cosine per query among candidates whose
+    metadata matches a predicate (label % 2 = 0 — an even-class filter
+    standing in for tenant/language/licence scoping). The filter is
+    applied as a PRE-filter — pushed into the candidate scan BEFORE any
+    scoring, so the scored set shrinks by the selectivity and recall is
+    exact over the filtered corpus by construction. (The tempting
+    post-filter alternative — rank first, filter the top-k after — loses
+    recall whenever fewer than k of the global top survive the
+    predicate; at restrictive selectivities it returns near-empty
+    results. At 100 TB the pre-filter also composes with partition
+    pruning: a partition-aligned predicate column means filtered search
+    never scans excluded partitions at all.)"""
+    from .operators.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    filtered = emb.filter(F.col("label") % 2 == 0)
+    out = brute_force_topk(
+        filtered, emb.filter(F.col("vec_id") % 50 == 1), k=5
+    )
+    # label re-attach: corpus-sized relation, so NO broadcast hint — the
+    # plan-audit invariant this round added exists precisely to keep
+    # data-cardinality-dependent hints out; Catalyst's file-size stats /
+    # AQE make the size-gated call here
+    lab = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").cast("int").alias("label")
+    )
+    return out.join(lab, "cand_id").select(
+        "query_id", "cand_id", "label", "score", "rank"
+    )
+
+
+@query(
     "emb1_hashed_embedding",
     """
     WITH toks AS (
@@ -4491,6 +4606,99 @@ def k9_catalog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             torn_rows + committed.collect(), committed.schema
         )
         return out
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "k10_time_travel",
+    """
+    WITH b AS (
+      SELECT CAST(FLOOR(o_orderkey / 1000) AS BIGINT) AS bucket,
+             o_orderpriority AS pri
+      FROM orders WHERE o_orderkey >= 0 AND o_orderkey < 3000),
+    agg AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN pri = lower(pri) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lower
+      FROM b GROUP BY bucket)
+    SELECT CAST(1 AS BIGINT) AS version, bucket, cnt, n_lower
+    FROM agg WHERE bucket < 2
+    UNION ALL
+    SELECT 2, bucket, cnt,
+           CASE WHEN bucket = 0 THEN cnt ELSE n_lower END
+    FROM agg WHERE bucket < 2
+    UNION ALL
+    SELECT 3, bucket, cnt,
+           CASE WHEN bucket = 0 THEN cnt ELSE n_lower END
+    FROM agg
+    """,
+)
+def k10_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel as a certified query (versioned.py::read_version —
+    the Delta `VERSION AS OF` surface): commit v1 (buckets 0-1), OVERWRITE
+    bucket 0 lower-cased (v2), commit bucket 2 (v3), then read ALL THREE
+    versions back from one table and tag each snapshot's per-bucket
+    aggregate with its version. Immutable data dirs make every historic
+    read exact — the oracle recomputes all three snapshots straight from
+    orders, so a leaked overwrite (v1 showing lower-case), a lost commit,
+    or cross-version dir aliasing all change the hash.
+
+    Like k5, the working table lives in a mkdtemp removed before return;
+    the per-bucket aggregates are materialized eagerly."""
+    import shutil
+    import tempfile
+
+    from .versioned import VersionedTable
+
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") >= 0) & (F.col("o_orderkey") < 3000))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            block_bucket("o_orderkey").alias("bucket"),
+        )
+    )
+    workdir = tempfile.mkdtemp(prefix="tt_query_")
+    try:
+        t = VersionedTable(spark, workdir, partition_col="bucket")
+        t.write_partitions(orders.filter(F.col("bucket") < 2))  # v1
+        t.write_partitions(
+            orders.filter(F.col("bucket") == 0).withColumn(
+                "o_orderpriority", F.lower("o_orderpriority")
+            )
+        )  # v2: bucket-0 overwrite
+        t.write_partitions(orders.filter(F.col("bucket") == 2))  # v3: append
+        outs = []
+        for v in t.history():
+            agg = (
+                t.read_version(v)
+                .groupBy("bucket")
+                .agg(
+                    F.count("*").cast("bigint").alias("cnt"),
+                    F.sum(
+                        F.when(
+                            F.col("o_orderpriority")
+                            == F.lower("o_orderpriority"),
+                            1,
+                        ).otherwise(0)
+                    )
+                    .cast("bigint")
+                    .alias("n_lower"),
+                )
+                .select(
+                    F.lit(v).cast("bigint").alias("version"),
+                    "bucket",
+                    "cnt",
+                    "n_lower",
+                )
+            )
+            outs.append(agg)
+        full = outs[0]
+        for o in outs[1:]:
+            full = full.unionByName(o)
+        return spark.createDataFrame(full.collect(), full.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -9265,6 +9473,131 @@ def rag2_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rag3_rrf_hybrid",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    dense_scored AS (
+      SELECT query_id, e.vec_id AS cand_id,
+             round({_DUCK_COS.format(a="qv", b="e.embedding")}, 9) AS score9
+      FROM embeddings e, q WHERE e.vec_id != query_id),
+    dense AS (
+      SELECT query_id, cand_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score9 DESC, cand_id) AS r
+      FROM dense_scored QUALIFY r <= 20),
+    {_DUCK_SHINGLES.strip().rstrip()},
+    qsh AS (SELECT q.query_id, sh.shingle FROM sh
+            JOIN q ON sh.doc_id = q.query_id),
+    lex_scored AS (
+      SELECT qsh.query_id, sh.doc_id AS cand_id, COUNT(*) AS n_inter
+      FROM qsh JOIN sh ON qsh.shingle = sh.shingle
+      WHERE sh.doc_id != qsh.query_id
+      GROUP BY 1, 2),
+    lex AS (
+      SELECT query_id, cand_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY n_inter DESC, cand_id) AS r
+      FROM lex_scored QUALIFY r <= 20),
+    fused AS (
+      SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+             COALESCE(d.cand_id, l.cand_id) AS cand_id,
+             COALESCE(1.0 / (60 + d.r), 0) + COALESCE(1.0 / (60 + l.r), 0)
+               AS rrf
+      FROM dense d FULL OUTER JOIN lex l
+        ON d.query_id = l.query_id AND d.cand_id = l.cand_id),
+    final AS (
+      SELECT query_id, cand_id, rrf,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, cand_id) AS rn
+      FROM fused)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(cand_id AS BIGINT) AS cand_id,
+           round(rrf, 6) AS rrf, CAST(rn AS BIGINT) AS rank
+    FROM final WHERE rn <= 5
+    """,
+)
+def rag3_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack/Clarke/
+    Buettcher SIGIR'09 — the standard RAG pattern: fuse a dense and a
+    lexical retriever by RANK, dodging score-scale mismatch entirely):
+    per query, cosine top-20 over the embedding column (sim1's exact
+    path) and word-3-gram-overlap top-20 over the text column (dd2's
+    shingle machinery turned into an inverted-index retriever) fuse as
+    Σ 1/(60 + rank), missing-from-one-list contributes 0; final top-5.
+
+    RRF is engine-deterministic by construction: every fused score is a
+    sum of two reciprocals of SMALL INTEGERS, so both engines compute
+    bit-identical doubles and the fused ranking can't drift the way raw
+    score fusion would. Scale: the query panel is corpus/100 and bounded
+    by construction (broadcast, rag1's posture); the lexical side probes
+    the shingle inverted index with a panel-sized build side — the
+    corpus's shingles are exploded once, map-only; each retriever ranks
+    only its own candidate set, and the fusion join moves ≤ 40 rows per
+    query."""
+    from .functions.text import shingles
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents", spread=True)
+    from .operators.similarity import brute_force_topk
+
+    panel = emb.filter(F.col("vec_id") % 100 == 0)
+    dense = (
+        brute_force_topk(emb, panel, k=20)
+        .select("query_id", "cand_id", F.col("rank").alias("dr"))
+    )
+    sh = docs.select(
+        F.col("doc_id"), F.explode(shingles("text", 3)).alias("shingle")
+    )
+    qsh = sh.join(
+        F.broadcast(panel.select(F.col("vec_id").alias("query_id"))),
+        sh.doc_id == F.col("query_id"),
+    ).select("query_id", "shingle")
+    lex_scored = (
+        qsh.alias("q")
+        .join(sh.alias("c"), F.col("q.shingle") == F.col("c.shingle"))
+        .filter(F.col("c.doc_id") != F.col("q.query_id"))
+        .groupBy(
+            F.col("q.query_id").alias("query_id"),
+            F.col("c.doc_id").alias("cand_id"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    wl = W.partitionBy("query_id").orderBy(
+        F.col("n_inter").desc(), F.col("cand_id")
+    )
+    lex = (
+        lex_scored.withColumn("lr", F.row_number().over(wl))
+        .filter(F.col("lr") <= 20)
+        .select("query_id", "cand_id", "lr")
+    )
+    fused = (
+        dense.join(lex, ["query_id", "cand_id"], "full_outer")
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                F.coalesce(1.0 / (F.lit(60) + F.col("dr")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(60) + F.col("lr")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("cand_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("cand_id").cast("bigint").alias("cand_id"),
+            F.round("rrf", 6).alias("rrf"),
+            "rank",
+        )
+    )
+
+
+@query(
     "u1_uint256_grouped_sum",
     """
     WITH v AS (
@@ -9340,6 +9673,107 @@ def u1_uint256_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "n_values",
         total.cast("decimal(38,0)").cast("string").alias("wei_total"),
+    )
+
+
+@query(
+    "u2_uint256_grouped_stats",
+    """
+    WITH v AS (
+      SELECT l_returnflag,
+             substring(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                           CAST(l_linenumber AS VARCHAR)), 1, 24) AS h24
+      FROM lineitem),
+    ext AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n_values,
+             MIN(h24) AS hmin, MAX(h24) AS hmax,
+             SUM(CAST(CAST('0x' || substring(h24, 1, 8) AS BIGINT) AS HUGEINT)
+                 * CAST('18446744073709551616' AS HUGEINT)
+                 + CAST(CAST('0x' || substring(h24, 9, 8) AS BIGINT) AS HUGEINT)
+                 * CAST(4294967296 AS HUGEINT)
+                 + CAST(CAST('0x' || substring(h24, 17, 8) AS BIGINT) AS HUGEINT)
+             ) AS tot
+      FROM v GROUP BY l_returnflag),
+    dec AS (
+      SELECT l_returnflag, n_values, tot,
+             CAST('0x' || substring(hmin, 1, 8) AS BIGINT) AS min_hi,
+             CAST('0x' || substring(hmin, 9, 8) AS BIGINT) AS min_mid,
+             CAST('0x' || substring(hmin, 17, 8) AS BIGINT) AS min_lo,
+             CAST('0x' || substring(hmax, 1, 8) AS BIGINT) AS max_hi,
+             CAST('0x' || substring(hmax, 9, 8) AS BIGINT) AS max_mid,
+             CAST('0x' || substring(hmax, 17, 8) AS BIGINT) AS max_lo
+      FROM ext)
+    SELECT l_returnflag, n_values,
+           CAST(CAST(min_hi AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT)
+                + CAST(min_mid AS HUGEINT) * CAST(4294967296 AS HUGEINT)
+                + CAST(min_lo AS HUGEINT) AS VARCHAR) AS wei_min,
+           CAST(CAST(max_hi AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT)
+                + CAST(max_mid AS HUGEINT) * CAST(4294967296 AS HUGEINT)
+                + CAST(max_lo AS HUGEINT) AS VARCHAR) AS wei_max,
+           CAST((tot - tot % CAST(n_values AS HUGEINT))
+                // CAST(n_values AS HUGEINT) AS VARCHAR) AS wei_avg
+    FROM dec
+    """,
+)
+def u2_uint256_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped MIN / MAX / floor-AVG over the same synthetic 96-bit
+    wei values as u1 — the rest of the lossless wide-integer aggregate
+    family, each via a trick that stays MAP-SIDE-COMBINABLE on the fact:
+
+    - MIN/MAX: a fixed-width hex encoding is ORDER-ISOMORPHIC to the
+      numeric value (zero-padded base-16, lexicographic == numeric), so
+      min/max over uint256 is plain string min/max — the cheapest
+      possible aggregate at 100 TB — with limb decoding applied to the
+      one winning value per group at the end.
+    - AVG: exact floor division of the u1 limb-sum total —
+      (tot - tot % n) / n divides EXACTLY, so the decimal division
+      introduces no rounding; wide arithmetic again touches only the
+      group-sized result. (Serialized as strings so Spark's decimal and
+      DuckDB's HUGEINT hash identically.)"""
+    li = load(spark, sf_dir, "lineitem")
+    h24 = F.substring(
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        24,
+    )
+    limb = lambda col, a: (  # noqa: E731
+        F.conv(F.substring(col, a, 8), 16, 10).cast("decimal(38,0)")
+    )
+    base = li.select("l_returnflag", h24.alias("h24"))
+    ext = base.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_values"),
+        F.min("h24").alias("hmin"),
+        F.max("h24").alias("hmax"),
+        F.sum(limb(F.col("h24"), 1)).cast("decimal(38,0)").alias("shi"),
+        F.sum(limb(F.col("h24"), 9)).cast("decimal(38,0)").alias("smid"),
+        F.sum(limb(F.col("h24"), 17)).cast("decimal(38,0)").alias("slo"),
+    )
+    two64 = F.lit("18446744073709551616").cast("decimal(38,0)")
+    two32 = F.lit(4294967296).cast("decimal(38,0)")
+
+    def recombine(col):
+        return (
+            limb(col, 1) * two64 + limb(col, 9) * two32 + limb(col, 17)
+        ).cast("decimal(38,0)")
+
+    tot = (
+        F.col("shi") * two64 + F.col("smid") * two32 + F.col("slo")
+    ).cast("decimal(38,0)")
+    nv = F.col("n_values").cast("decimal(38,0)")
+    avg = ((tot - tot % nv) / nv).cast("decimal(38,0)")
+    return ext.select(
+        "l_returnflag",
+        "n_values",
+        recombine(F.col("hmin")).cast("string").alias("wei_min"),
+        recombine(F.col("hmax")).cast("string").alias("wei_max"),
+        avg.cast("string").alias("wei_avg"),
     )
 
 

@@ -55,6 +55,10 @@ BNLJ_WHITELIST = {
     "rag2_diverse_retrieval",  # same bounded query-panel cross as
     # sim1/rag1; the corpus side stays map-only and the diversity argmax
     # aggregates before the only window
+    "rag3_rrf_hybrid",  # dense retriever is sim1's bounded query-panel
+    # cross; the lexical retriever and the rank fusion are equi-joins
+    "sim8_filtered_ann",  # bounded query-panel cross over the
+    # PRE-FILTERED candidate scan (sim1's shape behind a pushed predicate)
     "rj1_range_join",
     "sim1_topk_cosine",
     "sim4_ivf_ann",
@@ -156,6 +160,8 @@ BROADCAST_HINT_WHITELIST = {
     "q22_global_sales_opportunity": "BOUNDED: 1-row avg-balance aggregate; phone-prefix customer slice SF-DIM",
     "rag1_chunk_retrieval": "BOUNDED: sampled query panel (|docs|/50 rows of dim integers)",
     "rag2_diverse_retrieval": "BOUNDED: same sampled query panel; corpus side stays map-only",
+    "rag3_rrf_hybrid": "BOUNDED: sampled query panel on both retrievers (dense cross + lexical shingle probe)",
+    "sim8_filtered_ann": "BOUNDED: sampled query panel; the corpus-sized label re-attach is deliberately UNhinted",
     "rj1_range_join": "BOUNDED: 1-row boundary-stats aggregate",
     "sim1_topk_cosine": "BOUNDED: sampled query panel",
     "sim4_ivf_ann": "BOUNDED: k-bounded IVF centroid relation + query panel",
