@@ -3402,14 +3402,16 @@ def sim8_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = brute_force_topk(
         filtered, emb.filter(F.col("vec_id") % 50 == 1), k=5
     )
-    # label re-attach: corpus-sized relation, so NO broadcast hint — the
-    # plan-audit invariant this round added exists precisely to keep
-    # data-cardinality-dependent hints out; Catalyst's file-size stats /
-    # AQE make the size-gated call here
+    # label re-attach: the corpus-sized label relation must never be the
+    # broadcast side (the plan-audit invariant this round mechanized) —
+    # but the TOP-K RESULT is panel*k rows, bounded by construction, so
+    # broadcasting IT turns the re-attach into a map-only pass over the
+    # label scan (the r10 byte audit caught the unhinted form shuffling
+    # the corpus side at sf~1: 258x bytes for 10x data)
     lab = emb.select(
         F.col("vec_id").alias("cand_id"), F.col("label").cast("int").alias("label")
     )
-    return out.join(lab, "cand_id").select(
+    return F.broadcast(out).join(lab, "cand_id").select(
         "query_id", "cand_id", "label", "score", "rank"
     )
 

@@ -161,7 +161,7 @@ BROADCAST_HINT_WHITELIST = {
     "rag1_chunk_retrieval": "BOUNDED: sampled query panel (|docs|/50 rows of dim integers)",
     "rag2_diverse_retrieval": "BOUNDED: same sampled query panel; corpus side stays map-only",
     "rag3_rrf_hybrid": "BOUNDED: sampled query panel on both retrievers (dense cross + lexical shingle probe)",
-    "sim8_filtered_ann": "BOUNDED: sampled query panel; the corpus-sized label re-attach is deliberately UNhinted",
+    "sim8_filtered_ann": "BOUNDED: sampled query panel; label re-attach broadcasts the panel*k RESULT side, never the corpus",
     "rj1_range_join": "BOUNDED: 1-row boundary-stats aggregate",
     "sim1_topk_cosine": "BOUNDED: sampled query panel",
     "sim4_ivf_ann": "BOUNDED: k-bounded IVF centroid relation + query panel",
