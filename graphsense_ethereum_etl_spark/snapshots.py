@@ -149,6 +149,33 @@ class SnapshotCatalog:
             return self.spark.createDataFrame([], f"{vt.partition_col} bigint")
         return vt.read_version(pinned)
 
+    def read_changes(
+        self, name: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed of one entity table between two CATALOG
+        versions — the consistent-boundary form of
+        ``VersionedTable.read_changes``: both endpoints are heights that
+        were published TOGETHER with every other entity's, so a consumer
+        draining all four feeds over the same catalog interval sees one
+        coherent delta (e.g. the transactions feed never outruns the
+        block feed's interval). Delegates to the table layer's
+        dir-identity-pruned diff after resolving the pinned table
+        versions; a table absent from one endpoint (committed later)
+        diffs from its empty oldest form via version 0 semantics — here
+        we simply raise, matching the table layer's missing-version
+        contract. ``to_version=None`` means the published catalog."""
+        to_v = self.current_version() if to_version is None else to_version
+        if to_v is None:
+            raise FileNotFoundError("no published snapshot catalog")
+        a = self._doc(from_version)["tables"].get(name)
+        b = self._doc(to_v)["tables"].get(name)
+        if a is None or b is None:
+            raise FileNotFoundError(
+                f"table {name!r} is not pinned by both catalog versions "
+                f"{from_version} and {to_v}"
+            )
+        return self.table(name).read_changes(a, b)
+
     # -- commits ------------------------------------------------------------
 
     def commit(self) -> int:

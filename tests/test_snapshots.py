@@ -242,3 +242,35 @@ def test_catalog_read_absent_table_is_empty(spark, tmp_path):
     cat.commit()
     assert cat.read("trace").count() == 0  # never-published entity
     assert cat.read("block").count() == 10
+
+
+def test_catalog_read_changes_consistent_interval(spark, tmp_path):
+    """Cross-entity CDF between catalog versions: each entity's feed over
+    the same catalog interval is exactly that batch's rows — consistent
+    boundaries, so the four feeds describe ONE coherent delta."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "sink")
+    run_incremental(
+        spark, source, root, head=19, batch_size=20, bucket_size=10,
+        sink_format="versioned",
+    )
+    run_incremental(
+        spark, source, root, head=39, batch_size=20, bucket_size=10,
+        sink_format="versioned",
+    )
+    cat = SnapshotCatalog(spark, root)
+    v1, v2 = cat.history()[:2]
+    for t in TABLES:
+        feed = cat.read_changes(t, v1, v2)
+        assert feed.filter(F.col("_change_type") == "delete").count() == 0
+        ids = {
+            r[0]
+            for r in feed.filter(F.col("_change_type") == "insert")
+            .select("block_id").distinct().collect()
+        }
+        assert ids and all(20 <= i <= 39 for i in ids), (t, sorted(ids)[:5])
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        cat.read_changes("block", 99, None)
