@@ -215,6 +215,33 @@ class SnapshotCatalog:
                 "keep_catalogs must be >= 1: the published catalog can "
                 "never be vacuumed away"
             )
+        # Vacuum vs live ingest is a real corruption race, not just a
+        # consistency nit: the table layer treats a manifest NEWER than
+        # the published pointer as crash debris and deletes it — which is
+        # exactly what an in-flight commit looks like between its manifest
+        # write and pointer swap. Take the same fail-fast flock the ingest
+        # loop holds (run_incremental's single-writer contract) so the two
+        # can never overlap on one host.
+        lock_fh = open(f"{self.root}/_ingest.lock", "a")
+        try:
+            try:
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except ImportError:  # non-POSIX: documented single-instance
+                pass
+            except OSError:
+                raise RuntimeError(
+                    f"an ingest holds {self.root}/_ingest.lock — vacuuming "
+                    "while a commit is in flight would delete its "
+                    "not-yet-published manifests as crash debris; retry "
+                    "after the ingest finishes"
+                )
+            return self._vacuum_locked(keep_catalogs)
+        finally:
+            lock_fh.close()
+
+    def _vacuum_locked(self, keep_catalogs: int) -> dict[str, list[str]]:
         published = self.current_version()
         if published is None:
             return {}

@@ -274,3 +274,26 @@ def test_catalog_read_changes_consistent_interval(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         cat.read_changes("block", 99, None)
+
+
+def test_catalog_vacuum_fails_fast_under_ingest_lock(spark, tmp_path):
+    """vacuum vs live ingest: the catalog vacuum takes the same fail-fast
+    flock as run_incremental — a held lock means a commit may be mid-
+    flight, whose not-yet-published manifests vacuum would delete as
+    crash debris."""
+    import fcntl
+
+    root = str(tmp_path / "sink")
+    run_incremental(
+        spark, source, root, head=19, batch_size=20, bucket_size=10,
+        sink_format="versioned",
+    )
+    holder = open(f"{root}/_ingest.lock", "a")
+    fcntl.flock(holder, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        with pytest.raises(RuntimeError, match="_ingest.lock"):
+            SnapshotCatalog(spark, root).vacuum(keep_catalogs=1)
+    finally:
+        holder.close()
+    # released: vacuum proceeds
+    SnapshotCatalog(spark, root).vacuum(keep_catalogs=1)
