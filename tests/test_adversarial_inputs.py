@@ -247,6 +247,16 @@ OPS = {
     "dedup.dupspan_coverage": dict(
         input="docs", call=lambda sp, d: dd_ops.dupspan_coverage(d, k=2),
         contract="per_doc", id_out="doc_id"),
+    "dedup.winnowing_fingerprints": dict(
+        input="docs", call=lambda sp, d: dd_ops.winnowing_fingerprints(d),
+        contract="subset", id_out="doc_id",
+        documented="docs shorter than k normalized chars (NULL/empty/"
+                   "whitespace text included) have no fingerprints; drop "
+                   "documented in the operator docstring"),
+    "dedup.winnowing_pairs": dict(
+        input="docs",
+        call=lambda sp, d: dd_ops.winnowing_pairs(d, min_shared=1, max_df=None),
+        contract="pairs", id_cols=("id_a", "id_b")),
     "dedup.simhash": dict(
         input="docs", call=lambda sp, d: dd_ops.simhash(d),
         contract="per_doc", id_out="doc_id"),
