@@ -158,7 +158,11 @@ def main() -> None:
                 with open(t) as fh:
                     prev = json.load(fh)
                 prev_sent = prev.get("contention_sentinel_sec")
-                if prev_sent is not None and prev_sent <= sentinel:
+                # only gate against a stamp of the SAME query set — a run
+                # after the registry changed is a new round state and must
+                # land regardless of sentinel
+                same_set = set(prev.get("queries", {})) == set(timings)
+                if same_set and prev_sent is not None and prev_sent <= sentinel:
                     print(
                         f"keeping quieter stamp {t} (sentinel {prev_sent} "
                         f"<= {sentinel})",

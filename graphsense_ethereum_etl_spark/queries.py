@@ -8699,6 +8699,66 @@ def prof1_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "prof2_distribution_entropy",
+    """
+    WITH c AS (
+      SELECT source, COALESCE(lang, '') AS lang, COUNT(*) AS c
+      FROM documents GROUP BY 1, 2),
+    s AS (
+      SELECT source, SUM(c) AS n, CAST(COUNT(*) AS BIGINT) AS n_langs,
+             MAX(c) AS max_c, list(c ORDER BY lang) AS cl
+      FROM c GROUP BY source)
+    SELECT source, CAST(n AS BIGINT) AS n_docs, n_langs,
+           abs(round(-list_sum(list_transform(cl,
+             x -> (x / CAST(n AS DOUBLE)) * log2(x / CAST(n AS DOUBLE)))), 6))
+             AS lang_entropy,
+           round(max_c / CAST(n AS DOUBLE), 6) AS top_share
+    FROM s
+    """,
+)
+def prof2_distribution_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source label-distribution profiling — Shannon entropy and
+    majority share of the language mix (the class-balance report a
+    curation pipeline reads before fixing sampling weights: entropy near
+    0 means a source is monolingual, near log2(k) means uniform; the
+    smp3/smp6 rebalancers act on exactly this).
+
+    Determinism: entropy is a float SUM over per-language terms, so both
+    engines fold the SAME lang-sorted list left-to-right (Spark
+    ``aggregate`` over a sort_array'd collect_list, DuckDB ``list_sum``
+    over ``list(... ORDER BY lang)`` — the _DUCK_COS-proven sequential
+    pairing), then round; ``abs`` normalizes the single-language
+    ``-0.0``. Scale shape: two map-side-combinable aggregations — rows
+    move once into (source, lang) groups (bounded by source x language
+    domains), then per-source lists are domain-sized, never row-sized."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy(
+        "source", F.coalesce(F.col("lang"), F.lit("")).alias("lang")
+    ).agg(F.count("*").alias("c"))
+    per_src = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_langs"),
+        F.max("c").alias("max_c"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("lang"), F.col("c")))
+        ).alias("cl"),
+    )
+    n = F.col("n_docs").cast("double")
+    ent = F.aggregate(
+        "cl",
+        F.lit(0.0),
+        lambda acc, x: acc + (x["c"] / n) * F.log2(x["c"] / n),
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.abs(F.round(-ent, 6)).alias("lang_entropy"),
+        F.round(F.col("max_c") / n, 6).alias("top_share"),
+    )
+
+
+@query(
     "vq2_outlier_flags",
     """
     WITH c AS (
