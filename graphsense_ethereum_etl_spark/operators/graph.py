@@ -400,6 +400,23 @@ def triangle_counts(
 
     Contract (harnessed): NULL-endpoint edges and self-loops are dropped;
     multi-edges count once (the edge relation is a SET)."""
+    tri = _oriented_triangles(edges, src, dst)
+    verts = (
+        tri.select(F.col("u").alias("id"))
+        .unionAll(tri.select(F.col("v").alias("id")))
+        .unionAll(tri.select(F.col("w").alias("id")))
+    )
+    return verts.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+
+
+def _oriented_triangles(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Shared compact-forward triangle enumeration: (u, v, w) rows, one
+    per triangle, in (degree, id) orientation order — consumed by
+    ``triangle_counts`` (per-vertex) and ``edge_support`` (per-edge)."""
     # e0 feeds the degree agg AND both degree joins — checkpoint it so the
     # upstream edge pipeline (for g9: the whole MinHash band join) runs
     # once, not once per reference
@@ -463,12 +480,44 @@ def triangle_counts(
     closing = oriented.select(
         F.col("u").alias("v"), F.col("v").alias("w")
     )
-    tri = wedges.join(closing.hint("shuffle_hash"), ["v", "w"])
-    verts = (
-        tri.select(F.col("u").alias("id"))
-        .unionAll(tri.select(F.col("v").alias("id")))
-        .unionAll(tri.select(F.col("w").alias("id")))
+    return wedges.join(closing.hint("shuffle_hash"), ["v", "w"])
+
+
+def edge_support(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(id_a, id_b, support) — per-EDGE triangle participation over the
+    undirected simple graph: how many triangles contain each edge. This
+    is the k-truss primitive (Cohen 2008): a k-truss is the maximal
+    subgraph whose every edge has support >= k-2, and the peeling loop
+    that computes it just re-evaluates this relation — one support pass
+    per round, exactly like g6's k-core degree peeling. On a dedup
+    candidate graph, support separates STRUCTURAL near-dup clusters
+    (edges embedded in many closed triangles) from chance band
+    collisions (support-0 edges, absent here), a sharper signal than
+    either endpoint's triangle count alone.
+
+    Same enumeration kernel as ``triangle_counts`` (compact-forward with
+    degree orientation — O(m^1.5) wedge bound; see that docstring): each
+    enumerated triangle (u, v, w) credits its THREE edges, re-normalized
+    to (least, greatest) form since orientation order is (degree, id),
+    not id. One extra map-side-combinable groupBy over 3x|triangles|
+    two-long rows is the whole cost over the vertex form. Edges in no
+    triangle don't appear (support 0 by omission).
+
+    Contract (harnessed): NULL-endpoint edges and self-loops are dropped;
+    multi-edges count once (the edge relation is a SET)."""
+    tri = _oriented_triangles(edges, src, dst)
+    e3 = (
+        tri.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .unionAll(tri.select(F.col("u").alias("x"), F.col("w").alias("y")))
+        .unionAll(tri.select(F.col("v").alias("x"), F.col("w").alias("y")))
+        .select(
+            F.least("x", "y").alias("id_a"), F.greatest("x", "y").alias("id_b")
+        )
     )
-    return verts.groupBy("id").agg(
-        F.count("*").cast("bigint").alias("n_triangles")
+    return e3.groupBy("id_a", "id_b").agg(
+        F.count("*").cast("bigint").alias("support")
     )

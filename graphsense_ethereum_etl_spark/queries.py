@@ -1194,6 +1194,60 @@ def g9_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "g12_edge_support",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    {_duck_minhash_sig()},
+    banded AS ({_duck_bands()}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+           AND a.doc_id < b.doc_id),
+    deg AS (SELECT v, COUNT(*) AS d
+            FROM (SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs)
+            GROUP BY v),
+    oriented AS (
+      SELECT CASE WHEN row(da.d, p.a) < row(db.d, p.b) THEN p.a ELSE p.b END AS u,
+             CASE WHEN row(da.d, p.a) < row(db.d, p.b) THEN p.b ELSE p.a END AS v,
+             CASE WHEN row(da.d, p.a) < row(db.d, p.b) THEN db.d ELSE da.d END AS dv
+      FROM pairs p JOIN deg da ON da.v = p.a JOIN deg db ON db.v = p.b),
+    tri AS (
+      SELECT x.u AS u, x.v AS v, y.v AS w
+      FROM oriented x
+      JOIN oriented y ON x.u = y.u AND row(x.dv, x.v) < row(y.dv, y.v)
+      JOIN oriented z ON z.u = x.v AND z.v = y.v),
+    e3 AS (
+      SELECT least(u, v) AS a, greatest(u, v) AS b FROM tri
+      UNION ALL SELECT least(u, w), greatest(u, w) FROM tri
+      UNION ALL SELECT least(v, w), greatest(v, w) FROM tri)
+    SELECT CAST(a AS BIGINT) AS id_a, CAST(b AS BIGINT) AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM e3 GROUP BY 1, 2
+    """,
+)
+def g12_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EDGE triangle support over the dd3 candidate graph
+    (operators/graph.py::edge_support) — the k-truss primitive (Cohen
+    2008): a k-truss keeps edges with support >= k-2, and the peel loop
+    is one support pass per round, g6's k-core pattern lifted from
+    vertices to edges. On a dedup candidate graph, support-heavy edges
+    sit inside genuinely closed duplicate clusters; a band-collision
+    edge has no closing triangles and never appears. Shares g9's
+    compact-forward enumeration kernel (degree orientation, O(m^1.5)
+    wedge bound, all corpus-sized joins shuffle_hash-hinted); the only
+    addition is one map-side-combinable groupBy over 3x|triangles|
+    two-long edge rows. Oracle: identical orientation + wedge + closure
+    pipeline in SQL, triangles re-credited to their three (least,
+    greatest)-normalized edges."""
+    from .operators.dedup import lsh_candidate_pairs
+    from .operators.graph import edge_support
+
+    pairs = lsh_candidate_pairs(load(spark, sf_dir, "documents", spread=True))
+    return edge_support(pairs, src="id_a", dst="id_b")
+
+
 def _duck_simhash(bits: int = 64) -> str:
     # Mirrors operators/dedup.py simhash: 16-bit md5 chunks ('0x' hex cast),
     # shift-and-mask bit votes, fingerprint packed into ONE signed BIGINT

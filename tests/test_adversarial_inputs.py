@@ -306,6 +306,9 @@ OPS = {
     "graph.triangle_counts": dict(
         input="edges", call=lambda sp, d: g_ops.triangle_counts(d),
         contract="no_crash"),  # dedicated test below (graph-op pattern)
+    "graph.edge_support": dict(
+        input="edges", call=lambda sp, d: g_ops.edge_support(d),
+        contract="no_crash"),  # shares the triangle kernel's contract
     # ---- joins ----
     "joins.asof_join": dict(input="custom", call=None, contract="no_crash"),
     "joins.bucketized_range_join": dict(input="custom", call=None, contract="no_crash"),

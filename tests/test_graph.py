@@ -254,3 +254,37 @@ def test_triangle_counts_matches_bruteforce_on_random_graphs(spark):
             r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()
         }
         assert got == want, f"seed {seed}: {got} vs {want}"
+
+
+def test_edge_support_matches_bruteforce_on_random_graphs(spark):
+    """edge_support (the k-truss primitive) vs itertools brute force on
+    random multigraphs: per-edge triangle membership must match exactly,
+    edges in no triangle absent."""
+    import itertools
+    import random
+
+    from graphsense_ethereum_etl_spark.operators.graph import edge_support
+
+    for seed in range(5):
+        rng = random.Random(1000 + seed)
+        n = rng.randint(5, 14)
+        raw = [
+            (rng.randint(0, n - 1), rng.randint(0, n - 1))
+            for _ in range(rng.randint(5, 45))
+        ]
+        simple = {tuple(sorted(e)) for e in raw if e[0] != e[1]}
+        adj = {v: set() for e in simple for v in e}
+        for a, b in simple:
+            adj[a].add(b)
+            adj[b].add(a)
+        want: dict[tuple[int, int], int] = {}
+        for x, y, z in itertools.combinations(sorted(adj), 3):
+            if y in adj[x] and z in adj[x] and z in adj[y]:
+                for e in ((x, y), (x, z), (y, z)):
+                    want[e] = want.get(e, 0) + 1
+        df = spark.createDataFrame(raw, "src bigint, dst bigint")
+        got = {
+            (r["id_a"], r["id_b"]): r["support"]
+            for r in edge_support(df).collect()
+        }
+        assert got == want, f"seed {seed}: {got} vs {want}"
