@@ -172,13 +172,16 @@ def main() -> None:
                 same_set = set(prev.get("queries", {})) == set(timings)
                 if same_set and prev_sent is not None and prev_total is not None:
                     p_quiet, n_quiet = prev_sent < QUIET_BAR, sentinel < QUIET_BAR
-                    keep_prev = (
-                        (prev_total <= total)
-                        if p_quiet and n_quiet
-                        else (prev_sent <= sentinel)
-                        if not p_quiet and not n_quiet
-                        else p_quiet
-                    )
+                    if p_quiet and n_quiet or abs(prev_sent - sentinel) < 0.05:
+                        # equally quiet — or sentinels within jitter of
+                        # each other (a 0.02 sentinel delta is probe
+                        # noise, not a machine-state signal): totals are
+                        # the only meaningful comparison left
+                        keep_prev = prev_total <= total
+                    elif not p_quiet and not n_quiet:
+                        keep_prev = prev_sent <= sentinel
+                    else:
+                        keep_prev = p_quiet
                     if keep_prev:
                         print(
                             f"keeping better stamp {t} (prev total "
