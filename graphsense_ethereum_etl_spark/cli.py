@@ -893,7 +893,14 @@ def cmd_snapshot(args: Namespace, spark: SparkSession) -> IngestStats:
     version = (
         args.cat_version if args.cat_version is not None else cat.current_version()
     )
-    doc = cat._doc(version)
+    try:
+        doc = cat._doc(version)
+    except FileNotFoundError:
+        raise SystemExit(
+            f"snapshot: catalog version {version} does not exist at "
+            f"{args.sink_root} (vacuumed or never committed; history: "
+            f"{cat.history()})"
+        )
     print(f"catalog version {version} (history: {cat.history()})")
     for t in sorted(cat.tables):
         pinned = doc["tables"].get(t)
