@@ -106,6 +106,24 @@ def main() -> None:
         }
     blocks_per_s = round(stats.blocks / ingest_sec, 1)
 
+    # Code-state marker for the keep-better-stamp gate: total/sentinel
+    # comparison is only meaningful between SAME-CODE reruns — a rerun
+    # after the implementation changed must always land, or a genuine
+    # regression to an existing query is masked by the older faster stamp.
+    repo = Path(__file__).resolve().parent
+    try:
+        import subprocess
+
+        git_sha = (
+            subprocess.run(
+                ["git", "-C", str(repo), "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:
+        git_sha = None
+
     doc = {
         "metric": "total_query_wall_time",
         "value": total,
@@ -115,6 +133,7 @@ def main() -> None:
         "ingest_blocks_per_s": blocks_per_s,
         "ingest_rows_per_s": entity_rows_per_s,
         "contention_sentinel_sec": sentinel,
+        "git_sha": git_sha,
     }
     print(json.dumps(doc))
     # The driver stores only a truncated tail of stdout ("parsed": null in
@@ -126,7 +145,6 @@ def main() -> None:
     # max(CORRECTNESS_r*.json) + 1 — the snapshot for the round in progress
     # doesn't exist while it runs; SPARK_GRAFT_BENCH_ROUND overrides.
     # Writing is best-effort — a read-only cwd must not fail the bench.
-    repo = Path(__file__).resolve().parent
     rnd = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
     if rnd is None:
         done = [
@@ -162,15 +180,32 @@ def main() -> None:
                 and os.path.exists(t)
                 and not os.environ.get("SPARK_GRAFT_BENCH_FORCE")
             ):
-                with open(t) as fh:
-                    prev = json.load(fh)
+                try:
+                    with open(t) as fh:
+                        prev = json.load(fh)
+                except (OSError, json.JSONDecodeError):
+                    # A truncated/corrupt prior stamp is not a gate — fall
+                    # through and overwrite it with this run's record.
+                    prev = {}
                 prev_sent = prev.get("contention_sentinel_sec")
                 prev_total = prev.get("value")
-                # only gate against a stamp of the SAME query set — a run
-                # after the registry changed is a new round state and must
-                # land regardless of noise comparisons
+                # only gate against a stamp of the SAME query set AND the
+                # SAME code state — a run after the registry changed, or
+                # after ANY commit touched the tree, is a new round state
+                # and must land regardless of noise comparisons (otherwise
+                # a regression to an existing query's implementation is
+                # masked by the older, faster stamp). A missing sha on
+                # either side disables the gate (always overwrite).
                 same_set = set(prev.get("queries", {})) == set(timings)
-                if same_set and prev_sent is not None and prev_total is not None:
+                same_code = (
+                    git_sha is not None and prev.get("git_sha") == git_sha
+                )
+                if (
+                    same_set
+                    and same_code
+                    and prev_sent is not None
+                    and prev_total is not None
+                ):
                     p_quiet, n_quiet = prev_sent < QUIET_BAR, sentinel < QUIET_BAR
                     if p_quiet and n_quiet or abs(prev_sent - sentinel) < 0.05:
                         # equally quiet — or sentinels within jitter of

@@ -1468,7 +1468,10 @@ def winnowing_fingerprints(
 
     Max key = (2^32)*2^20 = 2^52: exact in int64 with headroom; documents
     longer than B = 2^20 normalized characters would alias positions —
-    raise B (and the docstring bound) before raising the length cap.
+    the bound is ENFORCED, not advisory: a document with >= B grams makes
+    the row fail with ``raise_error`` (naming the fix: raise ``_WINNOW_B``)
+    rather than silently producing wrong fingerprints (positions i >= B
+    decode to the wrong hash; i == B decodes off by one).
 
     Expression shape: the gram-key array is bound ONCE per document via
     the transform-as-`let` idiom — ``transform(array(<keys>), ks -> ...)``
@@ -1486,7 +1489,19 @@ def winnowing_fingerprints(
     d = docs.select(
         F.col(id_col).alias("doc_id"), normalized_text(text_col).alias("s")
     ).filter(F.length("s") >= k)
-    d = d.withColumn("n_g", F.length("s") - F.lit(k) + 1)
+    # Enforce the packing bound: (h+1)*B - i is only injective for
+    # gram positions i in [1, B-1]. Cheap per-row branch; the error path
+    # is data the formulation cannot represent, not a truncation choice.
+    d = d.withColumn(
+        "n_g",
+        F.expr(
+            f"if(length(s) - {k} + 1 < {B}L, length(s) - {k} + 1, "
+            f"raise_error('winnowing_fingerprints: document has >= "
+            f"{B} k-grams; packed (hash, position) keys would alias — "
+            f"raise _WINNOW_B (and re-check the 2^52 int64 headroom) "
+            f"before ingesting documents this long'))"
+        ),
+    )
     keys = (
         f"transform(sequence(1, n_g), i -> "
         f"(cast(conv(substring(md5(substring(s, i, {k})), 1, 8), 16, 10)"

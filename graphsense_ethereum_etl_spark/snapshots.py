@@ -77,16 +77,23 @@ class SnapshotCatalog:
         spark: SparkSession,
         root: str,
         tables: tuple[str, ...] = ENTITY_TABLES,
+        partition_col: str = "block_id_group",
     ) -> None:
         self.spark = spark
         self.root = root.rstrip("/")
         self.tables = tuple(tables)
+        #: forwarded to every member VersionedTable, so a catalog over
+        #: differently-partitioned tables (e.g. 'bucket') resolves reads —
+        #: including the canonical EMPTY frame's schema — consistently.
+        self.partition_col = partition_col
         os.makedirs(f"{self.root}/{_CDIR}", exist_ok=True)
 
     # -- resolution ---------------------------------------------------------
 
     def table(self, name: str) -> VersionedTable:
-        return VersionedTable(self.spark, f"{self.root}/{name}")
+        return VersionedTable(
+            self.spark, f"{self.root}/{name}", partition_col=self.partition_col
+        )
 
     def _current_name(self) -> str | None:
         try:
@@ -160,10 +167,11 @@ class SnapshotCatalog:
         coherent delta (e.g. the transactions feed never outruns the
         block feed's interval). Delegates to the table layer's
         dir-identity-pruned diff after resolving the pinned table
-        versions; a table absent from one endpoint (committed later)
-        diffs from its empty oldest form via version 0 semantics — here
-        we simply raise, matching the table layer's missing-version
-        contract. ``to_version=None`` means the published catalog."""
+        versions; a table absent from EITHER endpoint's doc (e.g. it
+        first committed after ``from_version``) RAISES FileNotFoundError,
+        matching the table layer's missing-version contract — there is no
+        implicit empty-oldest-form diff. ``to_version=None`` means the
+        published catalog."""
         to_v = self.current_version() if to_version is None else to_version
         if to_v is None:
             raise FileNotFoundError("no published snapshot catalog")

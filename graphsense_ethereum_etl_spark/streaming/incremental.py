@@ -77,6 +77,31 @@ def latest_ingested_block(
     return df.agg(F.max("block_id").alias("m")).collect()[0]["m"]
 
 
+def _children_ahead_of(
+    spark: SparkSession, sink_root: str, block_height: int
+) -> list[tuple[str, int]]:
+    """Pre-adoption consistency probe: for each CHILD entity table's
+    PUBLISHED snapshot, its max(block_id) vs the block table's published
+    height. A non-empty result means a crashed batch committed children
+    past the block marker — the torn state the catalog must never pin.
+    Metadata-only aggregates (Parquet row-group stats), adoption-path
+    only (runs at most once per sink, before the first catalog commit)."""
+    from ..snapshots import ENTITY_TABLES
+    from ..versioned import VersionedTable
+
+    ahead: list[tuple[str, int]] = []
+    for name in ENTITY_TABLES:
+        if name == "block":
+            continue
+        df = VersionedTable(spark, f"{sink_root}/{name}").read()
+        if "block_id" not in df.columns:
+            continue
+        m = df.agg(F.max("block_id").alias("m")).collect()[0]["m"]
+        if m is not None and m > block_height:
+            ahead.append((name, m))
+    return ahead
+
+
 def resolve_range(
     resume: int | None,
     head: int,
@@ -201,13 +226,29 @@ def _run_incremental_locked(
             if not has_catalog(sink_root):
                 # ADOPTION: a pre-catalog sink (or a crash after every
                 # table commit but before the FIRST catalog publish) with
-                # nothing new to ingest. Publishing the current table
-                # versions here is always consistent: block commits LAST,
-                # so any state where the block height equals the head has
-                # every child at that same height (a torn state has the
-                # block table BEHIND, which makes the range non-empty and
-                # routes through the normal batch commits instead).
-                SnapshotCatalog(spark, sink_root).commit()
+                # nothing new to ingest. A torn state (children committed
+                # past the block marker by a crashed batch) USUALLY makes
+                # the resume range non-empty and routes through the normal
+                # batch commits — but resolve_range uses head/end_block,
+                # not child heights, so a rerun whose end_block is at or
+                # below the published block height would still land here
+                # with children ahead. Verify consistency against the
+                # actually-published child heights before publishing the
+                # first catalog; skip (with a warning) rather than pin a
+                # torn multi-table view for every catalog reader.
+                ahead = _children_ahead_of(spark, sink_root, resume)
+                if ahead:
+                    import warnings
+
+                    warnings.warn(
+                        "skipping snapshot-catalog adoption: child tables "
+                        f"{ahead} are ahead of the block table (height "
+                        f"{resume}) — a crashed batch left a torn state; "
+                        "re-run the ingest over the torn range to heal it",
+                        stacklevel=2,
+                    )
+                else:
+                    SnapshotCatalog(spark, sink_root).commit()
         return stats
     start, end = rng
     # Re-cover the trailing partial bucket so its partition rewrite is total.

@@ -297,3 +297,87 @@ def test_catalog_vacuum_fails_fast_under_ingest_lock(spark, tmp_path):
         holder.close()
     # released: vacuum proceeds
     SnapshotCatalog(spark, root).vacuum(keep_catalogs=1)
+
+
+def _decatalog(root: str) -> None:
+    """Strip the catalog artifacts, simulating a PRE-CATALOG versioned
+    sink (tables committed before this layer existed)."""
+    import os
+    import shutil
+
+    os.remove(f"{root}/_CATALOG")
+    shutil.rmtree(f"{root}/_catalog")
+
+
+def test_adoption_commits_on_consistent_precatalog_sink(spark, tmp_path):
+    """A pre-catalog sink with every entity at the same height adopts a
+    catalog on the first no-op rerun."""
+    root = str(tmp_path / "sink")
+    run_incremental(
+        spark, source, root, head=19, batch_size=20, bucket_size=10,
+        sink_format="versioned",
+    )
+    _decatalog(root)
+    assert not has_catalog(root)
+    run_incremental(
+        spark, source, root, head=19, batch_size=20, bucket_size=10,
+        sink_format="versioned",
+    )
+    assert has_catalog(root)
+    _assert_consistent(_catalog_buckets(spark, root))
+
+
+def test_adoption_refuses_torn_precatalog_sink(spark, tmp_path):
+    """ADVICE r11 (medium): a crash between child commits and the block
+    marker leaves children AHEAD on a pre-catalog sink. A rerun whose
+    end_block is at or below the published block height resolves an
+    empty range — the adoption path must NOT publish a catalog pinning
+    that torn view; it warns and skips, and a rerun over the torn range
+    heals it."""
+    root = str(tmp_path / "sink")
+    run_incremental(
+        spark, source, root, head=19, batch_size=20, bucket_size=10,
+        sink_format="versioned",
+    )
+    # crash after 2 child tables (log, trace at 39; transaction, block at 19)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_incremental(
+            spark, source, root, head=39, batch_size=20, bucket_size=10,
+            fail_after_tables=2, sink_format="versioned",
+        )
+    _decatalog(root)
+    # rerun capped at the published block height: empty range -> adoption
+    with pytest.warns(UserWarning, match="torn"):
+        run_incremental(
+            spark, source, root, head=39, end_block=19, batch_size=20,
+            bucket_size=10, sink_format="versioned",
+        )
+    assert not has_catalog(root)  # torn view was NOT published
+    # healing rerun over the torn range publishes one consistent set
+    run_incremental(
+        spark, source, root, head=39, batch_size=20, bucket_size=10,
+        sink_format="versioned",
+    )
+    assert has_catalog(root)
+    _assert_consistent(_catalog_buckets(spark, root))
+    assert _block_height(spark, root) == 39
+
+
+def test_catalog_forwards_partition_col(spark, tmp_path):
+    """ADVICE r11: a catalog over differently-partitioned tables resolves
+    reads (including the canonical empty frame) with ITS partition
+    column, not the entity default."""
+    root = str(tmp_path / "buckets")
+    cat = SnapshotCatalog(
+        spark, root, tables=("scores",), partition_col="bucket"
+    )
+    assert cat.table("scores").partition_col == "bucket"
+    # empty-frame schema before any commit uses the forwarded column
+    assert cat.read("scores").columns == ["bucket"]
+    VersionedTable(spark, f"{root}/scores", partition_col="bucket").write_partitions(
+        spark.range(20).selectExpr("id", "id div 10 as bucket")
+    )
+    cat.commit()
+    assert cat.read("scores").count() == 20
+    # absent-table read on the same catalog also carries the column
+    assert cat.read("other").columns == ["bucket"]

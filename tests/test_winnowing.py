@@ -89,3 +89,26 @@ def test_max_df_drops_boilerplate(spark):
 def test_key_packing_bounds():
     """Key arithmetic headroom: the packed key stays inside exact-int64."""
     assert (2**32) * _WINNOW_B < 2**53  # also double-exact, belt and braces
+
+
+def test_over_length_document_raises(spark, monkeypatch):
+    """The B position-packing bound is enforced, not advisory (ADVICE
+    r11): a document with >= B grams fails loudly instead of silently
+    aliasing positions into wrong fingerprints. B is shrunk via
+    monkeypatch so the exact boundary (n_g = B - 1 computes, n_g = B
+    raises) is cheap to exercise; the production 2^20 path is the same
+    expression with a bigger literal."""
+    import pytest
+
+    from graphsense_ethereum_etl_spark.operators import dedup as dd
+
+    monkeypatch.setattr(dd, "_WINNOW_B", 64)
+    big = spark.createDataFrame(
+        [(0, "x" * (64 - 1 + K))], "doc_id bigint, text string"  # n_g = 64
+    )
+    with pytest.raises(Exception, match="_WINNOW_B"):
+        dd.winnowing_fingerprints(big, k=K, w=W).count()
+    ok = spark.createDataFrame(
+        [(0, "x" * (64 - 2 + K))], "doc_id bigint, text string"  # n_g = 63
+    )
+    assert dd.winnowing_fingerprints(ok, k=K, w=W).count() > 0
