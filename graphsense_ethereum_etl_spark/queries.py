@@ -109,6 +109,33 @@ def query(name: str, oracle: str | None):
     return deco
 
 
+def bounded_panel(df: DataFrame, id_col: str, salt: str, n: int) -> DataFrame:
+    """Fixed-size deterministic query panel: the top-``n`` rows by md5
+    hash order of the stable id (smp1's engine-independent hashing
+    convention), id tie-break. Bounded BY CONSTRUCTION — exactly ``n``
+    rows at ANY corpus size — unlike an ``id % k == c`` panel, whose
+    cardinality grows linearly with the corpus: broadcasting one of
+    those is tens of GB at a 100-TB embedding table, and feeding it to a
+    brute-force scorer makes the dense cross O(corpus²/k) (r10 VERDICT
+    finding #1; rag1/rag2/rag3/sim8 were the offenders). The selection
+    itself is a TakeOrderedAndProject — map-side partial top-n per
+    partition, one n-row gather, never a global sort — and the hash
+    order keeps the panel distribution-independent of id assignment."""
+    return df.orderBy(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+        id_col,
+    ).limit(n)
+
+
+def _duck_panel(table: str, id_col: str, salt: str, n: int) -> str:
+    """The DuckDB mirror of ``bounded_panel`` (same md5 hex hash order,
+    same id tie-break, same LIMIT) as an ORDER BY ... LIMIT suffix."""
+    return (
+        f"ORDER BY md5(CAST({id_col} AS VARCHAR) || '{salt}'), "
+        f"{id_col} LIMIT {n}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2 projection / derived-column operators (reference transform analogs)
 # ---------------------------------------------------------------------------
@@ -3417,7 +3444,7 @@ def sim7_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim8_filtered_ann",
     f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-               FROM embeddings WHERE vec_id % 50 = 1),
+               FROM embeddings {_duck_panel("embeddings", "vec_id", ":sim8", 16)}),
     scored AS (
       SELECT query_id, e.vec_id AS cand_id, e.label AS label,
              round({_DUCK_COS.format(a="qv", b="e.embedding")}, 9) AS score9
@@ -3448,13 +3475,17 @@ def sim8_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate; at restrictive selectivities it returns near-empty
     results. At 100 TB the pre-filter also composes with partition
     pruning: a partition-aligned predicate column means filtered search
-    never scans excluded partitions at all.)"""
+    never scans excluded partitions at all.) The query panel is a
+    ``bounded_panel`` — 16 rows by deterministic hash order at ANY
+    corpus size (r10 VERDICT #1: the former ``vec_id % 50`` panel grew
+    with the corpus, making the broadcast unbounded and the dense cross
+    quadratic)."""
     from .operators.similarity import brute_force_topk
 
     emb = load(spark, sf_dir, "embeddings")
     filtered = emb.filter(F.col("label") % 2 == 0)
     out = brute_force_topk(
-        filtered, emb.filter(F.col("vec_id") % 50 == 1), k=5
+        filtered, bounded_panel(emb, "vec_id", ":sim8", 16), k=5
     )
     # label re-attach: the corpus-sized label relation must never be the
     # broadcast side (the plan-audit invariant this round mechanized) —
@@ -6704,8 +6735,13 @@ def t9_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams AS (
       SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
       FROM toks, unnest(range(1, len(w) - 2)) t(i)),
-    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
-    cg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 != 0),
+    epanel AS (SELECT doc_id FROM documents
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':ctm1'),
+                        doc_id LIMIT 16),
+    ev AS (SELECT DISTINCT g FROM grams
+           WHERE doc_id IN (SELECT doc_id FROM epanel)),
+    cg AS (SELECT DISTINCT doc_id, g FROM grams
+           WHERE doc_id NOT IN (SELECT doc_id FROM epanel)),
     tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM cg GROUP BY doc_id),
     hits AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams
@@ -6716,17 +6752,21 @@ def t9_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ctm1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 §C-style n-gram holdout): flag every
-    training document sharing a word 4-gram with the eval panel (doc_id ≡ 0
-    mod 97 — a stand-in for a benchmark set). operators/decontam.py:
-    eval-gram set is distinct-ed and BROADCAST; the corpus streams through
-    the broadcast join without shuffling text; only matched (id, gram)
-    pairs reach the per-doc count — on a clean 100 TB corpus the post-join
-    stream is ~empty."""
+    training document sharing a word 4-gram with the eval panel — a
+    ``bounded_panel`` of 16 documents standing in for a benchmark set
+    (r11: was ``doc_id % 97``, which made the simulated eval suite — and
+    therefore its broadcast gram set — grow with the corpus; a REAL eval
+    suite is human-curated and bounded, so the stand-in now is too).
+    operators/decontam.py: eval-gram set is distinct-ed and BROADCAST;
+    the corpus streams through the broadcast join without shuffling
+    text; only matched (id, gram) pairs reach the per-doc count — on a
+    clean 100 TB corpus the post-join stream is ~empty."""
     from .operators.decontam import ngram_contamination
 
     docs = load(spark, sf_dir, "documents", spread=True)
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    panel_ids = bounded_panel(docs.select("doc_id"), "doc_id", ":ctm1", 16)
+    corpus = docs.join(F.broadcast(panel_ids), "doc_id", "left_anti")
+    eval_set = docs.join(F.broadcast(panel_ids), "doc_id", "left_semi")
     return ngram_contamination(corpus, eval_set, n=4)
 
 
@@ -7271,6 +7311,9 @@ def ts1_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                '\\s+'),
                          t -> t != '') AS w
       FROM documents),
+    qpanel AS (SELECT doc_id FROM documents
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':rag1'),
+                        doc_id LIMIT 16),
     chunks AS (
       SELECT doc_id, s, w[s:s+31] AS chunk
       FROM toks, unnest(range(1, len(w) + 1, 32)) t(s)),
@@ -7289,12 +7332,11 @@ def ts1_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN CAST('0x' || substring(md5(t), 9, 1) AS BIGINT) % 2
                     = 0 THEN 1 ELSE -1 END AS sgn
         FROM (SELECT doc_id, unnest(w) AS t FROM toks
-              WHERE doc_id % 50 = 0))
+              WHERE doc_id IN (SELECT doc_id FROM qpanel)))
       GROUP BY doc_id, pos),
     pairs AS (
       SELECT q.query_id, c.doc_id AS cand_doc, c.s AS start_pos
-      FROM (SELECT DISTINCT doc_id AS query_id FROM documents
-            WHERE doc_id % 50 = 0) q
+      FROM (SELECT doc_id AS query_id FROM qpanel) q
       JOIN (SELECT DISTINCT doc_id, s FROM chunks) c
         ON c.doc_id != q.query_id),
     dots AS (
@@ -7332,10 +7374,12 @@ def rag1_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus side is map-only (chunk explode + per-chunk
     fold featurization — no shuffle touches the corpus until the final
-    top-k window); the query panel (|docs|/50 rows × dim integers) is a
-    bounded broadcast, sim1's sanctioned shape, so scoring is one
-    whole-stage-codegen pass over chunks × panel; the only exchange is
-    the per-query top-k. Swapping brute-force scoring for the PQ/IVF
+    top-k window); the query panel is a ``bounded_panel`` — 16 rows by
+    deterministic hash order at ANY corpus size (r10 VERDICT #1 retired
+    the corpus-proportional ``doc_id % 50`` panel), its ids broadcast
+    back onto the doc scan so only panel docs pay featurization — so
+    scoring is one whole-stage-codegen pass over chunks × panel; the
+    only exchange is the per-query top-k. Swapping brute-force scoring for the PQ/IVF
     tiers (sim6/sim7) or the at-rest index (build_ivfpq_index) changes
     ONLY the retrieve stage — the chunk/embed stages are shared, which
     is the point of the bridge contract."""
@@ -7363,12 +7407,14 @@ def rag1_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.s").cast("bigint").alias("start_pos"),
         hashed_embedding_tokens(F.col("c.chunk"), 16).alias("cv"),
     )
+    q_ids = bounded_panel(
+        docs.select(F.col("doc_id").cast("bigint").alias("query_id")),
+        "query_id", ":rag1", 16,
+    )
     qvec = (
-        docs.filter(F.col("doc_id") % 50 == 0)
-        .select(
-            F.col("doc_id").cast("bigint").alias("query_id"),
-            hashed_embedding("text", 16).alias("qv"),
-        )
+        docs.select(F.col("doc_id").cast("bigint").alias("query_id"), "text")
+        .join(F.broadcast(q_ids), "query_id")
+        .select("query_id", hashed_embedding("text", 16).alias("qv"))
     )
     scored = (
         chunks.crossJoin(F.broadcast(qvec))
@@ -9541,7 +9587,7 @@ def an1_grouped_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rag2_diverse_retrieval",
     f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-               FROM embeddings WHERE vec_id % 100 = 0),
+               FROM embeddings {_duck_panel("embeddings", "vec_id", ":rag2", 16)}),
     scored AS (
       SELECT query_id, e.label AS label, e.vec_id AS cand_id,
              round({_DUCK_COS.format(a="qv", b="e.embedding")}, 9) AS score9
@@ -9569,16 +9615,18 @@ def rag2_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the context window; per-group capping is the deterministic cousin of
     MMR re-ranking, and unlike MMR it is order-free and so hash-exact).
 
-    Scale shape: the query panel broadcasts; candidates are scored
-    map-only; the per-(query, label) argmax is ONE aggregation via a
-    (score, -id) struct MAX (no window over the full scored relation);
-    only the |queries|·|labels| group winners pay the final ranking
-    window."""
+    Scale shape: the query panel is a ``bounded_panel`` (16 rows by
+    deterministic hash order at any corpus size — r10 VERDICT #1 retired
+    the corpus-proportional ``vec_id % 100`` panel) and broadcasts;
+    candidates are scored map-only; the per-(query, label) argmax is ONE
+    aggregation via a (score, -id) struct MAX (no window over the full
+    scored relation); only the |queries|·|labels| group winners pay the
+    final ranking window."""
     from .operators.similarity import diverse_topk
 
     emb = load(spark, sf_dir, "embeddings")
     return diverse_topk(
-        emb, emb.filter(F.col("vec_id") % 100 == 0), k=5, group_col="label"
+        emb, bounded_panel(emb, "vec_id", ":rag2", 16), k=5, group_col="label"
     ).select(
         "query_id",
         "cand_id",
@@ -9592,7 +9640,7 @@ def rag2_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rag3_rrf_hybrid",
     f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-               FROM embeddings WHERE vec_id % 100 = 0),
+               FROM embeddings {_duck_panel("embeddings", "vec_id", ":rag3", 16)}),
     dense_scored AS (
       SELECT query_id, e.vec_id AS cand_id,
              round({_DUCK_COS.format(a="qv", b="e.embedding")}, 9) AS score9
@@ -9645,19 +9693,20 @@ def rag3_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     RRF is engine-deterministic by construction: every fused score is a
     sum of two reciprocals of SMALL INTEGERS, so both engines compute
     bit-identical doubles and the fused ranking can't drift the way raw
-    score fusion would. Scale: the query panel is corpus/100 and bounded
-    by construction (broadcast, rag1's posture); the lexical side probes
-    the shingle inverted index with a panel-sized build side — the
-    corpus's shingles are exploded once, map-only; each retriever ranks
-    only its own candidate set, and the fusion join moves ≤ 40 rows per
-    query."""
+    score fusion would. Scale: the query panel is a ``bounded_panel`` —
+    16 rows by deterministic hash order at ANY corpus size (r10 VERDICT
+    #1 retired the corpus-proportional ``vec_id % 100`` panel) — so the
+    broadcast is constant-size; the lexical side probes the shingle
+    inverted index with a panel-sized build side — the corpus's shingles
+    are exploded once, map-only; each retriever ranks only its own
+    candidate set, and the fusion join moves ≤ 40 rows per query."""
     from .functions.text import shingles
 
     emb = load(spark, sf_dir, "embeddings")
     docs = load(spark, sf_dir, "documents", spread=True)
     from .operators.similarity import brute_force_topk
 
-    panel = emb.filter(F.col("vec_id") % 100 == 0)
+    panel = bounded_panel(emb, "vec_id", ":rag3", 16)
     dense = (
         brute_force_topk(emb, panel, k=20)
         .select("query_id", "cand_id", F.col("rank").alias("dr"))

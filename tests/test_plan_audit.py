@@ -25,6 +25,8 @@ convergence loop), which stays cheap at the smoke scale.
 
 from __future__ import annotations
 
+import re
+
 from graphsense_ethereum_etl_spark.queries import REGISTRY
 
 SMOKE_SF = "/root/testdata/sf0.001"
@@ -102,8 +104,11 @@ RANGE_SORT_WHITELIST = {
 #
 # - BOUNDED: the build side cannot grow with the data by construction
 #   (a scalar/1-row aggregate, a constant-cardinality dimension like
-#   nation(25)/region(5), a sampled query panel, a k-bounded codebook /
-#   centroid set, a label-domain relation, a Heaps-law-bounded vocab).
+#   nation(25)/region(5), a FIXED-SIZE query panel — bounded_panel's
+#   top-N-by-hash-order or a fixed id bound; NEVER an `id % k == c`
+#   fraction-of-corpus sample, which grows linearly with the data and is
+#   mechanically rejected below — a k-bounded codebook / centroid set, a
+#   label-domain relation, a Heaps-law-bounded vocab).
 # - GATED: the hint is emitted by ``plans.hints.evolving_hint`` under a
 #   MEASURED row bound — broadcast < 4M rows, shuffle_hash at-or-over,
 #   FORCE_SHUFFLE_ENV flips it for the byte audit. At this audit's smoke
@@ -127,7 +132,7 @@ RANGE_SORT_WHITELIST = {
 BROADCAST_HINT_WHITELIST = {
     "an1_grouped_outliers": "GATED: med/mad attach via evolving_hint under a measured count_distinct(group) bound",
     "apx3_freq_items": "BOUNDED: scalar support threshold + top-k frequent-item aggregate",
-    "ctm1_decontamination": "BOUNDED: eval-suite gram set — human-curated benchmark, KB-MB at any corpus size",
+    "ctm1_decontamination": "BOUNDED: eval-suite gram set from a bounded_panel eval set (16 docs — a real benchmark is human-curated and bounded; r11: was corpus/97)",
     "dd10_bloom_ngram_gate": "BOUNDED: bit-position relation from one aggregate, m_bits/32 words (~16 KiB) at any corpus size",
     "dd8_semdedup": "BOUNDED: k-bounded k-means centroid relation",
     "flagship_enrichment": "SF-DIM: customer dimension onto the orders fact",
@@ -158,18 +163,18 @@ BROADCAST_HINT_WHITELIST = {
     "q20_potential_promotion": "SF-DIM: color-filtered part semi-join side + supplier; nation BOUNDED(25)",
     "q21_suppliers_kept_waiting": "SF-DIM: single-nation supplier slice; nation BOUNDED(25)",
     "q22_global_sales_opportunity": "BOUNDED: 1-row avg-balance aggregate; phone-prefix customer slice SF-DIM",
-    "rag1_chunk_retrieval": "BOUNDED: sampled query panel (|docs|/50 rows of dim integers)",
-    "rag2_diverse_retrieval": "BOUNDED: same sampled query panel; corpus side stays map-only",
-    "rag3_rrf_hybrid": "BOUNDED: sampled query panel on both retrievers (dense cross + lexical shingle probe)",
-    "sim8_filtered_ann": "BOUNDED: sampled query panel; label re-attach broadcasts the panel*k RESULT side, never the corpus",
+    "rag1_chunk_retrieval": "BOUNDED: bounded_panel query panel — 16 rows by hash order at any corpus size (r11: was |docs|/50)",
+    "rag2_diverse_retrieval": "BOUNDED: bounded_panel query panel (16 rows); corpus side stays map-only (r11: was corpus/100)",
+    "rag3_rrf_hybrid": "BOUNDED: bounded_panel query panel (16 rows) on both retrievers — dense cross + lexical shingle probe (r11: was corpus/100)",
+    "sim8_filtered_ann": "BOUNDED: bounded_panel query panel (16 rows); label re-attach broadcasts the panel*k RESULT side, never the corpus (r11: was corpus/50)",
     "rj1_range_join": "BOUNDED: 1-row boundary-stats aggregate",
-    "sim1_topk_cosine": "BOUNDED: sampled query panel",
+    "sim1_topk_cosine": "BOUNDED: fixed id-bound query panel (vec_id < 5)",
     "sim4_ivf_ann": "BOUNDED: k-bounded IVF centroid relation + query panel",
     "sim6_pq_adc": "BOUNDED: PQ codebook (k-bounded) + per-query LUT panel",
     "sim7_ivfpq_adc": "BOUNDED: coarse centroids + PQ codebooks + query panel, all k-/panel-bounded",
     "smp3_mix_rebalance": "BOUNDED: per-source cut relation — source-label domain",
     "smp6_temperature_sampling": "BOUNDED: per-source weight relation — source-label domain; scalar total",
-    "smp8_negative_pairs": "BOUNDED: sampled anchor panel",
+    "smp8_negative_pairs": "BOUNDED: 1-row corpus-count aggregate (LCG modulus)",
     "str2_listagg": "BOUNDED: nation dimension (25 rows)",
     "t8_quality_quantile_filter": "BOUNDED: per-language threshold relation — language domain (~200)",
     "t8b_approx_quantile_filter": "BOUNDED: per-language approx threshold — language domain",
@@ -180,19 +185,89 @@ BROADCAST_HINT_WHITELIST = {
 }
 
 
+_HINT_LINE = "ResolvedHint (strategy=broadcast)"
+# An id-column modulo-equality filter: `Filter ((vec_id#5L % cast(50 as
+# bigint)) = cast(1 as bigint))` — the signature of a fraction-of-corpus
+# "panel" whose cardinality grows linearly with the data. Only *_id
+# columns are matched: a modulo on a VALUE column (sim8's `label % 2`
+# candidate pre-filter) is a selectivity predicate, not a panel.
+_PCT_PANEL = re.compile(r"Filter \(+[a-z_]*_?id#\d+L? % (?:cast\()?\d+")
+
+
+def _tree_depth(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def _broadcast_subtrees(analyzed: str) -> list[list[str]]:
+    """The plan lines UNDER each broadcast hint (children are the lines
+    whose tree-prefix is strictly deeper until the next sibling)."""
+    lines = analyzed.splitlines()
+    subs = []
+    for i, ln in enumerate(lines):
+        if _HINT_LINE not in ln:
+            continue
+        depth = _tree_depth(ln)
+        sub = []
+        for nxt in lines[i + 1:]:
+            if _tree_depth(nxt) <= depth:
+                break
+            sub.append(nxt)
+        subs.append(sub)
+    return subs
+
+
+def _has_unbounded_pct_panel(sub: list[str]) -> bool:
+    """True if the hint subtree contains an id-modulo filter NOT separated
+    from the hint by an Aggregate. An Aggregate ancestor means the
+    broadcast carries the aggregate's (bounded) output, not the filtered
+    corpus slice — dd10's Bloom words are built FROM a doc_id % 2 half
+    but broadcast as a 2048-word relation; that is fine. A % filter with
+    no aggregating ancestor means the filtered rows themselves broadcast
+    — the corpus-proportional panel this check exists to reject."""
+    for i, ln in enumerate(sub):
+        if not _PCT_PANEL.search(ln):
+            continue
+        depth = _tree_depth(ln)
+        excused = False
+        for prev in reversed(sub[:i]):  # walk ancestors up to the hint
+            pd = _tree_depth(prev)
+            if pd < depth:
+                depth = pd
+                if "Aggregate" in prev:
+                    excused = True
+                    break
+        if not excused:
+            return True
+    return False
+
+
 def test_no_cartesian_no_row_python_udfs(spark):
     offenders: dict[str, list[str]] = {}
     hinted: set[str] = set()
     for name, q in REGISTRY.items():
         df = q.fn(spark, SMOKE_SF)
         analyzed = df._jdf.queryExecution().analyzed().toString()
-        if "ResolvedHint (strategy=broadcast)" in analyzed:
+        if _HINT_LINE in analyzed:
             hinted.add(name)
             if name not in BROADCAST_HINT_WHITELIST:
                 offenders.setdefault(name, []).append(
                     "explicit broadcast hint (not whitelisted — justify "
                     "BOUNDED/GATED/SF-DIM in BROADCAST_HINT_WHITELIST)"
                 )
+            # r10 VERDICT #1 mechanized: no whitelist wording can bless a
+            # %-sampled relation as a broadcast side — a `id % k == c`
+            # filter under a hint is corpus-PROPORTIONAL by construction
+            # (broadcast grows linearly with the data; at 100 TB the
+            # panel alone is tens of GB). Fixed-size panels select via
+            # bounded_panel (hash order + LIMIT) or a fixed id bound.
+            for sub in _broadcast_subtrees(analyzed):
+                if _has_unbounded_pct_panel(sub):
+                    offenders.setdefault(name, []).append(
+                        "%-sampled (id % k == c) relation under a "
+                        "broadcast hint — corpus-proportional, use "
+                        "bounded_panel or a fixed id bound"
+                    )
+                    break
         plan = df._jdf.queryExecution().executedPlan().toString()
         flags = []
         if "CartesianProduct" in plan:
@@ -217,3 +292,34 @@ def test_no_cartesian_no_row_python_udfs(spark):
     # shuffle (update the justification) or the query changed (drop it)
     stale = set(BROADCAST_HINT_WHITELIST) - hinted
     assert not stale, f"stale BROADCAST_HINT_WHITELIST entries: {sorted(stale)}"
+
+
+def test_pct_panel_detector_shapes(spark):
+    """The %-panel detector itself: the retired rag/sim panel shape (a
+    raw id-modulo slice broadcast) is flagged; the dd10 shape (an
+    Aggregate between the % filter and the hint — the broadcast carries
+    the bounded aggregate output) is excused."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(100).select(
+        F.col("id").alias("vec_id"), (F.col("id") * 2).alias("v")
+    )
+    offender = base.crossJoin(
+        F.broadcast(base.filter(F.col("vec_id") % 10 == 0))
+    )
+    subs = _broadcast_subtrees(
+        offender._jdf.queryExecution().analyzed().toString()
+    )
+    assert any(_has_unbounded_pct_panel(s) for s in subs)
+
+    excused = base.crossJoin(
+        F.broadcast(
+            base.filter(F.col("vec_id") % 2 == 0)
+            .groupBy((F.col("v") % 8).alias("w"))
+            .agg(F.count("*").alias("c"))
+        )
+    )
+    subs = _broadcast_subtrees(
+        excused._jdf.queryExecution().analyzed().toString()
+    )
+    assert not any(_has_unbounded_pct_panel(s) for s in subs)
