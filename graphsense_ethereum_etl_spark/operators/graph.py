@@ -412,30 +412,40 @@ def triangle_counts(
 
 
 def _oriented_triangles(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """Shared compact-forward triangle enumeration: (u, v, w) rows, one
     per triangle, in (degree, id) orientation order — consumed by
-    ``triangle_counts`` (per-vertex) and ``edge_support`` (per-edge)."""
+    ``triangle_counts`` (per-vertex) and ``edge_support`` (per-edge).
+
+    ``assume_normalized=True`` skips the least/greatest + distinct
+    normalization shuffle when the caller guarantees the input already
+    is a normalized edge SET (src < dst, no NULLs, no duplicates) —
+    ktruss_peel's later rounds consume the previous round's support
+    aggregate, which is normalized by construction."""
     # e0 feeds the degree agg AND both degree joins — checkpoint it so the
     # upstream edge pipeline (for g9: the whole MinHash band join) runs
     # once, not once per reference
-    e0 = (
-        edges.select(
-            F.col(src).cast("bigint").alias("a"),
-            F.col(dst).cast("bigint").alias("b"),
-        )
-        .filter(
-            F.col("a").isNotNull()
-            & F.col("b").isNotNull()
-            & (F.col("a") != F.col("b"))
-        )
-        .select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    e0 = edges.select(
+        F.col(src).cast("bigint").alias("a"),
+        F.col(dst).cast("bigint").alias("b"),
     )
+    if not assume_normalized:
+        e0 = (
+            e0.filter(
+                F.col("a").isNotNull()
+                & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b"))
+            )
+            .select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .distinct()
+        )
+    e0 = e0.localCheckpoint(eager=True)
     deg = (
         e0.select(F.col("a").alias("v"))
         .unionAll(e0.select(F.col("b").alias("v")))
@@ -487,6 +497,7 @@ def edge_support(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, support) — per-EDGE triangle participation over the
     undirected simple graph: how many triangles contain each edge. This
@@ -509,7 +520,7 @@ def edge_support(
 
     Contract (harnessed): NULL-endpoint edges and self-loops are dropped;
     multi-edges count once (the edge relation is a SET)."""
-    tri = _oriented_triangles(edges, src, dst)
+    tri = _oriented_triangles(edges, src, dst, assume_normalized)
     e3 = (
         tri.select(F.col("u").alias("x"), F.col("v").alias("y"))
         .unionAll(tri.select(F.col("u").alias("x"), F.col("w").alias("y")))
@@ -521,3 +532,92 @@ def edge_support(
     return e3.groupBy("id_a", "id_b").agg(
         F.count("*").cast("bigint").alias("support")
     )
+
+
+def ktruss_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(id_a, id_b, support) — ``rounds`` rounds of k-truss support
+    peeling (Cohen 2008) over the undirected simple graph, then the
+    per-edge support of the surviving subgraph: each round recomputes
+    edge support on the current edge set and keeps edges with
+    support >= k-2 (edges in no triangle have support 0 and are
+    dropped). This is g6's k-core degree-peel pattern lifted from
+    vertices to edges — the densest-subgraph tier for the reference's
+    address graph (schema.cql:36-38,60-62: transaction/trace edge
+    lists), and on a dedup candidate graph the k-truss isolates the
+    structurally-confirmed duplicate clusters from chains of chance
+    band collisions.
+
+    Fixed ``rounds`` (the g4/g6 unrolled-iteration convention) keeps
+    the SQL oracle expressible; the iterate-to-fixpoint variant is the
+    same per-round plan driven by connected_components-style driver
+    looping on a 1-row convergence probe.
+
+    ENUMERATE ONCE, PEEL ON INCIDENCE: triangles of an edge-induced
+    subgraph are exactly the parent's triangles whose three edges all
+    survive, so the compact-forward enumeration (the O(m^1.5) pass —
+    see triangle_counts) runs ONCE; every peel round then works on the
+    (triangle -> 3 normalized edges) incidence relation: one
+    map-side-combinable support count, a filter for the round's DEAD
+    edges (support < k-2), and three size-gated anti-joins removing
+    the triangles any dead edge kills. A naive re-enumeration per
+    round re-pays degree aggregation, orientation, the wedge
+    self-join, and two checkpoints every round — measured 7.2 s vs
+    3 s at sf0.1 for rounds=2. The dead relation is edge-bounded
+    (<= 3|tri|), so the anti-joins ride ``evolving_hint``: broadcast
+    (map-only round) while it fits, shuffle_hash at scale. Support
+    only ever DECREASES under edge removal (monotone), so survivor
+    sets shrink and the iteration converges. ``k < 3`` is rejected
+    because support-0 edges are representable only by omission."""
+    if k < 3:
+        raise ValueError(
+            "k-truss needs k >= 3: support-0 edges (kept by any k <= 2) "
+            "are represented by omission in the support relation"
+        )
+    if rounds < 1:
+        raise ValueError("ktruss_peel needs rounds >= 1")
+    tri = _oriented_triangles(edges, src, dst)
+    # one row per triangle, its three edges pre-normalized to
+    # (least, greatest) once — every round reads these columns
+    t = tri.select(
+        F.least("u", "v").alias("a1"), F.greatest("u", "v").alias("b1"),
+        F.least("u", "w").alias("a2"), F.greatest("u", "w").alias("b2"),
+        F.least("v", "w").alias("a3"), F.greatest("v", "w").alias("b3"),
+    ).localCheckpoint(eager=True)
+    # upper bound on |edges represented in t| (and so on any dead set),
+    # measured once on the checkpointed relation
+    edge_bound = 3 * t.count()
+
+    def support_of(t_rel: DataFrame) -> DataFrame:
+        e3 = (
+            t_rel.select(F.col("a1").alias("id_a"), F.col("b1").alias("id_b"))
+            .unionAll(t_rel.select(F.col("a2"), F.col("b2")))
+            .unionAll(t_rel.select(F.col("a3"), F.col("b3")))
+        )
+        return e3.groupBy("id_a", "id_b").agg(
+            F.count("*").cast("bigint").alias("support")
+        )
+
+    for _ in range(rounds):
+        dead = (
+            support_of(t)
+            .filter(F.col("support") < k - 2)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)  # three consumers below
+        )
+        for a, b in (("a1", "b1"), ("a2", "b2"), ("a3", "b3")):
+            t = t.join(
+                evolving_hint(
+                    dead.select(F.col("id_a").alias(a), F.col("id_b").alias(b)),
+                    edge_bound,
+                ),
+                [a, b],
+                "left_anti",
+            )
+        t = t.localCheckpoint(eager=True)  # flatten round lineage
+    return support_of(t)

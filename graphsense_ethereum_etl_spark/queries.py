@@ -1275,6 +1275,100 @@ def g12_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_support(pairs, src="id_a", dst="id_b")
 
 
+def _duck_edge_support(edges_rel: str, p: str) -> str:
+    """CTE chain mirroring operators/graph.py::edge_support over a
+    normalized edge relation ``edges_rel(a, b)`` (a < b, distinct):
+    degree orientation → compact-forward wedge + closure → triangles
+    re-credited to their three (least, greatest) edges → ``{p}_sup(a,
+    b, support)``. Prefixed so ktruss's peel rounds can unroll it.
+    Multiply-referenced CTEs are MATERIALIZED: DuckDB inlines plain
+    CTEs per reference, and three chained support blocks would inline
+    the base edge relation exponentially (the sf0.01 run exhausted the
+    fd limit before the fix)."""
+    return f"""
+    {p}_deg AS MATERIALIZED (
+      SELECT v, COUNT(*) AS d
+      FROM (SELECT a AS v FROM {edges_rel}
+            UNION ALL SELECT b FROM {edges_rel})
+      GROUP BY v),
+    {p}_ori AS MATERIALIZED (
+      SELECT CASE WHEN row(da.d, e.a) < row(db.d, e.b) THEN e.a ELSE e.b END AS u,
+             CASE WHEN row(da.d, e.a) < row(db.d, e.b) THEN e.b ELSE e.a END AS v,
+             CASE WHEN row(da.d, e.a) < row(db.d, e.b) THEN db.d ELSE da.d END AS dv
+      FROM {edges_rel} e
+      JOIN {p}_deg da ON da.v = e.a JOIN {p}_deg db ON db.v = e.b),
+    {p}_tri AS (
+      SELECT x.u AS u, x.v AS v, y.v AS w
+      FROM {p}_ori x
+      JOIN {p}_ori y ON x.u = y.u AND row(x.dv, x.v) < row(y.dv, y.v)
+      JOIN {p}_ori z ON z.u = x.v AND z.v = y.v),
+    {p}_e3 AS (
+      SELECT least(u, v) AS a, greatest(u, v) AS b FROM {p}_tri
+      UNION ALL SELECT least(u, w), greatest(u, w) FROM {p}_tri
+      UNION ALL SELECT least(v, w), greatest(v, w) FROM {p}_tri),
+    {p}_sup AS MATERIALIZED (
+      SELECT a, b, COUNT(*) AS support FROM {p}_e3 GROUP BY 1, 2)
+    """
+
+
+@query(
+    "g13_ktruss_peel2",
+    f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM (
+        SELECT CAST(o_custkey AS BIGINT) AS s,
+               (CAST(o_custkey AS BIGINT) // 25) * 25
+                 + CAST(o_orderkey AS BIGINT) % 25 AS d
+        FROM orders)
+      WHERE s != d),
+    {_duck_edge_support("e0", "s0")},
+    e1 AS MATERIALIZED (SELECT a, b FROM s0_sup WHERE support >= 5),
+    {_duck_edge_support("e1", "s1")},
+    e2 AS MATERIALIZED (SELECT a, b FROM s1_sup WHERE support >= 5),
+    {_duck_edge_support("e2", "s2")}
+    SELECT CAST(a AS BIGINT) AS id_a, CAST(b AS BIGINT) AS id_b,
+           CAST(support AS BIGINT) AS support
+    FROM s2_sup
+    """,
+)
+def g13_ktruss_peel2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-truss support peeling, two unrolled rounds (operators/graph.py::
+    ktruss_peel — the g6 fixed-round convention at EDGE granularity,
+    completing the densest-subgraph tier g12's support primitive opened):
+    drop edges in fewer than k-2 = 5 triangles, recompute support on the
+    induced subgraph, peel again, then report the survivors' support.
+
+    The graph is a community-structured customer graph built from the
+    orders fact: each order links its customer to a hash-chosen member of
+    the customer's 25-id community — so local density (orders per
+    25-customer community ≈ 250 draws over 300 possible pairs) is
+    SCALE-INVARIANT: the support distribution (median 7) is the same at
+    every SF while the number of communities grows with the data, and
+    k = 7 peeling genuinely CASCADES at every tier (sf0.01: rounds remove
+    1283 then 1449 edges — round 2 removes MORE than round 1 because
+    round 1's removals drag neighbors below the support floor; the
+    behavior that distinguishes a truss from a one-shot support filter).
+
+    Scale shape: each round is one compact-forward triangle enumeration
+    (degree orientation, O(m^1.5) wedge bound, corpus-sized joins
+    shuffle_hash-hinted, vertex-sized degree relations size-gated via
+    evolving_hint — g9/g12's audited kernel) plus one map-side-combined
+    support aggregation and a filter; the keep set IS the next edge
+    relation, so rounds add no extra join. Oracle: the identical
+    orientation + wedge + closure + re-credit pipeline unrolled three
+    times in SQL."""
+    from .operators.graph import ktruss_peel
+
+    raw = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("s"),
+        F.expr(
+            "(CAST(o_custkey AS BIGINT) div 25) * 25 "
+            "+ CAST(o_orderkey AS BIGINT) % 25"
+        ).alias("d"),
+    )
+    return ktruss_peel(raw, k=7, rounds=2, src="s", dst="d")
+
+
 def _duck_simhash(bits: int = 64) -> str:
     # Mirrors operators/dedup.py simhash: 16-bit md5 chunks ('0x' hex cast),
     # shift-and-mask bit votes, fingerprint packed into ONE signed BIGINT

@@ -288,3 +288,56 @@ def test_edge_support_matches_bruteforce_on_random_graphs(spark):
             for r in edge_support(df).collect()
         }
         assert got == want, f"seed {seed}: {got} vs {want}"
+
+
+def test_ktruss_peel_matches_bruteforce_on_random_graphs(spark):
+    """ktruss_peel vs an independent pure-Python peel over random
+    multigraphs (with self-loops/dupes the operator must drop): after
+    ``rounds`` support-peels, the surviving subgraph's per-edge support
+    must match exactly — including graphs where round 2 CASCADES."""
+    import random
+
+    from graphsense_ethereum_etl_spark.operators.graph import ktruss_peel
+
+    def py_support(edges):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {e: len(adj[e[0]] & adj[e[1]]) for e in edges}
+
+    def py_truss(edges, k, rounds):
+        e = set(edges)
+        for _ in range(rounds):
+            s = py_support(e)
+            e = {ed for ed in e if s[ed] >= k - 2}
+        return {ed: s2 for ed, s2 in py_support(e).items() if s2 > 0}
+
+    for seed in range(5):
+        rng = random.Random(2000 + seed)
+        n = rng.randint(6, 13)
+        raw = [
+            (rng.randint(0, n - 1), rng.randint(0, n - 1))
+            for _ in range(rng.randint(12, 60))
+        ]
+        simple = {tuple(sorted(e)) for e in raw if e[0] != e[1]}
+        for k, rounds in ((3, 1), (3, 2), (4, 2)):
+            want = py_truss(simple, k, rounds)
+            df = spark.createDataFrame(raw, "src bigint, dst bigint")
+            got = {
+                (r["id_a"], r["id_b"]): r["support"]
+                for r in ktruss_peel(df, k=k, rounds=rounds).collect()
+            }
+            assert got == want, (seed, k, rounds, got, want)
+
+
+def test_ktruss_peel_rejects_bad_params(spark):
+    import pytest
+
+    from graphsense_ethereum_etl_spark.operators.graph import ktruss_peel
+
+    df = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="k >= 3"):
+        ktruss_peel(df, k=2)
+    with pytest.raises(ValueError, match="rounds >= 1"):
+        ktruss_peel(df, k=3, rounds=0)
