@@ -4885,6 +4885,104 @@ def k10_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "k11_asof_catalog_read",
+    """
+    WITH b AS (
+      SELECT CAST(FLOOR(o_orderkey / 1000) AS BIGINT) AS bucket,
+             CAST(o_orderkey AS BIGINT) AS k
+      FROM orders WHERE o_orderkey >= 0 AND o_orderkey < 6000),
+    probes(asof_h, max_bucket) AS (
+      VALUES (CAST(4500 AS BIGINT), 3), (CAST(1999 AS BIGINT), 1))
+    SELECT p.asof_h, b.bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN k % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tx
+    FROM b JOIN probes p ON b.bucket <= p.max_bucket
+    GROUP BY 1, 2
+    """,
+)
+def k11_asof_catalog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entity AS-OF read (snapshots.py::read_asof — r10 VERDICT #5,
+    the reader convenience over k9/k10's commit/pin machinery): resolve
+    the latest catalog doc whose stamped block height is at-or-before a
+    probe height, then read TWO entities through that one pinned doc and
+    join them — the torn-read guarantee made queryable ("the graph as of
+    block H", every table at the same ingest batch boundary).
+
+    Three batches commit at heights 1999/3999/5999 (the ingest loop
+    stamps its batch upper bound on each doc for free). Probe 4500
+    resolves the height-3999 catalog (buckets 0-3 in BOTH entities —
+    never transaction's newer buckets against an older block set); probe
+    1999 exercises the at-or-before boundary INCLUSIVELY (resolves the
+    height-1999 doc, not the one below). The oracle recomputes both
+    probes' per-bucket block/transaction counts straight from orders —
+    a stale pin, an exclusive boundary, or a torn pair changes the hash.
+
+    Like k9/k10 the scratch tables live in a mkdtemp removed before
+    return, so the small per-bucket aggregate is materialized eagerly —
+    the query IS the commit/stamp/resolve round-trip."""
+    import shutil
+    import tempfile
+
+    from .snapshots import SnapshotCatalog
+    from .versioned import VersionedTable
+
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") >= 0) & (F.col("o_orderkey") < 6000))
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("k"),
+            block_bucket("o_orderkey").alias("bucket"),
+        )
+    )
+    workdir = tempfile.mkdtemp(prefix="asof_query_")
+    try:
+        cat = SnapshotCatalog(
+            spark, workdir, tables=("block", "transaction"),
+            partition_col="bucket",
+        )
+        for lo_bucket, height in ((0, 1999), (2, 3999), (4, 5999)):
+            batch = orders.filter(
+                (F.col("bucket") >= lo_bucket)
+                & (F.col("bucket") <= lo_bucket + 1)
+            )
+            VersionedTable(
+                spark, f"{workdir}/block", partition_col="bucket"
+            ).write_partitions(batch)
+            VersionedTable(
+                spark, f"{workdir}/transaction", partition_col="bucket"
+            ).write_partitions(batch.filter(F.col("k") % 3 != 0))
+            cat.commit(height=height)
+        outs = []
+        for h in (4500, 1999):
+            nb = (
+                cat.read_asof("block", h)
+                .groupBy("bucket")
+                .agg(F.count("*").cast("bigint").alias("n_blocks"))
+            )
+            nt = (
+                cat.read_asof("transaction", h)
+                .groupBy("bucket")
+                .agg(F.count("*").cast("bigint").alias("n_tx"))
+            )
+            outs.append(
+                nb.join(nt, "bucket", "left")
+                .select(
+                    F.lit(h).cast("bigint").alias("asof_h"),
+                    F.col("bucket").cast("bigint").alias("bucket"),
+                    "n_blocks",
+                    F.coalesce(F.col("n_tx"), F.lit(0).cast("bigint")).alias(
+                        "n_tx"
+                    ),
+                )
+            )
+        full = outs[0].unionByName(outs[1])
+        return spark.createDataFrame(full.collect(), full.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
     "k7_change_feed",
     """
     WITH base AS (

@@ -58,6 +58,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .versioned import VersionedTable
 
@@ -184,14 +185,66 @@ class SnapshotCatalog:
             )
         return self.table(name).read_changes(a, b)
 
+    def version_asof(self, height: int) -> int:
+        """Latest committed catalog version whose published block height
+        is at-or-before ``height`` — the cross-entity as-of resolver: a
+        reader pinning this version gets every entity exactly as of that
+        chain height, with the torn-read guarantee the catalog commit
+        provides. Heights normally grow monotonically with versions, but
+        a reorg commit can lower them — so ALL committed docs are
+        scanned, not bisected (the doc list is O(retained catalogs),
+        small by vacuum policy). Docs written before heights were
+        recorded derive theirs lazily from the pinned block version
+        (one metadata-only Parquet aggregate). Raises FileNotFoundError
+        when no committed catalog is at-or-before the height."""
+        best = None
+        for v in self.history():
+            h = self._doc(v).get("height")
+            if h is None:
+                h = self._derive_height(v)
+            if h is not None and h <= height:
+                best = v  # history() ascends: keep the latest qualifying
+        if best is None:
+            raise FileNotFoundError(
+                f"no committed snapshot catalog at-or-before height {height}"
+            )
+        return best
+
+    def read_asof(self, name: str, height: int) -> DataFrame:
+        """Snapshot read of ``name`` pinned at ``version_asof(height)`` —
+        two entities read through the same as-of height are guaranteed
+        mutually consistent (same catalog doc, same ingest batch
+        boundary)."""
+        return self.read(name, self.version_asof(height))
+
+    def _derive_height(self, version: int | None = None) -> int | None:
+        """max(block_id) of the block table as pinned by ``version``
+        (default: the published doc) — a metadata-only row-group-stats
+        aggregate. None when the doc pins no block table or it is
+        empty."""
+        pinned = self._doc(version)["tables"].get("block")
+        if pinned is None:
+            return None
+        df = self.table("block").read_version(pinned)
+        if "block_id" not in df.columns:
+            return None
+        return df.agg(F.max("block_id").alias("m")).collect()[0]["m"]
+
     # -- commits ------------------------------------------------------------
 
-    def commit(self) -> int:
+    def commit(self, height: int | None = None) -> int:
         """Publish the CURRENT published version of every catalog table as
         one consistent set: write the next catalog doc, then atomically
         swap the pointer. Caller holds the single-writer ingest lock, so
         the per-table pointers it captures cannot move mid-capture.
-        Returns the new catalog version."""
+        Returns the new catalog version.
+
+        ``height`` stamps the doc with the batch's block height (the
+        ingest loop passes its batch upper bound — free); when omitted
+        it is derived from the pinned block table (one metadata-only
+        aggregate; reorg commits use this so the stamp reflects the
+        truncated chain). The stamp is what ``version_asof`` resolves
+        against."""
         tables: dict[str, int] = {}
         for name in self.tables:
             seq = self.table(name)._published_seq()
@@ -199,8 +252,17 @@ class SnapshotCatalog:
                 tables[name] = seq
         seq = (self.current_version() or 0) + 1
         name = f"c-{seq:08d}.json"
+        doc: dict = {"tables": tables}
+        if height is None and "block" in tables:
+            vt = self.table("block")
+            df = vt.read_version(tables["block"])
+            if "block_id" in df.columns:
+                m = df.agg(F.max("block_id").alias("m")).collect()[0]["m"]
+                height = None if m is None else int(m)
+        if height is not None:
+            doc["height"] = int(height)
         with open(f"{self.root}/{_CDIR}/{name}", "w") as fh:
-            json.dump({"tables": tables}, fh, sort_keys=True)
+            json.dump(doc, fh, sort_keys=True)
         tmp = f"{self.root}/{_CPOINTER}.tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             fh.write(name)

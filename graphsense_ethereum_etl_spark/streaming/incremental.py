@@ -248,7 +248,7 @@ def _run_incremental_locked(
                         stacklevel=2,
                     )
                 else:
-                    SnapshotCatalog(spark, sink_root).commit()
+                    SnapshotCatalog(spark, sink_root).commit(height=resume)
         return stats
     start, end = rng
     # Re-cover the trailing partial bucket so its partition rewrite is total.
@@ -379,7 +379,12 @@ def transform_and_write_batch(
             raise RuntimeError("injected crash before the catalog commit")
         from ..snapshots import SnapshotCatalog
 
-        SnapshotCatalog(spark, sink_root).commit()
+        # the batch range's upper bound IS the published block height —
+        # stamp it on the catalog doc (read_asof's resolution key) for
+        # free instead of deriving it from a block-table scan
+        SnapshotCatalog(spark, sink_root).commit(
+            height=batch_range[1] if batch_range is not None else None
+        )
 
 
 def update_bucket_rollup(rollup, batch_df, agg_fn) -> list[str]:

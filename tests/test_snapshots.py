@@ -381,3 +381,59 @@ def test_catalog_forwards_partition_col(spark, tmp_path):
     assert cat.read("scores").count() == 20
     # absent-table read on the same catalog also carries the column
     assert cat.read("other").columns == ["bucket"]
+
+
+def test_version_asof_boundary_reorg_and_legacy_derive(spark, tmp_path):
+    """read_asof / version_asof (r10 VERDICT #5): batch commits stamp
+    their block height on the catalog doc; resolution is at-or-before
+    INCLUSIVE; a reorg commit (derived, lowered height) wins over an
+    earlier higher-height doc because resolution prefers the NEWEST
+    qualifying catalog; docs predating the height stamp derive theirs
+    from the pinned block version."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    root = str(tmp_path / "sink")
+    for head in (9, 19):  # two batches -> catalog v1 (h=9), v2 (h=19)
+        run_incremental(
+            spark, source, root, head=head, batch_size=10, bucket_size=10,
+            sink_format="versioned",
+        )
+    cat = SnapshotCatalog(spark, root)
+    v1, v2 = cat.history()
+    assert cat._doc(v1)["height"] == 9 and cat._doc(v2)["height"] == 19
+    assert cat.version_asof(19) == v2  # inclusive boundary
+    assert cat.version_asof(18) == v1
+    assert cat.version_asof(9) == v1
+    with _pytest.raises(FileNotFoundError):
+        cat.version_asof(8)
+    # the as-of read pins BOTH entities at the resolved doc
+    from pyspark.sql import functions as F
+
+    for t in TABLES:
+        assert (
+            cat.read_asof(t, 18).agg(F.max("block_id")).collect()[0][0] == 9
+        ), t
+
+    # reorg back to block 10: derived stamp reflects the truncated chain,
+    # and the NEWEST qualifying doc wins even though v2's height is larger
+    invalidate_from(spark, root, 10, bucket_size=10, sink_format="versioned")
+    v3 = cat.current_version()
+    assert cat._doc(v3)["height"] == 9
+    assert cat.version_asof(19) == v3
+    assert cat.read_asof("block", 19).agg(F.max("block_id")).collect()[0][0] == 9
+
+    # legacy doc without a height stamp: derives from the pinned block
+    # version (one metadata-only aggregate)
+    doc_path = f"{root}/_catalog/c-{v1:08d}.json"
+    with open(doc_path) as fh:
+        doc = json.load(fh)
+    del doc["height"]
+    with open(doc_path, "w") as fh:
+        json.dump(doc, fh)
+    assert cat._derive_height(v1) == 9  # pinned-block-version fallback
+    # v1 (derived h=9) and v3 (stamped h=9) both qualify at height 9;
+    # resolution prefers the newest qualifying doc
+    assert cat.version_asof(9) == v3
