@@ -141,13 +141,21 @@ def time_query(spark, name, sf_dir):
 ALWAYS_PROBE = [
     "dd2_ngram_jaccard",
     "dd2b_ngram_jaccard_bucketed",
-    # r9-verdict #4: the r9 newcomers were byte-audited (SHUFFLE_r09) but
-    # never wall-probed — seat them on the board until displaced by rank
-    "g10_clustering_coefficient",
+    # r10-verdict #6: the r10 newcomers had byte rows (SHUFFLE_r10) but
+    # no sf~1 wall ratios — seat them until displaced by rank
+    "dd12_winnowing_pairs",
+    "u2_uint256_grouped_stats",
+    "sim8_filtered_ann",
+    "rag3_rrf_hybrid",
+    "g12_edge_support",
+    # r10-verdict #1 done-criterion: the retrieval panels are now
+    # bounded_panel (16 rows at any corpus size) — rag1/rag2's ratios
+    # must come back to ~linear (the panel was the super-linear term)
+    "rag1_chunk_retrieval",
     "rag2_diverse_retrieval",
-    "an1_grouped_outliers",
-    "u1_uint256_grouped_sum",
-    "t13_url_canonical_dedup",
+    # r11 newcomers
+    "g13_ktruss_peel2",
+    "ctm1_decontamination",
 ]
 
 
