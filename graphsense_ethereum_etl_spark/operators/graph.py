@@ -537,9 +537,10 @@ def edge_support(
 def ktruss_peel(
     edges: DataFrame,
     k: int,
-    rounds: int = 2,
+    rounds: int | None = 2,
     src: str = "src",
     dst: str = "dst",
+    max_rounds: int = 50,
 ) -> DataFrame:
     """(id_a, id_b, support) — ``rounds`` rounds of k-truss support
     peeling (Cohen 2008) over the undirected simple graph, then the
@@ -554,9 +555,10 @@ def ktruss_peel(
     band collisions.
 
     Fixed ``rounds`` (the g4/g6 unrolled-iteration convention) keeps
-    the SQL oracle expressible; the iterate-to-fixpoint variant is the
+    the SQL oracle expressible; ``rounds=None`` iterates to the TRUE
+    k-truss fixpoint (no edge below the support floor remains) — the
     same per-round plan driven by connected_components-style driver
-    looping on a 1-row convergence probe.
+    looping on a 1-row convergence probe, capped by ``max_rounds``.
 
     ENUMERATE ONCE, PEEL ON INCIDENCE: triangles of an edge-induced
     subgraph are exactly the parent's triangles whose three edges all
@@ -579,8 +581,8 @@ def ktruss_peel(
             "k-truss needs k >= 3: support-0 edges (kept by any k <= 2) "
             "are represented by omission in the support relation"
         )
-    if rounds < 1:
-        raise ValueError("ktruss_peel needs rounds >= 1")
+    if rounds is not None and rounds < 1:
+        raise ValueError("ktruss_peel needs rounds >= 1 (or None for fixpoint)")
     tri = _oriented_triangles(edges, src, dst)
     # one row per triangle, its three edges pre-normalized to
     # (least, greatest) once — every round reads these columns
@@ -603,13 +605,22 @@ def ktruss_peel(
             F.count("*").cast("bigint").alias("support")
         )
 
-    for _ in range(rounds):
+    # rounds=None -> iterate to the TRUE k-truss fixpoint (no removable
+    # edge left), g6's full-variant convention: the per-round plan is
+    # identical, only the stop condition changes — one 1-row emptiness
+    # probe per round over the just-checkpointed dead set. max_rounds is
+    # a safety cap (support peeling removes >= 1 edge per non-final
+    # round, so it terminates in <= |edges-in-triangles| rounds anyway).
+    n_rounds = max_rounds if rounds is None else rounds
+    for _ in range(n_rounds):
         dead = (
             support_of(t)
             .filter(F.col("support") < k - 2)
             .select("id_a", "id_b")
             .localCheckpoint(eager=True)  # three consumers below
         )
+        if rounds is None and dead.limit(1).count() == 0:
+            break  # fixpoint: every surviving edge has support >= k-2
         for a, b in (("a1", "b1"), ("a2", "b2"), ("a3", "b3")):
             t = t.join(
                 evolving_hint(

@@ -341,3 +341,48 @@ def test_ktruss_peel_rejects_bad_params(spark):
         ktruss_peel(df, k=2)
     with pytest.raises(ValueError, match="rounds >= 1"):
         ktruss_peel(df, k=3, rounds=0)
+
+
+def test_ktruss_fixpoint_matches_python_fixpoint(spark):
+    """rounds=None iterates to the TRUE k-truss (no removable edge
+    left) — compared against a pure-Python peel-to-fixpoint, on graphs
+    where 2 fixed rounds are NOT yet converged."""
+    import random
+
+    from graphsense_ethereum_etl_spark.operators.graph import ktruss_peel
+
+    def py_support(edges):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {e: len(adj[e[0]] & adj[e[1]]) for e in edges}
+
+    def py_fixpoint(edges, k):
+        e = set(edges)
+        while True:
+            s = py_support(e)
+            keep = {ed for ed in e if s[ed] >= k - 2}
+            if keep == e:
+                return {ed: c for ed, c in s.items() if c > 0}
+            e = keep
+
+    checked_nontrivial = False
+    for seed in range(4):
+        rng = random.Random(3000 + seed)
+        n = rng.randint(8, 14)
+        raw = [
+            (rng.randint(0, n - 1), rng.randint(0, n - 1))
+            for _ in range(rng.randint(20, 70))
+        ]
+        simple = {tuple(sorted(e)) for e in raw if e[0] != e[1]}
+        for k in (3, 4):
+            want = py_fixpoint(simple, k)
+            df = spark.createDataFrame(raw, "src bigint, dst bigint")
+            got = {
+                (r["id_a"], r["id_b"]): r["support"]
+                for r in ktruss_peel(df, k=k, rounds=None).collect()
+            }
+            assert got == want, (seed, k, got, want)
+            checked_nontrivial = checked_nontrivial or bool(want)
+    assert checked_nontrivial  # at least one non-empty truss exercised
