@@ -4751,7 +4751,10 @@ def k9_catalog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     workdir = tempfile.mkdtemp(prefix="cat_query_")
     try:
-        cat = SnapshotCatalog(spark, workdir, tables=("block", "transaction"))
+        cat = SnapshotCatalog(
+            spark, workdir, tables=("block", "transaction"),
+            partition_col="bucket",
+        )
         first = orders.filter(F.col("bucket") < 2)
         for name in ("block", "transaction"):
             VersionedTable(

@@ -309,6 +309,10 @@ OPS = {
     "graph.edge_support": dict(
         input="edges", call=lambda sp, d: g_ops.edge_support(d),
         contract="no_crash"),  # shares the triangle kernel's contract
+    "graph.ktruss_peel": dict(
+        input="edges", call=lambda sp, d: g_ops.ktruss_peel(d, k=3, rounds=1),
+        contract="no_crash"),  # same kernel + incidence peel; NULL/self-
+    # loop/dupe handling inherited from _oriented_triangles
     # ---- joins ----
     "joins.asof_join": dict(input="custom", call=None, contract="no_crash"),
     "joins.bucketized_range_join": dict(input="custom", call=None, contract="no_crash"),
