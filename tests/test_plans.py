@@ -214,10 +214,13 @@ def test_ctm1_eval_grams_broadcast_corpus_never_shuffled(spark, sf_dir):
     ]
     assert len(gram_exchanges) <= 1, gram_exchanges
     # no corpus-sized side is broadcast: the final join builds on `hits`
-    # (contaminated docs only), asserted by the n_hit_grams column living
-    # on the build side — cheap proxy: exactly two BroadcastExchanges
-    # (eval grams + hits), never three
-    assert plan.count("BroadcastExchange") == 2, plan.count("BroadcastExchange")
+    # (contaminated docs only) — cheap proxy: exactly five
+    # BroadcastExchanges, all bounded: the 16-row bounded_panel eval-id
+    # relation ×3 (corpus anti-join ×2 consumers + eval semi-join — r11
+    # panel rework), the eval gram set, and hits; never a sixth
+    assert plan.count("BroadcastExchange") == 5, plan.count("BroadcastExchange")
+    # the panel selection itself is a top-n, not a global sort
+    assert "TakeOrderedAndProject(limit=16" in plan
 
 
 def test_lm1_single_corpus_explode_via_exchange_reuse(spark, sf_dir):
