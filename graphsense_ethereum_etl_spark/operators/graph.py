@@ -632,3 +632,100 @@ def ktruss_peel(
             )
         t = t.localCheckpoint(eager=True)  # flatten round lineage
     return support_of(t)
+
+
+def edge_trussness(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k_max: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, trussness) — the full truss DECOMPOSITION: for every
+    edge in at least one triangle, the maximum k such that the edge
+    belongs to the k-truss (Cohen 2008; trussness >= 3 by construction —
+    triangle-free edges have trussness 2 and are omitted, matching
+    edge_support's support-0-by-omission convention).
+
+    Algorithm: ktruss_peel's enumerate-once incidence design driven to
+    ascending fixpoints — the triangle relation is enumerated ONCE; for
+    k = 3, 4, ... the surviving incidence relation is peeled to the
+    k-truss fixpoint, and the edges that drop between the (k)- and
+    (k+1)-fixpoints are assigned trussness k. Each level REUSES the
+    previous level's surviving triangles (the k-truss is nested in the
+    (k-1)-truss), so total work is one enumeration plus one fixpoint
+    chain — the standard ascending-peel decomposition, with each round
+    the same support-aggregate + three size-gated anti-joins as
+    ktruss_peel. Driver traffic is one 1-row probe per peel round and
+    one survivor-set diff per level; ``k_max`` caps the ascent (64 >>
+    any real corpus's max support floor; the loop exits as soon as the
+    triangle relation empties).
+
+    Scale posture: identical to ktruss_peel per round; the number of
+    levels is bounded by the graph's max trussness, a data property
+    independent of corpus SIZE for bounded-density graphs (the address
+    graph / dedup-cluster case)."""
+    tri = _oriented_triangles(edges, src, dst)
+    t = tri.select(
+        F.least("u", "v").alias("a1"), F.greatest("u", "v").alias("b1"),
+        F.least("u", "w").alias("a2"), F.greatest("u", "w").alias("b2"),
+        F.least("v", "w").alias("a3"), F.greatest("v", "w").alias("b3"),
+    ).localCheckpoint(eager=True)
+    edge_bound = 3 * t.count()
+
+    def support_of(t_rel: DataFrame) -> DataFrame:
+        e3 = (
+            t_rel.select(F.col("a1").alias("id_a"), F.col("b1").alias("id_b"))
+            .unionAll(t_rel.select(F.col("a2"), F.col("b2")))
+            .unionAll(t_rel.select(F.col("a3"), F.col("b3")))
+        )
+        return e3.groupBy("id_a", "id_b").agg(
+            F.count("*").cast("bigint").alias("support")
+        )
+
+    spark = edges.sparkSession
+    out = spark.createDataFrame([], "id_a bigint, id_b bigint, trussness bigint")
+    prev_edges = support_of(t).select("id_a", "id_b").localCheckpoint(eager=True)
+    for k in range(3, k_max + 1):
+        # peel t to the k-truss fixpoint
+        while True:
+            dead = (
+                support_of(t)
+                .filter(F.col("support") < k - 2)
+                .select("id_a", "id_b")
+                .localCheckpoint(eager=True)
+            )
+            if dead.limit(1).count() == 0:
+                break
+            for a, b in (("a1", "b1"), ("a2", "b2"), ("a3", "b3")):
+                t = t.join(
+                    evolving_hint(
+                        dead.select(
+                            F.col("id_a").alias(a), F.col("id_b").alias(b)
+                        ),
+                        edge_bound,
+                    ),
+                    [a, b],
+                    "left_anti",
+                )
+            t = t.localCheckpoint(eager=True)
+        survivors = support_of(t).select("id_a", "id_b").localCheckpoint(eager=True)
+        # edges alive in the (k-1)-fixpoint but not the k-fixpoint peel
+        # final at this level: trussness = k - 1 ... except at k=3 the
+        # pre-peel baseline is "in a triangle at all", whose dropouts are
+        # trussness-2 edges — omitted by convention, not emitted.
+        dropped = prev_edges.join(
+            evolving_hint(survivors, edge_bound), ["id_a", "id_b"], "left_anti"
+        )
+        if k > 3:
+            out = out.unionByName(
+                dropped.withColumn("trussness", F.lit(k - 1).cast("bigint"))
+            )
+        prev_edges = survivors
+        if survivors.limit(1).count() == 0:
+            break
+    else:
+        raise ValueError(
+            f"edge_trussness did not converge within k_max={k_max} levels — "
+            "raise k_max (max trussness exceeds it)"
+        )
+    return out

@@ -313,6 +313,10 @@ OPS = {
         input="edges", call=lambda sp, d: g_ops.ktruss_peel(d, k=3, rounds=1),
         contract="no_crash"),  # same kernel + incidence peel; NULL/self-
     # loop/dupe handling inherited from _oriented_triangles
+    "graph.edge_trussness": dict(
+        input="edges", call=lambda sp, d: g_ops.edge_trussness(d),
+        contract="no_crash"),  # ascending-fixpoint chain over the same
+    # incidence relation; inherits the kernel's edge contract
     # ---- joins ----
     "joins.asof_join": dict(input="custom", call=None, contract="no_crash"),
     "joins.bucketized_range_join": dict(input="custom", call=None, contract="no_crash"),

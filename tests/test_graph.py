@@ -386,3 +386,57 @@ def test_ktruss_fixpoint_matches_python_fixpoint(spark):
             assert got == want, (seed, k, got, want)
             checked_nontrivial = checked_nontrivial or bool(want)
     assert checked_nontrivial  # at least one non-empty truss exercised
+
+
+def test_edge_trussness_matches_python_decomposition(spark):
+    """edge_trussness vs a pure-Python ascending-fixpoint decomposition:
+    every in-triangle edge gets max{k : edge in k-truss}; trussness-2
+    (triangle-free) edges omitted."""
+    import random
+
+    from graphsense_ethereum_etl_spark.operators.graph import edge_trussness
+
+    def support(e):
+        adj = {}
+        for a, b in e:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {ed: len(adj[ed[0]] & adj[ed[1]]) for ed in e}
+
+    def py_trussness(simple):
+        out = {}
+        cur = set(simple)
+        prev = None
+        k = 3
+        while True:
+            while True:
+                s = support(cur)
+                keep = {ed for ed in cur if s[ed] >= k - 2}
+                if keep == cur:
+                    break
+                cur = keep
+            if prev is not None:
+                for ed in prev - cur:
+                    out[ed] = k - 1
+            prev = cur
+            if not cur:
+                return out
+            k += 1
+
+    for seed in range(4):
+        rng = random.Random(4000 + seed)
+        n = rng.randint(6, 12)
+        raw = [
+            (rng.randint(0, n - 1), rng.randint(0, n - 1))
+            for _ in range(rng.randint(15, 66))
+        ]
+        simple = {tuple(sorted(e)) for e in raw if e[0] != e[1]}
+        want = py_trussness(simple)
+        df = spark.createDataFrame(raw, "src bigint, dst bigint")
+        got = {
+            (r["id_a"], r["id_b"]): r["trussness"]
+            for r in edge_trussness(df).collect()
+        }
+        assert got == want, (seed, got, want)
+        if want:
+            assert min(want.values()) >= 3
