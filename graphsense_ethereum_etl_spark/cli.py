@@ -280,6 +280,12 @@ def build_parser() -> ArgumentParser:
         help="inspect a historic catalog version (default: published)",
     )
     snap.add_argument(
+        "--asof", dest="asof_height", type=int, default=None,
+        help="resolve the catalog AS OF a block height (latest committed "
+        "doc at-or-before it) and inspect that version — mutually "
+        "exclusive with --version",
+    )
+    snap.add_argument(
         "--vacuum-keep", dest="vacuum_keep", type=int, default=None,
         help="trim catalog docs to the newest N and vacuum each table "
         "down to the versions those docs still reference",
@@ -890,9 +896,20 @@ def cmd_snapshot(args: Namespace, spark: SparkSession) -> IngestStats:
         removed = cat.vacuum(keep_catalogs=args.vacuum_keep)
         for t, dirs in sorted(removed.items()):
             print(f"vacuumed {t}: {len(dirs)} data dirs removed")
-    version = (
-        args.cat_version if args.cat_version is not None else cat.current_version()
-    )
+    if getattr(args, "asof_height", None) is not None:
+        if args.cat_version is not None:
+            raise SystemExit("snapshot: --asof and --version are exclusive")
+        try:
+            version = cat.version_asof(args.asof_height)
+        except FileNotFoundError as exc:
+            raise SystemExit(f"snapshot: {exc}")
+        print(f"as of height {args.asof_height}: catalog version {version}")
+    else:
+        version = (
+            args.cat_version
+            if args.cat_version is not None
+            else cat.current_version()
+        )
     try:
         doc = cat._doc(version)
     except FileNotFoundError:

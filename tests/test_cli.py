@@ -1627,3 +1627,35 @@ def test_cli_snapshot_inspect_and_vacuum(spark, tmp_path, capsys):
     cat = SnapshotCatalog(spark, sink)
     assert len(cat.history()) == 1
     assert cat.read("block").count() == 30
+
+
+def test_cli_snapshot_asof(spark, tmp_path, capsys):
+    """`snapshot --asof HEIGHT` resolves the latest catalog doc
+    at-or-before the height (inclusive) and inspects that consistent
+    multi-table view; pre-first-catalog heights fail with a clear
+    error; --asof and --version are exclusive."""
+    import pytest
+
+    sink = str(tmp_path / "eth")
+    base = [
+        "ingest", "-w", "synthetic://29", "-o", sink,
+        "-b", "10", "--bucket-size", "10", "--sink-format", "versioned",
+    ]
+    main(base + ["-e", "9"], spark=spark)
+    main(base + ["-e", "29"], spark=spark)
+
+    main(["snapshot", "-o", sink, "--asof", "15"], spark=spark)
+    printed = capsys.readouterr().out
+    assert "as of height 15: catalog version" in printed
+    assert "max block 9" in printed  # resolved the height-9 doc
+
+    main(["snapshot", "-o", sink, "--asof", "9"], spark=spark)  # boundary
+    assert "max block 9" in capsys.readouterr().out
+
+    with pytest.raises(SystemExit, match="at-or-before height 5"):
+        main(["snapshot", "-o", sink, "--asof", "5"], spark=spark)
+    with pytest.raises(SystemExit, match="exclusive"):
+        main(
+            ["snapshot", "-o", sink, "--asof", "9", "--version", "1"],
+            spark=spark,
+        )
