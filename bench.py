@@ -110,7 +110,22 @@ def main() -> None:
     # comparison is only meaningful between SAME-CODE reruns — a rerun
     # after the implementation changed must always land, or a genuine
     # regression to an existing query is masked by the older faster stamp.
+    # The marker is a CONTENT hash of the package + this harness (not the
+    # git HEAD, which a docs/tests-only commit would churn, spuriously
+    # invalidating comparable runs); the git sha is recorded alongside
+    # for provenance only.
     repo = Path(__file__).resolve().parent
+    try:
+        import hashlib
+
+        h = hashlib.sha256()
+        for p in sorted(
+            (repo / "graphsense_ethereum_etl_spark").rglob("*.py")
+        ) + [repo / "bench.py"]:
+            h.update(p.read_bytes())
+        code_fp = h.hexdigest()[:16]
+    except Exception:
+        code_fp = None
     try:
         import subprocess
 
@@ -134,6 +149,7 @@ def main() -> None:
         "ingest_rows_per_s": entity_rows_per_s,
         "contention_sentinel_sec": sentinel,
         "git_sha": git_sha,
+        "code_fp": code_fp,
     }
     print(json.dumps(doc))
     # The driver stores only a truncated tail of stdout ("parsed": null in
@@ -198,7 +214,7 @@ def main() -> None:
                 # either side disables the gate (always overwrite).
                 same_set = set(prev.get("queries", {})) == set(timings)
                 same_code = (
-                    git_sha is not None and prev.get("git_sha") == git_sha
+                    code_fp is not None and prev.get("code_fp") == code_fp
                 )
                 if (
                     same_set
