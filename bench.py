@@ -207,11 +207,15 @@ def main() -> None:
                 prev_total = prev.get("value")
                 # only gate against a stamp of the SAME query set AND the
                 # SAME code state — a run after the registry changed, or
-                # after ANY commit touched the tree, is a new round state
-                # and must land regardless of noise comparisons (otherwise
-                # a regression to an existing query's implementation is
-                # masked by the older, faster stamp). A missing sha on
-                # either side disables the gate (always overwrite).
+                # after any change to the package's *.py files or this
+                # harness (exactly what code_fp hashes; scripts/, docs,
+                # and tests are deliberately outside the fingerprint —
+                # they cannot change what this benchmark executes), is a
+                # new round state and must land regardless of noise
+                # comparisons (otherwise a regression to an existing
+                # query's implementation is masked by the older, faster
+                # stamp). A missing fingerprint on either side disables
+                # the gate (always overwrite).
                 same_set = set(prev.get("queries", {})) == set(timings)
                 same_code = (
                     code_fp is not None and prev.get("code_fp") == code_fp

@@ -415,37 +415,30 @@ def _oriented_triangles(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    assume_normalized: bool = False,
 ) -> DataFrame:
     """Shared compact-forward triangle enumeration: (u, v, w) rows, one
     per triangle, in (degree, id) orientation order — consumed by
     ``triangle_counts`` (per-vertex) and ``edge_support`` (per-edge).
-
-    ``assume_normalized=True`` skips the least/greatest + distinct
-    normalization shuffle when the caller guarantees the input already
-    is a normalized edge SET (src < dst, no NULLs, no duplicates) —
-    ktruss_peel's later rounds consume the previous round's support
-    aggregate, which is normalized by construction."""
+    Always normalizes the input to an undirected simple edge SET first;
+    the peeling operators (ktruss_peel, edge_trussness) enumerate ONCE
+    and never re-enter here, so no skip-normalization path is needed."""
     # e0 feeds the degree agg AND both degree joins — checkpoint it so the
     # upstream edge pipeline (for g9: the whole MinHash band join) runs
     # once, not once per reference
-    e0 = edges.select(
-        F.col(src).cast("bigint").alias("a"),
-        F.col(dst).cast("bigint").alias("b"),
-    )
-    if not assume_normalized:
-        e0 = (
-            e0.filter(
-                F.col("a").isNotNull()
-                & F.col("b").isNotNull()
-                & (F.col("a") != F.col("b"))
-            )
-            .select(
-                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-            )
-            .distinct()
+    e0 = (
+        edges.select(
+            F.col(src).cast("bigint").alias("a"),
+            F.col(dst).cast("bigint").alias("b"),
         )
-    e0 = e0.localCheckpoint(eager=True)
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = (
         e0.select(F.col("a").alias("v"))
         .unionAll(e0.select(F.col("b").alias("v")))
@@ -497,7 +490,6 @@ def edge_support(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    assume_normalized: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, support) — per-EDGE triangle participation over the
     undirected simple graph: how many triangles contain each edge. This
@@ -520,7 +512,7 @@ def edge_support(
 
     Contract (harnessed): NULL-endpoint edges and self-loops are dropped;
     multi-edges count once (the edge relation is a SET)."""
-    tri = _oriented_triangles(edges, src, dst, assume_normalized)
+    tri = _oriented_triangles(edges, src, dst)
     e3 = (
         tri.select(F.col("u").alias("x"), F.col("v").alias("y"))
         .unionAll(tri.select(F.col("u").alias("x"), F.col("w").alias("y")))
@@ -559,6 +551,8 @@ def ktruss_peel(
     k-truss fixpoint (no edge below the support floor remains) — the
     same per-round plan driven by connected_components-style driver
     looping on a 1-row convergence probe, capped by ``max_rounds``.
+    Exhausting the cap before convergence raises ValueError rather
+    than silently returning a non-fixpoint relation.
 
     ENUMERATE ONCE, PEEL ON INCIDENCE: triangles of an edge-induced
     subgraph are exactly the parent's triangles whose three edges all
@@ -609,9 +603,16 @@ def ktruss_peel(
     # edge left), g6's full-variant convention: the per-round plan is
     # identical, only the stop condition changes — one 1-row emptiness
     # probe per round over the just-checkpointed dead set. max_rounds is
-    # a safety cap (support peeling removes >= 1 edge per non-final
-    # round, so it terminates in <= |edges-in-triangles| rounds anyway).
+    # a safety cap: support peeling removes >= 1 edge per non-final
+    # round, so convergence needs <= |edges-in-triangles| rounds — long
+    # cascades (chains of triangles) CAN exceed a small cap, and a
+    # capped exit would silently return a non-fixpoint relation under a
+    # signature that promises the fixpoint. Fixpoint mode therefore
+    # verifies convergence after the loop (one extra 1-row probe, only
+    # when the cap was exhausted) and raises instead of lying — the
+    # edge_trussness k_max convention.
     n_rounds = max_rounds if rounds is None else rounds
+    converged = rounds is not None  # bounded mode never claims fixpoint
     for _ in range(n_rounds):
         dead = (
             support_of(t)
@@ -620,6 +621,7 @@ def ktruss_peel(
             .localCheckpoint(eager=True)  # three consumers below
         )
         if rounds is None and dead.limit(1).count() == 0:
+            converged = True
             break  # fixpoint: every surviving edge has support >= k-2
         for a, b in (("a1", "b1"), ("a2", "b2"), ("a3", "b3")):
             t = t.join(
@@ -631,6 +633,19 @@ def ktruss_peel(
                 "left_anti",
             )
         t = t.localCheckpoint(eager=True)  # flatten round lineage
+    if not converged:
+        # the cap ran out with removals still pending in every observed
+        # round — probe the CURRENT relation once: the last round's
+        # removals may themselves have landed exactly on the fixpoint
+        still_dead = (
+            support_of(t).filter(F.col("support") < k - 2).limit(1).count()
+        )
+        if still_dead:
+            raise ValueError(
+                f"ktruss_peel(k={k}, rounds=None) did not reach the "
+                f"fixpoint within max_rounds={max_rounds} — raise "
+                "max_rounds (long peel cascades need more rounds)"
+            )
     return support_of(t)
 
 
@@ -639,6 +654,8 @@ def edge_trussness(
     src: str = "src",
     dst: str = "dst",
     k_max: int = 64,
+    rounds_per_level: int | None = None,
+    truncate: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, trussness) — the full truss DECOMPOSITION: for every
     edge in at least one triangle, the maximum k such that the edge
@@ -663,7 +680,20 @@ def edge_trussness(
     Scale posture: identical to ktruss_peel per round; the number of
     levels is bounded by the graph's max trussness, a data property
     independent of corpus SIZE for bounded-density graphs (the address
-    graph / dedup-cluster case)."""
+    graph / dedup-cluster case).
+
+    ``rounds_per_level`` bounds each level's peel to a FIXED number of
+    rounds instead of the fixpoint — ktruss_peel's g4/g6 unrolled-
+    iteration convention lifted to the decomposition, which keeps the
+    SQL oracle expressible (each level is rounds_per_level chained
+    support blocks; g14). A level whose peel converges earlier is
+    identical under both modes; when it doesn't, later-dying edges
+    carry one level further — a deterministic, documented staged-peel
+    semantics, not an approximation of it. ``truncate=True`` reports
+    the edges still alive after the ``k_max`` level as trussness
+    ``k_max`` (the truncated decomposition min(trussness, k_max))
+    instead of raising — the bounded-unroll companion, since a fixed
+    SQL unroll cannot chase an unbounded ascent."""
     tri = _oriented_triangles(edges, src, dst)
     t = tri.select(
         F.least("u", "v").alias("a1"), F.greatest("u", "v").alias("b1"),
@@ -686,8 +716,12 @@ def edge_trussness(
     out = spark.createDataFrame([], "id_a bigint, id_b bigint, trussness bigint")
     prev_edges = support_of(t).select("id_a", "id_b").localCheckpoint(eager=True)
     for k in range(3, k_max + 1):
-        # peel t to the k-truss fixpoint
-        while True:
+        # peel t to this level's fixpoint (or rounds_per_level rounds —
+        # a converged level breaks early either way, so bounded mode
+        # only diverges on levels whose cascade outruns the bound)
+        done_rounds = 0
+        while rounds_per_level is None or done_rounds < rounds_per_level:
+            done_rounds += 1
             dead = (
                 support_of(t)
                 .filter(F.col("support") < k - 2)
@@ -724,8 +758,17 @@ def edge_trussness(
         if survivors.limit(1).count() == 0:
             break
     else:
-        raise ValueError(
-            f"edge_trussness did not converge within k_max={k_max} levels — "
-            "raise k_max (max trussness exceeds it)"
-        )
+        if truncate:
+            # truncated decomposition: the k_max-level survivors have
+            # trussness >= k_max — report the cap, never raise
+            out = out.unionByName(
+                prev_edges.withColumn(
+                    "trussness", F.lit(k_max).cast("bigint")
+                )
+            )
+        else:
+            raise ValueError(
+                f"edge_trussness did not converge within k_max={k_max} "
+                "levels — raise k_max (max trussness exceeds it)"
+            )
     return out

@@ -127,9 +127,10 @@ def bounded_panel(df: DataFrame, id_col: str, salt: str, n: int) -> DataFrame:
     ).limit(n)
 
 
-def _duck_panel(table: str, id_col: str, salt: str, n: int) -> str:
+def _duck_panel(id_col: str, salt: str, n: int) -> str:
     """The DuckDB mirror of ``bounded_panel`` (same md5 hex hash order,
-    same id tie-break, same LIMIT) as an ORDER BY ... LIMIT suffix."""
+    same id tie-break, same LIMIT) as an ORDER BY ... LIMIT suffix —
+    the caller supplies its own FROM clause."""
     return (
         f"ORDER BY md5(CAST({id_col} AS VARCHAR) || '{salt}'), "
         f"{id_col} LIMIT {n}"
@@ -1367,6 +1368,79 @@ def g13_ktruss_peel2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d"),
     )
     return ktruss_peel(raw, k=7, rounds=2, src="s", dst="d")
+
+
+@query(
+    "g14_truss_decomposition",
+    f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM (
+        SELECT CAST(o_custkey AS BIGINT) AS s,
+               (CAST(o_custkey AS BIGINT) // 100) * 100
+                 + CAST(o_orderkey AS BIGINT) % 100 AS d
+        FROM orders)
+      WHERE s != d),
+    {_duck_edge_support("e0", "b0")},
+    t3 AS MATERIALIZED (SELECT a, b FROM b0_sup),
+    e41 AS MATERIALIZED (SELECT a, b FROM b0_sup WHERE support >= 2),
+    {_duck_edge_support("e41", "s41")},
+    e42 AS MATERIALIZED (SELECT a, b FROM s41_sup WHERE support >= 2),
+    {_duck_edge_support("e42", "s42")},
+    t4 AS MATERIALIZED (SELECT a, b FROM s42_sup),
+    e51 AS MATERIALIZED (SELECT a, b FROM s42_sup WHERE support >= 3),
+    {_duck_edge_support("e51", "s51")},
+    e52 AS MATERIALIZED (SELECT a, b FROM s51_sup WHERE support >= 3),
+    {_duck_edge_support("e52", "s52")},
+    t5 AS MATERIALIZED (SELECT a, b FROM s52_sup)
+    SELECT CAST(a AS BIGINT) AS id_a, CAST(b AS BIGINT) AS id_b,
+           CAST(3 AS BIGINT) AS trussness
+    FROM (SELECT a, b FROM t3 EXCEPT SELECT a, b FROM t4)
+    UNION ALL
+    SELECT CAST(a AS BIGINT), CAST(b AS BIGINT), CAST(4 AS BIGINT)
+    FROM (SELECT a, b FROM t4 EXCEPT SELECT a, b FROM t5)
+    UNION ALL
+    SELECT CAST(a AS BIGINT), CAST(b AS BIGINT), CAST(5 AS BIGINT) FROM t5
+    """,
+)
+def g14_truss_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated truss DECOMPOSITION (operators/graph.py::edge_trussness
+    — r11 VERDICT #1's certification item): per edge, min(trussness, 5)
+    under the bounded staged peel — levels k = 3, 4, 5 each peel
+    rounds_per_level = 2 rounds (the g4/g6/g13 fixed-iteration
+    convention, which keeps this oracle an unrolled MATERIALIZED
+    support chain), edges dropping between consecutive levels get
+    trussness k-1, and the level-5 survivors report the cap.
+
+    The graph widens g13's construction to 100-id communities (each
+    order links its customer to a hash-chosen member of the customer's
+    100-id block): ~1000 draws over 4950 possible pairs keeps LOCAL
+    density — and so the trussness distribution — scale-invariant
+    while the number of communities grows with SF; all three classes
+    are populated at every tested tier (sf0.001: 370/484/332 edges at
+    trussness 3/4/5).
+
+    Scale shape: ONE compact-forward triangle enumeration (the
+    enumerate-once incidence design — levels peel the incidence
+    relation, never re-enumerate), then per round one map-side-combined
+    support aggregate + three size-gated anti-joins, plus one
+    edge-bounded anti-join diff per level. Levels are bounded by
+    construction (k_max = 5), rounds by the g13 convention — the whole
+    chain is a fixed number of linear passes at any corpus size.
+    Oracle: the identical chain unrolled — five MATERIALIZED support
+    blocks (base + 2x2 peel rounds), EXCEPT diffs between level
+    survivor sets."""
+    from .operators.graph import edge_trussness
+
+    raw = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("s"),
+        F.expr(
+            "(CAST(o_custkey AS BIGINT) div 100) * 100 "
+            "+ CAST(o_orderkey AS BIGINT) % 100"
+        ).alias("d"),
+    )
+    return edge_trussness(
+        raw, src="s", dst="d", k_max=5, rounds_per_level=2, truncate=True
+    )
 
 
 def _duck_simhash(bits: int = 64) -> str:
@@ -3538,7 +3612,7 @@ def sim7_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim8_filtered_ann",
     f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-               FROM embeddings {_duck_panel("embeddings", "vec_id", ":sim8", 16)}),
+               FROM embeddings {_duck_panel("vec_id", ":sim8", 16)}),
     scored AS (
       SELECT query_id, e.vec_id AS cand_id, e.label AS label,
              round({_DUCK_COS.format(a="qv", b="e.embedding")}, 9) AS score9
@@ -4980,6 +5054,110 @@ def k11_asof_catalog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         full = outs[0].unionByName(outs[1])
+        return spark.createDataFrame(full.collect(), full.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "k12_asof_timestamp_read",
+    """
+    WITH b AS (
+      SELECT CAST(FLOOR(o_orderkey / 1000) AS BIGINT) AS bucket,
+             CAST(o_orderkey AS BIGINT) AS k
+      FROM orders WHERE o_orderkey >= 0 AND o_orderkey < 6000),
+    probes(asof_ts, max_bucket) AS (
+      VALUES (CAST(54000 AS BIGINT), 3), (CAST(24000 AS BIGINT), 1),
+             (CAST(23988 AS BIGINT), 1))
+    SELECT p.asof_ts, b.bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN k % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tx
+    FROM b JOIN probes p ON b.bucket <= p.max_bucket
+    GROUP BY 1, 2
+    """,
+)
+def k12_asof_timestamp_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entity as-of read by WALL-CLOCK TIME (snapshots.py::
+    read_asof_timestamp — r11 VERDICT #6, k11's height-keyed guarantee
+    keyed by timestamp): block timestamps are monotone in height, so a
+    timestamp resolves to max(height | block.timestamp <= ts) through
+    the newest catalog's block pin (J2's date→block as-of), then the
+    height resolves the catalog doc exactly as k11.
+
+    Same three-batch scaffold as k11 (heights 1999/3999/5999, 12-second
+    blocks: timestamp = 12*height). Probe ts=54000 (height 4500) reads
+    the height-3999 catalog; ts=23988 is EXACTLY block 1999's timestamp
+    — both resolution steps are at-or-before INCLUSIVE, so it reads the
+    height-1999 catalog; ts=24000 resolves to height 2000, a block the
+    ingest has written but whose catalog stamp (1999) lags — the newest
+    at-or-before doc still wins, the mid-ingest reader contract. The
+    oracle recomputes all three probes' per-bucket counts straight from
+    orders; a stale pin, an exclusive boundary in EITHER resolution
+    step, or a torn pair changes the hash."""
+    import shutil
+    import tempfile
+
+    from .snapshots import SnapshotCatalog
+    from .versioned import VersionedTable
+
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") >= 0) & (F.col("o_orderkey") < 6000))
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("k"),
+            block_bucket("o_orderkey").alias("bucket"),
+            (F.col("o_orderkey").cast("bigint") * 12).alias("ts"),
+        )
+    )
+    workdir = tempfile.mkdtemp(prefix="asofts_query_")
+    try:
+        cat = SnapshotCatalog(
+            spark, workdir, tables=("block", "transaction"),
+            partition_col="bucket",
+        )
+        for lo_bucket, height in ((0, 1999), (2, 3999), (4, 5999)):
+            batch = orders.filter(
+                (F.col("bucket") >= lo_bucket)
+                & (F.col("bucket") <= lo_bucket + 1)
+            )
+            VersionedTable(
+                spark, f"{workdir}/block", partition_col="bucket"
+            ).write_partitions(batch)
+            VersionedTable(
+                spark, f"{workdir}/transaction", partition_col="bucket"
+            ).write_partitions(batch.filter(F.col("k") % 3 != 0))
+            cat.commit(height=height)
+        outs = []
+        for ts in (54000, 24000, 23988):
+            nb = (
+                cat.read_asof_timestamp(
+                    "block", ts, ts_col="ts", height_col="k"
+                )
+                .groupBy("bucket")
+                .agg(F.count("*").cast("bigint").alias("n_blocks"))
+            )
+            nt = (
+                cat.read_asof_timestamp(
+                    "transaction", ts, ts_col="ts", height_col="k"
+                )
+                .groupBy("bucket")
+                .agg(F.count("*").cast("bigint").alias("n_tx"))
+            )
+            outs.append(
+                nb.join(nt, "bucket", "left")
+                .select(
+                    F.lit(ts).cast("bigint").alias("asof_ts"),
+                    F.col("bucket").cast("bigint").alias("bucket"),
+                    "n_blocks",
+                    F.coalesce(F.col("n_tx"), F.lit(0).cast("bigint")).alias(
+                        "n_tx"
+                    ),
+                )
+            )
+        full = outs[0]
+        for o in outs[1:]:
+            full = full.unionByName(o)
         return spark.createDataFrame(full.collect(), full.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
@@ -8795,6 +8973,159 @@ def v2_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "v3_bpe_merge2",
+    """
+    WITH words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+              AS w FROM documents)
+      WHERE length(w) >= 2 GROUP BY w),
+    encw AS MATERIALIZED (
+      SELECT substr(e, 1, length(e)-1) AS enc, f FROM (
+        SELECT chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31) || chr(31),
+                                         'g') AS e, f
+        FROM words)),
+    syms1 AS (
+      SELECT f, string_split(substr(enc, 2, length(enc)-2),
+                             chr(31)||chr(31)) AS a FROM encw),
+    c1 AS (
+      SELECT a[CAST(i AS INT)] AS x, a[CAST(i AS INT)+1] AS y,
+             CAST(SUM(f) AS BIGINT) AS cnt
+      FROM syms1, unnest(range(1, len(a))) t(i) GROUP BY 1, 2),
+    m1 AS (SELECT x, y, cnt FROM c1 ORDER BY cnt DESC, x, y LIMIT 1),
+    enc2 AS MATERIALIZED (
+      SELECT replace(enc, chr(31)||m1.x||chr(31)||chr(31)||m1.y||chr(31),
+                     chr(31)||m1.x||m1.y||chr(31)) AS enc, f
+      FROM encw, m1),
+    syms2 AS (
+      SELECT f, string_split(substr(enc, 2, length(enc)-2),
+                             chr(31)||chr(31)) AS a FROM enc2),
+    c2 AS (
+      SELECT a[CAST(i AS INT)] AS x, a[CAST(i AS INT)+1] AS y,
+             CAST(SUM(f) AS BIGINT) AS cnt
+      FROM syms2, unnest(range(1, len(a))) t(i) GROUP BY 1, 2),
+    m2 AS (SELECT x, y, cnt FROM c2 ORDER BY cnt DESC, x, y LIMIT 1),
+    enc3 AS (
+      SELECT replace(enc, chr(31)||m2.x||chr(31)||chr(31)||m2.y||chr(31),
+                     chr(31)||m2.x||m2.y||chr(31)) AS enc, f
+      FROM enc2, m2),
+    syms3 AS (
+      SELECT f, string_split(substr(enc, 2, length(enc)-2),
+                             chr(31)||chr(31)) AS a FROM enc3),
+    c3 AS (
+      SELECT a[CAST(i AS INT)] AS x, a[CAST(i AS INT)+1] AS y,
+             CAST(SUM(f) AS BIGINT) AS cnt
+      FROM syms3, unnest(range(1, len(a))) t(i) GROUP BY 1, 2)
+    SELECT CAST(1 AS BIGINT) AS round, x, y, cnt FROM m1
+    UNION ALL SELECT CAST(2 AS BIGINT), x, y, cnt FROM m2
+    UNION ALL SELECT CAST(3 AS BIGINT), x, y, cnt FROM
+      (SELECT x, y, cnt FROM c3 ORDER BY cnt DESC, x, y LIMIT 13) s
+    """,
+)
+def v3_bpe_merge2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, two unrolled merge rounds (r11 VERDICT
+    item #5 — v2 certifies the pair-count primitive; this applies the
+    argmax merge and recounts, the loop a real trainer runs): round 1
+    counts adjacent-symbol pairs over the character-split vocabulary,
+    picks the argmax rule (cnt desc, pair lexicographic tie-break),
+    applies it to every word, then round 2 repeats on the merged
+    symbols. Output: the two learned rules (round 1, 2) and the top-13
+    post-merge pair counts (round 3) — the latter transitively verifies
+    both merge APPLICATIONS, not just the argmaxes.
+
+    Merge application is the subtle part: BPE replaces LEFT-TO-RIGHT,
+    NON-OVERLAPPING occurrences of the rule pair within each word's
+    symbol sequence. Words are encoded as separator-framed strings —
+    chr(31) wraps the word, chr(31)chr(31) separates symbols — so the
+    standard SQL ``replace(enc, SEP+x+SEP+SEP+y+SEP, SEP+xy+SEP)``
+    implements EXACTLY that semantics in both engines (scan resumes
+    after each replacement, so 'aaaa' under the (a,a) rule becomes
+    [aa, aa], and the frame makes a symbol match whole-symbol only —
+    a suffix like the 'a' in 'ba' can never match rule-x).
+
+    Scale shape: v2's two-level rollup extended — the corpus collapses
+    to the Heaps-bounded word-frequency vocabulary ONCE (the only
+    corpus-wide shuffle, map-side combined), checkpointed, and every
+    merge round is a map-only pass + vocab-sized pair aggregate over
+    that tiny relation; each argmax rule is a 1-row broadcast. At
+    100 TB rounds cost |vocab|, not corpus. Oracle: the identical
+    chain with DuckDB's replace (same L2R non-overlap semantics)."""
+    SEP = "\x1f"
+    docs = load(spark, sf_dir, "documents", spread=True)
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    e = F.concat(F.lit(SEP), F.regexp_replace("w", "(.)", "$1" + SEP + SEP))
+    # vocab-sized and multiply consumed (round-1 counts AND the merge
+    # pass): checkpoint so the corpus collapse runs once, not per round
+    encw = words.select(
+        e.substr(F.lit(1), F.length(e) - 1).alias("enc"), "f"
+    ).localCheckpoint(eager=True)
+
+    def pair_counts(rel: DataFrame) -> DataFrame:
+        syms = rel.select(
+            F.split(
+                F.col("enc").substr(F.lit(2), F.length("enc") - 2), SEP + SEP
+            ).alias("a"),
+            "f",
+        )
+        pairs = syms.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("a") - 1),
+                    lambda i: F.struct(
+                        F.element_at("a", i).alias("x"),
+                        F.element_at(F.col("a"), i + 1).alias("y"),
+                    ),
+                )
+            ).alias("p"),
+            "f",
+        )
+        return (
+            pairs.select("p.x", "p.y", "f")
+            .groupBy("x", "y")
+            .agg(F.sum("f").cast("bigint").alias("cnt"))
+        )
+
+    def apply_rule(rel: DataFrame, rule: DataFrame) -> DataFrame:
+        # 1-row argmax rule relation: broadcast, map-only application
+        return (
+            rel.crossJoin(
+                F.broadcast(
+                    rule.select(F.col("x").alias("mx"), F.col("y").alias("my"))
+                )
+            )
+            .select(
+                F.expr(
+                    "replace(enc, concat(chr(31), mx, chr(31), chr(31), my, "
+                    "chr(31)), concat(chr(31), mx, my, chr(31)))"
+                ).alias("enc"),
+                "f",
+            )
+            .localCheckpoint(eager=True)  # vocab-sized; feeds 2 consumers
+        )
+
+    c1 = pair_counts(encw)
+    m1 = c1.orderBy(F.col("cnt").desc(), "x", "y").limit(1)
+    m1 = m1.localCheckpoint(eager=True)  # 1 row; feeds output + merge
+    enc2 = apply_rule(encw, m1)
+    c2 = pair_counts(enc2)
+    m2 = c2.orderBy(F.col("cnt").desc(), "x", "y").limit(1)
+    m2 = m2.localCheckpoint(eager=True)
+    enc3 = apply_rule(enc2, m2)
+    c3_top = pair_counts(enc3).orderBy(F.col("cnt").desc(), "x", "y").limit(13)
+    rnd = lambda n, rel: rel.select(  # noqa: E731
+        F.lit(n).cast("bigint").alias("round"), "x", "y", "cnt"
+    )
+    return rnd(1, m1).unionByName(rnd(2, m2)).unionByName(rnd(3, c3_top))
+
+
+@query(
     "h1_price_histogram",
     """
     WITH b AS (
@@ -9782,7 +10113,7 @@ def an1_grouped_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rag2_diverse_retrieval",
     f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-               FROM embeddings {_duck_panel("embeddings", "vec_id", ":rag2", 16)}),
+               FROM embeddings {_duck_panel("vec_id", ":rag2", 16)}),
     scored AS (
       SELECT query_id, e.label AS label, e.vec_id AS cand_id,
              round({_DUCK_COS.format(a="qv", b="e.embedding")}, 9) AS score9
@@ -9835,7 +10166,7 @@ def rag2_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rag3_rrf_hybrid",
     f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-               FROM embeddings {_duck_panel("embeddings", "vec_id", ":rag3", 16)}),
+               FROM embeddings {_duck_panel("vec_id", ":rag3", 16)}),
     dense_scored AS (
       SELECT query_id, e.vec_id AS cand_id,
              round({_DUCK_COS.format(a="qv", b="e.embedding")}, 9) AS score9

@@ -217,15 +217,94 @@ class SnapshotCatalog:
         boundary)."""
         return self.read(name, self.version_asof(height))
 
+    def version_asof_timestamp(
+        self,
+        ts,
+        block_table: str = "block",
+        ts_col: str = "timestamp",
+        height_col: str = "block_id",
+    ) -> int:
+        """Wall-clock as-of (r11 VERDICT #6): resolve ``ts`` to a chain
+        height, then delegate to ``version_asof``. Block timestamps are
+        monotone in height, so the resolution is J2's date→block as-of
+        — max(height) among blocks with timestamp at-or-before ``ts`` —
+        evaluated against the NEWEST committed catalog's pinned block
+        table (the canonical post-reorg chain view; a reorged-out
+        block's timestamp must not resolve). One filtered aggregate
+        over the chain-length block table (timestamp predicate pushed
+        to the scan), independent of every other entity's size. The
+        resolved height may exceed the newest catalog stamp (a block
+        read mid-ingest) — version_asof then returns the newest
+        catalog, exactly the at-or-before contract. Raises
+        FileNotFoundError when no block is at-or-before ``ts``."""
+        blk = self.read(block_table)
+        m = (
+            blk.filter(F.col(ts_col) <= ts)
+            .agg(F.max(height_col).alias("m"))
+            .collect()[0]["m"]
+        )
+        if m is None:
+            raise FileNotFoundError(
+                f"no block with {ts_col} at-or-before {ts!r}"
+            )
+        return self.version_asof(int(m))
+
+    def read_asof_timestamp(
+        self,
+        name: str,
+        ts,
+        block_table: str = "block",
+        ts_col: str = "timestamp",
+        height_col: str = "block_id",
+    ) -> DataFrame:
+        """Snapshot read pinned at ``version_asof_timestamp(ts)`` — the
+        cross-entity consistency guarantee of ``read_asof``, keyed by
+        wall-clock time instead of chain height."""
+        return self.read(
+            name,
+            self.version_asof_timestamp(ts, block_table, ts_col, height_col),
+        )
+
     def _derive_height(self, version: int | None = None) -> int | None:
         """max(block_id) of the block table as pinned by ``version``
-        (default: the published doc) — a metadata-only row-group-stats
-        aggregate. None when the doc pins no block table or it is
-        empty."""
+        (default: the published doc). Fast path: the pinned manifest's
+        recorded per-partition [min, max] stats for block_id (harvested
+        from parquet footers at commit — the ingest loop records them
+        for the block table), a pure small-file read with NO Spark job.
+        When stats don't cover every pinned partition (pre-stats
+        manifests, stats-free writers), falls back to a full
+        max(block_id) column-scan Spark job — parquet aggregate
+        pushdown is off by default, so the fallback reads the column,
+        not just footers. None when the doc pins no block table or it
+        is empty."""
         pinned = self._doc(version)["tables"].get("block")
         if pinned is None:
             return None
-        df = self.table("block").read_version(pinned)
+        return self._height_of_block_version(pinned)
+
+    def _height_of_block_version(self, pinned: int) -> int | None:
+        """max(block_id) of the block table at manifest version
+        ``pinned`` — manifest stats when complete, column scan
+        otherwise (see _derive_height's docstring)."""
+        tbl = self.table("block")
+        mpath = f"{tbl.root}/_manifests/m-{pinned:08d}.json"
+        try:
+            with open(mpath) as fh:
+                mdoc = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            mdoc = {}
+        parts = mdoc.get("partitions") or {}
+        if not parts:
+            return None  # empty pinned block table
+        stats = mdoc.get("stats") or {}
+        bounds = [
+            stats[pv]["block_id"][1]
+            for pv in parts
+            if isinstance(stats.get(pv, {}).get("block_id"), list)
+        ]
+        if len(bounds) == len(parts):
+            return max(bounds)
+        df = tbl.read_version(pinned)
         if "block_id" not in df.columns:
             return None
         return df.agg(F.max("block_id").alias("m")).collect()[0]["m"]
@@ -241,10 +320,11 @@ class SnapshotCatalog:
 
         ``height`` stamps the doc with the batch's block height (the
         ingest loop passes its batch upper bound — free); when omitted
-        it is derived from the pinned block table (one metadata-only
-        aggregate; reorg commits use this so the stamp reflects the
-        truncated chain). The stamp is what ``version_asof`` resolves
-        against."""
+        it is derived from the pinned block table — manifest block_id
+        stats when complete (no Spark job inside this single-writer
+        critical section; the ingest loop records them), a column scan
+        only for stats-free block tables (r11 ADVICE #2). The stamp is
+        what ``version_asof`` resolves against."""
         tables: dict[str, int] = {}
         for name in self.tables:
             seq = self.table(name)._published_seq()
@@ -254,11 +334,8 @@ class SnapshotCatalog:
         name = f"c-{seq:08d}.json"
         doc: dict = {"tables": tables}
         if height is None and "block" in tables:
-            vt = self.table("block")
-            df = vt.read_version(tables["block"])
-            if "block_id" in df.columns:
-                m = df.agg(F.max("block_id").alias("m")).collect()[0]["m"]
-                height = None if m is None else int(m)
+            m = self._height_of_block_version(tables["block"])
+            height = None if m is None else int(m)
         if height is not None:
             doc["height"] = int(height)
         with open(f"{self.root}/{_CDIR}/{name}", "w") as fh:

@@ -341,9 +341,17 @@ def transform_and_write_batch(
         if sink_format == "versioned":
             from ..versioned import VersionedTable
 
-            VersionedTable(spark, f"{sink_root}/{table}").write_partitions(
-                df, sort_cols=sort_cols
-            )
+            # The block table records per-partition block_id [min,max] in
+            # its manifest (footer-only harvest over the just-written
+            # dirs) so SnapshotCatalog._derive_height resolves heights
+            # from the manifest alone — no Spark scan inside the
+            # single-writer commit critical section (reorg path, height-
+            # less catalog commits). _effective_stats_cols persists the
+            # choice, so later stats-free writers keep the bounds fresh.
+            stats_cols = ["block_id"] if table == "block" else None
+            VersionedTable(
+                spark, f"{sink_root}/{table}", stats_cols=stats_cols
+            ).write_partitions(df, sort_cols=sort_cols)
         else:
             out = df
             grouped = "block_id_group" in out.columns

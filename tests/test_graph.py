@@ -440,3 +440,133 @@ def test_edge_trussness_matches_python_decomposition(spark):
         assert got == want, (seed, got, want)
         if want:
             assert min(want.values()) >= 3
+
+
+def test_ktruss_fixpoint_cap_exhaustion_raises(spark):
+    """A max_rounds cap exhausted BEFORE convergence must raise, not
+    silently return a non-fixpoint relation under a signature that
+    promises the fixpoint (r11 ADVICE #1). The graph is a searched
+    37-edge cascade whose k=4 parallel peel needs 7 rounds; the same
+    call with the default cap converges fine. A cap that lands exactly
+    ON the fixpoint (cascade depth == max_rounds) must NOT raise —
+    the post-loop probe distinguishes 'ran out' from 'just finished'."""
+    import pytest as _pytest
+
+    from graphsense_ethereum_etl_spark.operators.graph import ktruss_peel
+
+    cascade = [
+        (0, 2), (0, 3), (0, 5), (0, 8), (0, 9), (0, 10), (1, 2), (1, 3),
+        (1, 6), (1, 12), (2, 7), (2, 9), (2, 11), (3, 5), (3, 7), (3, 8),
+        (3, 9), (3, 10), (3, 11), (4, 6), (4, 7), (4, 10), (4, 11), (5, 7),
+        (5, 9), (5, 11), (5, 12), (6, 7), (6, 9), (6, 10), (6, 11), (6, 12),
+        (7, 9), (8, 10), (9, 12), (10, 11), (11, 12),
+    ]
+    df = spark.createDataFrame(cascade, "src bigint, dst bigint")
+    with _pytest.raises(ValueError, match="did not reach the fixpoint"):
+        ktruss_peel(df, k=4, rounds=None, max_rounds=2)
+    # exactly-at-depth cap: 7 removal rounds reach the fixpoint; the
+    # 7-round cap exhausts the loop but the final probe finds no dead
+    # edge, so no raise — and the result matches the uncapped run
+    capped = {
+        (r["id_a"], r["id_b"]): r["support"]
+        for r in ktruss_peel(df, k=4, rounds=None, max_rounds=7).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["support"]
+        for r in ktruss_peel(df, k=4, rounds=None).collect()
+    }
+    assert capped == full
+    # bounded mode never claims the fixpoint: same tiny cap, no raise
+    assert ktruss_peel(df, k=4, rounds=2).count() >= 0
+
+
+def test_edge_trussness_bounded_and_truncated_modes(spark):
+    """g14's registered semantics: rounds_per_level bounds each level's
+    peel (the g4/g6 fixed-iteration convention — SQL-oracle
+    expressible), truncate=True reports k_max-level survivors at the
+    cap instead of raising. Checked against a pure-Python staged peel;
+    fixpoint+truncate must equal min(full trussness, k_max)."""
+    import random
+
+    from graphsense_ethereum_etl_spark.operators.graph import edge_trussness
+
+    def support(e):
+        adj = {}
+        for a, b in e:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {ed: len(adj[ed[0]] & adj[ed[1]]) for ed in e}
+
+    def py_staged(simple, k_max, rounds):
+        # mirror the operator: relation = edges in >= 1 triangle; each
+        # round drops sub-threshold edges, then support-0 edges vanish
+        # from the relation (the support_of omission convention)
+        s = support(simple)
+        cur = {ed for ed in simple if s[ed] > 0}
+        prev, out = set(cur), {}
+        for k in range(3, k_max + 1):
+            for _ in range(rounds):
+                s = support(cur)
+                dead = {ed for ed in cur if s[ed] < k - 2}
+                if not dead:
+                    break
+                cur -= dead
+                s2 = support(cur)
+                cur = {ed for ed in cur if s2[ed] > 0}
+            surv = set(cur)
+            if k > 3:
+                for ed in prev - surv:
+                    out[ed] = k - 1
+            prev = surv
+            if not surv:
+                return out
+        for ed in prev:
+            out[ed] = k_max  # truncated: trussness >= k_max reports cap
+        return out
+
+    def py_full(simple):
+        out, cur, prev, k = {}, set(simple), None, 3
+        while True:
+            while True:
+                s = support(cur)
+                keep = {ed for ed in cur if s[ed] >= k - 2}
+                if keep == cur:
+                    break
+                cur = keep
+            if prev is not None:
+                for ed in prev - cur:
+                    out[ed] = k - 1
+            prev = cur
+            if not cur:
+                return out
+            k += 1
+
+    checked = False
+    for seed in range(4):
+        rng = random.Random(5000 + seed)
+        n = rng.randint(6, 12)
+        raw = [
+            (rng.randint(0, n - 1), rng.randint(0, n - 1))
+            for _ in range(rng.randint(15, 66))
+        ]
+        simple = {tuple(sorted(e)) for e in raw if e[0] != e[1]}
+        df = spark.createDataFrame(raw, "src bigint, dst bigint")
+        for k_max, rounds in ((4, 1), (5, 2)):
+            want = py_staged(simple, k_max, rounds)
+            got = {
+                (r["id_a"], r["id_b"]): r["trussness"]
+                for r in edge_trussness(
+                    df, k_max=k_max, rounds_per_level=rounds, truncate=True
+                ).collect()
+            }
+            assert got == want, (seed, k_max, rounds, got, want)
+            checked = checked or bool(want)
+        # fixpoint peel + truncation == min(full trussness, k_max)
+        full = py_full(simple)
+        capped = {ed: min(t, 4) for ed, t in full.items()}
+        got = {
+            (r["id_a"], r["id_b"]): r["trussness"]
+            for r in edge_trussness(df, k_max=4, truncate=True).collect()
+        }
+        assert got == capped, (seed, got, capped)
+    assert checked

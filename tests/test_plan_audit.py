@@ -141,6 +141,7 @@ BROADCAST_HINT_WHITELIST = {
     "g4_pagerank_2iter": "GATED: rank relation via evolving_hint under the measured 2*|e| vertex bound",
     "g5_sssp_bf3": "GATED: frontier/dist relations via evolving_hint under the measured vertex bound",
     "g7_label_propagation": "GATED: label relation via evolving_hint under the measured vertex bound",
+    "g14_truss_decomposition": "GATED: dead/survivor edge relations via evolving_hint under the measured 3*|triangles| incidence bound (levels peel, never re-enumerate)",
     "h2_equidepth_deciles": "BOUNDED: 1-row decile-boundary aggregate",
     "h2b_approx_deciles": "BOUNDED: 1-row approx-percentile aggregate",
     "j1_enrich_orders": "SF-DIM: customer dimension onto the orders fact",
@@ -180,6 +181,7 @@ BROADCAST_HINT_WHITELIST = {
     "t8b_approx_quantile_filter": "BOUNDED: per-language approx threshold — language domain",
     "t9_bm25_scoring": "BOUNDED: 1-row corpus-stats (N, avgdl) aggregate",
     "t11_line_dedup": "BOUNDED: Heaps-law-bounded common-line (boilerplate) set",
+    "v3_bpe_merge2": "BOUNDED: 1-row argmax merge-rule relation per round, applied map-only over the Heaps-bounded vocabulary",
     "vq2_outlier_flags": "BOUNDED: 1-row mean/stddev aggregate",
     "vq3_winsorize": "BOUNDED: 1-row percentile-pair aggregate",
 }
