@@ -286,6 +286,13 @@ def build_parser() -> ArgumentParser:
         "exclusive with --version",
     )
     snap.add_argument(
+        "--asof-ts", dest="asof_ts", type=int, default=None,
+        help="resolve the catalog AS OF a unix timestamp: monotone block "
+        "timestamps map it to a height through the newest catalog's "
+        "block pin, then as --asof — mutually exclusive with "
+        "--version/--asof",
+    )
+    snap.add_argument(
         "--vacuum-keep", dest="vacuum_keep", type=int, default=None,
         help="trim catalog docs to the newest N and vacuum each table "
         "down to the versions those docs still reference",
@@ -896,7 +903,17 @@ def cmd_snapshot(args: Namespace, spark: SparkSession) -> IngestStats:
         removed = cat.vacuum(keep_catalogs=args.vacuum_keep)
         for t, dirs in sorted(removed.items()):
             print(f"vacuumed {t}: {len(dirs)} data dirs removed")
-    if getattr(args, "asof_height", None) is not None:
+    if getattr(args, "asof_ts", None) is not None:
+        if args.cat_version is not None or getattr(args, "asof_height", None) is not None:
+            raise SystemExit(
+                "snapshot: --asof-ts is exclusive with --version/--asof"
+            )
+        try:
+            version = cat.version_asof_timestamp(args.asof_ts)
+        except FileNotFoundError as exc:
+            raise SystemExit(f"snapshot: {exc}")
+        print(f"as of timestamp {args.asof_ts}: catalog version {version}")
+    elif getattr(args, "asof_height", None) is not None:
         if args.cat_version is not None:
             raise SystemExit("snapshot: --asof and --version are exclusive")
         try:

@@ -153,9 +153,17 @@ ALWAYS_PROBE = [
     # must come back to ~linear (the panel was the super-linear term)
     "rag1_chunk_retrieval",
     "rag2_diverse_retrieval",
-    # r11 newcomers
+    # r11 newcomers (r11-verdict #7: first readings g13 3.0x wall /
+    # k11 1.5x bytes — keep on the board; dd12 7.6x is the closest-to-
+    # linear wall in the dedup family: winnowing selection is map-only,
+    # adjudicate if it crosses linear)
     "g13_ktruss_peel2",
     "ctm1_decontamination",
+    "k11_asof_catalog_read",
+    # r12 newcomers: first wall ratios
+    "g14_truss_decomposition",
+    "v3_bpe_merge2",
+    "k12_asof_timestamp_read",
 ]
 
 

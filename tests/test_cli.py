@@ -1659,3 +1659,42 @@ def test_cli_snapshot_asof(spark, tmp_path, capsys):
             ["snapshot", "-o", sink, "--asof", "9", "--version", "1"],
             spark=spark,
         )
+
+
+def test_cli_snapshot_asof_ts(spark, tmp_path, capsys):
+    """`snapshot --asof-ts UNIXTIME` resolves timestamp -> height through
+    the newest catalog's block pin (gen_chain: 12-second blocks from
+    epoch 1_600_000_000), then height -> catalog doc; pre-chain
+    timestamps fail clearly; exclusive with --asof/--version."""
+    import pytest
+
+    sink = str(tmp_path / "eth")
+    base = [
+        "ingest", "-w", "synthetic://29", "-o", sink,
+        "-b", "10", "--bucket-size", "10", "--sink-format", "versioned",
+    ]
+    main(base + ["-e", "9"], spark=spark)
+    main(base + ["-e", "29"], spark=spark)
+
+    t0 = 1_600_000_000
+    # block 9's exact stamp: height 9 -> the height-9 doc (both steps
+    # inclusive)
+    main(["snapshot", "-o", sink, "--asof-ts", str(t0 + 9 * 12)], spark=spark)
+    printed = capsys.readouterr().out
+    assert f"as of timestamp {t0 + 9 * 12}: catalog version" in printed
+    assert "max block 9" in printed
+    # block 15's stamp resolves height 15 -> still the height-9 doc (the
+    # newest at-or-before stamp; mid-ingest lag contract)
+    main(["snapshot", "-o", sink, "--asof-ts", str(t0 + 15 * 12)], spark=spark)
+    assert "max block 9" in capsys.readouterr().out
+    # far future -> newest doc
+    main(["snapshot", "-o", sink, "--asof-ts", str(t0 + 10**6)], spark=spark)
+    assert "max block 29" in capsys.readouterr().out
+
+    with pytest.raises(SystemExit, match="at-or-before"):
+        main(["snapshot", "-o", sink, "--asof-ts", str(t0 - 1)], spark=spark)
+    with pytest.raises(SystemExit, match="exclusive"):
+        main(
+            ["snapshot", "-o", sink, "--asof-ts", str(t0), "--asof", "9"],
+            spark=spark,
+        )
