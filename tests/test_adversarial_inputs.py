@@ -313,10 +313,23 @@ OPS = {
         input="edges", call=lambda sp, d: g_ops.ktruss_peel(d, k=3, rounds=1),
         contract="no_crash"),  # same kernel + incidence peel; NULL/self-
     # loop/dupe handling inherited from _oriented_triangles
+    "graph.ktruss_peel[fixpoint]": dict(
+        input="edges",
+        call=lambda sp, d: g_ops.ktruss_peel(d, k=4, rounds=None),
+        contract="no_crash"),  # triangle-free fixtures: the fixpoint
+    # probe sees an empty dead set round 1 and must exit clean (r12
+    # cap-guard must NOT fire on vacuous convergence)
     "graph.edge_trussness": dict(
         input="edges", call=lambda sp, d: g_ops.edge_trussness(d),
         contract="no_crash"),  # ascending-fixpoint chain over the same
     # incidence relation; inherits the kernel's edge contract
+    "graph.edge_trussness[bounded]": dict(
+        input="edges",
+        call=lambda sp, d: g_ops.edge_trussness(
+            d, k_max=4, rounds_per_level=1, truncate=True
+        ),
+        contract="no_crash"),  # g14's registered mode on degenerate
+    # inputs: truncation must emit nothing when no triangle survives
     # ---- joins ----
     "joins.asof_join": dict(input="custom", call=None, contract="no_crash"),
     "joins.bucketized_range_join": dict(input="custom", call=None, contract="no_crash"),
@@ -867,3 +880,20 @@ def test_bucketized_range_join_adversarial(spark):
     empty_i = spark.createDataFrame([], "iid bigint, lo double, hi double")
     assert j_ops.bucketized_range_join(empty_p, iv, "v", "lo", "hi", 4.0).count() == 0
     assert j_ops.bucketized_range_join(pts, empty_i, "v", "lo", "hi", 4.0).count() == 0
+
+
+@pytest.mark.parametrize("variant", list(EDGE_VARIANTS))
+def test_truss_modes_adversarial(spark, variant):
+    """r12 modes on degenerate inputs: ktruss_peel's fixpoint cap-guard
+    must not fire on vacuous convergence (triangle-free -> empty dead
+    set round 1), and g14's bounded+truncated decomposition must emit
+    nothing when no triangle exists — never crash, never invent
+    edges."""
+    edges = spark.createDataFrame(EDGE_VARIANTS[variant], EDGE_SCHEMA)
+    assert g_ops.ktruss_peel(edges, k=4, rounds=None).collect() == []
+    assert (
+        g_ops.edge_trussness(
+            edges, k_max=4, rounds_per_level=1, truncate=True
+        ).collect()
+        == []
+    )
