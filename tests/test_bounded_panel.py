@@ -37,7 +37,7 @@ def test_engine_parity_with_duck_mirror(spark, ids_df):
     want = sorted(
         r[0]
         for r in con.execute(
-            f"SELECT vec_id FROM t {_duck_panel('t', 'vec_id', ':t', 16)}"
+            f"SELECT vec_id FROM t {_duck_panel('vec_id', ':t', 16)}"
         ).fetchall()
     )
     assert got == want
