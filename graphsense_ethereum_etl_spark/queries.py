@@ -8972,10 +8972,84 @@ def v2_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "v3_bpe_merge2",
-    """
-    WITH words AS (
+# ---- shared BPE machinery (v3 training / v4 application) -----------------
+#
+# Words are encoded as separator-framed strings — chr(31) wraps the word,
+# chr(31)chr(31) separates symbols — so the standard SQL ``replace(enc,
+# SEP+x+SEP+SEP+y+SEP, SEP+xy+SEP)`` implements EXACTLY BPE's left-to-right
+# non-overlapping merge in both engines (scan resumes after each
+# replacement: 'aaaa' under rule (a,a) -> [aa, aa]; the frame makes rule
+# symbols match whole-symbol only — the 'a' in 'ba' can never match).
+
+_BPE_SEP = "\x1f"
+
+
+def _bpe_encode(col) -> "F.Column":
+    e = F.concat(
+        F.lit(_BPE_SEP),
+        F.regexp_replace(col, "(.)", "$1" + _BPE_SEP + _BPE_SEP),
+    )
+    return e.substr(F.lit(1), F.length(e) - 1)
+
+
+def _bpe_symbols(enc_col: str = "enc") -> "F.Column":
+    return F.split(
+        F.col(enc_col).substr(F.lit(2), F.length(enc_col) - 2),
+        _BPE_SEP + _BPE_SEP,
+    )
+
+
+def _bpe_pair_counts(rel: DataFrame) -> DataFrame:
+    """(x, y, cnt): adjacent-symbol pair frequencies weighted by word
+    frequency ``f`` — vocab-sized input, vocab-sized output."""
+    syms = rel.select(_bpe_symbols().alias("a"), "f")
+    pairs = syms.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("a") - 1),
+                lambda i: F.struct(
+                    F.element_at("a", i).alias("x"),
+                    F.element_at(F.col("a"), i + 1).alias("y"),
+                ),
+            )
+        ).alias("p"),
+        "f",
+    )
+    return (
+        pairs.select("p.x", "p.y", "f")
+        .groupBy("x", "y")
+        .agg(F.sum("f").cast("bigint").alias("cnt"))
+    )
+
+
+def _bpe_apply_rule(
+    rel: DataFrame, rule: DataFrame, keep: tuple = ("f",)
+) -> DataFrame:
+    """Apply the 1-row argmax merge rule to every encoded word — the rule
+    relation broadcasts, the application is map-only."""
+    return (
+        rel.crossJoin(
+            F.broadcast(
+                rule.select(F.col("x").alias("mx"), F.col("y").alias("my"))
+            )
+        )
+        .select(
+            F.expr(
+                "replace(enc, concat(chr(31), mx, chr(31), chr(31), my, "
+                "chr(31)), concat(chr(31), mx, my, chr(31)))"
+            ).alias("enc"),
+            *keep,
+        )
+        .localCheckpoint(eager=True)  # vocab-sized; feeds 2 consumers
+    )
+
+
+#: the DuckDB mirror of the learning chain: words -> encoded vocabulary ->
+#: round-1 pair counts -> argmax rule m1 -> merged vocabulary enc2 ->
+#: round-2 counts -> rule m2. Emitted as shared WITH-blocks so v3
+#: (training output) and v4 (application) mirror ONE definition.
+_DUCK_BPE_LEARN = """
+    words AS (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS f
       FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
               AS w FROM documents)
@@ -9004,7 +9078,14 @@ def v2_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a[CAST(i AS INT)] AS x, a[CAST(i AS INT)+1] AS y,
              CAST(SUM(f) AS BIGINT) AS cnt
       FROM syms2, unnest(range(1, len(a))) t(i) GROUP BY 1, 2),
-    m2 AS (SELECT x, y, cnt FROM c2 ORDER BY cnt DESC, x, y LIMIT 1),
+    m2 AS (SELECT x, y, cnt FROM c2 ORDER BY cnt DESC, x, y LIMIT 1)
+"""
+
+
+@query(
+    "v3_bpe_merge2",
+    f"""
+    WITH {_DUCK_BPE_LEARN},
     enc3 AS (
       SELECT replace(enc, chr(31)||m2.x||chr(31)||chr(31)||m2.y||chr(31),
                      chr(31)||m2.x||m2.y||chr(31)) AS enc, f
@@ -9050,7 +9131,6 @@ def v3_bpe_merge2(spark: SparkSession, sf_dir: str) -> DataFrame:
     that tiny relation; each argmax rule is a 1-row broadcast. At
     100 TB rounds cost |vocab|, not corpus. Oracle: the identical
     chain with DuckDB's replace (same L2R non-overlap semantics)."""
-    SEP = "\x1f"
     docs = load(spark, sf_dir, "documents", spread=True)
     words = (
         docs.select(
@@ -9060,69 +9140,136 @@ def v3_bpe_merge2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("f"))
     )
-    e = F.concat(F.lit(SEP), F.regexp_replace("w", "(.)", "$1" + SEP + SEP))
     # vocab-sized and multiply consumed (round-1 counts AND the merge
     # pass): checkpoint so the corpus collapse runs once, not per round
     encw = words.select(
-        e.substr(F.lit(1), F.length(e) - 1).alias("enc"), "f"
+        _bpe_encode("w").alias("enc"), "f"
     ).localCheckpoint(eager=True)
-
-    def pair_counts(rel: DataFrame) -> DataFrame:
-        syms = rel.select(
-            F.split(
-                F.col("enc").substr(F.lit(2), F.length("enc") - 2), SEP + SEP
-            ).alias("a"),
-            "f",
-        )
-        pairs = syms.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("a") - 1),
-                    lambda i: F.struct(
-                        F.element_at("a", i).alias("x"),
-                        F.element_at(F.col("a"), i + 1).alias("y"),
-                    ),
-                )
-            ).alias("p"),
-            "f",
-        )
-        return (
-            pairs.select("p.x", "p.y", "f")
-            .groupBy("x", "y")
-            .agg(F.sum("f").cast("bigint").alias("cnt"))
-        )
-
-    def apply_rule(rel: DataFrame, rule: DataFrame) -> DataFrame:
-        # 1-row argmax rule relation: broadcast, map-only application
-        return (
-            rel.crossJoin(
-                F.broadcast(
-                    rule.select(F.col("x").alias("mx"), F.col("y").alias("my"))
-                )
-            )
-            .select(
-                F.expr(
-                    "replace(enc, concat(chr(31), mx, chr(31), chr(31), my, "
-                    "chr(31)), concat(chr(31), mx, my, chr(31)))"
-                ).alias("enc"),
-                "f",
-            )
-            .localCheckpoint(eager=True)  # vocab-sized; feeds 2 consumers
-        )
-
-    c1 = pair_counts(encw)
+    c1 = _bpe_pair_counts(encw)
     m1 = c1.orderBy(F.col("cnt").desc(), "x", "y").limit(1)
     m1 = m1.localCheckpoint(eager=True)  # 1 row; feeds output + merge
-    enc2 = apply_rule(encw, m1)
-    c2 = pair_counts(enc2)
+    enc2 = _bpe_apply_rule(encw, m1)
+    c2 = _bpe_pair_counts(enc2)
     m2 = c2.orderBy(F.col("cnt").desc(), "x", "y").limit(1)
     m2 = m2.localCheckpoint(eager=True)
-    enc3 = apply_rule(enc2, m2)
-    c3_top = pair_counts(enc3).orderBy(F.col("cnt").desc(), "x", "y").limit(13)
+    enc3 = _bpe_apply_rule(enc2, m2)
+    c3_top = _bpe_pair_counts(enc3).orderBy(
+        F.col("cnt").desc(), "x", "y"
+    ).limit(13)
     rnd = lambda n, rel: rel.select(  # noqa: E731
         F.lit(n).cast("bigint").alias("round"), "x", "y", "cnt"
     )
     return rnd(1, m1).unionByName(rnd(2, m2)).unionByName(rnd(3, c3_top))
+
+
+@query(
+    "v4_bpe_tokenize",
+    f"""
+    WITH {_DUCK_BPE_LEARN},
+    dw AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                     AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY 1, 2),
+    applyw AS (SELECT DISTINCT w FROM dw),
+    aenc0 AS (
+      SELECT w, substr(e, 1, length(e)-1) AS enc FROM (
+        SELECT w, chr(31) || regexp_replace(w, '(.)',
+                 '\\1' || chr(31) || chr(31), 'g') AS e
+        FROM applyw)),
+    aenc1 AS (
+      SELECT w, replace(enc, chr(31)||m1.x||chr(31)||chr(31)||m1.y||chr(31),
+                        chr(31)||m1.x||m1.y||chr(31)) AS enc
+      FROM aenc0, m1),
+    aenc2 AS (
+      SELECT w, replace(enc, chr(31)||m2.x||chr(31)||chr(31)||m2.y||chr(31),
+                        chr(31)||m2.x||m2.y||chr(31)) AS enc
+      FROM aenc1, m2),
+    tok AS (
+      SELECT w, CAST(len(string_split(substr(enc, 2, length(enc)-2),
+                                      chr(31)||chr(31))) AS BIGINT) AS n_tok
+      FROM aenc2),
+    perdoc AS (
+      SELECT dw.doc_id, CAST(SUM(dw.c) AS BIGINT) AS n_words,
+             CAST(SUM(dw.c * tok.n_tok) AS BIGINT) AS n_tokens
+      FROM dw JOIN tok ON dw.w = tok.w GROUP BY 1)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_words, n_tokens
+    FROM perdoc ORDER BY n_tokens DESC, doc_id LIMIT 20
+    """,
+)
+def v4_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER APPLICATION — the step after v3's training: apply the
+    two learned merge rules to the whole corpus and count tokens per
+    document (the number an LLM-data pipeline actually bills against a
+    token budget), reporting the top-20 documents by (n_tokens,
+    doc_id). Training follows v3 exactly (rules learned on the >= 2-char
+    word vocabulary); application tokenizes EVERY word — single-char
+    words are one token by construction, merges can't touch them.
+
+    Scale shape — tokenize the VOCABULARY, not the corpus: the corpus
+    collapses once to per-(doc, word) counts (the only corpus-keyed
+    shuffle), the distinct-word relation rolls up from that same
+    exchange, the encode→merge→merge→count chain runs over the
+    Heaps-bounded vocabulary (map-only, 1-row broadcast rules), and the
+    per-doc token sum is a broadcast join of the tokenized vocab back
+    onto the (doc, word, c) relation — at 100 TB every post-collapse
+    stage costs |vocab|, and the expensive string work is paid once per
+    DISTINCT word instead of once per occurrence. Top-20 via
+    TakeOrderedAndProject. Oracle: the shared learning blocks + the
+    identical application chain in DuckDB."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    dw = (
+        docs.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    trainw = (
+        dw.filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.sum("c").cast("bigint").alias("f"))
+    )
+    encw = trainw.select(
+        _bpe_encode("w").alias("enc"), "f"
+    ).localCheckpoint(eager=True)
+    m1 = (
+        _bpe_pair_counts(encw)
+        .orderBy(F.col("cnt").desc(), "x", "y")
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    m2 = (
+        _bpe_pair_counts(_bpe_apply_rule(encw, m1))
+        .orderBy(F.col("cnt").desc(), "x", "y")
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    aenc = dw.select("w").distinct().select(
+        "w", _bpe_encode("w").alias("enc")
+    )
+    aenc = _bpe_apply_rule(_bpe_apply_rule(aenc, m1, keep=("w",)), m2,
+                           keep=("w",))
+    tok = aenc.select(
+        "w", F.size(_bpe_symbols()).cast("bigint").alias("n_tok")
+    )
+    perdoc = (
+        dw.join(F.broadcast(tok), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_tok")).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return perdoc.select("doc_id", "n_words", "n_tokens").orderBy(
+        F.col("n_tokens").desc(), "doc_id"
+    ).limit(20)
 
 
 @query(

@@ -182,6 +182,7 @@ BROADCAST_HINT_WHITELIST = {
     "t9_bm25_scoring": "BOUNDED: 1-row corpus-stats (N, avgdl) aggregate",
     "t11_line_dedup": "BOUNDED: Heaps-law-bounded common-line (boilerplate) set",
     "v3_bpe_merge2": "BOUNDED: 1-row argmax merge-rule relation per round, applied map-only over the Heaps-bounded vocabulary",
+    "v4_bpe_tokenize": "BOUNDED: 1-row merge rules + the Heaps-bounded tokenized-vocabulary relation joined back onto per-doc word counts (lm1's model-broadcast convention)",
     "vq2_outlier_flags": "BOUNDED: 1-row mean/stddev aggregate",
     "vq3_winsorize": "BOUNDED: 1-row percentile-pair aggregate",
 }
