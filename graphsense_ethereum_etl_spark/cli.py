@@ -400,7 +400,7 @@ def build_parser() -> ArgumentParser:
             "ann-build", "ann-search", "embed", "dupspan", "classify",
             "dedup-gate", "wsample", "split", "profile",
             "dedup-index", "dedup-probe", "dedup-compact", "outliers",
-            "mix",
+            "mix", "tokenize",
         ],
         help="which curation pass to run over the input documents table",
     )
@@ -466,6 +466,11 @@ def build_parser() -> ArgumentParser:
     corpus.add_argument(
         "--seq-len", dest="seq_len", type=int, default=256,
         help="pack: tokens per training sequence",
+    )
+    corpus.add_argument(
+        "--bpe-merges", dest="bpe_merges", type=int, default=2,
+        help="tokenize: BPE merge rules to train before counting tokens "
+        "(0 = plain character counts per word)",
     )
     corpus.add_argument(
         "--shard-col", dest="shard_col", default="source",
@@ -1399,6 +1404,15 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
             raise SystemExit("corpus split: --cuts must be 'LO,HI' integers")
         out = grouped_split(
             docs, group_col=args.group_col, cuts=(lo, hi), salt=args.salt
+        )
+    elif args.operation == "tokenize":
+        from .operators.corpus import bpe_token_counts
+
+        out = bpe_token_counts(
+            docs,
+            merges=args.bpe_merges,
+            text_col=args.text_col,
+            id_col=args.id_col,
         )
     elif args.operation == "profile":
         from .operators.quality import profile_table

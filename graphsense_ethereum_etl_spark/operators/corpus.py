@@ -865,3 +865,175 @@ def token_budget_mix(
         .filter(F.col("cum_tokens") <= b)
         .drop("_toks")
     )
+
+
+# ---- BPE tokenizer: train merge rules, apply, count tokens ---------------
+#
+# Words are encoded as separator-framed strings — chr(31) wraps the word,
+# chr(31)chr(31) separates symbols — so the standard ``replace(enc,
+# SEP+x+SEP+SEP+y+SEP, SEP+xy+SEP)`` implements EXACTLY BPE's left-to-right
+# non-overlapping merge semantics (scan resumes after each replacement:
+# 'aaaa' under rule (a,a) -> [aa, aa]; the frame makes rule symbols match
+# whole-symbol only — the 'a' in 'ba' can never match). The same encoding
+# is mirrored verbatim in the v3/v4 DuckDB oracles (queries.py).
+
+_BPE_SEP = "\x1f"
+
+
+def _bpe_encode(col) -> "F.Column":
+    e = F.concat(
+        F.lit(_BPE_SEP),
+        F.regexp_replace(col, "(.)", "$1" + _BPE_SEP + _BPE_SEP),
+    )
+    return e.substr(F.lit(1), F.length(e) - 1)
+
+
+def _bpe_symbols(enc_col: str = "enc") -> "F.Column":
+    return F.split(
+        F.col(enc_col).substr(F.lit(2), F.length(enc_col) - 2),
+        _BPE_SEP + _BPE_SEP,
+    )
+
+
+def _bpe_pair_counts(rel: DataFrame) -> DataFrame:
+    """(x, y, cnt): adjacent-symbol pair frequencies weighted by word
+    frequency ``f`` — vocab-sized input, vocab-sized output. Single-
+    symbol words (every >= 2-char word after enough merges) contribute
+    no pairs: the size guard matters because Spark's ``sequence(1, 0)``
+    DESCENDS instead of yielding empty, so an index-arithmetic
+    formulation walks off the array under ANSI (found by the 'aa'
+    hand-example; lm1's guarded arrays_zip convention instead)."""
+    syms = rel.select(_bpe_symbols().alias("a"), "f")
+    n = F.size("a")
+    pairs = syms.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.arrays_zip(
+                    F.slice("a", 1, n - 1).alias("x"),
+                    F.slice("a", 2, n - 1).alias("y"),
+                ),
+            ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+        ).alias("p"),
+        "f",
+    )
+    return (
+        pairs.select("p.x", "p.y", "f")
+        .groupBy("x", "y")
+        .agg(F.sum("f").cast("bigint").alias("cnt"))
+    )
+
+
+def _bpe_apply_rule(
+    rel: DataFrame, rule: DataFrame, keep: tuple = ("f",)
+) -> DataFrame:
+    """Apply the 1-row argmax merge rule to every encoded word — the rule
+    relation broadcasts, the application is map-only."""
+    return (
+        rel.crossJoin(
+            F.broadcast(
+                rule.select(F.col("x").alias("mx"), F.col("y").alias("my"))
+            )
+        )
+        .select(
+            F.expr(
+                "replace(enc, concat(chr(31), mx, chr(31), chr(31), my, "
+                "chr(31)), concat(chr(31), mx, my, chr(31)))"
+            ).alias("enc"),
+            *keep,
+        )
+        .localCheckpoint(eager=True)  # vocab-sized; feeds 2 consumers
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """(id, n_words, n_tokens): train ``merges`` BPE merge rules on the
+    corpus (rules learned on the >= 2-char word vocabulary, argmax pair
+    by (cnt desc, pair) each round — v3's certified convention), apply
+    them to every word, and count tokens per document. The number an
+    LLM-data pipeline bills against a token budget, under the corpus's
+    OWN tokenizer instead of a whitespace proxy.
+
+    Scale shape — tokenize the VOCABULARY, not the corpus: the corpus
+    collapses once to per-(doc, word) counts (the only corpus-keyed
+    shuffle); training and the encode→merge→count chain run over the
+    Heaps-bounded distinct-word relation (map-only passes + 1-row
+    broadcast rules); per-doc sums broadcast-join the tokenized vocab
+    back onto the (doc, word, count) relation (``broadcast_vocab=False``
+    is the web-scale-vocabulary fallback: a co-partitioned shuffle join,
+    lm1's convention). Expensive string work is paid once per DISTINCT
+    word, never per occurrence.
+
+    Row conservation: one output row per input id — docs with NULL/empty
+    text report (0, 0) instead of vanishing (the r6/r7 no-silent-drop
+    rule). A training round whose argmax is unlearnable (no pair occurs
+    — empty or all-single-char vocabulary) STOPS the ascent early
+    instead of cross-joining an empty rule (which would wipe the
+    relation): with zero learnable rules tokens == characters."""
+    if merges < 0:
+        raise ValueError(f"merges must be >= 0, got {merges}")
+    dw = (
+        docs.select(
+            F.col(id_col).cast("bigint").alias(id_col),
+            F.explode(
+                F.split(
+                    F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                    r"\s+",
+                )
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy(id_col, "w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    trainw = (
+        dw.filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.sum("c").cast("bigint").alias("f"))
+    )
+    enc = trainw.select(_bpe_encode("w").alias("enc"), "f").localCheckpoint(
+        eager=True
+    )
+    rules = []
+    for _ in range(merges):
+        m = (
+            _bpe_pair_counts(enc)
+            .orderBy(F.col("cnt").desc(), "x", "y")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        if m.count() == 0:
+            break  # nothing left to merge — stop, don't wipe the relation
+        rules.append(m)
+        enc = _bpe_apply_rule(enc, m)
+    aenc = dw.select("w").distinct().select("w", _bpe_encode("w").alias("enc"))
+    for m in rules:
+        aenc = _bpe_apply_rule(aenc, m, keep=("w",))
+    tok = aenc.select(
+        "w", F.size(_bpe_symbols()).cast("bigint").alias("n_tok")
+    )
+    perdoc = (
+        dw.join(F.broadcast(tok) if broadcast_vocab else tok, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_tok")).cast("bigint").alias("n_tokens"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        docs.select(F.col(id_col).cast("bigint").alias(id_col))
+        .distinct()
+        .join(perdoc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", zero).alias("n_words"),
+            F.coalesce("n_tokens", zero).alias("n_tokens"),
+        )
+    )

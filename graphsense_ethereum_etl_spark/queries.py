@@ -8974,75 +8974,17 @@ def v2_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- shared BPE machinery (v3 training / v4 application) -----------------
 #
-# Words are encoded as separator-framed strings — chr(31) wraps the word,
-# chr(31)chr(31) separates symbols — so the standard SQL ``replace(enc,
-# SEP+x+SEP+SEP+y+SEP, SEP+xy+SEP)`` implements EXACTLY BPE's left-to-right
-# non-overlapping merge in both engines (scan resumes after each
-# replacement: 'aaaa' under rule (a,a) -> [aa, aa]; the frame makes rule
-# symbols match whole-symbol only — the 'a' in 'ba' can never match).
+# The Spark-side kernels (separator-framed encode, pair counts, 1-row
+# broadcast merge application) live in operators/corpus.py next to the
+# public ``bpe_token_counts`` operator; the encoding contract is
+# documented there and mirrored verbatim by the SQL below.
 
-_BPE_SEP = "\x1f"
-
-
-def _bpe_encode(col) -> "F.Column":
-    e = F.concat(
-        F.lit(_BPE_SEP),
-        F.regexp_replace(col, "(.)", "$1" + _BPE_SEP + _BPE_SEP),
-    )
-    return e.substr(F.lit(1), F.length(e) - 1)
-
-
-def _bpe_symbols(enc_col: str = "enc") -> "F.Column":
-    return F.split(
-        F.col(enc_col).substr(F.lit(2), F.length(enc_col) - 2),
-        _BPE_SEP + _BPE_SEP,
-    )
-
-
-def _bpe_pair_counts(rel: DataFrame) -> DataFrame:
-    """(x, y, cnt): adjacent-symbol pair frequencies weighted by word
-    frequency ``f`` — vocab-sized input, vocab-sized output."""
-    syms = rel.select(_bpe_symbols().alias("a"), "f")
-    pairs = syms.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("a") - 1),
-                lambda i: F.struct(
-                    F.element_at("a", i).alias("x"),
-                    F.element_at(F.col("a"), i + 1).alias("y"),
-                ),
-            )
-        ).alias("p"),
-        "f",
-    )
-    return (
-        pairs.select("p.x", "p.y", "f")
-        .groupBy("x", "y")
-        .agg(F.sum("f").cast("bigint").alias("cnt"))
-    )
-
-
-def _bpe_apply_rule(
-    rel: DataFrame, rule: DataFrame, keep: tuple = ("f",)
-) -> DataFrame:
-    """Apply the 1-row argmax merge rule to every encoded word — the rule
-    relation broadcasts, the application is map-only."""
-    return (
-        rel.crossJoin(
-            F.broadcast(
-                rule.select(F.col("x").alias("mx"), F.col("y").alias("my"))
-            )
-        )
-        .select(
-            F.expr(
-                "replace(enc, concat(chr(31), mx, chr(31), chr(31), my, "
-                "chr(31)), concat(chr(31), mx, my, chr(31)))"
-            ).alias("enc"),
-            *keep,
-        )
-        .localCheckpoint(eager=True)  # vocab-sized; feeds 2 consumers
-    )
-
+from .operators.corpus import (  # noqa: E402
+    _bpe_apply_rule,
+    _bpe_encode,
+    _bpe_pair_counts,
+    bpe_token_counts,
+)
 
 #: the DuckDB mirror of the learning chain: words -> encoded vocabulary ->
 #: round-1 pair counts -> argmax rule m1 -> merged vocabulary enc2 ->
@@ -9220,56 +9162,10 @@ def v4_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. Oracle: the shared learning blocks + the
     identical application chain in DuckDB."""
     docs = load(spark, sf_dir, "documents", spread=True)
-    dw = (
-        docs.select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            F.explode(
-                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-            ).alias("w"),
-        )
-        .filter(F.col("w") != "")
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").cast("bigint").alias("c"))
-    )
-    trainw = (
-        dw.filter(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.sum("c").cast("bigint").alias("f"))
-    )
-    encw = trainw.select(
-        _bpe_encode("w").alias("enc"), "f"
-    ).localCheckpoint(eager=True)
-    m1 = (
-        _bpe_pair_counts(encw)
-        .orderBy(F.col("cnt").desc(), "x", "y")
-        .limit(1)
-        .localCheckpoint(eager=True)
-    )
-    m2 = (
-        _bpe_pair_counts(_bpe_apply_rule(encw, m1))
-        .orderBy(F.col("cnt").desc(), "x", "y")
-        .limit(1)
-        .localCheckpoint(eager=True)
-    )
-    aenc = dw.select("w").distinct().select(
-        "w", _bpe_encode("w").alias("enc")
-    )
-    aenc = _bpe_apply_rule(_bpe_apply_rule(aenc, m1, keep=("w",)), m2,
-                           keep=("w",))
-    tok = aenc.select(
-        "w", F.size(_bpe_symbols()).cast("bigint").alias("n_tok")
-    )
-    perdoc = (
-        dw.join(F.broadcast(tok), "w")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("bigint").alias("n_words"),
-            F.sum(F.col("c") * F.col("n_tok")).cast("bigint").alias("n_tokens"),
-        )
-    )
-    return perdoc.select("doc_id", "n_words", "n_tokens").orderBy(
-        F.col("n_tokens").desc(), "doc_id"
-    ).limit(20)
+    counts = bpe_token_counts(docs, merges=2)
+    # the operator conserves rows (0-token docs report (0,0)); the
+    # (n_tokens desc, doc_id) top-20 never admits them at any tested SF
+    return counts.orderBy(F.col("n_tokens").desc(), "doc_id").limit(20)
 
 
 @query(

@@ -170,6 +170,11 @@ OPS = {
     "corpus.semantic_dedup_keepers": dict(
         input="docs_vec", call=lambda sp, d: c_ops.semantic_dedup_keepers(d, n_clusters=2),
         contract="per_doc", id_out="doc_id"),
+    "corpus.bpe_token_counts": dict(
+        input="docs",
+        call=lambda sp, d: c_ops.bpe_token_counts(d, merges=2),
+        contract="per_doc", id_out="doc_id"),  # NULL/empty-text docs
+    # conserve rows as (0,0); unlearnable merge rounds stop early
     "corpus.bigram_commonness": dict(
         input="docs", call=lambda sp, d: c_ops.bigram_commonness(d),
         contract="per_doc", id_out="doc_id"),

@@ -1698,3 +1698,43 @@ def test_cli_snapshot_asof_ts(spark, tmp_path, capsys):
             ["snapshot", "-o", sink, "--asof-ts", str(t0), "--asof", "9"],
             spark=spark,
         )
+
+
+def test_cli_corpus_tokenize(spark, tmp_path):
+    """`corpus tokenize`: trains --bpe-merges rules on the input corpus
+    and writes per-doc (n_words, n_tokens) — row-conserving, and more
+    merges can only shrink token counts (merges only ever join
+    symbols)."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out2 = str(tmp_path / "tok2")
+    out0 = str(tmp_path / "tok0")
+    main(["corpus", "tokenize", "-i", src, "-o", out2], spark=spark)
+    main(
+        ["corpus", "tokenize", "-i", src, "-o", out0, "--bpe-merges", "0"],
+        spark=spark,
+    )
+    t2 = spark.read.parquet(out2)
+    t0 = spark.read.parquet(out0)
+    n_docs = spark.read.parquet(src).count()
+    assert t2.count() == n_docs and t0.count() == n_docs
+    assert set(t2.columns) == {"doc_id", "n_words", "n_tokens"}
+    from pyspark.sql import functions as F
+
+    joined = (
+        t2.alias("a")
+        .join(t0.alias("b"), "doc_id")
+        .select(
+            F.col("a.n_tokens").alias("merged"),
+            F.col("b.n_tokens").alias("chars"),
+            F.col("a.n_words").alias("wa"),
+            F.col("b.n_words").alias("wb"),
+        )
+    )
+    bad = joined.filter(
+        (F.col("merged") > F.col("chars"))  # merges never grow counts
+        | (F.col("merged") < F.col("wa"))   # >= one token per word
+        | (F.col("wa") != F.col("wb"))      # word counts merge-invariant
+    ).count()
+    assert bad == 0
+    # two merges must actually bite somewhere on a real corpus
+    assert joined.filter(F.col("merged") < F.col("chars")).count() > 0

@@ -406,3 +406,46 @@ def test_token_budget_mix_properties(spark):
 
     with _pytest.raises(ValueError, match="budget"):
         token_budget_mix(df, budget=-1, token_col="toks")
+
+
+def test_bpe_token_counts_hand_example(spark):
+    """bpe_token_counts vs a hand-worked example: corpus 'aa aa ab' /
+    'a aa b' / NULL. Training vocabulary (>= 2 chars): aa(f=2), ab(f=1).
+    Round 1 argmax = (a,a) [cnt 2]; after merging, the only pair left is
+    (a,b) [cnt 1] -> round 2 rule. Tokens: every word collapses to ONE
+    token under both rules; single-char words are one token always;
+    NULL-text docs conserve rows as (0,0)."""
+    from graphsense_ethereum_etl_spark.operators.corpus import (
+        bpe_token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa ab"), (2, "a aa b"), (3, None)],
+        "doc_id bigint, text string",
+    )
+
+    def counts(merges):
+        return {
+            r["doc_id"]: (r["n_words"], r["n_tokens"])
+            for r in bpe_token_counts(docs, merges=merges).collect()
+        }
+
+    assert counts(2) == {1: (3, 3), 2: (3, 3), 3: (0, 0)}
+    # one merge: (a,a) only — 'ab' stays two tokens
+    assert counts(1) == {1: (3, 4), 2: (3, 3), 3: (0, 0)}
+    # zero merges: tokens == characters
+    assert counts(0) == {1: (3, 6), 2: (3, 4), 3: (0, 0)}
+    # unlearnable rounds stop early instead of wiping the relation:
+    # all-single-char corpus has an EMPTY training vocabulary
+    single = spark.createDataFrame(
+        [(1, "a b a"), (2, "c")], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_token_counts(single, merges=3).collect()
+    }
+    assert got == {1: (3, 3), 2: (1, 1)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="merges"):
+        bpe_token_counts(docs, merges=-1)
