@@ -5063,12 +5063,12 @@ def k11_asof_catalog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k12_asof_timestamp_read",
     """
     WITH b AS (
-      SELECT CAST(FLOOR(o_orderkey / 1000) AS BIGINT) AS bucket,
+      SELECT CAST(FLOOR(o_orderkey / 500) AS BIGINT) AS bucket,
              CAST(o_orderkey AS BIGINT) AS k
-      FROM orders WHERE o_orderkey >= 0 AND o_orderkey < 6000),
+      FROM orders WHERE o_orderkey >= 0 AND o_orderkey < 1500),
     probes(asof_ts, max_bucket) AS (
-      VALUES (CAST(54000 AS BIGINT), 3), (CAST(24000 AS BIGINT), 1),
-             (CAST(23988 AS BIGINT), 1))
+      VALUES (CAST(13200 AS BIGINT), 1), (CAST(7200 AS BIGINT), 0),
+             (CAST(5988 AS BIGINT), 0))
     SELECT p.asof_ts, b.bucket,
            CAST(COUNT(*) AS BIGINT) AS n_blocks,
            CAST(SUM(CASE WHEN k % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -5085,12 +5085,14 @@ def k12_asof_timestamp_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     the newest catalog's block pin (J2's date→block as-of), then the
     height resolves the catalog doc exactly as k11.
 
-    Same three-batch scaffold as k11 (heights 1999/3999/5999, 12-second
-    blocks: timestamp = 12*height). Probe ts=54000 (height 4500) reads
-    the height-3999 catalog; ts=23988 is EXACTLY block 1999's timestamp
-    — both resolution steps are at-or-before INCLUSIVE, so it reads the
-    height-1999 catalog; ts=24000 resolves to height 2000, a block the
-    ingest has written but whose catalog stamp (1999) lags — the newest
+    k11's three-batch scaffold compressed onto the dense orderkey range
+    [0, 1500) so every tier down to sf0.001 has all the blocks the
+    resolution scans (heights 499/999/1499, 500-key buckets, 12-second
+    blocks: timestamp = 12*height). Probe ts=13200 (height 1100) reads
+    the height-999 catalog; ts=5988 is EXACTLY block 499's timestamp —
+    both resolution steps are at-or-before INCLUSIVE, so it reads the
+    height-499 catalog; ts=7200 resolves to height 600, a block the
+    ingest has written but whose catalog stamp (499) lags — the newest
     at-or-before doc still wins, the mid-ingest reader contract. The
     oracle recomputes all three probes' per-bucket counts straight from
     orders; a stale pin, an exclusive boundary in EITHER resolution
@@ -5103,10 +5105,12 @@ def k12_asof_timestamp_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = (
         load(spark, sf_dir, "orders")
-        .filter((F.col("o_orderkey") >= 0) & (F.col("o_orderkey") < 6000))
+        .filter((F.col("o_orderkey") >= 0) & (F.col("o_orderkey") < 1500))
         .select(
             F.col("o_orderkey").cast("bigint").alias("k"),
-            block_bucket("o_orderkey").alias("bucket"),
+            (F.col("o_orderkey").cast("bigint") / 500)
+            .cast("bigint")
+            .alias("bucket"),
             (F.col("o_orderkey").cast("bigint") * 12).alias("ts"),
         )
     )
@@ -5116,11 +5120,8 @@ def k12_asof_timestamp_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, workdir, tables=("block", "transaction"),
             partition_col="bucket",
         )
-        for lo_bucket, height in ((0, 1999), (2, 3999), (4, 5999)):
-            batch = orders.filter(
-                (F.col("bucket") >= lo_bucket)
-                & (F.col("bucket") <= lo_bucket + 1)
-            )
+        for bucket, height in ((0, 499), (1, 999), (2, 1499)):
+            batch = orders.filter(F.col("bucket") == bucket)
             VersionedTable(
                 spark, f"{workdir}/block", partition_col="bucket"
             ).write_partitions(batch)
@@ -5129,7 +5130,7 @@ def k12_asof_timestamp_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).write_partitions(batch.filter(F.col("k") % 3 != 0))
             cat.commit(height=height)
         outs = []
-        for ts in (54000, 24000, 23988):
+        for ts in (13200, 7200, 5988):
             nb = (
                 cat.read_asof_timestamp(
                     "block", ts, ts_col="ts", height_col="k"

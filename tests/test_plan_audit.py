@@ -181,7 +181,9 @@ BROADCAST_HINT_WHITELIST = {
     "t8b_approx_quantile_filter": "BOUNDED: per-language approx threshold — language domain",
     "t9_bm25_scoring": "BOUNDED: 1-row corpus-stats (N, avgdl) aggregate",
     "t11_line_dedup": "BOUNDED: Heaps-law-bounded common-line (boilerplate) set",
-    "v3_bpe_merge2": "BOUNDED: 1-row argmax merge-rule relation per round, applied map-only over the Heaps-bounded vocabulary",
+    # v3_bpe_merge2 needs no entry: its 1-row rule broadcasts run inside
+    # eagerly-checkpointed sub-jobs (vocab-sized merge passes), so the
+    # registered plan the audit analyzes contains no hint at all.
     "v4_bpe_tokenize": "BOUNDED: 1-row merge rules + the Heaps-bounded tokenized-vocabulary relation joined back onto per-doc word counts (lm1's model-broadcast convention)",
     "vq2_outlier_flags": "BOUNDED: 1-row mean/stddev aggregate",
     "vq3_winsorize": "BOUNDED: 1-row percentile-pair aggregate",
