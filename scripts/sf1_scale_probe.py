@@ -163,6 +163,7 @@ ALWAYS_PROBE = [
     # r12 newcomers: first wall ratios
     "g14_truss_decomposition",
     "v3_bpe_merge2",
+    "v4_bpe_tokenize",
     "k12_asof_timestamp_read",
 ]
 
