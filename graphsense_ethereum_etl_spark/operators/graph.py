@@ -746,7 +746,14 @@ def edge_trussness(
                     [a, b],
                     "left_anti",
                 )
-            t = t.localCheckpoint(eager=True)
+            # bounded mode keeps t LAZY: the anti-joins are map-only
+            # (broadcast dead off the checkpointed sup), so re-running
+            # the short chain from the enumerated base inside each sup
+            # aggregation is cheaper than an eager materialization +
+            # barrier per round; fixpoint mode still flattens (unbounded
+            # round count would stack unbounded lineage)
+            if rounds_per_level is None:
+                t = t.localCheckpoint(eager=True)
             sup = support_of(t).localCheckpoint(eager=True)
         survivors = sup.select("id_a", "id_b")
         # edges alive in the (k-1)-fixpoint but not the k-fixpoint peel

@@ -1410,3 +1410,65 @@ def ivfpq_search(
         queries, coarse, cb, cand, dim=dim, m=m, nprobe=nprobe, k=k,
         id_col=id_col, vec_col=vec_col,
     )
+
+
+def ivfpq_refine(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    shortlist: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, cand_id, exact_dist, rank) — EXACT re-rank of an ADC
+    shortlist: FAISS's IndexRefineFlat stage, the second half of the
+    production two-stage recipe (cheap compressed-domain recall with a
+    generous k, then exact distances on the tiny survivor set to repair
+    PQ's quantization error before the final cut). ``shortlist`` is any
+    (query_id, cand_id) relation — ivfpq_topk/pq_adc_topk output.
+
+    Distances are integer L2 on km1's fixed-point quantization
+    (floor((x+1.0)*2^20) per component — the same domain the ADC stage
+    scores in), so the refine is engine-exact: per-dim diffs are <=
+    2^21, squares <= 2^42, a 64-dim sum < 2^48 — no overflow, no
+    tolerance boolean in the oracle.
+
+    Plan shape: the shortlist is (queries x k_adc)-bounded, so it and
+    the query-vector relation BROADCAST; one corpus scan fetches the
+    candidate vectors (a broadcast semi-shaped join — at rest you'd
+    point-read the id list instead), the zip_with/aggregate distance
+    fold is whole-stage-codegen JVM work, and the final top-k windows
+    over shortlist-sized data. Nothing corpus-sized ever shuffles."""
+    cand = shortlist.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("cand_id").cast("bigint").alias("cand_id"),
+    )
+    cv = embeddings.select(
+        F.col(id_col).cast("bigint").alias("cand_id"),
+        _pq_quantize(vec_col).alias("cv"),
+    )
+    qv = queries.select(
+        F.col(id_col).cast("bigint").alias("query_id"),
+        _pq_quantize(vec_col).alias("qv"),
+    )
+    fetched = cv.join(F.broadcast(cand), "cand_id")
+    paired = fetched.join(F.broadcast(qv), "query_id")
+    dist = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = paired.select(
+        "query_id", "cand_id", dist.alias("exact_dist")
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist"), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "cand_id",
+            F.col("exact_dist").cast("bigint").alias("exact_dist"), "rank",
+        )
+    )

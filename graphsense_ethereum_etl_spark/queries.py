@@ -3497,10 +3497,11 @@ def sim6_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim7_ivfpq_adc",
-    """
-    WITH xq AS (
+#: sim7's full integer-exact IVF-PQ index build + ADC chain as shared
+#: WITH-blocks (quantize -> coarse -> assign -> residual PQ -> codes ->
+#: probe LUTs -> ADC -> ranked); sim9 appends an exact re-rank stage.
+_DUCK_IVFPQ_CHAIN = """
+    xq AS (
       SELECT vec_id AS vid, i.i - 1 AS pos,
              CAST(FLOOR((CAST(embedding[i.i] AS DOUBLE) + 1.0) * 1048576)
                   AS BIGINT) AS xv
@@ -3568,6 +3569,13 @@ def sim6_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY adc_dist, cand_id) AS rn
       FROM adc)
+"""
+
+
+@query(
+    "sim7_ivfpq_adc",
+    f"""
+    WITH {_DUCK_IVFPQ_CHAIN}
     SELECT CAST(query_id AS BIGINT) AS query_id,
            CAST(cand_id AS BIGINT) AS cand_id,
            CAST(adc_dist AS BIGINT) AS adc_dist, CAST(rn AS BIGINT) AS rank
@@ -3606,6 +3614,57 @@ def sim7_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_codes=16,
         k=10,
     )
+
+
+@query(
+    "sim9_ivfpq_refine",
+    f"""
+    WITH {_DUCK_IVFPQ_CHAIN},
+    short AS (SELECT query_id, cand_id FROM ranked WHERE rn <= 10),
+    refine AS (
+      SELECT s.query_id, s.cand_id,
+             SUM((xa.xv - xb.xv) * (xa.xv - xb.xv)) AS exact_dist
+      FROM short s
+      JOIN xq xa ON xa.vid = s.query_id
+      JOIN xq xb ON xb.vid = s.cand_id AND xb.pos = xa.pos
+      GROUP BY 1, 2),
+    rer AS (
+      SELECT query_id, cand_id, exact_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY exact_dist, cand_id) AS rn
+      FROM refine)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(cand_id AS BIGINT) AS cand_id,
+           CAST(exact_dist AS BIGINT) AS exact_dist,
+           CAST(rn AS BIGINT) AS rank
+    FROM rer WHERE rn <= 5
+    """,
+)
+def sim9_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage production ANN (operators/similarity.py::ivfpq_refine —
+    FAISS IndexRefineFlat over IndexIVFPQ): sim7's compressed-domain ADC
+    recall keeps a GENEROUS top-10 shortlist per query, then exact
+    integer-L2 on the original (quantized) vectors re-ranks the
+    shortlist and keeps the final top-5 — the recall/precision split
+    every billion-scale deployment runs, because ADC's quantization
+    error reorders near-ties that the cheap second stage repairs while
+    touching only queries x k_adc vectors.
+
+    Scale shape: stage 1 is sim7's audited plan (broadcast codebooks,
+    one inverted-list exchange); stage 2 broadcasts the bounded
+    shortlist + query vectors, fetches candidate vectors in ONE corpus
+    scan, folds the distance in whole-stage codegen (zip_with +
+    aggregate — no Python), and windows over shortlist-sized data.
+    Oracle: sim7's shared WITH-chain + the identical refine stage; all
+    distances exact BIGINTs in both engines."""
+    from .operators.similarity import ivfpq_refine, ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    queries = emb.filter(F.col("vec_id") < 5)
+    short = ivfpq_topk(
+        emb, queries, dim=64, n_clusters=8, nprobe=2, m=8, n_codes=16, k=10
+    )
+    return ivfpq_refine(emb, queries, short, k=5)
 
 
 @query(

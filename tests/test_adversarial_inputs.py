@@ -444,6 +444,15 @@ OPS = {
         call=lambda sp, d: s_ops.ivfpq_topk(
             d, d, dim=8, n_clusters=2, nprobe=2, m=4, n_codes=4, k=3),
         contract="pairs", id_cols=("query_id", "cand_id")),
+    "similarity.ivfpq_refine": dict(
+        input="emb",
+        call=lambda sp, d: s_ops.ivfpq_refine(
+            d, d,
+            s_ops.ivfpq_topk(
+                d, d, dim=8, n_clusters=2, nprobe=2, m=4, n_codes=4, k=3
+            ),
+            k=2),
+        contract="pairs", id_cols=("query_id", "cand_id")),
 }
 
 # Public callables in operators/*.py that the generic harness does NOT

@@ -173,6 +173,7 @@ BROADCAST_HINT_WHITELIST = {
     "sim4_ivf_ann": "BOUNDED: k-bounded IVF centroid relation + query panel",
     "sim6_pq_adc": "BOUNDED: PQ codebook (k-bounded) + per-query LUT panel",
     "sim7_ivfpq_adc": "BOUNDED: coarse centroids + PQ codebooks + query panel, all k-/panel-bounded",
+    "sim9_ivfpq_refine": "BOUNDED: sim7's stage-1 relations + the (queries x k_adc) ADC shortlist and query-vector relations broadcast into the exact re-rank; one corpus scan fetches candidates",
     "smp3_mix_rebalance": "BOUNDED: per-source cut relation — source-label domain",
     "smp6_temperature_sampling": "BOUNDED: per-source weight relation — source-label domain; scalar total",
     "smp8_negative_pairs": "BOUNDED: 1-row corpus-count aggregate (LCG modulus)",
