@@ -746,14 +746,12 @@ def edge_trussness(
                     [a, b],
                     "left_anti",
                 )
-            # bounded mode keeps t LAZY: the anti-joins are map-only
-            # (broadcast dead off the checkpointed sup), so re-running
-            # the short chain from the enumerated base inside each sup
-            # aggregation is cheaper than an eager materialization +
-            # barrier per round; fixpoint mode still flattens (unbounded
-            # round count would stack unbounded lineage)
-            if rounds_per_level is None:
-                t = t.localCheckpoint(eager=True)
+            # ALWAYS flatten t after removals: support_of unions three
+            # projections of t, so a lazy t re-executes the growing
+            # anti-join chain three times per aggregation — measured
+            # interleaved 7.1-7.6 s lazy vs 5.7-5.9 s eager at sf0.1
+            # (the barrier costs less than the tripled recompute)
+            t = t.localCheckpoint(eager=True)
             sup = support_of(t).localCheckpoint(eager=True)
         survivors = sup.select("id_a", "id_b")
         # edges alive in the (k-1)-fixpoint but not the k-fixpoint peel
