@@ -69,6 +69,9 @@ BNLJ_WHITELIST = {
     # the codebook cross is a 1-row build side by construction
     "sim7_ivfpq_adc",  # coarse/codebook crosses are 1-row build sides;
     # the candidate x probe join is an equi-join on cluster (sim4's shape)
+    "sim9_ivfpq_refine",  # stage 1 IS sim7's plan (same 1-row codebook
+    # crosses); the refine stage itself adds only equi-joins on
+    # query_id/cand_id over the bounded shortlist
     "smp6_temperature_sampling",
     "smp8_negative_pairs",
     "t9_bm25_scoring",
