@@ -876,14 +876,35 @@ def token_budget_mix(
 # 'aaaa' under rule (a,a) -> [aa, aa]; the frame makes rule symbols match
 # whole-symbol only — the 'a' in 'ba' can never match). The same encoding
 # is mirrored verbatim in the v3/v4 DuckDB oracles (queries.py).
+#
+# Character-class contract (adversarial/non-ASCII text):
+# - chr(31) (\x1f) IS the frame, so it must never appear inside a word —
+#   callers strip it from the raw text (_bpe_strip_sep / the oracle's
+#   replace(text, chr(31), '')) before any word ever reaches _bpe_encode.
+# - the encode regex uses (?s)(.) so '.' is TOTAL in both engines: bare
+#   '.' skips U+2028/U+2029/U+0085/\r/\n in Java regex but only \n in
+#   DuckDB's RE2, which would frame those code points differently.
+# - residual documented divergence: the \s+ word SPLIT — Java \s
+#   includes \x0B (vertical tab), RE2's does not, so a text containing
+#   \x0B between non-spaces tokenizes as two words here and one in the
+#   oracle. This matches every other \s+-splitting operator in the repo
+#   (t1/t2/lm1/...) and is a property of the split convention, not of
+#   the BPE encoding.
 
 _BPE_SEP = "\x1f"
+
+
+def _bpe_strip_sep(col) -> "F.Column":
+    """Delete the frame byte \\x1f from raw text so it can never collide
+    with the separator-framed encoding (oracle mirror:
+    ``replace(text, chr(31), '')``)."""
+    return F.translate(col, _BPE_SEP, "")
 
 
 def _bpe_encode(col) -> "F.Column":
     e = F.concat(
         F.lit(_BPE_SEP),
-        F.regexp_replace(col, "(.)", "$1" + _BPE_SEP + _BPE_SEP),
+        F.regexp_replace(col, "(?s)(.)", "$1" + _BPE_SEP + _BPE_SEP),
     )
     return e.substr(F.lit(1), F.length(e) - 1)
 
@@ -983,7 +1004,11 @@ def bpe_token_counts(
             F.col(id_col).cast("bigint").alias(id_col),
             F.explode(
                 F.split(
-                    F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                    F.trim(
+                        _bpe_strip_sep(
+                            F.lower(F.coalesce(F.col(text_col), F.lit("")))
+                        )
+                    ),
                     r"\s+",
                 )
             ).alias("w"),

@@ -694,6 +694,13 @@ def edge_trussness(
     ``k_max`` (the truncated decomposition min(trussness, k_max))
     instead of raising — the bounded-unroll companion, since a fixed
     SQL unroll cannot chase an unbounded ascent."""
+    if rounds_per_level is not None and rounds_per_level < 1:
+        # 0 would run zero peel rounds per level: with truncate every
+        # triangle edge reports trussness k_max, without it the loop
+        # raises a misleading did-not-converge error
+        raise ValueError(
+            f"rounds_per_level must be >= 1 or None, got {rounds_per_level}"
+        )
     tri = _oriented_triangles(edges, src, dst)
     t = tri.select(
         F.least("u", "v").alias("a1"), F.greatest("u", "v").alias("b1"),

@@ -9043,6 +9043,7 @@ from .operators.corpus import (  # noqa: E402
     _bpe_apply_rule,
     _bpe_encode,
     _bpe_pair_counts,
+    _bpe_strip_sep,
     bpe_token_counts,
 )
 
@@ -9053,12 +9054,14 @@ from .operators.corpus import (  # noqa: E402
 _DUCK_BPE_LEARN = """
     words AS (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS f
-      FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+      FROM (SELECT unnest(regexp_split_to_array(
+                     trim(replace(lower(text), chr(31), '')), '\\s+'))
               AS w FROM documents)
       WHERE length(w) >= 2 GROUP BY w),
     encw AS MATERIALIZED (
       SELECT substr(e, 1, length(e)-1) AS enc, f FROM (
-        SELECT chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31) || chr(31),
+        SELECT chr(31) || regexp_replace(w, '(?s)(.)',
+                                         '\\1' || chr(31) || chr(31),
                                          'g') AS e, f
         FROM words)),
     syms1 AS (
@@ -9136,7 +9139,11 @@ def v3_bpe_merge2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", spread=True)
     words = (
         docs.select(
-            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+            F.explode(
+                F.split(
+                    F.trim(_bpe_strip_sep(F.lower(F.col("text")))), r"\s+"
+                )
+            ).alias("w")
         )
         .filter(F.length("w") >= 2)
         .groupBy("w")
@@ -9171,14 +9178,15 @@ def v3_bpe_merge2(spark: SparkSession, sf_dir: str) -> DataFrame:
     dw AS (
       SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
       FROM (SELECT doc_id,
-                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   unnest(regexp_split_to_array(
+                     trim(replace(lower(text), chr(31), '')), '\\s+'))
                      AS w
             FROM documents)
       WHERE w <> '' GROUP BY 1, 2),
     applyw AS (SELECT DISTINCT w FROM dw),
     aenc0 AS (
       SELECT w, substr(e, 1, length(e)-1) AS enc FROM (
-        SELECT w, chr(31) || regexp_replace(w, '(.)',
+        SELECT w, chr(31) || regexp_replace(w, '(?s)(.)',
                  '\\1' || chr(31) || chr(31), 'g') AS e
         FROM applyw)),
     aenc1 AS (

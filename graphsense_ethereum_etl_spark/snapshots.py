@@ -292,18 +292,24 @@ class SnapshotCatalog:
             with open(mpath) as fh:
                 mdoc = json.load(fh)
         except (OSError, json.JSONDecodeError):
-            mdoc = {}
-        parts = mdoc.get("partitions") or {}
-        if not parts:
-            return None  # empty pinned block table
-        stats = mdoc.get("stats") or {}
-        bounds = [
-            stats[pv]["block_id"][1]
-            for pv in parts
-            if isinstance(stats.get(pv, {}).get("block_id"), list)
-        ]
-        if len(bounds) == len(parts):
-            return max(bounds)
+            # unreadable/corrupt manifest is NOT the same as an empty
+            # block table: fall through to the read_version column scan,
+            # which surfaces the underlying error (a silent None here
+            # would commit a height-less catalog doc that version_asof
+            # silently skips)
+            mdoc = None
+        if mdoc is not None:
+            parts = mdoc.get("partitions") or {}
+            if not parts:
+                return None  # empty pinned block table
+            stats = mdoc.get("stats") or {}
+            bounds = [
+                stats[pv]["block_id"][1]
+                for pv in parts
+                if isinstance(stats.get(pv, {}).get("block_id"), list)
+            ]
+            if len(bounds) == len(parts):
+                return max(bounds)
         df = tbl.read_version(pinned)
         if "block_id" not in df.columns:
             return None

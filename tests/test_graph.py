@@ -570,3 +570,9 @@ def test_edge_trussness_bounded_and_truncated_modes(spark):
         }
         assert got == capped, (seed, got, capped)
     assert checked
+    # r12 ADVICE #2: rounds_per_level=0 would run zero peel rounds per
+    # level (truncate: everything reports k_max; else a misleading
+    # did-not-converge raise) — reject it up front like merges<0
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="rounds_per_level"):
+            edge_trussness(df, rounds_per_level=bad)

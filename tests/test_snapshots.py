@@ -8,6 +8,7 @@ closes that window — one atomic pointer publishes all entity heights.
 
 from __future__ import annotations
 
+import os
 import random
 
 import pytest
@@ -481,6 +482,51 @@ def test_derive_height_manifest_stats_fast_path(spark, tmp_path, monkeypatch):
     with open(mpath, "w") as fh:
         json.dump(doc, fh)
     assert cat._derive_height(v1) == 9
+
+
+def test_derive_height_corrupt_manifest_surfaces_error(spark, tmp_path):
+    """r12 ADVICE #1: an UNREADABLE/CORRUPT manifest must not be
+    conflated with an empty block table — returning None would let
+    commit() silently write a height-less catalog doc that version_asof
+    silently skips. The fallback routes through read_version, which
+    surfaces the underlying error; a genuinely empty pinned block table
+    (manifest readable, zero partitions) still returns None."""
+    import json
+
+    root = str(tmp_path / "sink")
+    run_incremental(
+        spark, source, root, head=9, batch_size=10, bucket_size=10,
+        sink_format="versioned",
+    )
+    cat = SnapshotCatalog(spark, root)
+    v1 = cat.current_version()
+    pinned = cat._doc(v1)["tables"]["block"]
+    blk = cat.table("block")
+    mpath = f"{blk.root}/_manifests/m-{pinned:08d}.json"
+    with open(mpath) as fh:
+        orig = fh.read()
+    # corrupt JSON -> JSONDecodeError out of the read_version fallback
+    with open(mpath, "w") as fh:
+        fh.write("{not json")
+    import pytest as _pytest
+
+    with _pytest.raises(json.JSONDecodeError):
+        cat._derive_height(v1)
+    # missing manifest -> FileNotFoundError, same route
+    os.remove(mpath)
+    with _pytest.raises(FileNotFoundError):
+        cat._derive_height(v1)
+    # restored: fast path resolves again
+    with open(mpath, "w") as fh:
+        fh.write(orig)
+    assert cat._derive_height(v1) == 9
+    # readable manifest with zero partitions: the documented empty-table
+    # None, NOT an error
+    doc = json.loads(orig)
+    doc["partitions"] = {}
+    with open(mpath, "w") as fh:
+        json.dump(doc, fh)
+    assert cat._derive_height(v1) is None
 
 
 def test_version_asof_timestamp_boundaries(spark, tmp_path):
