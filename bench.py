@@ -19,6 +19,7 @@ import json
 import os
 import re
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -51,6 +52,32 @@ def main() -> None:
         sentinel = min(sentinel, time.perf_counter() - t0)
     sentinel = round(sentinel, 4)
 
+    # IO sentinel (r12 VERDICT #1): the CPU probe above cannot see disk
+    # contention — r12 produced a same-code counterexample where the
+    # SLOWER stamp (194.1 s, k-family 2-4x) carried the LOWER CPU
+    # sentinel (0.456 vs 0.464). A fixed-size write/fsync/read probe on
+    # the same filesystem the k-family queries write to (tempdir)
+    # catches that axis; best-of-3 like the CPU probe. Quiet floor on
+    # this box ~0.17-0.21 s for 64 MiB.
+    io_sentinel = float("inf")
+    _iobuf = os.urandom(1 << 20)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fd, _iopath = tempfile.mkstemp(prefix="bench_iosent_")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                for _ in range(64):
+                    fh.write(_iobuf)
+                fh.flush()
+                os.fsync(fh.fileno())
+            with open(_iopath, "rb") as fh:
+                while fh.read(1 << 20):
+                    pass
+        finally:
+            os.unlink(_iopath)
+        io_sentinel = min(io_sentinel, time.perf_counter() - t0)
+    io_sentinel = round(io_sentinel, 4)
+
     def _drop_persisted_blocks() -> None:
         # clearCache() frees df.persist() entries but NOT localCheckpoint RDD
         # blocks (cc1's iterative rounds) — unpersist those explicitly so no
@@ -79,8 +106,6 @@ def main() -> None:
     # Mirror the reference's only self-metric (blocks/s, BASELINE.md): run
     # the full extract→transform→partitioned-write pipeline over a synthetic
     # 5000-block chain and report ingest throughput.
-    import tempfile
-
     from graphsense_ethereum_etl_spark.sources.generator import gen_chain
     from graphsense_ethereum_etl_spark.streaming.incremental import run_incremental
 
@@ -148,6 +173,7 @@ def main() -> None:
         "ingest_blocks_per_s": blocks_per_s,
         "ingest_rows_per_s": entity_rows_per_s,
         "contention_sentinel_sec": sentinel,
+        "io_sentinel_sec": io_sentinel,
         "git_sha": git_sha,
         "code_fp": code_fp,
     }
@@ -186,11 +212,17 @@ def main() -> None:
             # alone proved insufficient (it is pure-CPU and sampled once
             # at startup; r10 observed a sentinel-0.48 run 15% slower than
             # a sentinel-0.72 one under IO/page-cache pressure the CPU
-            # probe can't see). Rule: both quiet -> keep lower total;
-            # exactly one quiet -> keep it; neither -> keep lower
-            # sentinel. The `latest` copy still always updates for
-            # tooling. SPARK_GRAFT_BENCH_FORCE=1 overrides.
+            # probe can't see — and r12's driver re-stamp was 28% slower
+            # at a LOWER CPU sentinel, with the slowdown concentrated in
+            # disk-write-heavy queries). "Quiet" therefore requires BOTH
+            # the CPU and the IO sentinel below their bars; a stamp
+            # predating the IO sentinel is judged on CPU alone. Rule:
+            # both stamps quiet -> keep lower total; exactly one quiet ->
+            # keep it; neither -> keep lower CPU sentinel. The `latest`
+            # copy still always updates for tooling.
+            # SPARK_GRAFT_BENCH_FORCE=1 overrides.
             QUIET_BAR = 0.55
+            IO_QUIET_BAR = 0.28
             if (
                 re.search(r"BENCH_full_r\d+\.json$", t)
                 and os.path.exists(t)
@@ -226,12 +258,30 @@ def main() -> None:
                     and prev_sent is not None
                     and prev_total is not None
                 ):
-                    p_quiet, n_quiet = prev_sent < QUIET_BAR, sentinel < QUIET_BAR
-                    if p_quiet and n_quiet or abs(prev_sent - sentinel) < 0.05:
-                        # equally quiet — or sentinels within jitter of
-                        # each other (a 0.02 sentinel delta is probe
-                        # noise, not a machine-state signal): totals are
-                        # the only meaningful comparison left
+                    prev_io = prev.get("io_sentinel_sec")
+                    p_quiet = prev_sent < QUIET_BAR and (
+                        prev_io is None or prev_io < IO_QUIET_BAR
+                    )
+                    n_quiet = (
+                        sentinel < QUIET_BAR and io_sentinel < IO_QUIET_BAR
+                    )
+                    io_comparable = (
+                        prev_io is None
+                        or abs(prev_io - io_sentinel) < 0.05
+                        or (
+                            prev_io < IO_QUIET_BAR
+                            and io_sentinel < IO_QUIET_BAR
+                        )
+                    )
+                    if p_quiet and n_quiet or (
+                        abs(prev_sent - sentinel) < 0.05 and io_comparable
+                    ):
+                        # equally quiet — or BOTH sentinels within jitter
+                        # of each other (a 0.02 delta is probe noise, not
+                        # a machine-state signal; the r12 counterexample
+                        # had CPU within jitter but IO states that this
+                        # branch must not paper over): totals are the
+                        # only meaningful comparison left
                         keep_prev = prev_total <= total
                     elif not p_quiet and not n_quiet:
                         keep_prev = prev_sent <= sentinel
@@ -240,8 +290,9 @@ def main() -> None:
                     if keep_prev:
                         print(
                             f"keeping better stamp {t} (prev total "
-                            f"{prev_total} @ sentinel {prev_sent} vs new "
-                            f"{total} @ {sentinel})",
+                            f"{prev_total} @ cpu {prev_sent} io {prev_io} "
+                            f"vs new {total} @ cpu {sentinel} io "
+                            f"{io_sentinel})",
                             file=sys.stderr,
                         )
                         continue

@@ -397,7 +397,8 @@ def build_parser() -> ArgumentParser:
         choices=[
             "dedup", "decontaminate", "score", "sample", "pack", "chunk",
             "dedup-lines", "negatives", "validate", "lm-score", "ann",
-            "ann-build", "ann-search", "embed", "dupspan", "classify",
+            "ann-build", "ann-search", "ann-add", "ann-compact", "embed",
+            "dupspan", "classify",
             "dedup-gate", "wsample", "split", "profile",
             "dedup-index", "dedup-probe", "dedup-compact", "outliers",
             "mix", "tokenize",
@@ -643,7 +644,8 @@ def build_parser() -> ArgumentParser:
     corpus.add_argument(
         "--retire-ids", dest="retire_ids", default=None,
         help="dedup-compact: parquet of doc ids whose band keys are dropped "
-        "during the rewrite (retirement of deleted documents)",
+        "during the rewrite (retirement of deleted documents); ann-compact: "
+        "parquet of vector ids tombstoned (ivfpq_remove) before the rewrite",
     )
     corpus.add_argument(
         "--admit", action="store_true",
@@ -1035,15 +1037,19 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
     surface of the engine."""
     from .operators.corpus import dedup_keepers, hash_sample, score_documents
 
-    if args.output is None and args.operation not in ("dedup-index", "dedup-compact"):
+    if args.output is None and args.operation not in (
+        "dedup-index", "dedup-compact", "ann-compact"
+    ):
         raise SystemExit(f"corpus {args.operation} requires -o/--output")
-    # ann-search's -i names a persisted INDEX directory, not a parquet
-    # table; dedup-gate reads it guarded below (an input dir with no
-    # files yet is a normal state for an incremental gate, not an error)
-    # dedup-compact operates on the index table itself; its -i is ignored
+    # ann-search's and ann-compact's -i names a persisted INDEX directory,
+    # not a parquet table; dedup-gate reads it guarded below (an input dir
+    # with no files yet is a normal state for an incremental gate, not an
+    # error); dedup-compact operates on the index table itself; its -i is
+    # ignored
     docs = (
         None
-        if args.operation in ("ann-search", "dedup-gate", "dedup-compact")
+        if args.operation
+        in ("ann-search", "ann-compact", "dedup-gate", "dedup-compact")
         else spark.read.parquet(args.input)
     )
     if args.operation == "dedup-gate":
@@ -1256,6 +1262,38 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
             spark, args.input, spark.read.parquet(args.queries),
             nprobe=args.nprobe, k=args.k,
         )
+    elif args.operation == "ann-add":
+        from .operators.similarity import ivfpq_add
+
+        # -i is the new-vector batch; -o the existing index root (the
+        # same slot ann-build wrote it to)
+        stats = ivfpq_add(
+            spark, args.output, docs, id_col=args.id_col, vec_col=args.vec_col
+        )
+        drift = (
+            f"{stats['drift_ratio']:.3f}"
+            if stats["drift_ratio"] is not None
+            else "n/a"
+        )
+        print(
+            f"corpus ann-add: +{stats['added']:,} vectors at {args.output} "
+            f"(drift ratio {drift} vs build baseline)"
+        )
+        return IngestStats()
+    elif args.operation == "ann-compact":
+        from .operators.similarity import compact_ivfpq_index, ivfpq_remove
+
+        # -i is the index root (like ann-search); --retire-ids tombstones
+        # before the rewrite applies them physically
+        if args.retire_ids:
+            ivfpq_remove(spark, args.input, spark.read.parquet(args.retire_ids))
+        info = compact_ivfpq_index(spark, args.input)
+        print(
+            f"corpus ann-compact: {args.input} rewritten; "
+            f"{info['rows']:,} vectors, {info['files_before']} -> "
+            f"{info['files_after']} files"
+        )
+        return IngestStats()
     elif args.operation == "ann":
         from .operators.similarity import (
             brute_force_topk,

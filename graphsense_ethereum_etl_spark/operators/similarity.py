@@ -1112,50 +1112,22 @@ def _ivfpq_res_sub_dists(res_col, s, w: int):
     )
 
 
-def _ivfpq_build_frames(
+def _ivfpq_assign_residual(
     embeddings: DataFrame,
-    dim: int,
-    n_clusters: int,
-    m: int,
-    n_codes: int,
+    coarse: DataFrame,
     id_col: str,
     vec_col: str,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The index-build side of IVF-PQ, as three persistable relations:
-
-      coarse (c, cent array<bigint>)          — the coarse quantizer
-      cb     (sub, c, cent array<bigint>)     — residual PQ codebooks
-      cand   (cluster, cand_id, codes)        — the inverted index proper
-
-    ivfpq_topk consumes them in-flight; build_ivfpq_index writes them at
-    rest (codes partitioned BY CLUSTER so a probe reads only its lists)."""
-    w = dim // m
+    dim: int,
+) -> DataFrame:
+    """(cand_id, cluster, res) — coarse-assign every valid vector against
+    a GIVEN coarse quantizer and compute its integer residual. One
+    map-only pass; ``coarse`` is tiny and broadcasts."""
     xq = _pq_quantize(vec_col)
     valid = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
-
-    # ---- coarse quantizer: integer-L2 centroids over vid % n_clusters
-    coarse = (
-        embeddings.where(valid)
-        .select(
-            (F.col(id_col) % n_clusters).cast("int").alias("c"),
-            F.posexplode(xq).alias("pos", "xv"),
-        )
-        .groupBy("c", "pos")
-        .agg(F.expr("sum(xv) DIV count(*)").alias("cent_p"))
-        .groupBy("c")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "cent_p"))),
-                lambda s: s["cent_p"],
-            ).alias("cent")
-        )
-    )
     coarse1 = coarse.agg(
         F.array_sort(F.collect_list(F.struct("c", "cent"))).alias("coarse")
     )
-
-    # ---- candidate side: assign + residual, one map-only pass
-    cand_res = (
+    return (
         embeddings.where(valid)
         .crossJoin(F.broadcast(coarse1))
         .select(
@@ -1173,8 +1145,47 @@ def _ivfpq_build_frames(
         )
     )
 
-    # ---- PQ codebooks on residuals (vid % n_codes seed, trunc-div means)
-    res_tagged = cand_res.select(
+
+def _ivfpq_train_frames(
+    train: DataFrame,
+    dim: int,
+    n_clusters: int,
+    m: int,
+    n_codes: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The TRAINING side of IVF-PQ: coarse quantizer + residual PQ
+    codebooks learned from ``train`` only. Encoding (below) is a pure
+    function of these two frames, which is what makes incremental adds
+    against a FROZEN index well-defined (FAISS train/add split)."""
+    w = dim // m
+    xq = _pq_quantize(vec_col)
+    valid = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+
+    # ---- coarse quantizer: integer-L2 centroids over vid % n_clusters
+    coarse = (
+        train.where(valid)
+        .select(
+            (F.col(id_col) % n_clusters).cast("int").alias("c"),
+            F.posexplode(xq).alias("pos", "xv"),
+        )
+        .groupBy("c", "pos")
+        .agg(F.expr("sum(xv) DIV count(*)").alias("cent_p"))
+        .groupBy("c")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cent_p"))),
+                lambda s: s["cent_p"],
+            ).alias("cent")
+        )
+    )
+
+    # ---- PQ codebooks on training residuals (vid % n_codes seed,
+    # trunc-div means)
+    res_tagged = _ivfpq_assign_residual(
+        train, coarse, id_col, vec_col, dim
+    ).select(
         (F.col("cand_id") % n_codes).cast("int").alias("c"),
         F.posexplode("res").alias("pos", "xv"),
     )
@@ -1195,16 +1206,70 @@ def _ivfpq_build_frames(
             ).alias("cent")
         )
     )
-    cbs = _pq_prepared(cb, m)
+    return coarse, cb
 
-    cand = cand_res.crossJoin(F.broadcast(cbs)).select(
+
+def _ivfpq_encode(
+    embeddings: DataFrame,
+    coarse: DataFrame,
+    cb: DataFrame,
+    dim: int,
+    m: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(cluster, cand_id, codes, res_dist) — encode vectors against
+    FROZEN coarse/codebook frames: assign + residual + per-subspace
+    argmin codes, one map-only pass over broadcast frames. ``res_dist``
+    is the exact integer L2² of the vector's residual to its assigned
+    coarse centroid — the per-vector quantizer-fit number whose corpus
+    mean is the drift baseline ivfpq_add compares against. Unused
+    consumers (the in-flight ivfpq_topk path) never pay for it: Catalyst
+    prunes the unreferenced projection."""
+    w = dim // m
+    cbs = _pq_prepared(cb, m)
+    cand_res = _ivfpq_assign_residual(embeddings, coarse, id_col, vec_col, dim)
+    return cand_res.crossJoin(F.broadcast(cbs)).select(
         "cluster",
         "cand_id",
         F.transform(
             _pq_subs(m),
             lambda s: F.array_min(_ivfpq_res_sub_dists(F.col("res"), s, w))["c"],
         ).alias("codes"),
+        F.aggregate(
+            F.transform(F.col("res"), lambda r: r * r),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("res_dist"),
     )
+
+
+def _ivfpq_build_frames(
+    embeddings: DataFrame,
+    dim: int,
+    n_clusters: int,
+    m: int,
+    n_codes: int,
+    id_col: str,
+    vec_col: str,
+    train: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The index-build side of IVF-PQ, as three persistable relations:
+
+      coarse (c, cent array<bigint>)          — the coarse quantizer
+      cb     (sub, c, cent array<bigint>)     — residual PQ codebooks
+      cand   (cluster, cand_id, codes, res_dist) — the inverted index
+
+    ivfpq_topk consumes them in-flight; build_ivfpq_index writes them at
+    rest (codes partitioned BY CLUSTER so a probe reads only its lists).
+    ``train`` defaults to ``embeddings``; passing a subset trains the
+    quantizers on it while still encoding every embedding — the
+    reference relation for the build-then-add lifecycle (ivfpq_add)."""
+    coarse, cb = _ivfpq_train_frames(
+        train if train is not None else embeddings,
+        dim, n_clusters, m, n_codes, id_col, vec_col,
+    )
+    cand = _ivfpq_encode(embeddings, coarse, cb, dim, m, id_col, vec_col)
     return coarse, cb, cand
 
 
@@ -1310,9 +1375,12 @@ def build_ivfpq_index(
     codes)" made real):
 
       <index_root>/meta.json   dim / n_clusters / m / n_codes / columns
+                               + the drift baseline (build_res_dist_sum,
+                               build_n) and cumulative add stats
       <index_root>/coarse      (c, cent)            — coarse quantizer
       <index_root>/codebooks   (sub, c, cent)       — residual codebooks
-      <index_root>/codes       (cand_id, codes) partitioned by CLUSTER
+      <index_root>/codes       (cand_id, codes, res_dist)
+                               partitioned by CLUSTER
 
     ``codes`` is partitioned by cluster id, so a search's nprobe lists
     prune to their directories at the parquet scan — the on-disk form of
@@ -1335,6 +1403,20 @@ def build_ivfpq_index(
     cand.write.mode("overwrite").partitionBy("cluster").parquet(
         f"{index_root}/codes"
     )
+    # Drift baseline for ivfpq_add (FAISS-retrain signal): mean residual
+    # distance of the BUILD corpus under its own quantizer, as exact
+    # integer (sum, n) so later ratios are reproducible. Aggregated from
+    # the just-written codes table — one cheap two-column scan, no
+    # recompute of the encode chain.
+    spark = embeddings.sparkSession
+    row = (
+        spark.read.parquet(f"{index_root}/codes")
+        .agg(
+            F.sum("res_dist").cast("long").alias("s"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .collect()[0]
+    )
     with open(f"{index_root}/meta.json", "w") as fh:
         json.dump(
             {
@@ -1344,9 +1426,202 @@ def build_ivfpq_index(
                 "n_codes": n_codes,
                 "id_col": id_col,
                 "vec_col": vec_col,
+                "build_res_dist_sum": int(row["s"] or 0),
+                "build_n": int(row["n"]),
+                "added_res_dist_sum": 0,
+                "added_n": 0,
             },
             fh,
         )
+    # a rebuild is a fresh index: clear sticky-retirement state a
+    # previous generation left behind (build_minhash_index convention)
+    import shutil
+
+    shutil.rmtree(f"{index_root}/_retired", ignore_errors=True)
+
+
+def _ivfpq_meta(index_root: str) -> dict:
+    import json
+
+    try:
+        with open(f"{index_root}/meta.json") as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise ValueError(
+            f"no IVF-PQ index at {index_root!r} (missing meta.json) — "
+            "run build_ivfpq_index first"
+        ) from None
+
+
+def _ivfpq_retired(spark, index_root: str) -> DataFrame | None:
+    """The sticky retirement list (cand_id bigint), or None when no id
+    was ever retired (or compact cleared it)."""
+    import os
+
+    rdir = f"{index_root}/_retired"
+    if not os.path.isdir(rdir) or not any(
+        f.endswith(".parquet") for f in os.listdir(rdir)
+    ):
+        return None
+    return spark.read.parquet(rdir).select("cand_id")
+
+
+def ivfpq_add(
+    spark,
+    index_root: str,
+    new_embeddings: DataFrame,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+) -> dict:
+    """FAISS ``add``: encode a batch of new vectors against the FROZEN
+    coarse quantizer and residual codebooks of a persisted index
+    (build_ivfpq_index) and append them to the cluster-partitioned codes
+    relation — the index's quantizers are NEVER retrained, so an added
+    vector gets exactly the codes a search expects, and the whole
+    lifecycle (build once, add batches as the corpus grows, rebuild when
+    drift says so) mirrors dd11's incremental MinHash index on the ANN
+    tier.
+
+    Plan shape: the add job reads ONLY the tiny coarse/codebook frames
+    (broadcast) and the batch itself — never the existing codes
+    partitions (plan- and file-level-asserted in tests); the append
+    creates new files inside the cluster dirs the batch lands in and
+    touches no existing file. Per-batch cost is one map-only encode pass
+    over the batch. Retirement is STICKY (minhash_probe convention): a
+    replayed batch containing ids retired since its first add must not
+    resurrect them, so the batch anti-joins the (small) retirement list
+    — not the codes table — before encoding.
+
+    Returns the DRIFT metric the caller uses to schedule retraining
+    (FAISS has no such signal; production systems bolt it on): the
+    batch's mean residual distance under the frozen coarse quantizer vs
+    the build corpus's own (meta's exact-integer baseline). A ratio
+    drifting above ~1 means new data no longer fits the frozen
+    centroids — recall decays and a rebuild is due. Cumulative add
+    stats are folded into meta.json so drift is queryable later without
+    rescanning."""
+    import json
+
+    meta = _ivfpq_meta(index_root)
+    id_col = id_col or meta["id_col"]
+    vec_col = vec_col or meta["vec_col"]
+    coarse = spark.read.parquet(f"{index_root}/coarse")
+    cb = spark.read.parquet(f"{index_root}/codebooks")
+    batch = new_embeddings
+    retired = _ivfpq_retired(spark, index_root)
+    if retired is not None:
+        batch = batch.join(
+            F.broadcast(
+                retired.select(F.col("cand_id").alias(id_col))
+            ),
+            id_col,
+            "left_anti",
+        )
+    # materialize the batch-sized encode ONCE: it feeds two consumers
+    # (drift aggregate + append) and must be pinned before the write so
+    # the append provably never reads the index it extends
+    enc = _ivfpq_encode(
+        batch, coarse, cb, meta["dim"], meta["m"], id_col, vec_col
+    ).localCheckpoint(eager=True)
+    row = enc.agg(
+        F.sum("res_dist").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    ).collect()[0]
+    added_n = int(row["n"])
+    added_sum = int(row["s"] or 0)
+    if added_n:
+        enc.write.mode("append").partitionBy("cluster").parquet(
+            f"{index_root}/codes"
+        )
+    meta["added_res_dist_sum"] = meta.get("added_res_dist_sum", 0) + added_sum
+    meta["added_n"] = meta.get("added_n", 0) + added_n
+    with open(f"{index_root}/meta.json", "w") as fh:
+        json.dump(meta, fh)
+    build_mean = (
+        meta["build_res_dist_sum"] / meta["build_n"] if meta.get("build_n")
+        else None
+    )
+    batch_mean = added_sum / added_n if added_n else None
+    return {
+        "added": added_n,
+        "batch_res_dist_sum": added_sum,
+        "batch_mean_res_dist": batch_mean,
+        "build_mean_res_dist": build_mean,
+        "drift_ratio": (
+            batch_mean / build_mean if batch_mean and build_mean else None
+        ),
+    }
+
+
+def ivfpq_remove(spark, index_root: str, ids) -> int:
+    """FAISS ``remove_ids``, deferred: record ids in the STICKY
+    retirement list. Search excludes them immediately; the bytes live on
+    until compact_ivfpq_index rewrites the codes relation (the
+    tombstone-then-vacuum split every LSM-shaped store uses — an eager
+    rewrite per removal would be a full-partition write amplification).
+    ``ids`` is an iterable of ints or a single-column DataFrame.
+    Returns the number of ids recorded."""
+    _ivfpq_meta(index_root)  # existence check
+    if isinstance(ids, DataFrame):
+        rel = ids.select(ids.columns[0]).toDF("cand_id")
+        rel = rel.select(F.col("cand_id").cast("long"))
+    else:
+        rel = spark.createDataFrame(
+            [(int(i),) for i in ids], "cand_id long"
+        )
+    rel.write.mode("append").parquet(f"{index_root}/_retired")
+    return rel.count()
+
+
+def compact_ivfpq_index(spark, index_root: str) -> dict:
+    """The index's VACUUM (compact_minhash_index convention): every add
+    appends one file per touched cluster dir, so a long-lived index
+    accretes small files without bound, and retirement tombstones
+    accumulate scan-side anti-join cost. Compaction rewrites the codes
+    relation minus retired ids into ONE file per cluster partition, then
+    clears the retirement list (now physically applied). The rewrite
+    goes to a sibling dir first and swaps in via rename, so a crash
+    mid-compact leaves the live index intact."""
+    import os
+    import shutil
+
+    meta = _ivfpq_meta(index_root)
+    codes_dir = f"{index_root}/codes"
+    tmp_dir = f"{index_root}/codes__compact"
+
+    def _count_files(d):
+        return sum(
+            1
+            for root, _, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    files_before = _count_files(codes_dir)
+    codes = spark.read.parquet(codes_dir)
+    retired = _ivfpq_retired(spark, index_root)
+    if retired is not None:
+        codes = codes.join(F.broadcast(retired), "cand_id", "left_anti")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    (
+        codes.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(tmp_dir)
+    )
+    rows = spark.read.parquet(tmp_dir).count()
+    old_dir = f"{index_root}/codes__old"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(codes_dir, old_dir)
+    os.rename(tmp_dir, codes_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    shutil.rmtree(f"{index_root}/_retired", ignore_errors=True)
+    return {
+        "rows": rows,
+        "files_before": files_before,
+        "files_after": _count_files(codes_dir),
+        "n_clusters": meta["n_clusters"],
+    }
 
 
 def ivfpq_search(
@@ -1367,10 +1642,7 @@ def ivfpq_search(
     lists cost zero IO (PartitionFilters, plan-asserted in tests).
     Results are byte-identical to running ivfpq_topk in-flight with the
     same parameters."""
-    import json
-
-    with open(f"{index_root}/meta.json") as fh:
-        meta = json.load(fh)
+    meta = _ivfpq_meta(index_root)
     id_col = id_col or meta["id_col"]
     vec_col = vec_col or meta["vec_col"]
     dim, m = meta["dim"], meta["m"]
@@ -1406,6 +1678,12 @@ def ivfpq_search(
         .filter(F.col("cluster").isin(probed))
         .select("cluster", "cand_id", "codes")
     )
+    retired = _ivfpq_retired(spark, index_root)
+    if retired is not None:
+        # tombstoned ids (ivfpq_remove) are excluded at search time until
+        # compaction applies them physically; the list is small-side by
+        # construction and broadcasts
+        cand = cand.join(F.broadcast(retired), "cand_id", "left_anti")
     return _ivfpq_query_side(
         queries, coarse, cb, cand, dim=dim, m=m, nprobe=nprobe, k=k,
         id_col=id_col, vec_col=vec_col,

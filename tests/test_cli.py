@@ -1738,3 +1738,43 @@ def test_cli_corpus_tokenize(spark, tmp_path):
     assert bad == 0
     # two merges must actually bite somewhere on a real corpus
     assert joined.filter(F.col("merged") < F.col("chars")).count() > 0
+
+
+def test_cli_corpus_ann_add_compact_lifecycle(spark, tmp_path, capsys):
+    """`corpus ann-add` grows a persisted index against its frozen
+    quantizers (printing the drift ratio); `ann-compact --retire-ids`
+    tombstones then physically removes ids and collapses the add-file
+    accretion to one file per cluster; search keeps answering from the
+    same root throughout."""
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(src)
+    base = str(tmp_path / "base")
+    batch = str(tmp_path / "batch")
+    emb.filter("vec_id % 4 != 3").write.parquet(base)
+    emb.filter("vec_id % 4 = 3").write.parquet(batch)
+    qsrc = str(tmp_path / "queries")
+    emb.filter("vec_id < 4").write.parquet(qsrc)
+
+    idx = str(tmp_path / "idx")
+    main(["corpus", "ann-build", "-i", base, "-o", idx, "--id-col", "vec_id"],
+         spark=spark)
+    main(["corpus", "ann-add", "-i", batch, "-o", idx, "--id-col", "vec_id"],
+         spark=spark)
+    assert "drift ratio" in capsys.readouterr().out
+
+    found = str(tmp_path / "found")
+    main(["corpus", "ann-search", "-i", idx, "-o", found,
+          "--queries", qsrc, "--k", "5"], spark=spark)
+    res = spark.read.parquet(found).collect()
+    assert len(res) > 0
+    victim = int(sorted((r["rank"], r["cand_id"]) for r in res)[0][1])
+
+    rids = str(tmp_path / "rids")
+    spark.createDataFrame([(victim,)], "cand_id long").write.parquet(rids)
+    main(["corpus", "ann-compact", "-i", idx, "--retire-ids", rids],
+         spark=spark)
+    found2 = str(tmp_path / "found2")
+    main(["corpus", "ann-search", "-i", idx, "-o", found2,
+          "--queries", qsrc, "--k", "5"], spark=spark)
+    ids2 = {int(r["cand_id"]) for r in spark.read.parquet(found2).collect()}
+    assert victim not in ids2 and ids2

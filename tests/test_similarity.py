@@ -383,3 +383,169 @@ def test_diverse_topk_one_per_group_and_best_scores(spark, sf_dir):
             if len(expect) == 3:
                 break
         assert [(r.cand_id, r.label, r.score) for r in sorted(kept, key=lambda r: r.rank)] == expect
+
+
+def test_ivfpq_add_frozen_encode_matches_reference(spark, tmp_path):
+    """r12 VERDICT #1 (sim10): build on a base corpus, ivfpq_add the
+    rest — search must equal the reference semantics 'train on base,
+    encode everything with the FROZEN frames' (_ivfpq_build_frames with
+    train=base), the add must never touch an existing codes file, and
+    the add's encode plan must never read the codes relation."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.operators.similarity import (
+        _ivfpq_build_frames,
+        _ivfpq_encode,
+        _ivfpq_query_side,
+        build_ivfpq_index,
+        ivfpq_add,
+        ivfpq_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter("vec_id % 4 != 3")
+    batch = emb.filter("vec_id % 4 = 3")
+    q = emb.filter(F.col("vec_id") < 4)
+    params = dict(dim=64, n_clusters=8, m=8, n_codes=16)
+    root = str(tmp_path / "idx")
+    build_ivfpq_index(base, root, **params)
+
+    import os
+
+    def _files(d):
+        # data files only: the append legitimately rewrites the job-level
+        # _SUCCESS marker (and its .crc), never a parquet file
+        out = {}
+        for r, _, fs in os.walk(d):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                p = os.path.join(r, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = _files(f"{root}/codes")
+    stats = ivfpq_add(spark, root, batch)
+    after = _files(f"{root}/codes")
+    # every pre-existing file is byte-identically untouched; new files
+    # appeared (the batch's rows)
+    assert all(after.get(p) == v for p, v in before.items())
+    assert set(after) > set(before)
+    n_batch = batch.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    ).count()
+    assert stats["added"] == n_batch > 0
+    assert stats["batch_mean_res_dist"] > 0
+    assert stats["build_mean_res_dist"] > 0
+    assert stats["drift_ratio"] == (
+        stats["batch_mean_res_dist"] / stats["build_mean_res_dist"]
+    )
+
+    # the add-side encode reads only coarse/codebooks + the batch
+    coarse = spark.read.parquet(f"{root}/coarse")
+    cb = spark.read.parquet(f"{root}/codebooks")
+    enc_inputs = _ivfpq_encode(
+        batch, coarse, cb, 64, 8, "vec_id", "embedding"
+    ).inputFiles()
+    # the add never scans the index it extends: its inputs are the two
+    # tiny frozen frames (+ the batch, which here is in-memory)
+    assert not any("/codes/" in f for f in enc_inputs)
+    assert any("/coarse/" in f for f in enc_inputs)
+    assert any("/codebooks/" in f for f in enc_inputs)
+
+    # search over (build base + add batch) == the frozen-frames reference
+    got = sorted(
+        tuple(r)
+        for r in ivfpq_search(spark, root, q, nprobe=2, k=5).collect()
+    )
+    frames = _ivfpq_build_frames(
+        emb, 64, 8, 8, 16, "vec_id", "embedding", train=base
+    )
+    want = sorted(
+        tuple(r)
+        for r in _ivfpq_query_side(
+            q, *frames, dim=64, m=8, nprobe=2, k=5,
+            id_col="vec_id", vec_col="embedding",
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # cumulative drift stats persist: a second add folds into meta
+    import json
+
+    ivfpq_add(spark, root, batch.limit(3))
+    meta = json.load(open(f"{root}/meta.json"))
+    assert meta["added_n"] == n_batch + 3
+    assert meta["added_res_dist_sum"] > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="meta.json"):
+        ivfpq_add(spark, str(tmp_path / "nope"), batch)
+
+
+def test_ivfpq_remove_compact_sticky_lifecycle(spark, tmp_path):
+    """Retirement is sticky and compaction applies it physically
+    (dd11's lifecycle on the ANN tier): remove -> search excludes the id
+    immediately (tombstone); a replayed add must NOT resurrect it;
+    compact rewrites one file per cluster partition, drops the retired
+    rows for good, clears the tombstone list, and search results are
+    unchanged across the rewrite."""
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.operators.similarity import (
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        ivfpq_add,
+        ivfpq_remove,
+        ivfpq_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter("vec_id % 4 != 3")
+    batch = emb.filter("vec_id % 4 = 3")
+    q = emb.filter(F.col("vec_id") < 4)
+    root = str(tmp_path / "idx")
+    build_ivfpq_index(base, root, dim=64, n_clusters=8, m=8, n_codes=16)
+    ivfpq_add(spark, root, batch)
+
+    res0 = ivfpq_search(spark, root, q, nprobe=2, k=5).collect()
+    victim = int(res0[0]["cand_id"])
+    assert ivfpq_remove(spark, root, [victim]) == 1
+    res1 = ivfpq_search(spark, root, q, nprobe=2, k=5).collect()
+    assert victim not in {int(r["cand_id"]) for r in res1}
+
+    # sticky: replaying the add of a batch containing the victim writes
+    # no new row for it
+    codes_of = lambda: (  # noqa: E731
+        spark.read.parquet(f"{root}/codes")
+        .filter(F.col("cand_id") == victim)
+        .count()
+    )
+    n_before = codes_of()
+    ivfpq_add(spark, root, emb.filter(F.col("vec_id") == victim))
+    assert codes_of() == n_before  # tombstoned id not resurrected
+
+    info = compact_ivfpq_index(spark, root)
+    assert codes_of() == 0  # physically gone
+    import os
+
+    assert not os.path.isdir(f"{root}/_retired")
+    assert info["files_after"] <= info["files_before"]
+    # one file per surviving cluster partition
+    cdirs = [
+        d
+        for d in os.listdir(f"{root}/codes")
+        if d.startswith("cluster=")
+    ]
+    for d in cdirs:
+        files = [
+            f
+            for f in os.listdir(f"{root}/codes/{d}")
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, d
+    res2 = sorted(tuple(r) for r in
+                  ivfpq_search(spark, root, q, nprobe=2, k=5).collect())
+    assert res2 == sorted(tuple(r) for r in res1)
