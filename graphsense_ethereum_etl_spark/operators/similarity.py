@@ -1581,7 +1581,14 @@ def compact_ivfpq_index(spark, index_root: str) -> dict:
     relation minus retired ids into ONE file per cluster partition, then
     clears the retirement list (now physically applied). The rewrite
     goes to a sibling dir first and swaps in via rename, so a crash
-    mid-compact leaves the live index intact."""
+    mid-compact leaves the live index intact.
+
+    The rewrite also drops exact duplicate rows per cand_id — the repair
+    half of the streaming add path's at-least-once window (a replayed
+    micro-batch double-appends BIT-IDENTICAL rows, since encoding is a
+    pure function of the frozen frames; see streaming/ann_ingest.py).
+    Keeping one arbitrary row per cand_id is safe precisely because the
+    duplicates are identical."""
     import os
     import shutil
 
@@ -1598,7 +1605,7 @@ def compact_ivfpq_index(spark, index_root: str) -> dict:
         )
 
     files_before = _count_files(codes_dir)
-    codes = spark.read.parquet(codes_dir)
+    codes = spark.read.parquet(codes_dir).dropDuplicates(["cand_id"])
     retired = _ivfpq_retired(spark, index_root)
     if retired is not None:
         codes = codes.join(F.broadcast(retired), "cand_id", "left_anti")
