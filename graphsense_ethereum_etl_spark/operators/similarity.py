@@ -1403,6 +1403,12 @@ def build_ivfpq_index(
     cand.write.mode("overwrite").partitionBy("cluster").parquet(
         f"{index_root}/codes"
     )
+    # a rebuild is a fresh index: manifest history restarts at seq 1
+    # naming exactly the just-written files
+    import shutil
+
+    shutil.rmtree(f"{index_root}/{_CODE_MANIFESTS}", ignore_errors=True)
+    _codes_commit(index_root, _codes_data_files(index_root))
     # Drift baseline for ivfpq_add (FAISS-retrain signal): mean residual
     # distance of the BUILD corpus under its own quantizer, as exact
     # integer (sum, n) so later ratios are reproducible. Aggregated from
@@ -1435,9 +1441,104 @@ def build_ivfpq_index(
         )
     # a rebuild is a fresh index: clear sticky-retirement state a
     # previous generation left behind (build_minhash_index convention)
-    import shutil
-
     shutil.rmtree(f"{index_root}/_retired", ignore_errors=True)
+
+
+_CODE_MANIFESTS = "_code_manifests"
+
+
+def _codes_data_files(index_root: str) -> list[str]:
+    """Relative paths (under codes/) of every parquet data file on disk —
+    INCLUDING orphans from crashed adds; only the manifest says which
+    are live."""
+    import os
+
+    base = f"{index_root}/codes"
+    out = []
+    for r, _, fs in os.walk(base):
+        for f in fs:
+            if f.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(r, f), base))
+    return sorted(out)
+
+
+def _codes_manifest(index_root: str) -> dict | None:
+    """The CURRENT codes manifest doc, or None for a pre-manifest index
+    (legacy fallback: every file in the dir is live)."""
+    import json
+
+    try:
+        with open(f"{index_root}/{_CODE_MANIFESTS}/_current") as fh:
+            name = fh.read().strip()
+        with open(f"{index_root}/{_CODE_MANIFESTS}/{name}") as fh:
+            return json.load(fh)
+    except OSError:
+        return None
+
+
+def _codes_commit(
+    index_root: str, files: list[str], tokens: dict | None = None
+) -> int:
+    """Atomically publish a new live-file set for the codes relation —
+    the Iceberg/Delta AddFile idea at minimum viable size: the manifest
+    names exactly the parquet files a reader may see, and ONE
+    temp-then-rename pointer swap is the commit point. Files appended by
+    a crashed add that never reached its commit are orphans: on disk,
+    referenced by nothing, invisible to every reader, reclaimed when
+    compaction rewrites the directory. ``tokens`` carries idempotency
+    high-water marks (checkpoint-key -> batch_id) INSIDE the committed
+    doc, so a streaming add's replay-skip decision and its visibility
+    commit are the same atomic event — exactly-once, not at-least-once."""
+    import json
+    import os
+
+    mdir = f"{index_root}/{_CODE_MANIFESTS}"
+    os.makedirs(mdir, exist_ok=True)
+    cur = _codes_manifest(index_root)
+    seq = (cur["seq"] + 1) if cur else 1
+    name = f"m-{seq:08d}.json"
+    with open(f"{mdir}/{name}", "w") as fh:
+        json.dump(
+            {"seq": seq, "files": sorted(files), "tokens": tokens or {}}, fh
+        )
+    tmp = f"{mdir}/_current.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(name)
+    os.replace(tmp, f"{mdir}/_current")
+    return seq
+
+
+def _codes_read(
+    spark, index_root: str, clusters: list | None = None
+) -> DataFrame:
+    """Snapshot read of the LIVE codes relation, pruned manifest-side to
+    ``clusters`` when given (unprobed inverted lists cost zero IO — not
+    even a footer read; orphaned files from crashed adds are never
+    handed to the scan). Falls back to the raw directory for
+    pre-manifest indexes."""
+    base = f"{index_root}/codes"
+    man = _codes_manifest(index_root)
+    if man is None:
+        df = spark.read.parquet(base)
+        if clusters is not None:
+            df = df.filter(F.col("cluster").isin(list(clusters)))
+        return df
+    files = man["files"]
+    if clusters is not None:
+        want = {f"cluster={c}/" for c in clusters}
+        files = [f for f in files if any(f.startswith(w) for w in want)]
+        if not files:
+            return (
+                spark.read.option("basePath", base)
+                .parquet(base)
+                .filter(F.lit(False))
+            )
+    df = spark.read.option("basePath", base).parquet(
+        *[f"{base}/{f}" for f in files]
+    )
+    if clusters is not None:
+        df = df.filter(F.col("cluster").isin(list(clusters)))
+    return df
 
 
 def _ivfpq_meta(index_root: str) -> dict:
@@ -1472,6 +1573,7 @@ def ivfpq_add(
     new_embeddings: DataFrame,
     id_col: str | None = None,
     vec_col: str | None = None,
+    token: tuple[str, int] | None = None,
 ) -> dict:
     """FAISS ``add``: encode a batch of new vectors against the FROZEN
     coarse quantizer and residual codebooks of a persisted index
@@ -1492,6 +1594,16 @@ def ivfpq_add(
     resurrect them, so the batch anti-joins the (small) retirement list
     — not the codes table — before encoding.
 
+    ATOMIC VISIBILITY: the appended files become readable only when the
+    codes manifest commits (one pointer rename) — a reader mid-add never
+    sees a partial batch, and a crash before the commit leaves invisible
+    orphans that compaction reclaims. ``token=(key, batch_id)`` makes
+    the add EXACTLY-ONCE for streaming replays: the high-water mark
+    rides inside the committed manifest doc, so skip-decision and
+    visibility are the same atomic event (streaming/ann_ingest.py).
+    Concurrent adds to one root are serialized by an advisory flock
+    (the ingest loop's convention).
+
     Returns the DRIFT metric the caller uses to schedule retraining
     (FAISS has no such signal; production systems bolt it on): the
     batch's mean residual distance under the frozen coarse quantizer vs
@@ -1499,44 +1611,70 @@ def ivfpq_add(
     drifting above ~1 means new data no longer fits the frozen
     centroids — recall decays and a rebuild is due. Cumulative add
     stats are folded into meta.json so drift is queryable later without
-    rescanning."""
+    rescanning (metrics-only: a crash between manifest commit and meta
+    write under-counts the stats, never the index)."""
     import json
 
     meta = _ivfpq_meta(index_root)
-    id_col = id_col or meta["id_col"]
-    vec_col = vec_col or meta["vec_col"]
-    coarse = spark.read.parquet(f"{index_root}/coarse")
-    cb = spark.read.parquet(f"{index_root}/codebooks")
-    batch = new_embeddings
-    retired = _ivfpq_retired(spark, index_root)
-    if retired is not None:
-        batch = batch.join(
-            F.broadcast(
-                retired.select(F.col("cand_id").alias(id_col))
-            ),
-            id_col,
-            "left_anti",
+    lock_fh = open(f"{index_root}/_add.lock", "w")
+    try:
+        import fcntl
+
+        fcntl.flock(lock_fh, fcntl.LOCK_EX)
+    except ImportError:  # non-POSIX: documented single-writer contract
+        pass
+    try:
+        man = _codes_manifest(index_root)
+        tokens = dict(man.get("tokens", {})) if man else {}
+        if token is not None and tokens.get(token[0], -1) >= token[1]:
+            return {"added": 0, "skipped_replay": True}
+        id_col = id_col or meta["id_col"]
+        vec_col = vec_col or meta["vec_col"]
+        coarse = spark.read.parquet(f"{index_root}/coarse")
+        cb = spark.read.parquet(f"{index_root}/codebooks")
+        batch = new_embeddings
+        retired = _ivfpq_retired(spark, index_root)
+        if retired is not None:
+            batch = batch.join(
+                F.broadcast(
+                    retired.select(F.col("cand_id").alias(id_col))
+                ),
+                id_col,
+                "left_anti",
+            )
+        # materialize the batch-sized encode ONCE: it feeds two consumers
+        # (drift aggregate + append) and must be pinned before the write
+        # so the append provably never reads the index it extends
+        enc = _ivfpq_encode(
+            batch, coarse, cb, meta["dim"], meta["m"], id_col, vec_col
+        ).localCheckpoint(eager=True)
+        row = enc.agg(
+            F.sum("res_dist").cast("long").alias("s"),
+            F.count("*").cast("long").alias("n"),
+        ).collect()[0]
+        added_n = int(row["n"])
+        added_sum = int(row["s"] or 0)
+        if added_n or token is not None:
+            before = set(_codes_data_files(index_root))
+            if added_n:
+                enc.write.mode("append").partitionBy("cluster").parquet(
+                    f"{index_root}/codes"
+                )
+            new_files = [
+                f for f in _codes_data_files(index_root) if f not in before
+            ]
+            live = man["files"] if man else sorted(before)
+            if token is not None:
+                tokens[token[0]] = token[1]
+            _codes_commit(index_root, list(live) + new_files, tokens)
+        meta["added_res_dist_sum"] = (
+            meta.get("added_res_dist_sum", 0) + added_sum
         )
-    # materialize the batch-sized encode ONCE: it feeds two consumers
-    # (drift aggregate + append) and must be pinned before the write so
-    # the append provably never reads the index it extends
-    enc = _ivfpq_encode(
-        batch, coarse, cb, meta["dim"], meta["m"], id_col, vec_col
-    ).localCheckpoint(eager=True)
-    row = enc.agg(
-        F.sum("res_dist").cast("long").alias("s"),
-        F.count("*").cast("long").alias("n"),
-    ).collect()[0]
-    added_n = int(row["n"])
-    added_sum = int(row["s"] or 0)
-    if added_n:
-        enc.write.mode("append").partitionBy("cluster").parquet(
-            f"{index_root}/codes"
-        )
-    meta["added_res_dist_sum"] = meta.get("added_res_dist_sum", 0) + added_sum
-    meta["added_n"] = meta.get("added_n", 0) + added_n
-    with open(f"{index_root}/meta.json", "w") as fh:
-        json.dump(meta, fh)
+        meta["added_n"] = meta.get("added_n", 0) + added_n
+        with open(f"{index_root}/meta.json", "w") as fh:
+            json.dump(meta, fh)
+    finally:
+        lock_fh.close()
     build_mean = (
         meta["build_res_dist_sum"] / meta["build_n"] if meta.get("build_n")
         else None
@@ -1605,10 +1743,13 @@ def compact_ivfpq_index(spark, index_root: str) -> dict:
         )
 
     files_before = _count_files(codes_dir)
-    codes = spark.read.parquet(codes_dir).dropDuplicates(["cand_id"])
+    # read LIVE rows only (through the manifest): orphan files from
+    # crashed adds must be reclaimed, not compacted in
+    codes = _codes_read(spark, index_root).dropDuplicates(["cand_id"])
     retired = _ivfpq_retired(spark, index_root)
     if retired is not None:
         codes = codes.join(F.broadcast(retired), "cand_id", "left_anti")
+    man = _codes_manifest(index_root)
     shutil.rmtree(tmp_dir, ignore_errors=True)
     (
         codes.repartition("cluster")
@@ -1623,6 +1764,15 @@ def compact_ivfpq_index(spark, index_root: str) -> dict:
     os.rename(tmp_dir, codes_dir)
     shutil.rmtree(old_dir, ignore_errors=True)
     shutil.rmtree(f"{index_root}/_retired", ignore_errors=True)
+    # fresh manifest history over the rewritten dir; idempotency tokens
+    # carry over (a replayed streaming batch must stay skipped across a
+    # compact), and the dir swap itself reclaimed every orphan
+    shutil.rmtree(f"{index_root}/{_CODE_MANIFESTS}", ignore_errors=True)
+    _codes_commit(
+        index_root,
+        _codes_data_files(index_root),
+        dict(man.get("tokens", {})) if man else {},
+    )
     return {
         "rows": rows,
         "files_before": files_before,
@@ -1680,10 +1830,12 @@ def ivfpq_search(
             .collect()
         }
     )
-    cand = (
-        spark.read.parquet(f"{index_root}/codes")
-        .filter(F.col("cluster").isin(probed))
-        .select("cluster", "cand_id", "codes")
+    # snapshot read through the codes manifest: unprobed clusters are
+    # pruned at the FILE-LIST level (zero IO, not even footers), orphans
+    # from crashed adds are invisible, and a concurrent add's partial
+    # batch can never leak into the scan
+    cand = _codes_read(spark, index_root, probed).select(
+        "cluster", "cand_id", "codes"
     )
     retired = _ivfpq_retired(spark, index_root)
     if retired is not None:

@@ -11,67 +11,46 @@ run_streaming_bloom_gate shape — so a vector feed (an embedding pipeline's
 output directory, a Kafka topic at cluster scale) flows straight into the
 searchable index as it lands.
 
-Delivery semantics: Structured Streaming replays the in-flight micro-batch
-after a crash (at-least-once), and a replayed ivfpq_add would append its
-rows AGAIN — unlike dd11's admit path there is no anti-join against the
-index, by design (adds never read the codes relation). Two mechanisms keep
-the index correct anyway:
+Delivery semantics: EXACTLY-ONCE. Structured Streaming replays the
+in-flight micro-batch after a crash (at-least-once delivery), but each
+add's visibility point is the codes MANIFEST commit (one pointer rename),
+and the (checkpoint, batch_id) idempotency token rides INSIDE the
+committed manifest doc — so "was this batch applied?" and "are its rows
+readable?" are the same atomic fact. A replayed batch either finds its
+token committed (skip: its rows are live) or not (its previous attempt's
+files are unreferenced orphans, invisible to every reader; the replay
+encodes again — bit-identical, frozen frames — and commits once).
+Orphans are reclaimed by compact_ivfpq_index's directory rewrite. The
+only loss window is METRICS: a crash between the manifest commit and the
+meta.json drift-stat write under-counts cumulative drift, never the
+index.
 
-  - REPLAY SKIP: applied (checkpoint, batch_id) pairs are recorded in a
-    ``_stream_progress.json`` sidecar inside the index root (written
-    temp-then-rename, so the record itself can't tear), and ``handle``
-    skips any batch at-or-below the recorded high-water mark — the
-    standard idempotent-foreachBatch pattern. This removes every replay
-    EXCEPT a crash landing exactly between the codes append and the
-    progress write.
-  - REPAIR: in that one window the replay double-appends the batch.
-    Because the encode is a pure function of the frozen frames, the
-    duplicate rows are bit-identical, so ``compact_ivfpq_index`` (which
-    now drops exact duplicate (cand_id) rows during its rewrite) restores
-    the index; searches between crash and compact may score the affected
-    candidates twice (the documented at-least-once caveat, same contract
-    as the Bloom gate's survivor append).
-
-Single-writer assumption: like the micro-batch ingest loop's flock, one
-streaming writer per index root — foreachBatch invocations are serialized
-within a query, and concurrent queries over different checkpoints would
-interleave progress records.
+Single-writer per batch is enforced by ivfpq_add's advisory flock;
+foreachBatch invocations within one query are serialized by Structured
+Streaming anyway.
 """
 
 from __future__ import annotations
 
 import hashlib
-import json
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-_PROGRESS = "_stream_progress.json"
-
-
-def _progress_path(index_root: str) -> str:
-    return f"{index_root}/{_PROGRESS}"
-
-
-def _read_progress(index_root: str) -> dict:
-    try:
-        with open(_progress_path(index_root)) as fh:
-            return json.load(fh)
-    except (OSError, json.JSONDecodeError):
-        return {}
-
-
-def _write_progress(index_root: str, prog: dict) -> None:
-    # temp-then-rename: the progress record itself can never tear
-    tmp = _progress_path(index_root) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(prog, fh)
-    os.replace(tmp, _progress_path(index_root))
-
 
 def _checkpoint_key(checkpoint: str) -> str:
     return hashlib.sha256(checkpoint.encode()).hexdigest()[:12]
+
+
+def stream_progress(index_root: str, checkpoint: str) -> int:
+    """The highest batch_id this checkpoint has committed into the index
+    (-1 when none) — read from the current codes manifest's token map."""
+    from ..operators.similarity import _codes_manifest
+
+    man = _codes_manifest(index_root)
+    if man is None:
+        return -1
+    return man.get("tokens", {}).get(_checkpoint_key(checkpoint), -1)
 
 
 def run_streaming_ann_add(
@@ -84,11 +63,12 @@ def run_streaming_ann_add(
 ) -> StreamingQuery:
     """Drain the pending vector feed into the persisted IVF-PQ index with
     ``foreachBatch`` + ``availableNow`` (resume from the checkpoint).
-    Every micro-batch is one ivfpq_add: frozen-frame encode, append,
-    drift stats folded into meta.json — so the cumulative drift signal
-    keeps working across the stream. Requires an existing
+    Every micro-batch is one ivfpq_add carrying its (checkpoint,
+    batch_id) token: frozen-frame encode, orphan-safe append, ONE atomic
+    manifest commit that simultaneously publishes the rows and records
+    the token, drift stats folded into meta.json. Requires an existing
     build_ivfpq_index root; see the module docstring for the
-    at-least-once window and its compact repair."""
+    exactly-once argument."""
     from ..operators.similarity import _ivfpq_meta, ivfpq_add
 
     _ivfpq_meta(index_root)  # existence + param sanity before starting
@@ -96,12 +76,14 @@ def run_streaming_ann_add(
     key = _checkpoint_key(checkpoint)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        prog = _read_progress(index_root)
-        if batch_id <= prog.get(key, -1):
-            return  # replayed batch already applied — skip, don't re-append
-        ivfpq_add(spark, index_root, batch_df, id_col=id_col, vec_col=vec_col)
-        prog[key] = batch_id
-        _write_progress(index_root, prog)
+        ivfpq_add(
+            spark,
+            index_root,
+            batch_df,
+            id_col=id_col,
+            vec_col=vec_col,
+            token=(key, int(batch_id)),
+        )
 
     q = (
         vec_stream.writeStream.foreachBatch(handle)

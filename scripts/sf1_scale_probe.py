@@ -165,6 +165,11 @@ ALWAYS_PROBE = [
     "v3_bpe_merge2",
     "v4_bpe_tokenize",
     "k12_asof_timestamp_read",
+    # r13 newcomers: the persisted-ANN lifecycle (build+add+search) and
+    # its streaming drain — index build dominates both; adds are
+    # batch-sized by design, so the ratio should track the build's
+    "sim10_ivfpq_add_probe",
+    "sim11_streaming_ann_ingest",
 ]
 
 

@@ -1,8 +1,10 @@
 """Streaming ANN ingestion (streaming/ann_ingest.py): a vector feed
 drains into the persisted IVF-PQ index micro-batch by micro-batch —
 equivalent to the same batches applied via ivfpq_add by hand, resumable
-from its checkpoint (only new files add), with the at-least-once crash
-window repaired by compact's duplicate drop."""
+from its checkpoint (only new files add), and EXACTLY-ONCE under crash
+replay: the (checkpoint, batch_id) token commits atomically with the
+codes manifest, a crashed add leaves only invisible orphan files, and
+compaction reclaims them."""
 
 from __future__ import annotations
 
@@ -12,9 +14,12 @@ VSCHEMA = "vec_id long, embedding array<float>, label int"
 
 
 def _index_rows(spark, root):
+    """LIVE rows, read through the codes manifest like every consumer."""
+    from graphsense_ethereum_etl_spark.operators.similarity import _codes_read
+
     return sorted(
         (r["cluster"], r["cand_id"], tuple(r["codes"]), r["res_dist"])
-        for r in spark.read.parquet(f"{root}/codes").collect()
+        for r in _codes_read(spark, root).collect()
     )
 
 
@@ -83,8 +88,8 @@ def test_streaming_ann_add_resume_and_progress(spark, tmp_path):
         build_ivfpq_index,
     )
     from graphsense_ethereum_etl_spark.streaming.ann_ingest import (
-        _read_progress,
         run_streaming_ann_add,
+        stream_progress,
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -103,7 +108,7 @@ def test_streaming_ann_add_resume_and_progress(spark, tmp_path):
     run_streaming_ann_add(stream, root, ckpt)
     n1 = spark.read.parquet(f"{root}/codes").count()
     assert n1 == base_rows + f1.count()
-    assert _read_progress(root)  # high-water mark recorded
+    assert stream_progress(root, ckpt) >= 0  # token committed
 
     # nothing pending: drain again, index unchanged
     stream = spark.readStream.schema(VSCHEMA).parquet(src)
@@ -118,43 +123,75 @@ def test_streaming_ann_add_resume_and_progress(spark, tmp_path):
     assert spark.read.parquet(f"{root}/codes").count() == n1 + f2.count()
 
 
-def test_streaming_ann_crash_window_repaired_by_compact(spark, tmp_path):
-    """The one unguarded window (crash between the codes append and the
-    progress write) double-appends bit-identical rows on replay:
-    searches then score the duplicated candidates twice, and
-    compact_ivfpq_index's per-cand_id duplicate drop restores the index
-    to the exactly-once state."""
-    from graphsense_ethereum_etl_spark.operators.similarity import (
-        build_ivfpq_index,
-        compact_ivfpq_index,
-        ivfpq_add,
-        ivfpq_search,
-    )
+def test_streaming_ann_exactly_once_crash_replay(spark, tmp_path, monkeypatch):
+    """A crash BETWEEN the codes append and the manifest commit leaves
+    orphan files that no reader sees (searches and live rows unchanged);
+    replaying the same token then applies the batch exactly once, and
+    compaction's dir rewrite reclaims the orphans. A replay AFTER a
+    successful commit is skipped outright. Duplicate rows from
+    token-less double-adds (the manual path misused) are still repaired
+    by compact's per-cand_id duplicate drop."""
+    from graphsense_ethereum_etl_spark.operators import similarity as S
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     root = str(tmp_path / "idx")
-    build_ivfpq_index(
+    S.build_ivfpq_index(
         emb.filter("vec_id % 4 != 3"), root, dim=64, n_clusters=8, m=8,
         n_codes=16,
     )
     batch = emb.filter("vec_id % 8 = 3")
     q = emb.filter(F.col("vec_id") < 4)
-    ivfpq_add(spark, root, batch)
-    clean = _index_rows(spark, root)
-    want = sorted(
-        tuple(r) for r in ivfpq_search(spark, root, q, nprobe=2, k=5).collect()
+    clean_rows = _index_rows(spark, root)
+    want_clean = sorted(
+        tuple(r)
+        for r in S.ivfpq_search(spark, root, q, nprobe=2, k=5).collect()
     )
 
-    # simulate the crash-window replay: the same batch appends AGAIN
-    ivfpq_add(spark, root, batch)
-    dup = _index_rows(spark, root)
-    assert len(dup) == len(clean) + batch.count()
-    # the duplicates are bit-identical (frozen-frame determinism)
-    assert sorted(set(dup)) == clean
+    # crash injection: the append lands, the commit never happens
+    orig_commit = S._codes_commit
 
-    compact_ivfpq_index(spark, root)
-    assert _index_rows(spark, root) == clean
-    got = sorted(
-        tuple(r) for r in ivfpq_search(spark, root, q, nprobe=2, k=5).collect()
-    )
-    assert got == want
+    def boom(*a, **kw):
+        raise RuntimeError("crash before manifest commit")
+
+    monkeypatch.setattr(S, "_codes_commit", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="crash"):
+        S.ivfpq_add(spark, root, batch, token=("ck", 0))
+    monkeypatch.setattr(S, "_codes_commit", orig_commit)
+
+    n_disk = len(S._codes_data_files(root))
+    assert _index_rows(spark, root) == clean_rows  # orphans invisible
+    assert sorted(
+        tuple(r)
+        for r in S.ivfpq_search(spark, root, q, nprobe=2, k=5).collect()
+    ) == want_clean
+
+    # replay of the same token: applied exactly once
+    stats = S.ivfpq_add(spark, root, batch, token=("ck", 0))
+    assert stats["added"] == batch.count()
+    applied = _index_rows(spark, root)
+    assert len(applied) == len(clean_rows) + batch.count()
+    # disk additionally carries the crashed attempt's orphans
+    assert len(S._codes_data_files(root)) > n_disk
+
+    # replay AFTER success: skipped, nothing changes
+    stats2 = S.ivfpq_add(spark, root, batch, token=("ck", 0))
+    assert stats2 == {"added": 0, "skipped_replay": True}
+    assert _index_rows(spark, root) == applied
+
+    # compaction reclaims orphans; live rows and search unchanged;
+    # the token survives the rewrite (replays stay skipped)
+    S.compact_ivfpq_index(spark, root)
+    assert _index_rows(spark, root) == applied
+    assert len(S._codes_data_files(root)) <= 8  # 1 file/cluster, orphans gone
+    assert S.ivfpq_add(spark, root, batch, token=("ck", 0)) == {
+        "added": 0, "skipped_replay": True,
+    }
+
+    # token-less double-add (manual misuse): duplicates live until
+    # compact drops them per cand_id
+    S.ivfpq_add(spark, root, batch)
+    assert len(_index_rows(spark, root)) == len(applied) + batch.count()
+    S.compact_ivfpq_index(spark, root)
+    assert _index_rows(spark, root) == applied
