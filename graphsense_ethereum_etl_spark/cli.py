@@ -397,8 +397,8 @@ def build_parser() -> ArgumentParser:
         choices=[
             "dedup", "decontaminate", "score", "sample", "pack", "chunk",
             "dedup-lines", "negatives", "validate", "lm-score", "ann",
-            "ann-build", "ann-search", "ann-add", "ann-compact", "embed",
-            "dupspan", "classify",
+            "ann-build", "ann-search", "ann-add", "ann-compact", "ann-stats",
+            "embed", "dupspan", "classify",
             "dedup-gate", "wsample", "split", "profile",
             "dedup-index", "dedup-probe", "dedup-compact", "outliers",
             "mix", "tokenize",
@@ -1049,7 +1049,8 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
     docs = (
         None
         if args.operation
-        in ("ann-search", "ann-compact", "dedup-gate", "dedup-compact")
+        in ("ann-search", "ann-compact", "ann-stats", "dedup-gate",
+            "dedup-compact")
         else spark.read.parquet(args.input)
     )
     if args.operation == "dedup-gate":
@@ -1280,6 +1281,12 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
             f"(drift ratio {drift} vs build baseline)"
         )
         return IngestStats()
+    elif args.operation == "ann-stats":
+        from .operators.similarity import ivfpq_index_stats
+
+        # -i is the index root (like ann-search); the per-cluster
+        # occupancy/fit panel lands at -o
+        out = ivfpq_index_stats(spark, args.input)
     elif args.operation == "ann-compact":
         from .operators.similarity import compact_ivfpq_index, ivfpq_remove
 

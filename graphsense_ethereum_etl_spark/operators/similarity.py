@@ -1462,11 +1462,21 @@ def _codes_data_files(index_root: str) -> list[str]:
     return sorted(out)
 
 
-def _codes_manifest(index_root: str) -> dict | None:
-    """The CURRENT codes manifest doc, or None for a pre-manifest index
-    (legacy fallback: every file in the dir is live)."""
+def _codes_manifest(index_root: str, version: int | None = None) -> dict | None:
+    """A codes manifest doc: the CURRENT one by default, or an explicit
+    committed ``version`` (time travel — valid for history between
+    compactions, which restart the manifest sequence over the rewritten
+    directory: the VersionedTable vacuum-grace contract). Returns None
+    for a pre-manifest index (legacy fallback: every file in the dir is
+    live); raises FileNotFoundError for a version that was never
+    committed or was reclaimed by a compact."""
     import json
 
+    if version is not None:
+        with open(
+            f"{index_root}/{_CODE_MANIFESTS}/m-{version:08d}.json"
+        ) as fh:
+            return json.load(fh)
     try:
         with open(f"{index_root}/{_CODE_MANIFESTS}/_current") as fh:
             name = fh.read().strip()
@@ -1474,6 +1484,26 @@ def _codes_manifest(index_root: str) -> dict | None:
             return json.load(fh)
     except OSError:
         return None
+
+
+def ivfpq_index_history(index_root: str) -> list[int]:
+    """Committed codes-manifest versions, oldest first — seq 1 is the
+    build (or the latest compact, which restarts history), each add is
+    one more. Crash debris (a manifest newer than the published pointer)
+    is excluded, mirroring VersionedTable.history."""
+    import os
+    import re
+
+    mdir = f"{index_root}/{_CODE_MANIFESTS}"
+    cur = _codes_manifest(index_root)
+    if cur is None:
+        return []
+    return sorted(
+        int(m.group(1))
+        for f in os.listdir(mdir)
+        if (m := re.match(r"m-(\d{8})\.json$", f))
+        and int(m.group(1)) <= cur["seq"]
+    )
 
 
 def _codes_commit(
@@ -1509,15 +1539,20 @@ def _codes_commit(
 
 
 def _codes_read(
-    spark, index_root: str, clusters: list | None = None
+    spark,
+    index_root: str,
+    clusters: list | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """Snapshot read of the LIVE codes relation, pruned manifest-side to
     ``clusters`` when given (unprobed inverted lists cost zero IO — not
     even a footer read; orphaned files from crashed adds are never
-    handed to the scan). Falls back to the raw directory for
-    pre-manifest indexes."""
+    handed to the scan). ``version`` pins a historic manifest (time
+    travel — immutable data files make it free until a compact rewrites
+    the directory). Falls back to the raw directory for pre-manifest
+    indexes."""
     base = f"{index_root}/codes"
-    man = _codes_manifest(index_root)
+    man = _codes_manifest(index_root, version)
     if man is None:
         df = spark.read.parquet(base)
         if clusters is not None:
@@ -1781,6 +1816,37 @@ def compact_ivfpq_index(spark, index_root: str) -> dict:
     }
 
 
+def ivfpq_index_stats(
+    spark, index_root: str, version: int | None = None
+) -> DataFrame:
+    """(cluster, n_vectors, res_dist_sum, mean_res_dist) — per-inverted-
+    list occupancy and quantizer fit of a persisted index, the
+    introspection panel an operator reads before trusting a grown index:
+    skewed occupancy means the frozen coarse quantizer routes new data
+    badly (hot lists slow every probe that hits them — the IVF analog of
+    join-key skew, prof1's concern), and a cluster whose mean residual
+    distance drifts far above its siblings' is where recall decays
+    first. All integers are exact (res_dist is the stored per-vector
+    residual L2²; the mean is a trunc-div like every grouped mean in the
+    u2 family), so the panel is oracle-hashable. Reads the LIVE view
+    (manifest-pinned, retirement-filtered); ``version`` pins history.
+    One scan of two narrow columns + one |clusters|-sized aggregate."""
+    codes = _codes_read(spark, index_root, version=version)
+    retired = _ivfpq_retired(spark, index_root)
+    if retired is not None:
+        codes = codes.join(F.broadcast(retired), "cand_id", "left_anti")
+    return (
+        codes.groupBy(F.col("cluster").cast("int").alias("cluster"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.sum("res_dist").cast("bigint").alias("res_dist_sum"),
+            F.expr("sum(res_dist) DIV count(*)").cast("bigint").alias(
+                "mean_res_dist"
+            ),
+        )
+    )
+
+
 def ivfpq_search(
     spark,
     index_root: str,
@@ -1789,6 +1855,7 @@ def ivfpq_search(
     k: int = 10,
     id_col: str | None = None,
     vec_col: str | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """Answer top-k queries from a persisted IVF-PQ index
     (build_ivfpq_index) WITHOUT touching the original embeddings: read
@@ -1798,7 +1865,12 @@ def ivfpq_search(
     collect) is pushed into the scan as a partition filter, so unprobed
     lists cost zero IO (PartitionFilters, plan-asserted in tests).
     Results are byte-identical to running ivfpq_topk in-flight with the
-    same parameters."""
+    same parameters. ``version`` answers from a HISTORIC index state
+    (ivfpq_index_history lists them): the coarse/codebook frames are
+    frozen across adds by construction, so pinning the codes manifest is
+    sufficient — "search yesterday's index" costs nothing until a
+    compact reclaims the history, the k-family time-travel contract on
+    the ANN tier."""
     meta = _ivfpq_meta(index_root)
     id_col = id_col or meta["id_col"]
     vec_col = vec_col or meta["vec_col"]
@@ -1834,7 +1906,7 @@ def ivfpq_search(
     # pruned at the FILE-LIST level (zero IO, not even footers), orphans
     # from crashed adds are invisible, and a concurrent add's partial
     # batch can never leak into the scan
-    cand = _codes_read(spark, index_root, probed).select(
+    cand = _codes_read(spark, index_root, probed, version=version).select(
         "cluster", "cand_id", "codes"
     )
     retired = _ivfpq_retired(spark, index_root)

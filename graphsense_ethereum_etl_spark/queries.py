@@ -3852,6 +3852,85 @@ def sim11_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim12_ivfpq_index_stats",
+    """
+    WITH xq AS (
+      SELECT vec_id AS vid, i.i - 1 AS pos,
+             CAST(FLOOR((CAST(embedding[i.i] AS DOUBLE) + 1.0) * 1048576)
+                  AS BIGINT) AS xv
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) i(i)
+      WHERE embedding IS NOT NULL AND len(embedding) = 64),
+    coarse AS (
+      SELECT vid % 8 AS c, pos, SUM(xv) // COUNT(*) AS cent
+      FROM xq WHERE vid % 4 != 3 GROUP BY vid % 8, pos),
+    cdist AS (
+      SELECT x.vid, co.c, SUM((x.xv - co.cent) * (x.xv - co.cent)) AS dist
+      FROM xq x JOIN coarse co ON co.pos = x.pos
+      GROUP BY x.vid, co.c),
+    assign AS (
+      SELECT vid, c AS cluster FROM (
+        SELECT vid, c,
+               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, c) AS rn
+        FROM cdist) WHERE rn = 1),
+    res AS (
+      SELECT x.vid, x.pos, x.xv - co.cent AS rv
+      FROM xq x
+      JOIN assign a ON a.vid = x.vid
+      JOIN coarse co ON co.c = a.cluster AND co.pos = x.pos),
+    rd AS (
+      SELECT vid, CAST(SUM(rv * rv) AS BIGINT) AS res_dist
+      FROM res GROUP BY vid),
+    st AS (
+      SELECT a.cluster, COUNT(*) AS n, SUM(rd.res_dist) AS s
+      FROM rd JOIN assign a ON a.vid = rd.vid GROUP BY a.cluster)
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(n AS BIGINT) AS n_vectors,
+           CAST(s AS BIGINT) AS res_dist_sum,
+           CAST(s // n AS BIGINT) AS mean_res_dist
+    FROM st
+    """,
+)
+def sim12_ivfpq_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index INTROSPECTION on the grown ANN index (operators/
+    similarity.py::ivfpq_index_stats): per-inverted-list occupancy and
+    quantizer fit after sim10's build-then-add lifecycle — the panel an
+    operator reads before trusting a frozen index: occupancy skew is the
+    IVF analog of join-key skew (hot lists slow every probe that routes
+    to them), and the per-cluster mean residual distance localizes WHERE
+    the frozen quantizer fits worst (the drift signal ivfpq_add reports
+    globally, broken down by list). Every number exact integers on the
+    stored per-vector res_dist column, so the oracle — the sim10 chain
+    up to residuals, then per-vid L2² rolled up per assigned cluster —
+    hash-checks with no tolerance.
+
+    Scale shape: one scan of two narrow columns off the manifest-pinned
+    live view (column pruning: codes arrays are never read) into a
+    |clusters|-sized aggregate — the cheapest possible pass over an
+    arbitrarily large index."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_add,
+        ivfpq_index_stats,
+    )
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    workdir = tempfile.mkdtemp(prefix="ivfpq_stats_query_")
+    try:
+        root = f"{workdir}/idx"
+        build_ivfpq_index(
+            emb.filter("vec_id % 4 != 3"), root,
+            dim=64, n_clusters=8, m=8, n_codes=16,
+        )
+        ivfpq_add(spark, root, emb.filter("vec_id % 4 = 3"))
+        return ivfpq_index_stats(spark, root).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
     "sim8_filtered_ann",
     f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -170,6 +170,7 @@ ALWAYS_PROBE = [
     # batch-sized by design, so the ratio should track the build's
     "sim10_ivfpq_add_probe",
     "sim11_streaming_ann_ingest",
+    "sim12_ivfpq_index_stats",
 ]
 
 

@@ -490,6 +490,21 @@ SKIPS = {
     # tests/test_similarity.py.
     "similarity.build_ivfpq_index": "persists to disk — tested in test_similarity.py",
     "similarity.ivfpq_search": "reads a persisted index — tested in test_similarity.py",
+    # r13 index-lifecycle family (all read/mutate a persisted root, not
+    # pure frame→frame ops); frozen-reference equality, crash-injection
+    # exactly-once replay, sticky retirement, orphan reclaim, time
+    # travel, and the stats panel are pinned in tests/test_similarity.py
+    # + tests/test_streaming_ann.py.
+    "similarity.ivfpq_add": "mutates a persisted index — tested in "
+        "test_similarity.py/test_streaming_ann.py",
+    "similarity.ivfpq_remove": "mutates a persisted index — tested in "
+        "test_similarity.py",
+    "similarity.compact_ivfpq_index": "rewrites a persisted index — tested "
+        "in test_similarity.py/test_streaming_ann.py",
+    "similarity.ivfpq_index_history": "path→list helper over the manifest "
+        "dir — tested in test_similarity.py",
+    "similarity.ivfpq_index_stats": "reads a persisted index — tested in "
+        "test_similarity.py",
     # Index-at-rest pair (bucketed managed table + meta sidecar);
     # equivalence-to-lsh_candidate_pairs, plan shape, probe-then-admit,
     # fresh-catalog re-registration, and param validation are pinned in

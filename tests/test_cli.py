@@ -1778,3 +1778,20 @@ def test_cli_corpus_ann_add_compact_lifecycle(spark, tmp_path, capsys):
           "--queries", qsrc, "--k", "5"], spark=spark)
     ids2 = {int(r["cand_id"]) for r in spark.read.parquet(found2).collect()}
     assert victim not in ids2 and ids2
+
+
+def test_cli_corpus_ann_stats(spark, tmp_path):
+    """`corpus ann-stats` writes the per-cluster occupancy/fit panel of a
+    persisted index; totals tie out to the indexed vector count."""
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "idx")
+    main(["corpus", "ann-build", "-i", src, "-o", idx, "--id-col", "vec_id"],
+         spark=spark)
+    out = str(tmp_path / "panel")
+    main(["corpus", "ann-stats", "-i", idx, "-o", out], spark=spark)
+    panel = spark.read.parquet(out)
+    assert set(panel.columns) == {
+        "cluster", "n_vectors", "res_dist_sum", "mean_res_dist"
+    }
+    n_idx = spark.read.parquet(f"{idx}/codes").count()
+    assert panel.agg({"n_vectors": "sum"}).collect()[0][0] == n_idx

@@ -549,3 +549,83 @@ def test_ivfpq_remove_compact_sticky_lifecycle(spark, tmp_path):
     res2 = sorted(tuple(r) for r in
                   ivfpq_search(spark, root, q, nprobe=2, k=5).collect())
     assert res2 == sorted(tuple(r) for r in res1)
+
+
+def test_ivfpq_time_travel_and_index_stats(spark, tmp_path):
+    """The codes manifest gives the ANN index k-family time travel for
+    free: version 1 is the build, each add one more; searching a pinned
+    version answers from that index state (the frozen frames never
+    change, so the codes manifest alone pins it); compaction reclaims
+    history. ivfpq_index_stats reports the exact per-cluster
+    occupancy/fit panel and respects retirement."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from graphsense_ethereum_etl_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter("vec_id % 4 != 3")
+    batch = emb.filter("vec_id % 4 = 3")
+    q = emb.filter(F.col("vec_id") < 4)
+    root = str(tmp_path / "idx")
+    S.build_ivfpq_index(base, root, dim=64, n_clusters=8, m=8, n_codes=16)
+    want_v1 = sorted(
+        tuple(r)
+        for r in S.ivfpq_search(spark, root, q, nprobe=2, k=5).collect()
+    )
+    S.ivfpq_add(spark, root, batch)
+    assert S.ivfpq_index_history(root) == [1, 2]
+
+    got_v1 = sorted(
+        tuple(r)
+        for r in S.ivfpq_search(
+            spark, root, q, nprobe=2, k=5, version=1
+        ).collect()
+    )
+    assert got_v1 == want_v1  # yesterday's index, byte-identical
+    cur = sorted(
+        tuple(r)
+        for r in S.ivfpq_search(spark, root, q, nprobe=2, k=5).collect()
+    )
+    assert cur == sorted(
+        tuple(r)
+        for r in S.ivfpq_search(
+            spark, root, q, nprobe=2, k=5, version=2
+        ).collect()
+    )
+    assert cur != want_v1  # the add actually changed the neighborhoods
+
+    # stats: exact panel over the live view, totals tie out to meta
+    import json
+
+    stats = {
+        r["cluster"]: (r["n_vectors"], r["res_dist_sum"], r["mean_res_dist"])
+        for r in S.ivfpq_index_stats(spark, root).collect()
+    }
+    meta = json.load(open(f"{root}/meta.json"))
+    assert sum(n for n, _, _ in stats.values()) == (
+        meta["build_n"] + meta["added_n"]
+    )
+    assert sum(s for _, s, _ in stats.values()) == (
+        meta["build_res_dist_sum"] + meta["added_res_dist_sum"]
+    )
+    assert all(s // n == m for n, s, m in stats.values())
+    # version pin: v1 stats cover the build corpus only
+    v1_stats = S.ivfpq_index_stats(spark, root, version=1)
+    assert v1_stats.agg(F.sum("n_vectors")).collect()[0][0] == meta["build_n"]
+
+    # retirement reflected immediately
+    victim = int(
+        S._codes_read(spark, root).select("cand_id").first()["cand_id"]
+    )
+    S.ivfpq_remove(spark, root, [victim])
+    assert (
+        S.ivfpq_index_stats(spark, root).agg(F.sum("n_vectors")).collect()[0][0]
+        == meta["build_n"] + meta["added_n"] - 1
+    )
+
+    # compact restarts history; the old version is reclaimed
+    S.compact_ivfpq_index(spark, root)
+    assert S.ivfpq_index_history(root) == [1]
+    with _pytest.raises(FileNotFoundError):
+        S.ivfpq_search(spark, root, q, nprobe=2, k=5, version=2).collect()
