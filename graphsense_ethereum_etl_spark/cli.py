@@ -401,7 +401,7 @@ def build_parser() -> ArgumentParser:
             "embed", "dupspan", "classify",
             "dedup-gate", "wsample", "split", "profile",
             "dedup-index", "dedup-probe", "dedup-compact", "outliers",
-            "mix", "tokenize",
+            "mix", "tokenize", "curate",
         ],
         help="which curation pass to run over the input documents table",
     )
@@ -1401,6 +1401,20 @@ def cmd_corpus(args: Namespace, spark: SparkSession) -> IngestStats:
             docs, args.value_col, args.group_col, k=args.mad_k,
             exact=not args.approx, n_groups_bound=n_groups,
         )
+    elif args.operation == "curate":
+        from .functions.text import gopher_keep
+        from .operators.corpus import dedup_keepers, hash_sample
+
+        # the cur1 funnel as a CLI pass: Gopher gate -> exact-dedup
+        # keepers -> deterministic hash sample; survivors land at -o
+        gated = docs.filter(gopher_keep(args.text_col))
+        keepers = (
+            dedup_keepers(gated, text_col=args.text_col, id_col=args.id_col)
+            .filter("keep")
+            .select(args.id_col)
+        )
+        dd = gated.join(keepers, args.id_col, "left_semi")
+        out = hash_sample(dd, args.rate, id_col=args.id_col, salt=args.salt)
     elif args.operation == "mix":
         from .operators.corpus import token_budget_mix
 

@@ -99,6 +99,53 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized_text(text))
 
 
+def gopher_keep(
+    text: Column | str,
+    min_tokens: int = 10,
+    max_tokens: int = 1000,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+    min_alpha_word_ratio: float = 0.7,
+    min_stopword_hits: int = 1,
+    stopwords: tuple = ("the", "a", "of", "and", "to"),
+) -> Column:
+    """The Gopher quality-rule verdict (Rae et al. 2021 §A1.1) as one
+    Column: token-count bounds, mean-token-length band, fraction-of-
+    words-with-an-alphabetic-char floor, minimum stopword-hit count —
+    the t12 bundle as a reusable predicate (cur1's pipeline gate and
+    the CLI `corpus curate` stage-1 filter). Pure Catalyst over one
+    tokenization; defaults scaled to the synthetic corpus (published
+    thresholds: 50..100k tokens, 3..10 chars, 0.8, 2 stopwords)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(c), r"\s+")
+    n_tok = F.size(toks).cast("bigint")
+    return (
+        n_tok.between(min_tokens, max_tokens)
+        & (
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / n_tok.cast("double")
+        ).between(min_mean_token_len, max_mean_token_len)
+        & (
+            F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double")
+            / n_tok.cast("double")
+            >= min_alpha_word_ratio
+        )
+        & (
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(toks),
+                    F.array(*[F.lit(s) for s in stopwords]),
+                )
+            )
+            >= min_stopword_hits
+        )
+    )
+
+
 # PII patterns chosen to parse identically under Java regex (Spark) and
 # RE2 (DuckDB): no backreferences, no lookaround, alternation-free (the two
 # engines differ on leftmost-first vs leftmost-longest alternation).

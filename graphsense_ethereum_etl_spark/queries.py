@@ -890,6 +890,116 @@ def t12_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cur1_curation_pipeline",
+    """
+    WITH s AS (
+      SELECT doc_id, source, text,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents),
+    q AS (
+      SELECT doc_id, source, text, w,
+             (CAST(len(w) AS BIGINT) BETWEEN 10 AND 1000)
+             AND (CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                    / CAST(len(w) AS DOUBLE) BETWEEN 2.0 AND 12.0)
+             AND (CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                       AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 0.7)
+             AND (len(list_filter(list_distinct(w),
+                    x -> list_contains(['the','a','of','and','to'], x))) >= 1)
+               AS q_keep
+      FROM s),
+    gated AS (SELECT doc_id, source, text, w FROM q WHERE q_keep),
+    dd AS (
+      SELECT doc_id, source, w FROM (
+        SELECT doc_id, source, w,
+               MIN(doc_id) OVER (PARTITION BY
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                 AS keeper
+        FROM gated) WHERE doc_id = keeper),
+    smp AS (
+      SELECT doc_id, source, w FROM dd
+      WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':cur1'),
+                                   1, 8) AS BIGINT) % 1000000 < 500000),
+    r AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw
+          FROM s GROUP BY source),
+    g2 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_quality
+           FROM gated GROUP BY source),
+    d2 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dedup
+           FROM dd GROUP BY source),
+    f2 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_final,
+                  CAST(SUM(len(w)) AS BIGINT) AS tokens_final
+           FROM smp GROUP BY source)
+    SELECT r.source, r.n_raw,
+           CAST(coalesce(g2.n_quality, 0) AS BIGINT) AS n_quality,
+           CAST(coalesce(d2.n_dedup, 0) AS BIGINT) AS n_dedup,
+           CAST(coalesce(f2.n_final, 0) AS BIGINT) AS n_final,
+           CAST(coalesce(f2.tokens_final, 0) AS BIGINT) AS tokens_final
+    FROM r
+    LEFT JOIN g2 USING (source)
+    LEFT JOIN d2 USING (source)
+    LEFT JOIN f2 USING (source)
+    """,
+)
+def cur1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline a pretraining-data run actually
+    executes, composed from the repo's own certified operators and
+    reported as the per-source funnel every data team reviews before a
+    training run: raw -> Gopher quality gate (t12's rule bundle) ->
+    exact dedup keepers (operators/corpus.py::dedup_keepers, t4's
+    fingerprint) -> deterministic 50% hash sample
+    (operators/corpus.py::hash_sample, smp1's md5-bucket scheme) ->
+    docs + whitespace tokens per source. Certifying the COMPOSITION
+    matters beyond the pieces: stage order, filter interaction, and the
+    keeper-vs-sample commutation are exactly where hand-rolled
+    pipelines silently diverge.
+
+    Scale shape: the gate is map-only on the corpus scan; dedup is one
+    window shuffle on the md5 fingerprint (keeper = min id per cluster);
+    the sample is map-only; the funnel is four |sources|-sized
+    aggregates broadcast-joined on source. Nothing corpus-sized moves
+    more than once. Every count/token total is an exact integer and the
+    sampling/fingerprint hashes are engine-identical md5 formulas, so
+    the oracle — the identical funnel in SQL — hash-checks exactly."""
+    from .functions.text import gopher_keep
+    from .operators.corpus import dedup_keepers, hash_sample
+
+    docs = load(spark, sf_dir, "documents", spread=True).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source", "text"
+    )
+    gated = docs.filter(gopher_keep("text"))
+    keepers = dedup_keepers(gated).filter("keep").select("doc_id")
+    dd = gated.join(keepers, "doc_id", "left_semi")
+    smp = hash_sample(dd, 0.5, salt="cur1")
+
+    def funnel(rel, *aggs):
+        return rel.groupBy("source").agg(*aggs)
+
+    r = funnel(docs, F.count("*").cast("bigint").alias("n_raw"))
+    g2 = funnel(gated, F.count("*").cast("bigint").alias("n_quality"))
+    d2 = funnel(dd, F.count("*").cast("bigint").alias("n_dedup"))
+    f2 = funnel(
+        smp,
+        F.count("*").cast("bigint").alias("n_final"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("tokens_final"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        r.join(F.broadcast(g2), "source", "left")
+        .join(F.broadcast(d2), "source", "left")
+        .join(F.broadcast(f2), "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_quality", zero).alias("n_quality"),
+            F.coalesce("n_dedup", zero).alias("n_dedup"),
+            F.coalesce("n_final", zero).alias("n_final"),
+            F.coalesce("tokens_final", zero).alias("tokens_final"),
+        )
+    )
+
+
 def _duck_lang_score(lang: str) -> str:
     from .functions.text import LANG_STOPWORDS
 

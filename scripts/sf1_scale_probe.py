@@ -171,6 +171,7 @@ ALWAYS_PROBE = [
     "sim10_ivfpq_add_probe",
     "sim11_streaming_ann_ingest",
     "sim12_ivfpq_index_stats",
+    "cur1_curation_pipeline",
 ]
 
 

@@ -333,6 +333,11 @@ STREAM_COVERED = {
 }
 
 STREAM_SKIPS = {
+    "ann_ingest.run_streaming_ann_add": "streaming driver loop — "
+        "stream-equals-manual, resume, and crash-injection exactly-once "
+        "contracts in test_streaming_ann.py",
+    "ann_ingest.stream_progress": "manifest-token reader — exercised by "
+        "every resume test in test_streaming_ann.py",
     "cdf.apply_mv_delta": "gap/regression/delta-init/replay/lock contracts — "
         "deterministic race tests + 3-seed two-instance interleave soak in "
         "test_streaming_cdf.py",

@@ -1795,3 +1795,30 @@ def test_cli_corpus_ann_stats(spark, tmp_path):
     }
     n_idx = spark.read.parquet(f"{idx}/codes").count()
     assert panel.agg({"n_vectors": "sum"}).collect()[0][0] == n_idx
+
+
+def test_cli_corpus_curate_funnel(spark, tmp_path):
+    """`corpus curate` composes the cur1 funnel (Gopher gate -> exact
+    dedup -> hash sample) and equals the hand-composed stages."""
+    from graphsense_ethereum_etl_spark.functions.text import gopher_keep
+    from graphsense_ethereum_etl_spark.operators.corpus import (
+        dedup_keepers,
+        hash_sample,
+    )
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "curated")
+    main(["corpus", "curate", "-i", src, "-o", out, "--rate", "0.5",
+          "--salt", "cur1"], spark=spark)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    docs = spark.read.parquet(src)
+    gated = docs.filter(gopher_keep("text"))
+    keepers = dedup_keepers(gated).filter("keep").select("doc_id")
+    dd = gated.join(keepers, "doc_id", "left_semi")
+    want = {
+        r.doc_id
+        for r in hash_sample(dd, 0.5, salt="cur1").select("doc_id").collect()
+    }
+    assert got == want
+    assert 0 < len(got) < docs.count()  # every stage actually filtered
