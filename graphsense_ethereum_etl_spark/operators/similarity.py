@@ -1146,25 +1146,13 @@ def _ivfpq_assign_residual(
     )
 
 
-def _ivfpq_train_frames(
-    train: DataFrame,
-    dim: int,
-    n_clusters: int,
-    m: int,
-    n_codes: int,
-    id_col: str,
-    vec_col: str,
-) -> tuple[DataFrame, DataFrame]:
-    """The TRAINING side of IVF-PQ: coarse quantizer + residual PQ
-    codebooks learned from ``train`` only. Encoding (below) is a pure
-    function of these two frames, which is what makes incremental adds
-    against a FROZEN index well-defined (FAISS train/add split)."""
-    w = dim // m
+def _ivfpq_train_coarse(
+    train: DataFrame, dim: int, n_clusters: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Coarse quantizer: integer-L2 centroids over vid % n_clusters."""
     xq = _pq_quantize(vec_col)
     valid = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
-
-    # ---- coarse quantizer: integer-L2 centroids over vid % n_clusters
-    coarse = (
+    return (
         train.where(valid)
         .select(
             (F.col(id_col) % n_clusters).cast("int").alias("c"),
@@ -1181,15 +1169,26 @@ def _ivfpq_train_frames(
         )
     )
 
-    # ---- PQ codebooks on training residuals (vid % n_codes seed,
-    # trunc-div means)
+
+def _ivfpq_train_cb(
+    train: DataFrame,
+    coarse: DataFrame,
+    dim: int,
+    m: int,
+    n_codes: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Residual PQ codebooks against a GIVEN coarse quantizer (vid %
+    n_codes seed, trunc-div means)."""
+    w = dim // m
     res_tagged = _ivfpq_assign_residual(
         train, coarse, id_col, vec_col, dim
     ).select(
         (F.col("cand_id") % n_codes).cast("int").alias("c"),
         F.posexplode("res").alias("pos", "xv"),
     )
-    cb = (
+    return (
         res_tagged.select(
             "c",
             (F.col("pos") / w).cast("int").alias("sub"),
@@ -1206,6 +1205,23 @@ def _ivfpq_train_frames(
             ).alias("cent")
         )
     )
+
+
+def _ivfpq_train_frames(
+    train: DataFrame,
+    dim: int,
+    n_clusters: int,
+    m: int,
+    n_codes: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The TRAINING side of IVF-PQ: coarse quantizer + residual PQ
+    codebooks learned from ``train`` only. Encoding is a pure function
+    of these two frames, which is what makes incremental adds against a
+    FROZEN index well-defined (FAISS train/add split)."""
+    coarse = _ivfpq_train_coarse(train, dim, n_clusters, id_col, vec_col)
+    cb = _ivfpq_train_cb(train, coarse, dim, m, n_codes, id_col, vec_col)
     return coarse, cb
 
 
@@ -1394,12 +1410,25 @@ def build_ivfpq_index(
     import json
     import os
 
-    coarse, cb, cand = _ivfpq_build_frames(
-        embeddings, dim, n_clusters, m, n_codes, id_col, vec_col
-    )
+    # Train -> write -> READ BACK each frame before the next stage
+    # consumes it: lazily chaining the three writes would re-run the
+    # corpus-wide training aggregates inside every downstream plan (the
+    # coarse explode-agg 3x, the codebook assign+agg 2x — measured ~2x
+    # build wall at sf0.1). The read-back frames are tiny parquet
+    # broadcasts, so each training pass runs exactly once and the
+    # encode pass is the only other corpus scan. (The in-flight
+    # ivfpq_topk keeps the lazy shape — it has no disk to pin to.)
+    spark = embeddings.sparkSession
     os.makedirs(index_root, exist_ok=True)
-    coarse.write.mode("overwrite").parquet(f"{index_root}/coarse")
-    cb.write.mode("overwrite").parquet(f"{index_root}/codebooks")
+    _ivfpq_train_coarse(
+        embeddings, dim, n_clusters, id_col, vec_col
+    ).write.mode("overwrite").parquet(f"{index_root}/coarse")
+    coarse = spark.read.parquet(f"{index_root}/coarse")
+    _ivfpq_train_cb(
+        embeddings, coarse, dim, m, n_codes, id_col, vec_col
+    ).write.mode("overwrite").parquet(f"{index_root}/codebooks")
+    cb = spark.read.parquet(f"{index_root}/codebooks")
+    cand = _ivfpq_encode(embeddings, coarse, cb, dim, m, id_col, vec_col)
     cand.write.mode("overwrite").partitionBy("cluster").parquet(
         f"{index_root}/codes"
     )
@@ -1414,7 +1443,6 @@ def build_ivfpq_index(
     # integer (sum, n) so later ratios are reproducible. Aggregated from
     # the just-written codes table — one cheap two-column scan, no
     # recompute of the encode chain.
-    spark = embeddings.sparkSession
     row = (
         spark.read.parquet(f"{index_root}/codes")
         .agg(
