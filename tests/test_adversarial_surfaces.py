@@ -101,6 +101,9 @@ TEXT_OPS = {
     # garbage-in-garbage-out; the real-URL contracts live in
     # test_text_functions.py's edge-case/idempotence unit)
     "canonical_url": (lambda: tx.canonical_url("text"), "string_or_null"),
+    # the Gopher-rule verdict bundle (cur1's stage-1 gate): a pure Catalyst
+    # predicate — any text variant must yield a bool or NULL, never crash
+    "gopher_keep": (lambda: tx.gopher_keep("text"), "bool_or_null"),
 }
 
 TEXT_SKIPS: dict[str, str] = {}
@@ -129,6 +132,8 @@ def test_text_functions_adversarial(spark, name, variant):
             assert isinstance(v, list)
         elif contract == "string_or_null":
             assert isinstance(v, str)
+        elif contract == "bool_or_null":
+            assert isinstance(v, bool)
 
 
 def test_text_surface_is_registered():
