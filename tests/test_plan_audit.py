@@ -136,6 +136,7 @@ BROADCAST_HINT_WHITELIST = {
     "an1_grouped_outliers": "GATED: med/mad attach via evolving_hint under a measured count_distinct(group) bound",
     "apx3_freq_items": "BOUNDED: scalar support threshold + top-k frequent-item aggregate",
     "ctm1_decontamination": "BOUNDED: eval-suite gram set from a bounded_panel eval set (16 docs — a real benchmark is human-curated and bounded; r11: was corpus/97)",
+    "cur1_curation_pipeline": "BOUNDED: per-source funnel aggregates — source-label domain (smp3/smp6's class), broadcast onto the per-source raw counts",
     "dd10_bloom_ngram_gate": "BOUNDED: bit-position relation from one aggregate, m_bits/32 words (~16 KiB) at any corpus size",
     "dd8_semdedup": "BOUNDED: k-bounded k-means centroid relation",
     "flagship_enrichment": "SF-DIM: customer dimension onto the orders fact",
