@@ -29,7 +29,7 @@ recursive CTE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..plans import checkpoint_partitioned, evolving_hint
@@ -98,12 +98,13 @@ def connected_components(
         new_label = F.least(
             labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
         )
-        # Probe fusion (r2 verdict #8): the old label is in hand during the
-        # round's join, so the per-row change flag rides INSIDE the frame the
-        # round materializes anyway — the convergence probe is then a
-        # filter+limit(1) count over the just-checkpointed partitions (a
-        # cached scan), not a second labels⋈labels shuffle-join job per round.
+        # Probe fusion (r2 verdict #8, tightened r13): the old label is in
+        # hand during the round's join, so the change count rides INSIDE the
+        # materialization pass itself as an observe() metric (accumulator-
+        # merged, no extra pass, no extra job) — the per-round driver traffic
+        # is exactly the checkpoint action, not checkpoint + probe job.
         # Min-propagation only ever decreases labels, so "<" is the change.
+        obs = Observation()
         new_labels = (
             # join-back gated the same way: nbr_min is VERTEX-sized —
             # broadcastable here, corpus-sized at 100 TB
@@ -117,11 +118,11 @@ def connected_components(
                 new_label.alias("label"),
                 (new_label < labels["label"]).alias("_changed"),
             )
+            .observe(obs, F.count_if(F.col("_changed")).alias("_n"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter("_changed").limit(1).count()
         labels = new_labels.drop("_changed")
-        if changed == 0:
+        if obs.get["_n"] == 0:
             break
     return labels.select(F.col("v").alias("id"), F.col("label").alias("component"))
 
@@ -721,6 +722,7 @@ def edge_trussness(
 
     spark = edges.sparkSession
     out = spark.createDataFrame([], "id_a bigint, id_b bigint, trussness bigint")
+
     # ONE support aggregate per incidence state, shared across its
     # consumers: the level-(k) survivor set and the level-(k+1) round-1
     # dead probe both read the SAME unchanged relation, so `sup` is
@@ -728,20 +730,45 @@ def edge_trussness(
     # exactly one aggregation per REMOVING round plus the base, the
     # same count as g14's unrolled SQL oracle (a naive per-use
     # recomputation paid ~2x that: 8.2 -> ~5 s at sf0.1).
-    sup = support_of(t).localCheckpoint(eager=True)
+    #
+    # r13 probe fusion: min(support) and the edge count ride the
+    # checkpoint pass itself as observe() metrics, so the per-round
+    # dead-emptiness probe and the per-level survivor-emptiness probe
+    # are driver-side scalar comparisons — zero extra Spark jobs. A
+    # level whose floor never reaches the current k's threshold is
+    # skipped outright (its dead set is provably empty), which also
+    # skips the no-op survivor diff that level would otherwise union.
+    def support_ck(t_rel: DataFrame):
+        obs = Observation()
+        s = (
+            support_of(t_rel)
+            .observe(
+                obs,
+                F.min("support").alias("_min_sup"),
+                F.count(F.lit(1)).alias("_n_edges"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        m = obs.get
+        return s, m["_min_sup"], m["_n_edges"]
+
+    sup, min_sup, n_edges = support_ck(t)
     prev_edges = sup.select("id_a", "id_b")
     for k in range(3, k_max + 1):
         # peel t to this level's fixpoint (or rounds_per_level rounds —
         # a converged level breaks early either way, so bounded mode
         # only diverges on levels whose cascade outruns the bound)
         done_rounds = 0
+        removed = False
         while rounds_per_level is None or done_rounds < rounds_per_level:
             done_rounds += 1
+            # dead = sup.filter(support < k-2) is empty iff the observed
+            # support floor already meets the threshold — no probe job
+            if n_edges == 0 or min_sup >= k - 2:
+                break
             # cheap derivation off the checkpointed aggregate (its three
             # anti-join consumers re-filter in-memory blocks, no shuffle)
             dead = sup.filter(F.col("support") < k - 2).select("id_a", "id_b")
-            if dead.limit(1).count() == 0:
-                break
             for a, b in (("a1", "b1"), ("a2", "b2"), ("a3", "b3")):
                 t = t.join(
                     evolving_hint(
@@ -759,21 +786,29 @@ def edge_trussness(
             # interleaved 7.1-7.6 s lazy vs 5.7-5.9 s eager at sf0.1
             # (the barrier costs less than the tripled recompute)
             t = t.localCheckpoint(eager=True)
-            sup = support_of(t).localCheckpoint(eager=True)
+            sup, min_sup, n_edges = support_ck(t)
+            removed = True
         survivors = sup.select("id_a", "id_b")
         # edges alive in the (k-1)-fixpoint but not the k-fixpoint peel
         # final at this level: trussness = k - 1 ... except at k=3 the
         # pre-peel baseline is "in a triangle at all", whose dropouts are
-        # trussness-2 edges — omitted by convention, not emitted.
-        dropped = prev_edges.join(
-            evolving_hint(survivors, edge_bound), ["id_a", "id_b"], "left_anti"
-        )
-        if k > 3:
-            out = out.unionByName(
-                dropped.withColumn("trussness", F.lit(k - 1).cast("bigint"))
-            )
-        prev_edges = survivors
-        if survivors.limit(1).count() == 0:
+        # trussness-2 edges — omitted by convention, not emitted. A level
+        # that removed nothing has survivors == prev_edges, so its diff
+        # is empty by construction and the union is skipped.
+        if removed:
+            if k > 3:
+                dropped = prev_edges.join(
+                    evolving_hint(survivors, edge_bound),
+                    ["id_a", "id_b"],
+                    "left_anti",
+                )
+                out = out.unionByName(
+                    dropped.withColumn(
+                        "trussness", F.lit(k - 1).cast("bigint")
+                    )
+                )
+            prev_edges = survivors
+        if n_edges == 0:
             break
     else:
         if truncate:

@@ -26,12 +26,21 @@ from graphsense_ethereum_etl_spark.queries import REGISTRY  # noqa: E402
 from graphsense_ethereum_etl_spark.session import get_spark  # noqa: E402
 
 
+def _eventlog_lines(path: Path):
+    """Yield JSON lines from a Spark event log — either a single file or a
+    Spark 4 rolling directory (eventlog_v2_<appid>/events_*)."""
+    files = sorted(path.glob("events_*")) if path.is_dir() else [path]
+    for f in files:
+        with open(f) as fh:
+            yield from fh
+
+
 def parse_eventlog(path: Path, t_lo: float, t_hi: float):
     """Stage rows from the event log whose submission falls in [t_lo, t_hi]
     (epoch ms). Returns (n_jobs, [(stage_id, name, n_tasks, dur_ms)])."""
     stages, jobs = [], 0
-    with open(path) as fh:
-        for line in fh:
+    if True:
+        for line in _eventlog_lines(path):
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
@@ -70,6 +79,8 @@ def main() -> None:
     spark = get_spark(app_name="profile", extra_conf={
         "spark.eventLog.enabled": "true",
         "spark.eventLog.dir": str(evdir),
+        "spark.eventLog.compress": "false",
+        "spark.eventLog.rolling.enabled": "false",
     })
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # codegen warmup
     app_id = spark.sparkContext.applicationId
@@ -112,7 +123,7 @@ def main() -> None:
     time.sleep(1)
 
     # event-log breakdown for the best run of each query
-    logs = sorted(evdir.glob(f"{app_id}*"), key=lambda p: p.stat().st_mtime)
+    logs = sorted(evdir.glob(f"*{app_id}*"), key=lambda p: p.stat().st_mtime)
     if logs:
         ev = logs[-1]
         for name in names:
