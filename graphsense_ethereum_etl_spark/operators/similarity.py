@@ -190,30 +190,30 @@ def _bucket_expr(vec_col: str, plane_offset: int, n_planes: int, dim: int):
     computed with the same sequential double fold as the cosine kernel so
     DuckDB's ``list_sum(list_transform(...))`` reproduces the sign exactly.
 
-    The planes ship as ONE nested-array Literal (not per-element CreateArray
-    children) and the whole bucket is a single fold expression — plan size
-    stays O(1) nodes per bucket instead of O(n_planes · dim), which is what
-    keeps whole-stage codegen compact when bands × planes grows."""
+    The whole bucket is ONE parsed SQL expression (r13): building it from
+    Column objects paid one py4j round trip per plane COMPONENT —
+    PySpark's lit() turns a nested list into per-element CreateArray
+    children, ~1,800 gateway calls per bucket, which made the BUILDER the
+    hot path (2.7 of sim3's 3.5 s). A single F.expr string ships the
+    constants to the JVM parser in one call; Catalyst folds the arrays to
+    the same literals, so the executed plan (and every result) is
+    unchanged — only driver-side construction gets cheaper."""
     planes = [_hyperplane(plane_offset + p, dim) for p in range(n_planes)]
     weights = [1 << p for p in range(n_planes)]
-    return F.aggregate(
-        F.zip_with(
-            F.lit(planes),
-            F.lit(weights),
-            lambda plane, w: F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col), plane, lambda x, y: x.cast("double") * y
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                > 0,
-                w.cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint")),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda a, b: a + b,
+    planes_sql = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{c!r}D" for c in plane) + ")"
+            for plane in planes
+        )
+        + ")"
+    )
+    weights_sql = "array(" + ", ".join(f"{w}L" for w in weights) + ")"
+    return F.expr(
+        f"aggregate(zip_with({planes_sql}, {weights_sql}, (plane, w) -> "
+        f"CASE WHEN aggregate(zip_with({vec_col}, plane, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v) > 0 "
+        "THEN w ELSE 0L END), 0L, (a, b) -> a + b)"
     )
 
 

@@ -88,7 +88,15 @@ def load(
             # (LTZ) timestamp type is value-identical to DuckDB's naive read.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if spread:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        # Layout-gated (r13): the exchange exists to restore parallelism the
+        # physical layout can't provide (one file + one row group = one scan
+        # task). A table that already ships enough files feeds every core
+        # straight from the scan, so the repartition would be a pure extra
+        # shuffle of the fact at 100 TB — skip it. File count is a driver-
+        # side listing, no job.
+        n_par = spark.sparkContext.defaultParallelism
+        if len(df.inputFiles()) < n_par:
+            df = df.repartition(n_par)
     return df
 
 
@@ -10821,7 +10829,7 @@ def u1_uint256_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     limb sums are exact, carries only materialize in the final decimal
     recombination; the demo stays at 96 bits because DuckDB's widest
     exact integer is the 128-bit HUGEINT.)"""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", spread=True)
     h = F.md5(
         F.concat(
             F.col("l_orderkey").cast("string"),
@@ -10906,7 +10914,7 @@ def u2_uint256_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       introduces no rounding; wide arithmetic again touches only the
       group-sized result. (Serialized as strings so Spark's decimal and
       DuckDB's HUGEINT hash identically.)"""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", spread=True)
     h24 = F.substring(
         F.md5(
             F.concat(
