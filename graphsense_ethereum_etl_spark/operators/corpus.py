@@ -10,7 +10,7 @@ window over the cluster id, scoring is pure Catalyst expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -1027,13 +1027,17 @@ def bpe_token_counts(
     )
     rules = []
     for _ in range(merges):
+        # the learnability probe (did the argmax produce a row?) rides the
+        # checkpoint pass as an observe() metric — no separate count job
+        obs = Observation()
         m = (
             _bpe_pair_counts(enc)
             .orderBy(F.col("cnt").desc(), "x", "y")
             .limit(1)
+            .observe(obs, F.count(F.lit(1)).alias("_n"))
             .localCheckpoint(eager=True)
         )
-        if m.count() == 0:
+        if obs.get["_n"] == 0:
             break  # nothing left to merge — stop, don't wipe the relation
         rules.append(m)
         enc = _bpe_apply_rule(enc, m)

@@ -28,7 +28,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
@@ -1429,9 +1429,28 @@ def build_ivfpq_index(
     ).write.mode("overwrite").parquet(f"{index_root}/codebooks")
     cb = spark.read.parquet(f"{index_root}/codebooks")
     cand = _ivfpq_encode(embeddings, coarse, cb, dim, m, id_col, vec_col)
-    cand.write.mode("overwrite").partitionBy("cluster").parquet(
-        f"{index_root}/codes"
+    # Drift baseline rides the write pass as observe() metrics (r13) —
+    # previously a separate read-back aggregation job over the just-
+    # written codes. Clustering the rows onto their partition value
+    # before the partitioned write turns the up-to-(tasks x clusters)
+    # small-file spray into one file per cluster dir per write — the
+    # encode still runs at full scan parallelism below the exchange, and
+    # the shuffle carries only (id, codes, res_dist, cluster). Cluster
+    # counts scale with the corpus (corpus-scaled bucket posture), so
+    # per-cluster write tasks stay bounded at any size.
+    obs = Observation()
+    (
+        cand.observe(
+            obs,
+            F.sum("res_dist").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .repartition(F.col("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{index_root}/codes")
     )
+    _build_stats = obs.get
     # a rebuild is a fresh index: manifest history restarts at seq 1
     # naming exactly the just-written files
     import shutil
@@ -1440,17 +1459,9 @@ def build_ivfpq_index(
     _codes_commit(index_root, _codes_data_files(index_root))
     # Drift baseline for ivfpq_add (FAISS-retrain signal): mean residual
     # distance of the BUILD corpus under its own quantizer, as exact
-    # integer (sum, n) so later ratios are reproducible. Aggregated from
-    # the just-written codes table — one cheap two-column scan, no
-    # recompute of the encode chain.
-    row = (
-        spark.read.parquet(f"{index_root}/codes")
-        .agg(
-            F.sum("res_dist").cast("long").alias("s"),
-            F.count("*").cast("long").alias("n"),
-        )
-        .collect()[0]
-    )
+    # integer (sum, n) so later ratios are reproducible. Collected as
+    # observe() metrics during the codes write itself — no read-back scan.
+    row = _build_stats
     with open(f"{index_root}/meta.json", "w") as fh:
         json.dump(
             {
@@ -1705,24 +1716,35 @@ def ivfpq_add(
                 id_col,
                 "left_anti",
             )
-        # materialize the batch-sized encode ONCE: it feeds two consumers
-        # (drift aggregate + append) and must be pinned before the write
-        # so the append provably never reads the index it extends
-        enc = _ivfpq_encode(
-            batch, coarse, cb, meta["dim"], meta["m"], id_col, vec_col
-        ).localCheckpoint(eager=True)
-        row = enc.agg(
-            F.sum("res_dist").cast("long").alias("s"),
-            F.count("*").cast("long").alias("n"),
-        ).collect()[0]
+        # materialize the batch-sized encode ONCE, pinned before the write
+        # so the append provably never reads the index it extends; the
+        # drift aggregate rides the checkpoint pass as observe() metrics
+        # (r13) instead of a second aggregation job over the batch
+        obs = Observation()
+        enc = (
+            _ivfpq_encode(
+                batch, coarse, cb, meta["dim"], meta["m"], id_col, vec_col
+            )
+            .observe(
+                obs,
+                F.sum("res_dist").cast("long").alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        row = obs.get
         added_n = int(row["n"])
         added_sum = int(row["s"] or 0)
         if added_n or token is not None:
             before = set(_codes_data_files(index_root))
             if added_n:
-                enc.write.mode("append").partitionBy("cluster").parquet(
-                    f"{index_root}/codes"
-                )
+                # cluster the batch onto its partition value first: one
+                # file per touched cluster dir per add instead of one per
+                # (task x cluster) — the file count a streaming ingest
+                # accumulates is what compaction otherwise pays for
+                enc.repartition(F.col("cluster")).write.mode(
+                    "append"
+                ).partitionBy("cluster").parquet(f"{index_root}/codes")
             new_files = [
                 f for f in _codes_data_files(index_root) if f not in before
             ]
