@@ -39,23 +39,22 @@ def parse_eventlog(path: Path, t_lo: float, t_hi: float):
     """Stage rows from the event log whose submission falls in [t_lo, t_hi]
     (epoch ms). Returns (n_jobs, [(stage_id, name, n_tasks, dur_ms)])."""
     stages, jobs = [], 0
-    if True:
-        for line in _eventlog_lines(path):
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
+    for line in _eventlog_lines(path):
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        e = ev.get("Event")
+        if e == "SparkListenerJobStart" and t_lo <= ev.get("Submission Time", 0) <= t_hi:
+            jobs += 1
+        elif e == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            sub = si.get("Submission Time")
+            if sub is None or not (t_lo <= sub <= t_hi):
                 continue
-            e = ev.get("Event")
-            if e == "SparkListenerJobStart" and t_lo <= ev.get("Submission Time", 0) <= t_hi:
-                jobs += 1
-            elif e == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sub = si.get("Submission Time")
-                if sub is None or not (t_lo <= sub <= t_hi):
-                    continue
-                dur = (si.get("Completion Time", sub) - sub)
-                stages.append((si["Stage ID"], si["Stage Name"].split("\n")[0][:80],
-                               si["Number of Tasks"], dur))
+            dur = (si.get("Completion Time", sub) - sub)
+            stages.append((si["Stage ID"], si["Stage Name"].split("\n")[0][:80],
+                           si["Number of Tasks"], dur))
     return jobs, stages
 
 
@@ -65,9 +64,11 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--tag", default=None, help="write plans/<round>/<name>_<tag>.txt")
-    ap.add_argument("--round", default="r13")
+    ap.add_argument("--round", default="r14")
     ap.add_argument("--top", type=int, default=8, help="top stages to print")
     args = ap.parse_args()
+    if args.runs < 1:
+        sys.exit("--runs must be >= 1 (each query needs at least one timed run)")
 
     names = args.names or sorted(REGISTRY)
     bad = [n for n in names if n not in REGISTRY]
