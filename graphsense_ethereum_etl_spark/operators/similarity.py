@@ -828,10 +828,9 @@ def pq_codebooks(
             embeddings.where(valid)
             .crossJoin(F.broadcast(cbs))
             .select(
-                F.transform(
-                    _pq_subs(m),
-                    lambda s: F.array_min(_pq_sub_dists(xq, s, w))["c"],
-                ).alias("codes"),
+                F.expr(_sql_codes(_sql_quantize(vec_col), m, w)).alias(
+                    "codes"
+                ),
                 F.posexplode(xq).alias("pos", "xv"),
             )
         )
@@ -845,15 +844,91 @@ def pq_codebooks(
     return cb
 
 
-def _pq_quantize(vec_col: str):
+# -- SQL-text expression builders -------------------------------------------
+#
+# The PQ/IVF-PQ expression trees are deep higher-order-function nests; built
+# through the pyspark Column API each lambda costs a py4j round trip and the
+# full ivfpq_topk tree took ~1.0 s of DRIVER time per construction (measured
+# r14 — ~40% of sim7's wall at sf0.1). Building each nest as ONE SQL string
+# parsed by F.expr collapses that to a single gateway call (guide §4; the
+# r13 simhash/_bucket_expr precedent). The strings are the exact textual
+# form of the previous Column trees — parser and Column API produce the
+# same resolved expressions, so results and physical plans are identical
+# (plan-diffed modulo expression ids when this landed). Lambda variable
+# names are globally distinct within any one composed nest, so no nested
+# lambda ever shadows an enclosing one.
+
+
+def _sql_quantize(vec_col: str) -> str:
     """km1's fixed-point quantization (queries.py): floor((x+1.0)*2^20),
     the exact IEEE-double expression the SQL oracle evaluates."""
-    return F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(
-            (x.cast("double") + F.lit(1.0)) * F.lit(float(1 << 20))
-        ).cast("long"),
+    return (
+        f"transform(`{vec_col}`, qv -> CAST(FLOOR((CAST(qv AS DOUBLE) + 1.0D)"
+        " * 1048576.0D) AS BIGINT))"
     )
+
+
+def _sql_l2(a: str, b: str) -> str:
+    """Exact BIGINT squared L2 distance between two bigint arrays."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (zx, zy) -> (zx - zy) * (zx - zy)), "
+        "CAST(0 AS BIGINT), (zacc, zv) -> zacc + zv)"
+    )
+
+
+def _sql_sub_dists(arr: str, s: str, w: int) -> str:
+    """array of struct(dist, c) for subspace ``s`` (a lambda-variable name
+    bound by the caller's transform-over-sequence): exact BIGINT squared
+    distance from ``arr``'s subvector to every codeword of the prepared
+    single-row ``cbs`` codebook column (in scope)."""
+    sv = f"slice({arr}, {s} * {w} + 1, {w})"
+    return (
+        f"transform(element_at(cbs, {s} + 1), se -> named_struct("
+        f"'dist', {_sql_l2(sv, 'se.cent')}, 'c', se.c))"
+    )
+
+
+def _sql_codes(arr: str, m: int, w: int) -> str:
+    """m per-subspace argmin codeword ids for ``arr`` against ``cbs``."""
+    return (
+        f"transform(sequence(0, {m - 1}), sq -> "
+        f"array_min({_sql_sub_dists(arr, 'sq', w)}).c)"
+    )
+
+
+def _sql_luts(arr: str, m: int, w: int) -> str:
+    """m per-subspace ADC lookup tables (struct(c, ld)) for ``arr``."""
+    return (
+        f"transform(sequence(0, {m - 1}), sq -> transform("
+        f"{_sql_sub_dists(arr, 'sq', w)}, "
+        "le -> named_struct('c', le.c, 'ld', le.dist)))"
+    )
+
+
+_SQL_ADC = (
+    "aggregate(zip_with(codes, luts, (zc, zl) -> "
+    "element_at(filter(zl, fl -> fl.c = zc), 1).ld), "
+    "CAST(0 AS BIGINT), (aacc, av) -> aacc + av)"
+)
+
+
+def _sql_coarse_dists(xq: str) -> str:
+    """array of struct(dist, c) to every coarse centroid (expects the
+    single-row ``coarse`` array column in scope)."""
+    return (
+        "transform(coarse, ce -> named_struct("
+        f"'dist', {_sql_l2(xq, 'ce.cent')}, 'c', ce.c))"
+    )
+
+
+def _sql_cent_of(cluster: str) -> str:
+    """centroid array of the coarse entry whose c == ``cluster``."""
+    return f"element_at(filter(coarse, fe -> fe.c = {cluster}), 1).cent"
+
+
+def _pq_quantize(vec_col: str):
+    """Column form of ``_sql_quantize`` (one parse, no lambda chatter)."""
+    return F.expr(_sql_quantize(vec_col))
 
 
 def _pq_prepared(codebooks: DataFrame, m: int):
@@ -873,32 +948,9 @@ def _pq_prepared(codebooks: DataFrame, m: int):
     )
 
 
-def _pq_sub_dists(xq_col, sub, w: int):
-    """array of struct(dist, c) for one subspace — exact BIGINT squared
-    distance from this row's quantized subvector to every codeword.
-
-    ``sub`` is a COLUMN index (driven by ``_pq_subs(m)``), not a Python
-    int: building the m per-subspace expressions as one
-    transform-over-sequence instead of m unrolled copies shrinks the
-    expression tree ~m× — measured 5× faster Catalyst analysis and ~2×
-    faster end-to-end on sim6 at sf0.1, bit-identical results."""
-    sv = F.slice(xq_col, sub * w + 1, w)
-    return F.transform(
-        F.element_at(F.col("cbs"), sub + 1),
-        lambda e: F.struct(
-            F.aggregate(
-                F.zip_with(sv, e["cent"], lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-            e["c"].alias("c"),
-        ),
-    )
-
-
-def _pq_subs(m: int):
-    """Column of subspace indices 0..m-1 (the transform driver)."""
-    return F.sequence(F.lit(0), F.lit(m - 1))
+# (the per-subspace expressions stay a transform-over-sequence — one shared
+# subtree instead of m unrolled copies, measured 5× faster analysis on sim6
+# when that landed — now emitted as SQL text by _sql_codes/_sql_luts above)
 
 
 def pq_topk(
@@ -944,15 +996,13 @@ def pq_topk(
     xq = _pq_quantize(vec_col)
     valid = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
 
+    xq_sql = _sql_quantize(vec_col)
     cand = (
         embeddings.where(valid)
         .crossJoin(F.broadcast(cbs))
         .select(
             F.col(id_col).cast("long").alias("cand_id"),
-            F.transform(
-                _pq_subs(m),
-                lambda s: F.array_min(_pq_sub_dists(xq, s, w))["c"],
-            ).alias("codes"),
+            F.expr(_sql_codes(xq_sql, m, w)).alias("codes"),
         )
     )
     lut = (
@@ -960,13 +1010,7 @@ def pq_topk(
         .crossJoin(F.broadcast(cbs))
         .select(
             F.col(id_col).cast("long").alias("query_id"),
-            F.transform(
-                _pq_subs(m),
-                lambda s: F.transform(
-                    _pq_sub_dists(xq, s, w),
-                    lambda e: F.struct(e["c"].alias("c"), e["dist"].alias("ld")),
-                ),
-            ).alias("luts"),
+            F.expr(_sql_luts(xq_sql, m, w)).alias("luts"),
         )
     )
     scored = (
@@ -975,17 +1019,7 @@ def pq_topk(
         .select(
             "query_id",
             "cand_id",
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"),
-                    F.col("luts"),
-                    lambda code, lt: F.element_at(
-                        F.filter(lt, lambda e: e["c"] == code), 1
-                    )["ld"],
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("adc_dist"),
+            F.expr(_SQL_ADC).alias("adc_dist"),
         )
     )
     win = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("cand_id"))
@@ -1007,13 +1041,7 @@ def pq_topk(
             .select(
                 "query_id",
                 "cand_id",
-                F.aggregate(
-                    F.zip_with(
-                        F.col("cxq"), F.col("qxq"), lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("adc_dist"),
+                F.expr(_sql_l2("cxq", "qxq")).alias("adc_dist"),
             )
         )
         scored = exact
@@ -1075,41 +1103,56 @@ def ivfpq_topk(
     )
 
 
-def _ivfpq_l2(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+def _coarse1_local(spark, coarse: DataFrame) -> DataFrame:
+    """Collect a PERSISTED (tiny: n_clusters rows) coarse quantizer and
+    rebuild the one-row broadcastable ``coarse`` array as a LocalRelation:
+    consumer queries then embed the literal values instead of each paying
+    a scan + collect_list-agg + broadcast-build subtree over the parquet
+    frame (one footer-read job here replaces one per consumer — the r13
+    LSH plane-literal pattern applied to the index-at-rest frames). The
+    Python sort reproduces array_sort over struct(c, cent) exactly: c is
+    unique per entry, so the struct order is the c order."""
+    from pyspark.sql import types as T
+
+    rows = sorted(
+        (int(r["c"]), [int(x) for x in r["cent"]])
+        for r in coarse.select("c", "cent").collect()
     )
+    schema = T.StructType([
+        T.StructField(
+            "coarse",
+            T.ArrayType(T.StructType([
+                T.StructField("c", T.IntegerType()),
+                T.StructField("cent", T.ArrayType(T.LongType())),
+            ])),
+        )
+    ])
+    return spark.createDataFrame([(rows,)], schema)
 
 
-def _ivfpq_coarse_dists(xq):
-    """array of struct(dist, c) to every coarse centroid (expects the
-    single-row `coarse` array column in scope)."""
-    return F.transform(
-        F.col("coarse"),
-        lambda e: F.struct(_ivfpq_l2(xq, e["cent"]).alias("dist"), e["c"].alias("c")),
-    )
+def _cbs_local(spark, cb: DataFrame) -> DataFrame:
+    """_pq_prepared's one-row ``cbs`` column from a PERSISTED codebook
+    relation, as a LocalRelation (see _coarse1_local). Reproduces the
+    agg exactly: words sorted by codeword id within each sub (c unique),
+    subs ascending."""
+    from pyspark.sql import types as T
 
-
-def _ivfpq_cent_of(cluster_col):
-    """centroid array of the coarse entry whose c == cluster_col."""
-    return F.element_at(
-        F.filter(F.col("coarse"), lambda e: e["c"] == cluster_col), 1
-    )["cent"]
-
-
-def _ivfpq_res_sub_dists(res_col, s, w: int):
-    """Per-subspace struct(dist, c) against the prepared codebooks; ``s``
-    is a Column index (see _pq_sub_dists — transform-over-sequence keeps
-    the tree m× smaller than unrolling)."""
-    sv = F.slice(res_col, s * w + 1, w)
-    return F.transform(
-        F.element_at(F.col("cbs"), s + 1),
-        lambda e: F.struct(
-            _ivfpq_l2(sv, e["cent"]).alias("dist"), e["c"].alias("c")
-        ),
-    )
+    by_sub: dict[int, list] = {}
+    for r in cb.select("sub", "c", "cent").collect():
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["c"]), [int(x) for x in r["cent"]])
+        )
+    cbs = [sorted(v) for _, v in sorted(by_sub.items())]
+    schema = T.StructType([
+        T.StructField(
+            "cbs",
+            T.ArrayType(T.ArrayType(T.StructType([
+                T.StructField("c", T.IntegerType()),
+                T.StructField("cent", T.ArrayType(T.LongType())),
+            ]))),
+        )
+    ])
+    return spark.createDataFrame([(cbs,)], schema)
 
 
 def _ivfpq_assign_residual(
@@ -1118,29 +1161,32 @@ def _ivfpq_assign_residual(
     id_col: str,
     vec_col: str,
     dim: int,
+    coarse1: DataFrame | None = None,
 ) -> DataFrame:
     """(cand_id, cluster, res) — coarse-assign every valid vector against
     a GIVEN coarse quantizer and compute its integer residual. One
-    map-only pass; ``coarse`` is tiny and broadcasts."""
-    xq = _pq_quantize(vec_col)
+    map-only pass; ``coarse`` is tiny and broadcasts. ``coarse1``
+    overrides the derived one-row frame with a precomputed LocalRelation
+    (_coarse1_local) when the quantizer is at rest."""
+    xq_sql = _sql_quantize(vec_col)
     valid = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
-    coarse1 = coarse.agg(
-        F.array_sort(F.collect_list(F.struct("c", "cent"))).alias("coarse")
-    )
+    if coarse1 is None:
+        coarse1 = coarse.agg(
+            F.array_sort(F.collect_list(F.struct("c", "cent"))).alias("coarse")
+        )
+    # single fused projection (the exact form CollapseProject reduces the
+    # old two-select chain to — one analysis pass instead of two over the
+    # full HOF tree, measured on the r14 driver-cost breakdown)
+    cluster_sql = f"array_min({_sql_coarse_dists(xq_sql)}).c"
     return (
         embeddings.where(valid)
         .crossJoin(F.broadcast(coarse1))
         .select(
             F.col(id_col).cast("long").alias("cand_id"),
-            F.array_min(_ivfpq_coarse_dists(xq))["c"].alias("cluster"),
-            xq.alias("xqv"),
-            F.col("coarse"),
-        )
-        .select(
-            "cand_id",
-            "cluster",
-            F.zip_with(
-                F.col("xqv"), _ivfpq_cent_of(F.col("cluster")), lambda a, b: a - b
+            F.expr(cluster_sql).alias("cluster"),
+            F.expr(
+                f"zip_with({xq_sql}, {_sql_cent_of(cluster_sql)}, "
+                "(wx, wy) -> wx - wy)"
             ).alias("res"),
         )
     )
@@ -1170,21 +1216,13 @@ def _ivfpq_train_coarse(
     )
 
 
-def _ivfpq_train_cb(
-    train: DataFrame,
-    coarse: DataFrame,
-    dim: int,
-    m: int,
-    n_codes: int,
-    id_col: str,
-    vec_col: str,
+def _ivfpq_cb_from_residuals(
+    cand_res: DataFrame, dim: int, m: int, n_codes: int
 ) -> DataFrame:
-    """Residual PQ codebooks against a GIVEN coarse quantizer (vid %
+    """Residual PQ codebooks from an assign-residual relation (vid %
     n_codes seed, trunc-div means)."""
     w = dim // m
-    res_tagged = _ivfpq_assign_residual(
-        train, coarse, id_col, vec_col, dim
-    ).select(
+    res_tagged = cand_res.select(
         (F.col("cand_id") % n_codes).cast("int").alias("c"),
         F.posexplode("res").alias("pos", "xv"),
     )
@@ -1207,6 +1245,26 @@ def _ivfpq_train_cb(
     )
 
 
+def _ivfpq_train_cb(
+    train: DataFrame,
+    coarse: DataFrame,
+    dim: int,
+    m: int,
+    n_codes: int,
+    id_col: str,
+    vec_col: str,
+    coarse1: DataFrame | None = None,
+) -> DataFrame:
+    """Residual PQ codebooks against a GIVEN coarse quantizer (vid %
+    n_codes seed, trunc-div means)."""
+    return _ivfpq_cb_from_residuals(
+        _ivfpq_assign_residual(
+            train, coarse, id_col, vec_col, dim, coarse1=coarse1
+        ),
+        dim, m, n_codes,
+    )
+
+
 def _ivfpq_train_frames(
     train: DataFrame,
     dim: int,
@@ -1225,6 +1283,32 @@ def _ivfpq_train_frames(
     return coarse, cb
 
 
+def _ivfpq_codes_from_residuals(
+    cand_res: DataFrame, cb: DataFrame, dim: int, m: int,
+    cbs: DataFrame | None = None,
+) -> DataFrame:
+    """(cluster, cand_id, codes, res_dist) from an assign-residual
+    relation and FROZEN codebooks: per-subspace argmin codes, one
+    map-only pass over the broadcast codebook row. ``res_dist`` is the
+    exact integer L2² of the vector's residual to its assigned coarse
+    centroid — the per-vector quantizer-fit number whose corpus mean is
+    the drift baseline ivfpq_add compares against. Unused consumers (the
+    in-flight ivfpq_topk path) never pay for it: Catalyst prunes the
+    unreferenced projection."""
+    w = dim // m
+    if cbs is None:
+        cbs = _pq_prepared(cb, m)
+    return cand_res.crossJoin(F.broadcast(cbs)).select(
+        "cluster",
+        "cand_id",
+        F.expr(_sql_codes("res", m, w)).alias("codes"),
+        F.expr(
+            "aggregate(transform(res, rv -> rv * rv), CAST(0 AS BIGINT), "
+            "(racc, rx) -> racc + rx)"
+        ).alias("res_dist"),
+    )
+
+
 def _ivfpq_encode(
     embeddings: DataFrame,
     coarse: DataFrame,
@@ -1233,30 +1317,19 @@ def _ivfpq_encode(
     m: int,
     id_col: str,
     vec_col: str,
+    coarse1: DataFrame | None = None,
+    cbs: DataFrame | None = None,
 ) -> DataFrame:
     """(cluster, cand_id, codes, res_dist) — encode vectors against
     FROZEN coarse/codebook frames: assign + residual + per-subspace
-    argmin codes, one map-only pass over broadcast frames. ``res_dist``
-    is the exact integer L2² of the vector's residual to its assigned
-    coarse centroid — the per-vector quantizer-fit number whose corpus
-    mean is the drift baseline ivfpq_add compares against. Unused
-    consumers (the in-flight ivfpq_topk path) never pay for it: Catalyst
-    prunes the unreferenced projection."""
-    w = dim // m
-    cbs = _pq_prepared(cb, m)
-    cand_res = _ivfpq_assign_residual(embeddings, coarse, id_col, vec_col, dim)
-    return cand_res.crossJoin(F.broadcast(cbs)).select(
-        "cluster",
-        "cand_id",
-        F.transform(
-            _pq_subs(m),
-            lambda s: F.array_min(_ivfpq_res_sub_dists(F.col("res"), s, w))["c"],
-        ).alias("codes"),
-        F.aggregate(
-            F.transform(F.col("res"), lambda r: r * r),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("res_dist"),
+    argmin codes, one map-only pass over broadcast frames. ``coarse1``/
+    ``cbs`` take precomputed LocalRelation forms of the frames
+    (_coarse1_local/_cbs_local) when they are at rest."""
+    return _ivfpq_codes_from_residuals(
+        _ivfpq_assign_residual(
+            embeddings, coarse, id_col, vec_col, dim, coarse1=coarse1
+        ),
+        cb, dim, m, cbs=cbs,
     )
 
 
@@ -1281,11 +1354,22 @@ def _ivfpq_build_frames(
     ``train`` defaults to ``embeddings``; passing a subset trains the
     quantizers on it while still encoding every embedding — the
     reference relation for the build-then-add lifecycle (ivfpq_add)."""
-    coarse, cb = _ivfpq_train_frames(
-        train if train is not None else embeddings,
-        dim, n_clusters, m, n_codes, id_col, vec_col,
-    )
-    cand = _ivfpq_encode(embeddings, coarse, cb, dim, m, id_col, vec_col)
+    if train is not None and train is not embeddings:
+        coarse, cb = _ivfpq_train_frames(
+            train, dim, n_clusters, m, n_codes, id_col, vec_col
+        )
+        cand = _ivfpq_encode(embeddings, coarse, cb, dim, m, id_col, vec_col)
+        return coarse, cb, cand
+    # train == encode corpus (the in-flight ivfpq_topk path): build ONE
+    # assign-residual expression and derive both the codebook training and
+    # the candidate codes from it — the r12 shared-subtree shape, which the
+    # r13 helper split had quietly doubled (one extra driver-side
+    # construction of the residual tree per query; sentinel-paired A/B
+    # measured the split ~8% slower on sim7 at sf0.1, plans identical).
+    coarse = _ivfpq_train_coarse(embeddings, dim, n_clusters, id_col, vec_col)
+    cand_res = _ivfpq_assign_residual(embeddings, coarse, id_col, vec_col, dim)
+    cb = _ivfpq_cb_from_residuals(cand_res, dim, m, n_codes)
+    cand = _ivfpq_codes_from_residuals(cand_res, cb, dim, m)
     return coarse, cb, cand
 
 
@@ -1300,47 +1384,50 @@ def _ivfpq_query_side(
     k: int,
     id_col: str,
     vec_col: str,
+    coarse1: DataFrame | None = None,
+    cbs: DataFrame | None = None,
 ) -> DataFrame:
     """Probe nprobe lists per query and ADC-score their candidates —
     identical whether the index frames are in-flight (ivfpq_topk) or read
-    back from rest (ivfpq_search)."""
+    back from rest (ivfpq_search; that path passes the frames' LocalRelation
+    forms via ``coarse1``/``cbs``)."""
     w = dim // m
-    xq = _pq_quantize(vec_col)
+    xq_sql = _sql_quantize(vec_col)
     valid = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
-    coarse1 = coarse.agg(
-        F.array_sort(F.collect_list(F.struct("c", "cent"))).alias("coarse")
-    )
-    cbs = _pq_prepared(cb, m)
+    if coarse1 is None:
+        coarse1 = coarse.agg(
+            F.array_sort(F.collect_list(F.struct("c", "cent"))).alias("coarse")
+        )
+    if cbs is None:
+        cbs = _pq_prepared(cb, m)
 
     qprobe = (
         queries.where(valid)
         .crossJoin(F.broadcast(coarse1))
         .select(
             F.col(id_col).cast("long").alias("query_id"),
-            xq.alias("xqv"),
+            F.expr(xq_sql).alias("xqv"),
             F.col("coarse"),
             F.explode(
-                F.slice(F.array_sort(_ivfpq_coarse_dists(xq)), 1, nprobe)
+                F.expr(
+                    f"slice(array_sort({_sql_coarse_dists(xq_sql)}), "
+                    f"1, {nprobe})"
+                )
             ).alias("probe"),
         )
         .select(
             "query_id",
             F.col("probe")["c"].alias("cluster"),
-            F.zip_with(
-                F.col("xqv"), _ivfpq_cent_of(F.col("probe")["c"]), lambda a, b: a - b
+            F.expr(
+                f"zip_with(xqv, {_sql_cent_of('probe.c')}, "
+                "(wx, wy) -> wx - wy)"
             ).alias("qres"),
         )
     )
     lut = qprobe.crossJoin(F.broadcast(cbs)).select(
         "query_id",
         "cluster",
-        F.transform(
-            _pq_subs(m),
-            lambda s: F.transform(
-                _ivfpq_res_sub_dists(F.col("qres"), s, w),
-                lambda e: F.struct(e["c"].alias("c"), e["dist"].alias("ld")),
-            ),
-        ).alias("luts"),
+        F.expr(_sql_luts("qres", m, w)).alias("luts"),
     )
 
     scored = (
@@ -1349,17 +1436,7 @@ def _ivfpq_query_side(
         .select(
             "query_id",
             "cand_id",
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"),
-                    F.col("luts"),
-                    lambda code, lt: F.element_at(
-                        F.filter(lt, lambda e: e["c"] == code), 1
-                    )["ld"],
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("adc_dist"),
+            F.expr(_SQL_ADC).alias("adc_dist"),
         )
     )
     win = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("cand_id"))
@@ -1423,12 +1500,21 @@ def build_ivfpq_index(
     _ivfpq_train_coarse(
         embeddings, dim, n_clusters, id_col, vec_col
     ).write.mode("overwrite").parquet(f"{index_root}/coarse")
+    # read back + collapse to LocalRelations (r14): the frames are
+    # n_clusters / m*n_codes rows — ONE footer-read job each replaces a
+    # scan+agg+broadcast-build subtree inside every downstream consumer
+    # (codebook training, encode, and at serving time every add/search)
     coarse = spark.read.parquet(f"{index_root}/coarse")
+    coarse1 = _coarse1_local(spark, coarse)
     _ivfpq_train_cb(
-        embeddings, coarse, dim, m, n_codes, id_col, vec_col
+        embeddings, coarse, dim, m, n_codes, id_col, vec_col,
+        coarse1=coarse1,
     ).write.mode("overwrite").parquet(f"{index_root}/codebooks")
     cb = spark.read.parquet(f"{index_root}/codebooks")
-    cand = _ivfpq_encode(embeddings, coarse, cb, dim, m, id_col, vec_col)
+    cand = _ivfpq_encode(
+        embeddings, coarse, cb, dim, m, id_col, vec_col,
+        coarse1=coarse1, cbs=_cbs_local(spark, cb),
+    )
     # Drift baseline rides the write pass as observe() metrics (r13) —
     # previously a separate read-back aggregation job over the just-
     # written codes. Clustering the rows onto their partition value
@@ -1706,6 +1792,11 @@ def ivfpq_add(
         vec_col = vec_col or meta["vec_col"]
         coarse = spark.read.parquet(f"{index_root}/coarse")
         cb = spark.read.parquet(f"{index_root}/codebooks")
+        # the frozen frames are tiny: collapse them to LocalRelations so
+        # the per-batch encode embeds the literal values (no frame scan
+        # inside the encode job — see _coarse1_local)
+        coarse1 = _coarse1_local(spark, coarse)
+        cbs = _cbs_local(spark, cb)
         batch = new_embeddings
         retired = _ivfpq_retired(spark, index_root)
         if retired is not None:
@@ -1723,7 +1814,8 @@ def ivfpq_add(
         obs = Observation()
         enc = (
             _ivfpq_encode(
-                batch, coarse, cb, meta["dim"], meta["m"], id_col, vec_col
+                batch, coarse, cb, meta["dim"], meta["m"], id_col, vec_col,
+                coarse1=coarse1, cbs=cbs,
             )
             .observe(
                 obs,
@@ -1928,11 +2020,12 @@ def ivfpq_search(
     coarse = spark.read.parquet(f"{index_root}/coarse")
     cb = spark.read.parquet(f"{index_root}/codebooks")
 
-    xq = _pq_quantize(vec_col)
     valid = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
-    coarse1 = coarse.agg(
-        F.array_sort(F.collect_list(F.struct("c", "cent"))).alias("coarse")
-    )
+    # at-rest frames as LocalRelations (see _coarse1_local): the probe
+    # job and the main query embed the literal quantizer instead of each
+    # re-scanning + re-aggregating the tiny parquet frames
+    coarse1 = _coarse1_local(spark, coarse)
+    cbs = _cbs_local(spark, cb)
     probed = sorted(
         {
             r["cluster"]
@@ -1940,11 +2033,10 @@ def ivfpq_search(
             .crossJoin(F.broadcast(coarse1))
             .select(
                 F.explode(
-                    F.transform(
-                        F.slice(
-                            F.array_sort(_ivfpq_coarse_dists(xq)), 1, nprobe
-                        ),
-                        lambda e: e["c"],
+                    F.expr(
+                        "transform(slice(array_sort("
+                        f"{_sql_coarse_dists(_sql_quantize(vec_col))}), "
+                        f"1, {nprobe}), pe -> pe.c)"
                     )
                 ).alias("cluster")
             )
@@ -1967,7 +2059,7 @@ def ivfpq_search(
         cand = cand.join(F.broadcast(retired), "cand_id", "left_anti")
     return _ivfpq_query_side(
         queries, coarse, cb, cand, dim=dim, m=m, nprobe=nprobe, k=k,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, coarse1=coarse1, cbs=cbs,
     )
 
 
@@ -2012,13 +2104,8 @@ def ivfpq_refine(
     )
     fetched = cv.join(F.broadcast(cand), "cand_id")
     paired = fetched.join(F.broadcast(qv), "query_id")
-    dist = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
     scored = paired.select(
-        "query_id", "cand_id", dist.alias("exact_dist")
+        "query_id", "cand_id", F.expr(_sql_l2("qv", "cv")).alias("exact_dist")
     )
     win = Window.partitionBy("query_id").orderBy(
         F.col("exact_dist"), F.col("cand_id")

@@ -25,15 +25,60 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 from graphsense_ethereum_etl_spark.operators.similarity import (  # noqa: E402
-    _ivfpq_coarse_dists,
-    _ivfpq_cent_of,
     _ivfpq_query_side,
-    _ivfpq_res_sub_dists,
     _pq_prepared,
-    _pq_quantize,
-    _pq_subs,
     ivfpq_topk,
 )
+
+
+# -- frozen r12 Column-based helpers (deleted from the operator module when
+# -- the SQL-text builders landed; kept verbatim here so the OLD variant
+# -- stays the exact r12 shape) ---------------------------------------------
+
+def _pq_quantize(vec_col: str):
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            (x.cast("double") + F.lit(1.0)) * F.lit(float(1 << 20))
+        ).cast("long"),
+    )
+
+
+def _pq_subs(m: int):
+    return F.sequence(F.lit(0), F.lit(m - 1))
+
+
+def _ivfpq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _ivfpq_coarse_dists(xq):
+    return F.transform(
+        F.col("coarse"),
+        lambda e: F.struct(
+            _ivfpq_l2(xq, e["cent"]).alias("dist"), e["c"].alias("c")
+        ),
+    )
+
+
+def _ivfpq_cent_of(cluster_col):
+    return F.element_at(
+        F.filter(F.col("coarse"), lambda e: e["c"] == cluster_col), 1
+    )["cent"]
+
+
+def _ivfpq_res_sub_dists(res_col, s, w: int):
+    sv = F.slice(res_col, s * w + 1, w)
+    return F.transform(
+        F.element_at(F.col("cbs"), s + 1),
+        lambda e: F.struct(
+            _ivfpq_l2(sv, e["cent"]).alias("dist"), e["c"].alias("c")
+        ),
+    )
 from graphsense_ethereum_etl_spark.queries import load  # noqa: E402
 from graphsense_ethereum_etl_spark.session import get_spark  # noqa: E402
 
