@@ -332,7 +332,18 @@ def ngram_jaccard_pairs_bucketed(
         )
         .select("id", F.size("arr").alias("n"), "arr")
     )
-    prefix = sorted_sets.select(
+    from ..sinks import write_bucketed
+
+    # Write the SETS table first and derive the prefix index from its
+    # READ-BACK (r14): the two lazily-written tables each re-executed the
+    # full shingle pipeline (scan -> df-frequency join -> per-doc
+    # collect_list agg, the expensive half of the build — ~2x the index
+    # build cost at sf0.1); deriving the prefix explode from the persisted
+    # sets relation runs that pipeline exactly once, and the prefix write
+    # becomes a cheap projection over the bucketed files.
+    write_bucketed(sorted_sets, f"{table}_sets", "id", num_buckets, sort_cols=["id"])
+    sets = spark.table(f"{table}_sets")
+    prefix = sets.select(
         "id",
         "n",
         F.explode(
@@ -341,12 +352,8 @@ def ngram_jaccard_pairs_bucketed(
             )
         ).alias("shingle"),
     )
-    from ..sinks import write_bucketed
-
     write_bucketed(prefix, f"{table}_prefix", "shingle", num_buckets, sort_cols=["shingle"])
-    write_bucketed(sorted_sets, f"{table}_sets", "id", num_buckets, sort_cols=["id"])
     pre = spark.table(f"{table}_prefix")
-    sets = spark.table(f"{table}_sets")
     cands = _jaccard_candidate_join(pre, threshold)
     return _jaccard_verify(cands, sets, threshold)
 
@@ -402,11 +409,21 @@ def edit_distance_pairs(
         F.length(norm).alias("ln"),
     )
     band = (F.col("ln") / band_width).cast("bigint")
+    # Salt the (group, band) join key (guide §2.5): its cardinality is
+    # #groups × #bands — a handful of distinct values, so however many
+    # shuffle partitions exist, each group's O(group²) pairing serializes
+    # on ONE task (measured: the whole dd6 join on 1 task for 2.1 s at
+    # sf0.1 on 32 cores). Side A is hash-salted on its id (deterministic —
+    # safe under task retry); side B replicates n_salt ways, so every
+    # qualifying pair still meets in exactly one partition and the pairing
+    # work fans out n_salt-wide per (group, band).
+    n_salt = 16
     a = base.select(
         F.col("id").alias("id_a"),
         *[F.col(c).alias(f"ga_{c}") for c in group_cols],
         F.col("pfx").alias("pa"),
         F.col("ln").alias("la"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_salt)).alias("_salt"),
         F.explode(F.array(band, band + 1)).alias("band"),
     )
     b = base.select(
@@ -415,8 +432,27 @@ def edit_distance_pairs(
         F.col("pfx").alias("pb"),
         F.col("ln").alias("lb"),
         band.alias("band"),
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(n_salt - 1).cast("bigint"))
+        ).alias("_salt"),
     )
-    join_on = [a["band"] == b["band"]] + [
+    # Pin the join's partition count: the shuffle is BYTE-tiny (ids +
+    # 40-char prefixes), so AQE's size-based coalescing would merge every
+    # salted partition back into one task and re-serialize the quadratic
+    # pairing. An explicit-N repartition on the exact join keys is a
+    # distribution the join reuses (no extra exchange — plan-checked) and
+    # AQE never coalesces REPARTITION_BY_NUM; N derives from the cluster,
+    # not a constant.
+    n_parts = base.sparkSession.sparkContext.defaultParallelism
+    a = a.repartition(
+        n_parts, F.col("band"), F.col("_salt"),
+        *[F.col(f"ga_{c}") for c in group_cols],
+    )
+    b = b.repartition(
+        n_parts, F.col("band"), F.col("_salt"),
+        *[F.col(f"gb_{c}") for c in group_cols],
+    )
+    join_on = [a["band"] == b["band"], a["_salt"] == b["_salt"]] + [
         F.col(f"ga_{c}") == F.col(f"gb_{c}") for c in group_cols
     ]
     # Orientation filter, lossless and duplicate-free BEFORE the expensive

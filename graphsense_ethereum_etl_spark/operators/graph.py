@@ -412,6 +412,39 @@ def triangle_counts(
     )
 
 
+def _normalized_edges(
+    edges: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """(a, b) undirected simple edge SET, a < b, NULLs/self-loops dropped,
+    checkpointed — the shared input of the triangle family (and of g10's
+    degree relation, which reuses this checkpoint instead of re-running
+    the upstream edge pipeline)."""
+    return (
+        edges.select(
+            F.col(src).cast("bigint").alias("a"),
+            F.col(dst).cast("bigint").alias("b"),
+        )
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _edge_degrees(e0: DataFrame) -> DataFrame:
+    """(v, d) degree over a normalized edge set."""
+    return (
+        e0.select(F.col("a").alias("v"))
+        .unionAll(e0.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+
+
 def _oriented_triangles(
     edges: DataFrame,
     src: str = "src",
@@ -426,26 +459,14 @@ def _oriented_triangles(
     # e0 feeds the degree agg AND both degree joins — checkpoint it so the
     # upstream edge pipeline (for g9: the whole MinHash band join) runs
     # once, not once per reference
-    e0 = (
-        edges.select(
-            F.col(src).cast("bigint").alias("a"),
-            F.col(dst).cast("bigint").alias("b"),
-        )
-        .filter(
-            F.col("a").isNotNull()
-            & F.col("b").isNotNull()
-            & (F.col("a") != F.col("b"))
-        )
-        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        e0.select(F.col("a").alias("v"))
-        .unionAll(e0.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count("*").alias("d"))
-    )
+    e0 = _normalized_edges(edges, src, dst)
+    return _oriented_triangles_from(e0, _edge_degrees(e0))
+
+
+def _oriented_triangles_from(e0: DataFrame, deg: DataFrame) -> DataFrame:
+    """Enumeration over a pre-normalized edge set and its degree relation
+    (g10 shares both with its coefficient normalization instead of
+    recomputing them from the raw edges)."""
     da = deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da")
     db = deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db")
     # orientation: u = lower (degree, id) endpoint; carry the out-side

@@ -10445,26 +10445,32 @@ def g10_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge set; the final join is vertex-sized ⋈ vertex-sized. The
     coefficient arithmetic is 2.0·T/(d(d-1)) in both engines — one double
     division, 6-dp rounded like every scored query."""
-    from .operators.graph import triangle_counts
+    from .operators.graph import (
+        _edge_degrees,
+        _normalized_edges,
+        _oriented_triangles_from,
+    )
 
     raw = load(spark, sf_dir, "orders").select(
         (F.col("o_orderkey") % 997).cast("bigint").alias("src"),
         ((F.col("o_orderkey") * 13 + 7) % 997).cast("bigint").alias("dst"),
     )
-    e = (
-        raw.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
+    # ONE normalized edge set + ONE degree relation serve both the
+    # triangle enumeration and the coefficient normalization (r14: the
+    # query previously recomputed edge normalization + degree agg from
+    # the raw scan next to the operator's own checkpointed copies)
+    e0 = _normalized_edges(raw, "src", "dst")
+    deg_raw = _edge_degrees(e0)
+    deg = deg_raw.select("v", F.col("d").cast("bigint").alias("degree"))
+    tri = _oriented_triangles_from(e0, deg_raw)
+    verts = (
+        tri.select(F.col("u").alias("id"))
+        .unionAll(tri.select(F.col("v").alias("id")))
+        .unionAll(tri.select(F.col("w").alias("id")))
     )
-    deg = (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count("*").cast("bigint").alias("degree"))
+    tc = verts.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
     )
-    tc = triangle_counts(raw, "src", "dst")
     t = F.coalesce(tc["n_triangles"], F.lit(0)).cast("bigint")
     return deg.join(tc, deg["v"] == tc["id"], "left").select(
         deg["v"].cast("bigint").alias("id"),
