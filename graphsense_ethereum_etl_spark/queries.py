@@ -3951,8 +3951,31 @@ def sim11_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             dim=64, n_clusters=8, m=8, n_codes=16,
         )
         feed = f"{workdir}/feed"
-        for part in ("vec_id % 8 = 3", "vec_id % 8 = 7"):
-            emb.filter(part).coalesce(1).write.mode("append").parquet(feed)
+        # ONE partitioned write builds both feed files (r14): the old
+        # per-half `filter().coalesce(1).write` pair ran two serialized
+        # single-task scans of the embeddings table (coalesce(1)
+        # propagates up through the filter); partitionBy emits one file
+        # per half from a single parallel scan, and the files are moved
+        # into the flat feed dir the stream reader expects. Batch order
+        # is irrelevant by construction: the final index is provably
+        # batching-independent (frozen-frame encode; pinned in tests).
+        import os as _os
+
+        staging = f"{workdir}/feed_stage"
+        (
+            emb.filter("vec_id % 4 = 3")
+            .withColumn("_half", (F.col("vec_id") % 8 == 7).cast("int"))
+            .repartition(F.col("_half"))
+            .write.mode("overwrite")
+            .partitionBy("_half")
+            .parquet(staging)
+        )
+        _os.makedirs(feed, exist_ok=True)
+        for half in (0, 1):
+            d = f"{staging}/_half={half}"
+            for f in sorted(_os.listdir(d)):
+                if f.endswith(".parquet"):
+                    _os.rename(f"{d}/{f}", f"{feed}/h{half}-{f}")
         # one file per micro-batch: the drain genuinely runs TWO
         # foreachBatch adds, not one coalesced batch
         stream = (
@@ -5091,6 +5114,10 @@ def k5_versioned_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             block_bucket("o_orderkey").alias("bucket"),
         )
+        # small multi-consumer frame: materialize once so every
+        # partition write / merge / probe below scans the checkpoint,
+        # not the orders parquet (r14)
+        .localCheckpoint(eager=True)
     )
     workdir = tempfile.mkdtemp(prefix="vt_query_")
     try:
@@ -5180,6 +5207,10 @@ def k6_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("pri"),
             block_bucket("o_orderkey").alias("bucket"),
         )
+        # small multi-consumer frame: materialize once so every
+        # partition write / merge / probe below scans the checkpoint,
+        # not the orders parquet (r14)
+        .localCheckpoint(eager=True)
     )
     base = orders.filter(F.col("k") % 3 != 0)
     cdc = (
@@ -5262,6 +5293,10 @@ def k9_catalog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders")
         .filter((F.col("o_orderkey") >= 0) & (F.col("o_orderkey") < 4000))
         .select("o_orderkey", block_bucket("o_orderkey").alias("bucket"))
+        # small multi-consumer frame: materialize once so every
+        # partition write / merge / probe below scans the checkpoint,
+        # not the orders parquet (r14)
+        .localCheckpoint(eager=True)
     )
     workdir = tempfile.mkdtemp(prefix="cat_query_")
     try:
@@ -5357,6 +5392,10 @@ def k10_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             block_bucket("o_orderkey").alias("bucket"),
         )
+        # small multi-consumer frame: materialize once so every
+        # partition write / merge / probe below scans the checkpoint,
+        # not the orders parquet (r14)
+        .localCheckpoint(eager=True)
     )
     workdir = tempfile.mkdtemp(prefix="tt_query_")
     try:
@@ -5451,6 +5490,10 @@ def k11_asof_catalog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").cast("bigint").alias("k"),
             block_bucket("o_orderkey").alias("bucket"),
         )
+        # small multi-consumer frame: materialize once so every
+        # partition write / merge / probe below scans the checkpoint,
+        # not the orders parquet (r14)
+        .localCheckpoint(eager=True)
     )
     workdir = tempfile.mkdtemp(prefix="asof_query_")
     try:
@@ -5553,6 +5596,9 @@ def k12_asof_timestamp_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket"),
             (F.col("o_orderkey").cast("bigint") * 12).alias("ts"),
         )
+        # 1500 rows feed SIX partition writes below: materialize once so
+        # each write scans the checkpoint, not the orders parquet (r14)
+        .localCheckpoint(eager=True)
     )
     workdir = tempfile.mkdtemp(prefix="asofts_query_")
     try:
@@ -5570,18 +5616,22 @@ def k12_asof_timestamp_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).write_partitions(batch.filter(F.col("k") % 3 != 0))
             cat.commit(height=height)
         outs = []
+        # one resolution scan for all three probes (r14: the per-probe
+        # resolver paid one block-table aggregate each); version_asof is
+        # driver-side metadata, and reading block+transaction through the
+        # SAME resolved version preserves read_asof_timestamp's pairing
+        heights = cat.heights_asof_timestamps(
+            [13200, 7200, 5988], ts_col="ts", height_col="k"
+        )
         for ts in (13200, 7200, 5988):
+            v = cat.version_asof(heights[ts])
             nb = (
-                cat.read_asof_timestamp(
-                    "block", ts, ts_col="ts", height_col="k"
-                )
+                cat.read("block", v)
                 .groupBy("bucket")
                 .agg(F.count("*").cast("bigint").alias("n_blocks"))
             )
             nt = (
-                cat.read_asof_timestamp(
-                    "transaction", ts, ts_col="ts", height_col="k"
-                )
+                cat.read("transaction", v)
                 .groupBy("bucket")
                 .agg(F.count("*").cast("bigint").alias("n_tx"))
             )
@@ -5666,6 +5716,10 @@ def k7_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("pri"),
             block_bucket("o_orderkey").alias("bucket"),
         )
+        # small multi-consumer frame: materialize once so every
+        # partition write / merge / probe below scans the checkpoint,
+        # not the orders parquet (r14)
+        .localCheckpoint(eager=True)
     )
     base = orders.filter(F.col("k") % 3 != 0)
     cdc = orders.filter(F.col("k") < 10_000).select(
@@ -5751,6 +5805,10 @@ def k8_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("pri"),
             block_bucket("o_orderkey").alias("bucket"),
         )
+        # small multi-consumer frame: materialize once so every
+        # partition write / merge / probe below scans the checkpoint,
+        # not the orders parquet (r14)
+        .localCheckpoint(eager=True)
     )
     base = orders.filter(F.col("k") % 3 != 0)
     cdc = orders.filter(F.col("k") < 10_000).select(

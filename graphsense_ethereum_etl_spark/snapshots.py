@@ -237,17 +237,46 @@ class SnapshotCatalog:
         read mid-ingest) — version_asof then returns the newest
         catalog, exactly the at-or-before contract. Raises
         FileNotFoundError when no block is at-or-before ``ts``."""
+        h = self.heights_asof_timestamps(
+            [ts], block_table, ts_col, height_col
+        )[ts]
+        return self.version_asof(h)
+
+    def heights_asof_timestamps(
+        self,
+        ts_list,
+        block_table: str = "block",
+        ts_col: str = "timestamp",
+        height_col: str = "block_id",
+    ) -> dict:
+        """{ts: resolved chain height} for MANY wall-clock probes in ONE
+        aggregate over the newest catalog's pinned block table (r14: the
+        per-probe resolver re-scanned the same chain-length table once
+        per timestamp; a probe panel — k12's shape — now pays a single
+        scan carrying one conditional max per probe;
+        ``max(CASE WHEN ts_col <= t THEN height END)`` is exactly the
+        filtered max, including the NULL-when-empty contract). Raises
+        FileNotFoundError naming the first timestamp with no block
+        at-or-before it."""
+        ts_list = list(ts_list)
         blk = self.read(block_table)
-        m = (
-            blk.filter(F.col(ts_col) <= ts)
-            .agg(F.max(height_col).alias("m"))
-            .collect()[0]["m"]
-        )
-        if m is None:
-            raise FileNotFoundError(
-                f"no block with {ts_col} at-or-before {ts!r}"
-            )
-        return self.version_asof(int(m))
+        row = blk.agg(
+            *[
+                F.max(
+                    F.when(F.col(ts_col) <= ts, F.col(height_col))
+                ).alias(f"_m{i}")
+                for i, ts in enumerate(ts_list)
+            ]
+        ).collect()[0]
+        out = {}
+        for i, ts in enumerate(ts_list):
+            m = row[f"_m{i}"]
+            if m is None:
+                raise FileNotFoundError(
+                    f"no block with {ts_col} at-or-before {ts!r}"
+                )
+            out[ts] = int(m)
+        return out
 
     def read_asof_timestamp(
         self,
