@@ -73,11 +73,22 @@ def connected_components(
     # checkpoint (plans/checkpoint.py): rounds shuffle only the labels,
     # the edge set crosses the wire exactly once (r8 shuffle-byte audit)
     sym = checkpoint_partitioned(sym, "d")
+    # Round 1 fused into initialization (r14): with label(v) = v, the
+    # first round's neighbor-min join degenerates to a plain aggregation —
+    # label_1(v) = min(v, min neighbor) — so the identity-label relation,
+    # its checkpoint, and the round-1 join+join-back pass are all skipped.
+    # The round-1 change count (label < v) rides the same checkpoint as an
+    # observe() metric, preserving the loop's convergence contract (a
+    # graph whose every vertex is its own component minimum — e.g. i->i+1
+    # chains labeled from the low end — exits before any join runs).
+    obs0 = Observation()
     labels = (
-        sym.select(F.col("s").alias("v"))
-        .distinct()
-        .withColumn("label", F.col("v"))
+        sym.groupBy(F.col("s").alias("v"))
+        .agg(F.least(F.min("d"), F.col("s")).alias("label"))
+        .withColumn("_changed", F.col("label") < F.col("v"))
+        .observe(obs0, F.count_if(F.col("_changed")).alias("_n"))
         .localCheckpoint(eager=True)
+        .drop("_changed")
     )
     # Size-gated hint regime for every evolving side this loop produces
     # (plans/hints.py): labels and nbr_min are vertex-sized or smaller in
@@ -87,7 +98,11 @@ def connected_components(
     # over it, shuffle_hash keeps the r8 audit's no-corpus-broadcast
     # guarantee (Catalyst alone broadcast the EDGE set at sf~1 and OOMed).
     n_vertices = labels.count()
-    for _ in range(max_iter):
+    if obs0.get["_n"] == 0:
+        return labels.select(
+            F.col("v").alias("id"), F.col("label").alias("component")
+        )
+    for _ in range(max_iter - 1):
         nbr_min = (
             sym.join(
                 evolving_hint(labels, n_vertices), sym["d"] == labels["v"]
